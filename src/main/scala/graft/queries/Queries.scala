@@ -1,0 +1,15 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregate registry: every implemented operator from SURVEY.md §2 gets a
+  * named query here and (when SQL-expressible) a DuckDB oracle keyed
+  * identically. `SparkEntry` delegates to this object.
+  */
+object Queries {
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries
+
+  def oracles: Map[String, String] =
+    RelationalQueries.oracles
+}

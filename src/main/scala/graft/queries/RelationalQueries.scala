@@ -1,0 +1,201 @@
+package graft.queries
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{ProfileTransform, Reconcile}
+import graft.sources.Tables
+
+/** Registered queries: reference-parity (SURVEY.md §2.2-§2.3 — the SMT
+  * transform and the verifier's reconciliation) plus the relational
+  * gap-fill rows. Each query has a matching DuckDB oracle in
+  * `RelationalQueries.oracles` with identical column names and a
+  * deterministic total order.
+  *
+  * Determinism rules (SURVEY.md §5):
+  *  - no wall-clock columns (T8 `processed_ts` gets an injected clock);
+  *  - double aggregates go through decimal so sum order doesn't matter,
+  *    then back to double the same way in both engines;
+  *  - every ORDER BY ends in a unique key.
+  */
+object RelationalQueries {
+
+  private val FixedClock = Instant.parse("2024-01-01T00:00:00Z")
+
+  /** Fixture prep: `customer` plays the reference's `users` topic
+    * (FIXTURES.md §2). Deterministically injects blank names (filter
+    * fodder, ~1/13 rows) and carries two droppable "PII" columns, like the
+    * producer fixture does (`/root/reference/producer/producer.py:46-61`).
+    */
+  def usersFromCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.select(
+      col("c_custkey").as("user_id"),
+      when(col("c_custkey") % 13 === 0, lit(" ")).otherwise(col("c_name")).as("first_name"),
+      col("c_mktsegment").as("last_name"),
+      concat(col("c_name"), lit("@example.com")).as("email"),
+      col("c_acctbal").as("acctbal"),
+      lit("secret123").as("raw_secret"),
+      col("c_nationkey").cast("string").as("tracking"))
+  }
+
+  /** The SMT configured for the testdata stand-in schema. */
+  def userTransform: ProfileTransform = ProfileTransform(
+    filterCols = Seq("first_name", "last_name"),
+    dropCols = Seq("raw_secret", "tracking"),
+    maskCol = Some("email"),
+    fullNameFrom = Some(("first_name", "last_name")),
+    adultCol = Some("acctbal"),
+    adultThreshold = 0,
+    clock = Some(FixedClock))
+
+  /** Simulated sink with deterministic anomalies so every audit status
+    * (verifier_ui.py:113-128) appears: ~1/97 transformed rows go MISSING,
+    * supplier-keyed ORPHAN rows appear sink-only, ~1/89 rows leak the
+    * dropped `raw_secret` (FAILED). */
+  def sinkFromUsers(spark: SparkSession, dir: String): DataFrame = {
+    val transformed = userTransform(usersFromCustomer(spark, dir))
+    val good = transformed
+      .filter(col("user_id") % 97 =!= 0)
+      .withColumn("raw_secret", when(col("user_id") % 89 === 0, lit("secret123")))
+    val orphans = Tables.supplier(spark, dir).select(
+      (col("s_suppkey") + lit(10000000L)).as("user_id"),
+      lit("Orphan").as("first_name"),
+      lit("SEG").as("last_name"),
+      lit("redacted@email.com").as("email"),
+      lit(0.0).as("acctbal"),
+      lit("Orphan SEG").as("full_name"),
+      lit(true).as("is_adult"),
+      lit("2024-01-01T00:00:00Z").as("processed_ts"),
+      lit(null).cast("string").as("raw_secret"))
+    good.unionByName(orphans)
+  }
+
+  /** Flagship: full pipeline + audit (SURVEY.md §7.1). */
+  def auditReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val src = usersFromCustomer(spark, dir)
+      .select(col("user_id"), col("first_name").as("src_first_name"))
+    val snk = sinkFromUsers(spark, dir).select(
+      col("user_id"),
+      col("full_name").as("snk_full_name"),
+      col("email").as("snk_email"),
+      col("is_adult").as("snk_is_adult"),
+      col("raw_secret").as("snk_raw_secret"))
+    Reconcile
+      .audit(src, snk, "user_id",
+        expectedFiltered = trim(col("src_first_name")) === "",
+        leaked = col("snk_raw_secret").isNotNull)
+      .select(
+        col("user_id"), col("status"),
+        col("snk_full_name").as("full_name"),
+        col("snk_email").as("email"),
+        col("snk_is_adult").as("is_adult"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Audit rollup: status counts (A1/A2, verifier_ui.py:154-158). */
+  def auditSummary(spark: SparkSession, dir: String): DataFrame =
+    Reconcile.summary(auditReconcile(spark, dir))
+
+  /** The SMT transform itself as a standalone scan-shaped query (T2-T8). */
+  def smtTransform(spark: SparkSession, dir: String): DataFrame =
+    userTransform(usersFromCustomer(spark, dir)).orderBy(col("user_id"))
+
+  /** TPC-H Q1-style pricing summary: partial-agg-friendly groupBy over the
+    * fact table; doubles summed as decimals for cross-engine determinism. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(22, 6)))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_reconcile" -> (auditReconcile _),
+    "audit_summary" -> (auditSummary _),
+    "smt_transform" -> (smtTransform _),
+    "q1_pricing_summary" -> (q1PricingSummary _)
+  )
+
+  private val usersCte =
+    """users AS (
+      |  SELECT c_custkey AS user_id,
+      |         CASE WHEN c_custkey % 13 = 0 THEN ' ' ELSE c_name END AS first_name,
+      |         c_mktsegment AS last_name,
+      |         c_name || '@example.com' AS email,
+      |         c_acctbal AS acctbal,
+      |         'secret123' AS raw_secret,
+      |         CAST(c_nationkey AS VARCHAR) AS tracking
+      |  FROM customer
+      |)""".stripMargin
+
+  private val transformedCte =
+    """transformed AS (
+      |  SELECT user_id, first_name, last_name,
+      |         'redacted@email.com' AS email,
+      |         acctbal,
+      |         concat_ws(' ', first_name, last_name) AS full_name,
+      |         coalesce(acctbal >= 0, false) AS is_adult,
+      |         '2024-01-01T00:00:00Z' AS processed_ts
+      |  FROM users
+      |  WHERE trim(first_name) <> '' AND trim(last_name) <> ''
+      |)""".stripMargin
+
+  private val sinkCte =
+    """sink AS (
+      |  SELECT user_id, first_name, last_name, email, acctbal, full_name,
+      |         is_adult, processed_ts,
+      |         CASE WHEN user_id % 89 = 0 THEN 'secret123' END AS raw_secret
+      |  FROM transformed WHERE user_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT 10000000 + s_suppkey, 'Orphan', 'SEG', 'redacted@email.com',
+      |         0.0, 'Orphan SEG', true, '2024-01-01T00:00:00Z', NULL
+      |  FROM supplier
+      |)""".stripMargin
+
+  private val auditSelect =
+    """SELECT coalesce(u.user_id, s.user_id) AS user_id,
+      |       CASE WHEN s.user_id IS NULL AND trim(u.first_name) = '' THEN 'FILTERED (expected)'
+      |            WHEN s.user_id IS NULL THEN 'MISSING'
+      |            WHEN u.user_id IS NULL THEN 'ORPHAN'
+      |            WHEN s.raw_secret IS NOT NULL THEN 'FAILED'
+      |            ELSE 'OK' END AS status,
+      |       s.full_name AS full_name, s.email AS email, s.is_adult AS is_adult
+      |FROM users u FULL OUTER JOIN sink s ON u.user_id = s.user_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "audit_reconcile" ->
+      s"""WITH $usersCte, $transformedCte, $sinkCte
+         |$auditSelect
+         |ORDER BY user_id""".stripMargin,
+    "audit_summary" ->
+      s"""WITH $usersCte, $transformedCte, $sinkCte,
+         |audit AS ($auditSelect)
+         |SELECT status, count(*) AS n FROM audit GROUP BY status ORDER BY status""".stripMargin,
+    "smt_transform" ->
+      s"""WITH $usersCte, $transformedCte
+         |SELECT * FROM transformed ORDER BY user_id""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders over the driver-generated testdata layout
+  * (`/root/repo/TESTDATA.md`): one parquet file per table under `dir`.
+  *
+  * This is the batch analog of the reference's two scans — the Kafka
+  * consumer scan (`/root/reference/producer/verifier_ui.py:36-76`) and the
+  * MinIO object scan (`verifier_ui.py:88-96`) — re-expressed as columnar
+  * parquet reads so Catalyst gets pushdown/pruning for free. At cluster
+  * scale the same call sites take `s3a://bucket/...` paths; nothing here
+  * assumes a local filesystem.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

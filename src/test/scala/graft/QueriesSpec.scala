@@ -1,0 +1,37 @@
+package graft
+
+/** Smoke + shape checks for every registered query at sf0.001, plus
+  * flagship-specific semantic assertions. The DuckDB hash comparison runs
+  * driver-side (Verify.scala); here we assert structure and invariants.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every registered query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("flagship entry returns rows and all five audit statuses appear") {
+    val df = SparkEntry.entry(spark)
+    val statuses = df.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.keySet === Set("OK", "FILTERED (expected)", "MISSING", "ORPHAN", "FAILED"),
+      s"got: $statuses")
+    assert(statuses.values.forall(_ > 0))
+  }
+
+  test("audit: no sink row retains the dropped secret except FAILED rows") {
+    val df = graft.queries.RelationalQueries.sinkFromUsers(spark, sf)
+    val leaky = df.filter(df("raw_secret").isNotNull)
+      .filter(df("user_id") % 89 =!= 0).count()
+    assert(leaky === 0)
+  }
+}
