@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ CoverageQueries.queries
 
   def oracles: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ CoverageQueries.oracles
 }
