@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline extension surface
+  * (BASELINE.json north star): tokenization, shingling, fingerprinting,
+  * language-ID scoring, and quality scoring — all as codegen-friendly
+  * built-in `functions._` compositions (no UDFs), so they stay inside
+  * whole-stage codegen on a 100 TB scan.
+  *
+  * Cross-engine determinism: every function here has an exact ANSI-SQL
+  * rendering (used by the DuckDB oracles) — md5 for hashes (bit-identical
+  * everywhere, unlike engine-private hash functions), fixed-order float
+  * arithmetic for scores.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the BPE-ish regex variant is `tokensBpe`). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish pre-tokenizer: splits out word pieces, numbers, and
+    * punctuation runs (public GPT-2-style pretoken regex, simplified to
+    * the POSIX classes both Spark and DuckDB regex engines share). */
+  def tokensBpe(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+
+  /** Whitespace-normalized text: collapse runs, trim. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(text), "\\s+", " ")
+
+  /** Document fingerprint: md5 of normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Distinct word k-shingles. Docs shorter than k tokens get an empty
+    * array (guard: Spark's `sequence(0, n)` flips to a descending range
+    * when n < 0, which would fabricate shingles). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n >= k,
+      array_distinct(transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rolling-hash fingerprint: the lexicographic min of shingle md5s — a
+    * 1-perm minhash usable as a cheap near-dup bucket key. */
+  def minShingleFingerprint(text: Column, k: Int): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+
+  /** Language-ID by marker-token counting (n-gram heuristic): count
+    * profile hits with multiplicity, argmax with a fixed precedence.
+    * Deterministic and SQL-renderable; real profiles are swappable. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "je"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langProfiles.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+  }
+
+  /** Predicted language: first profile (in declaration order) strictly
+    * greater than all later ones and > 0; else "und". */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.foldLeft(lit(0)) { case (acc, (_, s)) => greatest(acc, s) }
+    scores.foldRight(lit("und")) { case ((lang, s), other) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(other)
+    }
+  }
+
+  /** Quality score in [0,1]: saturating token count, marker-stopword
+    * ratio, mean token length — fixed evaluation order so Spark and
+    * DuckDB produce bit-identical doubles. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val stop = size(filter(tokens(text),
+      t => t.isInCollection(Seq("the", "a", "and", "of")))).cast("double")
+    val avgLen = length(normalized(text)).cast("double") / n
+    least(n / lit(50.0), lit(1.0)) * lit(0.5) +
+      (stop / n) * lit(0.3) +
+      least(avgLen / lit(10.0), lit(1.0)) * lit(0.2)
+  }
+}

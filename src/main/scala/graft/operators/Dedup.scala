@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for the training-data-pipeline extension:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard
+  * with blocking. All are pure DataFrame compositions — each stage is one
+  * shuffle on an explicit key, so the plans scale to 100 TB:
+  *
+  *  - exact: one hash-agg shuffle on the fingerprint.
+  *  - minhash: per-doc signature is computed scan-side (no shuffle);
+  *    candidate generation shuffles once on (band, band_hash); the verify
+  *    join shuffles candidates (tiny vs corpus) back to shingle sets.
+  *  - simhash: same banding pattern over 16-bit sub-keys of the 64-bit
+  *    signature (hamming ≤ d neighbors share a band for d < bands).
+  *
+  * Hash choice is parameterized: md5-string hashing is bit-identical in
+  * every engine (DuckDB-oracle-able); xxhash64 is the fast path (codegen,
+  * no hex-string materialization) with identical structure.
+  */
+object Dedup {
+
+  /** Exact dedup via fingerprint group: deterministic survivor (min id)
+    * instead of `dropDuplicates`' arbitrary-row semantics. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature as an array column: sig(i) = min over shingles of
+    * hash(i, shingle). One pass over the shingle array per perm, fully
+    * inside codegen; no shuffle. */
+  def minhashSignatureMd5(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shinglesCol, s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  def minhashSignatureFast(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shinglesCol, s => xxhash64(i, s))))
+
+  /** LSH banding: docs sharing any (band index, band hash) become
+    * candidate pairs. Emits one row per (doc, band); the self-join
+    * shuffles on the band hash — the only shuffle of the candidate
+    * stage. `maxBucket` guards degenerate buckets (skew at scale: a
+    * boilerplate shingle set shared by millions of docs would otherwise
+    * produce a quadratic bucket). */
+  def lshCandidates(
+      withSig: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int, maxBucket: Int = 1000,
+      useMd5: Boolean = true): DataFrame = {
+    val bandHash = (b: Int) => {
+      val sliceCol = slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)
+      if (useMd5) md5(concat_ws(",", sliceCol))
+      else xxhash64(sliceCol).cast("string")
+    }
+    val banded = withSig.select(
+      col(idCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("e"))
+      .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
+    val pruned = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = pruned.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the distinct
+    * shingle sets. Candidates are tiny relative to the corpus, so both
+    * enrichment joins broadcast the pair list at scale. */
+  def jaccardVerify(
+      candidates: DataFrame, shingleSets: DataFrame,
+      idCol: String, shCol: String, threshold: Double): DataFrame = {
+    val a = shingleSets.select(col(idCol).as("id_a"), col(shCol).as("sh_a"))
+    val b = shingleSets.select(col(idCol).as("id_b"), col(shCol).as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline over a text column. */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8, useMd5: Boolean = true): DataFrame = {
+    val withSh = df.select(col(idCol), TextFunctions.shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = if (useMd5) minhashSignatureMd5(col("sh"), numHashes)
+              else minhashSignatureFast(col("sh"), numHashes)
+    val withSig = withSh.withColumn("sig", sig)
+    val cands = lshCandidates(withSig, idCol, "sig", bands, numHashes / bands, useMd5 = useMd5)
+    jaccardVerify(cands, withSh, idCol, "sh", threshold)
+  }
+
+  /** 64-bit SimHash of a token array: per-bit majority vote of token
+    * hashes. HOF formulation (codegen-capable, no UDF): fold tokens into
+    * a 64-long bit-count vector, then collapse signs to a bitmask. */
+  def simhash64(tokensCol: Column): Column = {
+    val counts = aggregate(
+      tokensCol,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1,
+            lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs: 16-bit band LSH then hamming ≤ maxHamming
+    * verify (`bit_count(a xor b)`). */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol),
+      simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val banded = withSig.select(col(idCol), col("sig"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("e"))
+      .select(col(idCol), col("sig"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard with blocking: all pairs within a blocking key
+    * (quadratic per block — the demo/verification path; MinHash is the
+    * scale path and the blocking key bounds the quadratic term). */
+  def ngramJaccardBlocked(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(col(blockCol).as("block"), col(idCol),
+      TextFunctions.shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = withSh.select(col("block"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("block"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

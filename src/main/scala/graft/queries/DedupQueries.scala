@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Deduplication extension queries over `documents`. The md5-hash
+  * variants have exact DuckDB oracles (same shingles, same 16-perm
+  * minhash, same 4-band LSH); the xxhash64 simhash variant is engine-fast
+  * and gets the weaker rows-only check.
+  */
+object DedupQueries {
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("survivor_id"))
+
+  def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("block", TextFunctions.minShingleFingerprint(col("text"), 3))
+      .filter(col("block").isNotNull)
+    Dedup.ngramJaccardBlocked(docs, "doc_id", "text", "block", k = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _)
+  )
+
+  /** Shared shingle CTE: distinct word 3-shingles, mirroring
+    * TextFunctions.shingles(text, 3). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(len(w)-2),
+      |           i -> array_to_string(w[i+1:i+3], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+        |       MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY survivor_id""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $shingleCte,
+         |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+         |sig AS (
+         |  SELECT t.doc_id, h.i, MIN(md5(CAST(h.i AS VARCHAR) || '|' || t.sng)) AS mh
+         |  FROM t CROSS JOIN (SELECT unnest(range(16)) AS i) h
+         |  GROUP BY t.doc_id, h.i),
+         |band AS (
+         |  SELECT doc_id, i // 4 AS b, md5(string_agg(mh, ',' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |         / len(list_distinct(a.s || b.s)) AS jaccard
+         |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / len(list_distinct(a.s || b.s)) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |blocked AS (
+         |  SELECT doc_id, s, list_min(list_transform(s, x -> md5(x))) AS block
+         |  FROM sh)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |         / len(list_distinct(a.s || b.s)) AS jaccard
+         |FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / len(list_distinct(a.s || b.s)) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -8,8 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ CoverageQueries.queries
+    RelationalQueries.queries ++ CoverageQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries
 
   def oracles: Map[String, String] =
-    RelationalQueries.oracles ++ CoverageQueries.oracles
+    RelationalQueries.oracles ++ CoverageQueries.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles
 }

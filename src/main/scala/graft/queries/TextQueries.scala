@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis extension queries over `documents` (north star:
+  * language-ID, quality scoring, token counting, fingerprinting). Every
+  * query is a scan-shaped single pass — no shuffle except the final
+  * grouping — so they stream over a 100 TB corpus.
+  */
+object TextQueries {
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), tokenCount(col("text")).as("ntok"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("sum_tokens"),
+        min(col("ntok")).as("min_tokens"),
+        max(col("ntok")).as("max_tokens"),
+        (sum(col("ntok")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokensBpe(col("text"))).as("n_bpe_tokens"),
+        tokenCount(col("text")).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("score"))
+      .orderBy(col("doc_id"))
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_bpe_tokens" -> (bpeTokenStats _),
+    "text_lang_id" -> (langIdQuery _),
+    "text_quality" -> (qualityScores _),
+    "text_fingerprint" -> (fingerprints _)
+  )
+
+  // Shared SQL fragments (DuckDB): tokens / shingles mirror
+  // TextFunctions.tokens/shingles exactly.
+  private val tokCte =
+    """tok AS (
+      |  SELECT doc_id, lang, text,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  private val markers = Map(
+    "en" -> "('the','a','and','of')",
+    "de" -> "('der','die','das','und')",
+    "es" -> "('el','la','los','y')",
+    "fr" -> "('le','les','et','je')")
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""WITH $tokCte
+         |SELECT lang, COUNT(*) AS n_docs, SUM(len(w)) AS sum_tokens,
+         |       MIN(len(w)) AS min_tokens, MAX(len(w)) AS max_tokens,
+         |       CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avg_tokens
+         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH $tokCte,
+         |scored AS (
+         |  SELECT lang,
+         |         len(list_filter(w, t -> t IN ${markers("en")})) AS c_en,
+         |         len(list_filter(w, t -> t IN ${markers("de")})) AS c_de,
+         |         len(list_filter(w, t -> t IN ${markers("es")})) AS c_es,
+         |         len(list_filter(w, t -> t IN ${markers("fr")})) AS c_fr
+         |  FROM tok),
+         |pred AS (
+         |  SELECT lang,
+         |         CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+         |              WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+         |              WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+         |              WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_es, c_fr) THEN 'fr'
+         |              ELSE 'und' END AS predicted
+         |  FROM scored)
+         |SELECT lang, predicted, COUNT(*) AS n
+         |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "text_quality" ->
+      s"""WITH $tokCte
+         |SELECT doc_id, len(w) AS n_tokens,
+         |       least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |       + (CAST(len(list_filter(w, t -> t IN ${markers("en")})) AS DOUBLE)
+         |          / CAST(len(w) AS DOUBLE)) * 0.3
+         |       + least((CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS DOUBLE)
+         |                / CAST(len(w) AS DOUBLE)) / 10.0, 1.0) * 0.2 AS score
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |         md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, fp,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct(list_transform(range(len(w)-2),
+        |                     i -> array_to_string(w[i+1:i+3], ' ')))
+        |              ELSE [] END AS sh
+        |  FROM t)
+        |SELECT doc_id, fp,
+        |       list_min(list_transform(sh, x -> md5(x))) AS min_shingle_fp
+        |FROM s ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different text about spark query engines at scale"),
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, min-id survivor") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("survivor_id").collect()
+    assert(out.length === 4) // 1+2 collapse
+    val byId = out.map(r => r.getAs[Long]("survivor_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(byId(1L) === 2L)
+    assert(byId(3L) === 1L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair missed")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "near dup pair missed")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc matched")
+  }
+
+  test("minhash jaccard value is the exact shingle jaccard") {
+    val j = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("fast (xxhash64) minhash: exact dups always collide, unrelated never match") {
+    // J=1 pairs match in every band under ANY hash family; J≈0.5 pairs are
+    // luck-of-the-family (p≈0.3 at 4 bands × r=4), so only the guaranteed
+    // behaviors are asserted here.
+    val fastPairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5, useMd5 = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fastPairs.contains((1L, 2L)), "exact dup pair missed by fast path")
+    assert(!fastPairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc matched")
+  }
+
+  test("simhash: identical docs get hamming 0, near dups small, different large") {
+    val sig = docs.select($"doc_id", Dedup.simhash64(TextFunctions.tokens($"text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) === sig(2L))
+    val hammingNear = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val hammingFar = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(hammingNear < hammingFar, s"near=$hammingNear far=$hammingFar")
+  }
+
+  test("shingles guard: short docs yield empty array, not fabricated shingles") {
+    val sh = docs.filter($"doc_id" === 5L)
+      .select(TextFunctions.shingles($"text", 3)).as[Seq[String]].head()
+    assert(sh.isEmpty)
+  }
+
+  test("lsh bucket cap prunes degenerate buckets") {
+    val many = (1L to 100L).map(i => (i, "same text for every single doc here")).toDF("doc_id", "text")
+    val withSh = many.select($"doc_id", TextFunctions.shingles($"text", 3).as("sh"))
+    val withSig = withSh.withColumn("sig", Dedup.minhashSignatureMd5($"sh", 16))
+    val n = Dedup.lshCandidates(withSig, "doc_id", "sig", 4, 4, maxBucket = 10).count()
+    assert(n === 0, "bucket over cap should be pruned")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): org.apache.spark.sql.Row =
+    Seq(text).toDF("t").select(c).head()
+
+  test("tokenCount counts whitespace-separated tokens") {
+    assert(one(tokenCount($"t"), "a b  c\t d").getInt(0) === 4)
+  }
+
+  test("shingles are ordered k-grams, distinct") {
+    val sh = one(shingles($"t", 2), "a b a b c").getSeq[String](0)
+    assert(sh === Seq("a b", "b a", "b c"))
+  }
+
+  test("langId picks the dominant marker profile with fixed precedence") {
+    assert(one(langId($"t"), "der und das die x").getString(0) === "de")
+    assert(one(langId($"t"), "xyz qqq").getString(0) === "und")
+    // tie en/de → en wins (declaration precedence)
+    assert(one(langId($"t"), "the der").getString(0) === "en")
+  }
+
+  test("qualityScore is bounded and monotone-ish in token count") {
+    val lo = one(qualityScore($"t"), "x").getDouble(0)
+    val hi = one(qualityScore($"t"), Seq.fill(60)("the word").mkString(" ")).getDouble(0)
+    assert(lo >= 0.0 && lo <= 1.0 && hi >= 0.0 && hi <= 1.0)
+    assert(hi > lo)
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val a = one(fingerprint($"t"), "a b c").getString(0)
+    val b = one(fingerprint($"t"), "  a\tb   c ").getString(0)
+    assert(a === b)
+  }
+
+  private val rnd = new scala.util.Random(42)
+  private def randWords(n: Int): List[String] =
+    List.fill(n)(rnd.alphanumeric.filter(_.isLetter).take(1 + rnd.nextInt(8)).mkString)
+
+  test("property: token count equals split size for random word lists") {
+    for (_ <- 1 to 20) {
+      val ws = randWords(1 + rnd.nextInt(30))
+      val got = one(tokenCount($"t"), ws.mkString(" ")).getInt(0)
+      assert(got === ws.size)
+    }
+  }
+
+  test("property: shingle count bounded by n - k + 1, always distinct") {
+    for (_ <- 1 to 20) {
+      val ws = randWords(rnd.nextInt(10))
+      val sh = one(shingles($"t", 3), ws.mkString(" ")).getSeq[String](0)
+      assert(sh.size <= math.max(0, ws.size - 2))
+      assert(sh.distinct.size === sh.size)
+    }
+  }
+}
