@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.expressions.CosineSimilarity
+
+/** Vector math over `array<float>` embedding columns. Two renderings of
+  * cosine similarity with identical IEEE-double semantics:
+  *
+  *  - `cosineHof`: pure built-in HOFs (`aggregate`/`zip_with`) — the
+  *    composable baseline, three array passes.
+  *  - `cosine`: the fused codegen `CosineSimilarity` expression — one
+  *    pass, the 100 TB hot path.
+  *
+  * Both fold element-by-element in array order, so results are
+  * bit-identical to each other and to DuckDB's list_cosine_similarity on
+  * DOUBLE[] (sequential loop) — which the oracles rely on.
+  */
+object VectorFunctions {
+
+  import org.apache.spark.sql.graft.ExprBridge
+
+  def cosine(a: Column, b: Column): Column =
+    ExprBridge.column(CosineSimilarity(ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  def cosineHof(a: Column, b: Column): Column = {
+    val na = normSq(a)
+    val nb = normSq(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dotHof(a, b) / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Signed random-hyperplane bit: sign of v · h_p where plane p has
+    * deterministic ±1 components derived from xxhash64(p, d). Shared by
+    * the LSH index and query paths. */
+  def hyperplaneBit(vec: Column, plane: Int): Column = {
+    val dim = size(vec)
+    val dot = aggregate(sequence(lit(0), dim - 1), lit(0.0),
+      (acc, d) => acc +
+        element_at(vec, d + 1).cast("double") *
+          when(xxhash64(lit(plane), d).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0)))
+    when(dot >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** Full signature as an int array (planes bits). */
+  def hyperplaneSignature(vec: Column, planes: Int): Column =
+    array((0 until planes).map(p => hyperplaneBit(vec, p)): _*)
+}

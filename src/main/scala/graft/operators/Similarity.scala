@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - `bruteForceTopK`: the exact baseline. The query set is broadcast
+  *   (it's small by construction), so the corpus streams through one
+  *   scan — no shuffle of the 100 TB side; per-query top-k is a
+  *   window over (query, rounded-sim desc, id).
+  * - `lshTopK`: the scale path — banded random-hyperplane LSH. Corpus
+  *   and queries are bucketed by (band, band-bits); only bucket-colliding
+  *   pairs are scored (exact rerank within candidates). Recall is tuned
+  *   by bands × bitsPerBand; candidates-only scoring cuts the cross
+  *   product by orders of magnitude.
+  *
+  * Similarity values are rounded to 9 dp before ranking so rank order is
+  * identical across engines regardless of last-ulp noise; ties break by
+  * neighbor id.
+  */
+object Similarity {
+
+  private def sim(a: Column, b: Column, fused: Boolean): Column =
+    round(if (fused) VectorFunctions.cosine(a, b) else VectorFunctions.cosineHof(a, b), 9)
+
+  /** Exact top-k neighbors for each query vector (self-match excluded). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, fused: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", sim(col("qvec"), col("nvec"), fused))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** All pairs with similarity >= threshold (embedding near-dup). The
+    * brute self-join is the verification path; at scale the same verify
+    * runs over `lshTopK`-style candidates instead of the cross product. */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, fused: Boolean = true): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", sim(col("vec_a"), col("vec_b"), fused))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Banded hyperplane-LSH candidates, exact rerank, top-k per query.
+    * Approximate: recall < 1 by design. bands=4 × bitsPerBand=4 gives
+    * 16 planes; a candidate shares at least one 4-bit band with the
+    * query. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    val planes = bands * bitsPerBand
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val withSig = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        VectorFunctions.hyperplaneSignature(col(vecCol), planes).as("sig"))
+      withSig.select(col(idAs), col(vecAs),
+        explode(array((0 until bands).map(bd => struct(
+          lit(bd).as("band"),
+          concat_ws("", slice(col("sig"), bd * bitsPerBand + 1, bitsPerBand)).as("bits"))): _*)).as("e"))
+        .select(col(idAs), col(vecAs), col("e.band").as("band"), col("e.bits").as("bits"))
+    }
+    val c = banded(corpus, "neighbor_id", "nvec")
+    val q = banded(queries, "query_id", "qvec")
+    val cands = c.join(q, Seq("band", "bits"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("nvec"))
+      .distinct()
+      .withColumn("sim", sim(col("qvec"), col("nvec"), fused = true))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

@@ -9,9 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CoverageQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.0f, 0.0f, 0.0f))    // zero vector
+  ).toDF("vec_id", "embedding")
+
+  test("fused CosineSimilarity expression matches the HOF formulation bitwise") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val both = emb.select(
+      VectorFunctions.cosine($"embedding", $"embedding").as("fused"),
+      VectorFunctions.cosineHof($"embedding", $"embedding").as("hof"))
+    assert(both.filter($"fused" =!= $"hof").count() === 0)
+    val cross = emb.limit(30).select($"embedding".as("a"))
+      .crossJoin(emb.limit(30).select($"embedding".as("b")))
+      .select(VectorFunctions.cosine($"a", $"b").as("fused"),
+        VectorFunctions.cosineHof($"a", $"b").as("hof"))
+    assert(cross.filter($"fused" =!= $"hof").count() === 0)
+  }
+
+  test("cosine basics: identical=1, orthogonal=0, opposite=-1, zero-norm=0") {
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.vec_id" === 0L)
+      .select($"b.vec_id", VectorFunctions.cosine($"a.embedding", $"b.embedding").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(sims(0L) - 1.0) < 1e-12)
+    assert(math.abs(sims(2L)) < 1e-12)
+    assert(math.abs(sims(3L) + 1.0) < 1e-12)
+    assert(sims(4L) === 0.0)
+  }
+
+  test("brute-force top-k ranks the near vector first, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 2).collect()
+    assert(out.length === 2)
+    assert(out.head.getAs[Long]("neighbor_id") === 1L)
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == 0L))
+  }
+
+  test("LSH top-k achieves reasonable recall@10 vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.2, s"LSH recall@10 too low: $recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("near-dup pairs are symmetric-free (a<b) and above threshold") {
+    val out = Similarity.nearDupPairs(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", threshold = 0.4).collect()
+    assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(out.forall(_.getAs[Double]("sim") >= 0.4))
+  }
+}
