@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.ProfileTransform
+
+/** Structured-Streaming rendering of the reference pipeline
+  * (SURVEY.md §3.2): Kafka topic → per-record SMT → partitioned JSON
+  * objects in a bucket. Here: a Kafka-shaped streaming DataFrame →
+  * schema-enforced decode → declarative ProfileTransform → partitioned
+  * JSON file sink with checkpointing.
+  *
+  * Delivery semantics (ST1): the reference's Connect S3 sink is
+  * at-least-once with flush.size record batching
+  * (`/root/reference/connectors/s3-sink.json:10-11`); Spark's file sink is
+  * exactly-once via the checkpoint + `_spark_metadata` commit log —
+  * strictly stronger. Object sizing is governed per-trigger
+  * (`maxFilesPerTrigger`/`maxOffsetsPerTrigger` + `repartition`) rather
+  * than per-N-records; record-level content is identical.
+  */
+object StreamingPipeline {
+
+  /** The Kafka source column contract (what `format("kafka")` yields,
+    * minus the binary->string casts applied here): SURVEY.md §2.1 S2/S11. */
+  val kafkaShapedColumns: Seq[String] =
+    Seq("key", "value", "topic", "partition", "offset", "timestamp")
+
+  /** Wiring for a real Kafka cluster (S2: earliest offsets, bounded batch
+    * or continuous stream). Compiles against core Spark; running it
+    * requires the spark-sql-kafka connector jar on the cluster classpath. */
+  def kafkaStream(
+      spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** File-based stand-in with the same shape: a directory of JSONL files
+    * (exactly what the reference's sink bucket holds, S5/S6). */
+  def jsonlStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  /** S3/S4 schema enforcement: decode the value payload against an
+    * explicit schema (the Schema-Registry analog — analyzer errors on
+    * mismatch replace registry rejection). Keeps Kafka metadata columns
+    * for T10 re-wrap. */
+  def enforceSchema(kafkaShaped: DataFrame, valueSchema: StructType): DataFrame =
+    kafkaShaped.select(
+      col("key"), col("topic"), col("partition"), col("offset"), col("timestamp"),
+      from_json(col("value"), valueSchema).as("v"))
+
+  /** The transform stage over an enforced frame: T1 tombstone passthrough
+    * + T2-T9 on the value fields + T10 re-wrap (key/partition/timestamp
+    * preserved alongside the new value struct). */
+  def transformed(enforced: DataFrame, t: ProfileTransform): DataFrame = {
+    val flat = enforced.select(
+      col("key"), col("topic"), col("partition"), col("offset"),
+      col("timestamp").as("kafka_ts"), col("v.*"))
+    val live = t(flat.filter(col("v").isNotNull).drop("v"))
+    live
+  }
+
+  /** S7-S9: partitioned JSON sink with checkpointing. `partitionBy` on the
+    * Kafka partition column reproduces the DefaultPartitioner's
+    * `partition=<p>/` object layout (s3-sink.json:20). */
+  def jsonSink(
+      df: DataFrame, outPath: String, checkpoint: String,
+      partitionColumns: Seq[String] = Seq("partition"),
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("json")
+      .partitionBy(partitionColumns: _*)
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
+  // ---- ST3/ST4 gap: event-time semantics --------------------------------
+
+  /** Tumbling or sliding windowed aggregation with a watermark. */
+  def windowedCounts(
+      events: DataFrame, tsCol: String, delay: String,
+      width: String, slide: Option[String] = None): DataFrame = {
+    val w = slide.fold(window(col(tsCol), width))(s => window(col(tsCol), width, s))
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Session windows (gap-based) per user. */
+  def sessionCounts(
+      events: DataFrame, tsCol: String, delay: String, gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** ST4: streaming dedup with bounded state — duplicates arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * watermark is evicted (the unbounded-state hazard of plain
+    * `dropDuplicates` at 100 TB). */
+  def dedupWithinWatermark(
+      df: DataFrame, keyCols: Seq[String], tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+}

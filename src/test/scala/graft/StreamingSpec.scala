@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.ProfileTransform
+import graft.streaming.StreamingPipeline
+
+case class KRecord(key: String, value: String, topic: String,
+    partition: Int, offset: Long, timestamp: Timestamp)
+
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** Streaming parity (SURVEY.md §2.9): the reference pipeline as a
+  * Structured Streaming job over Kafka-shaped records, checked for
+  * batch-stream equivalence with Trigger.AvailableNow, plus the ST3/ST4
+  * gap operators (watermark windows, sessionization, bounded-state
+  * dedup).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val addressType = StructType(Seq(
+    StructField("street", StringType), StructField("city", StringType),
+    StructField("zip_code", StringType)))
+  private val userSchema = StructType(Seq(
+    StructField("user_id", StringType), StructField("first_name", StringType),
+    StructField("last_name", StringType), StructField("email", StringType),
+    StructField("age", IntegerType), StructField("raw_password_hash", StringType),
+    StructField("internal_tracking_code", StringType),
+    StructField("address", addressType)))
+
+  private def userJson(i: Int, first: String): String =
+    s"""{"user_id":"id_$i","first_name":"$first","last_name":"Doe$i",
+       |"email":"user$i@example.com","age":${20 + i},
+       |"raw_password_hash":"secret123","internal_tracking_code":"TRACK_XYZ",
+       |"address":{"street":"$i St","city":"City","zip_code":"00000"}}""".stripMargin.replaceAll("\n", "")
+
+  private def golden: Seq[KRecord] = (0 to 3).map { i =>
+    KRecord(s"id_$i", userJson(i, if (i == 2) "" else s"User$i"), "users", i % 2,
+      i.toLong, Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")))
+  } :+ KRecord("id_9", null, "users", 0, 4L,
+    Timestamp.from(Instant.parse("2024-01-01T00:00:00Z"))) // tombstone (T1)
+
+  private val clock = Instant.parse("2024-01-01T00:00:00Z")
+  private val t = ProfileTransform(clock = Some(clock))
+
+  test("stream == batch: full pipeline through MemoryStream + AvailableNow") {
+    val stream = MemoryStream[KRecord]
+    stream.addData(golden: _*)
+    val transformed = StreamingPipeline.transformed(
+      StreamingPipeline.enforceSchema(stream.toDF(), userSchema), t)
+    val q = transformed.writeStream.format("memory").queryName("pipe_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pipe_out").drop("offset").collect().toSet
+
+    val batchDf = StreamingPipeline.transformed(
+      StreamingPipeline.enforceSchema(golden.toDF(), userSchema), t)
+    val batch = batchDf.drop("offset").collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3) // id_2 filtered, tombstone value-less dropped from live path
+    assert(streamed.forall(_.getAs[String]("email") == "redacted@email.com"))
+  }
+
+  test("partitioned JSON sink reproduces the partition=<p>/ object layout") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val stream = MemoryStream[KRecord]
+    stream.addData(golden: _*)
+    val transformed = StreamingPipeline.transformed(
+      StreamingPipeline.enforceSchema(stream.toDF(), userSchema), t)
+    val q = StreamingPipeline.jsonSink(transformed, out, ckpt).start()
+    q.processAllAvailable(); q.stop()
+
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("partition=")), s"layout was: $dirs")
+    val back = spark.read.json(out)
+    assert(back.count() === 3)
+    assert(!back.columns.contains("raw_password_hash"))
+    assert(back.select("full_name").as[String].collect().toSet ===
+      Set("User0 Doe0", "User1 Doe1", "User3 Doe3"))
+  }
+
+  private def ev(minute: Int, typ: String, v: Double, u: Long = 1L): Ev =
+    Ev(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(minute * 60L)), typ, v, u)
+
+  test("watermarked tumbling window matches batch aggregation") {
+    val stream = MemoryStream[Ev]
+    val data = Seq(ev(1, "a", 1.0), ev(5, "a", 2.0), ev(61, "a", 4.0), ev(62, "b", 8.0))
+    stream.addData(data: _*)
+    val agg = StreamingPipeline.windowedCounts(stream.toDF(), "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("win_out")
+      .select("window_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val h0 = Timestamp.from(Instant.parse("2024-01-01T00:00:00Z"))
+    val h1 = Timestamp.from(Instant.parse("2024-01-01T01:00:00Z"))
+    assert(got === Set((h0, "a", 2L, 3.0), (h1, "a", 1L, 4.0), (h1, "b", 1L, 8.0)))
+  }
+
+  test("session windows merge events within the gap, split beyond it") {
+    val stream = MemoryStream[Ev]
+    // user 1: events at 0,10,20 (one session), then 60 (new session)
+    stream.addData(ev(0, "a", 1.0), ev(10, "a", 1.0), ev(20, "a", 1.0), ev(60, "a", 1.0))
+    val agg = StreamingPipeline.sessionCounts(stream.toDF(), "ts", "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_out").select("user_id", "n_events")
+      .as[(Long, Long)].collect().sorted
+    assert(got === Array((1L, 1L), (1L, 3L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
+    val stream = MemoryStream[Ev]
+    stream.addData(ev(1, "dup", 1.0, 7L), ev(2, "dup", 2.0, 7L), ev(3, "uniq", 3.0, 8L))
+    val dd = StreamingPipeline.dedupWithinWatermark(stream.toDF(), Seq("user_id"), "ts", "1 hour")
+    val q = dd.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dd_out").select("user_id").as[Long].collect().sorted === Array(7L, 8L))
+  }
+
+  test("tombstone passthrough keeps null-value records alongside live ones (T1)") {
+    val enforced = StreamingPipeline.enforceSchema(golden.toDF(), userSchema)
+    val flat = enforced.select(col("key"), col("partition"), col("v.*"), col("v"))
+    val out = graft.ops.ProfileTransform.withTombstones(flat, "v", t)
+    assert(out.count() === 4) // 3 live + 1 tombstone (id_2 filtered)
+    assert(out.filter(col("v").isNull).count() === 1)
+  }
+}
