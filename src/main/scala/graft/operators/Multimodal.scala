@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, per the training-data-pipeline north star.
+  *
+  * The Spark-side plumbing is real — schema, partitioning, batch-shaped
+  * decode iteration, frame-sampling explode — while the codec itself is a
+  * STUB (`decodeStub`): this container has no image/audio libraries, so
+  * decode produces deterministic fake features derived from the payload
+  * bytes. Swapping in a real codec changes only the body of
+  * `decodeStub`; every schema and operator stays as-is.
+  *
+  * Scale notes: payloads never pass through a shuffle — features are
+  * extracted scan-side (`extractFeatures` is a mapPartitions directly over
+  * the source partitions) and only the small feature rows move. Frame
+  * sampling explodes indices, not frames: each output row is a (media_id,
+  * frame_ts) extraction task for downstream workers.
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, sample_rate: Int,
+      duration_ms: Int, format: String)
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      payload_md5: String, embedding: Array[Float])
+
+  /** Fixture builder: a deterministic media table derived from
+    * `documents` (testdata has no binary column). Payload = UTF-8 bytes of
+    * the text; kind/meta derived from doc_id. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (col("doc_id") % 640 + 64).cast("int").as("width"),
+        (col("doc_id") % 480 + 48).cast("int").as("height"),
+        lit(16000).cast("int").as("sample_rate"),
+        ((col("doc_id") % 10) * 1000 + 500).cast("int").as("duration_ms"),
+        lit("stub").as("format")).as("meta"))
+
+  /** ??? — the real codec goes here. Deterministic fake: 8-dim embedding
+    * from chunked byte sums, so tests and oracles are stable. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val dims = 8
+    val acc = new Array[Float](dims)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % dims) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Batch-shaped feature extraction: one pass per partition, payloads
+    * consumed in-place (never shuffled), emitting small feature rows. The
+    * iterator is the batch boundary — a real decoder would reuse its
+    * native context across the partition exactly here. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("meta"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString
+          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, md5,
+            decodeStub(r.payload))
+        }
+      }
+  }
+
+  /** Declarative feature projection (the codegen path for everything that
+    * doesn't need the codec): byte length + md5, no UDF. */
+  def payloadStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      col("meta.width").as("width"),
+      col("meta.duration_ms").as("duration_ms"))
+
+  /** Metadata-level resize: scales dimensions, stamps the op; payload
+    * untouched (a real resize rewrites payload inside decode/encode). */
+  def resizeMeta(media: DataFrame, maxWidth: Int): DataFrame = {
+    val scale = least(lit(1.0), lit(maxWidth.toDouble) / col("meta.width"))
+    media.withColumn("meta",
+      struct(
+        (col("meta.width") * scale).cast("int").as("width"),
+        (col("meta.height") * scale).cast("int").as("height"),
+        col("meta.sample_rate"), col("meta.duration_ms"),
+        concat(col("meta.format"), lit("+resized")).as("format")))
+  }
+
+  /** Frame sampling for video rows: explode frame timestamps every
+    * `everyMs` over [0, duration_ms] — emits extraction tasks, not
+    * frames, so the explode output is tiny rows. */
+  def frameSample(media: DataFrame, everyMs: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
+        posexplode(sequence(lit(0), col("meta.duration_ms"), lit(everyMs))))
+      .select(col("media_id"), col("pos").as("frame_idx"), col("col").as("frame_ts_ms"))
+}

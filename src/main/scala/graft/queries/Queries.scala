@@ -9,9 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CoverageQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      MultimodalQueries.oracles
 }
