@@ -41,9 +41,10 @@ object Dedup {
       i => array_min(transform(shinglesCol, s => xxhash64(i, s))))
 
   /** LSH banding: docs sharing any (band index, band hash) become
-    * candidate pairs. Emits one row per (doc, band); the self-join
-    * shuffles on the band hash — the only shuffle of the candidate
-    * stage. `maxBucket` guards degenerate buckets (skew at scale: a
+    * candidate pairs. One row per (doc, band); ONE shuffle groups rows
+    * into buckets and pairs are exploded bucket-locally — no self-join,
+    * so the (expensive) signature pipeline upstream is evaluated exactly
+    * once. `maxBucket` guards degenerate buckets (skew at scale: a
     * boilerplate shingle set shared by millions of docs would otherwise
     * produce a quadratic bucket). */
   def lshCandidates(
@@ -59,17 +60,18 @@ object Dedup {
       col(idCol),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("e"))
-      .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
-    val pruned = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val a = pruned.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val b = pruned.select(col("band"), col("bh"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col(idCol).as("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val buckets = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // 0-based [] indexing; ids within a bucket are pair-exploded locally.
+    buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(ids)-2),
+        |  i -> transform(sequence(i+1, size(ids)-1),
+        |    j -> struct(least(ids[i], ids[j]) AS id_a,
+        |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -89,13 +91,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Full MinHash+LSH near-dup pipeline over a text column. */
+  /** Full MinHash+LSH near-dup pipeline over a text column. The shingle
+    * frame feeds both the signature stage and the verify joins, so it is
+    * persisted (memory-and-disk) rather than recomputed per consumer —
+    * at scale, shingling + 16-perm hashing is the dominant scan cost. */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8, useMd5: Boolean = true): DataFrame = {
     val withSh = df.select(col(idCol), TextFunctions.shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = if (useMd5) minhashSignatureMd5(col("sh"), numHashes)
               else minhashSignatureFast(col("sh"), numHashes)
     val withSig = withSh.withColumn("sig", sig)
@@ -125,20 +131,27 @@ object Dedup {
     * verify (`bit_count(a xor b)`). */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol),
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
       simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
-    val banded = withSig.select(col(idCol), col("sig"),
+    val banded = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("e"))
-      .select(col(idCol), col("sig"), col("e.band").as("band"), col("e.bh").as("bh"))
-    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .select(col("id"), col("sig"), col("e.band").as("band"), col("e.bh").as("bh"))
+    // Bucket-collect + local pair explosion: signatures computed once,
+    // one shuffle, no self-join (same pattern as lshCandidates).
+    val buckets = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(xs)-2),
+        |  i -> transform(sequence(i+1, size(xs)-1),
+        |    j -> struct(least(xs[i].id, xs[j].id) AS id_a,
+        |                greatest(xs[i].id, xs[j].id) AS id_b,
+        |                bit_count(xs[i].sig ^ xs[j].sig) AS hamming))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -148,10 +161,27 @@ object Dedup {
     * scale path and the blocking key bounds the quadratic term). */
   def ngramJaccardBlocked(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      k: Int, threshold: Double): DataFrame = {
-    val withSh = df.select(col(blockCol).as("block"), col(idCol),
-      TextFunctions.shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+      k: Int, threshold: Double): DataFrame =
+    ngramJaccardOnBlocked(
+      df.select(col(blockCol).as("block"), col(idCol),
+        TextFunctions.shingles(col(textCol), k).as("sh")), idCol)(threshold)
+
+  /** Blocking by the rolling min-shingle fingerprint, derived from the
+    * one shingle pass (1-perm minhash: near-identical docs collide with
+    * probability ≈ their Jaccard). */
+  def ngramJaccardFingerprintBlocked(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame =
+    ngramJaccardOnBlocked(
+      df.select(col(idCol), TextFunctions.shingles(col(textCol), k).as("sh"))
+        .withColumn("block", array_min(transform(col("sh"), s => md5(s)))),
+      idCol)(threshold)
+
+  private def ngramJaccardOnBlocked(blocked: DataFrame, idCol: String)(
+      threshold: Double): DataFrame = {
+    val withSh = blocked
+      .filter(size(col("sh")) > 0 && col("block").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSh.select(col("block"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col("block"), col(idCol).as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
 import graft.operators.Dedup
 import graft.sources.Tables
 
@@ -23,13 +22,10 @@ object DedupQueries {
       k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
       .orderBy(col("id_a"), col("id_b"))
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("block", TextFunctions.minShingleFingerprint(col("text"), 3))
-      .filter(col("block").isNotNull)
-    Dedup.ngramJaccardBlocked(docs, "doc_id", "text", "block", k = 3, threshold = 0.8)
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardFingerprintBlocked(Tables.documents(spark, dir),
+      "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
