@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MaskFunctions
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** Extension operators past the reference surface: as-of join, range
+  * join, generalized PII masking, pivot, exact percentiles — each with a
+  * DuckDB oracle.
+  */
+object ExtendedQueries {
+
+  /** As-of: each purchase event matched to the user's latest signup at or
+    * before it (union+carry-forward single-shuffle plan). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev // all events as left keeps the output rich
+    val signups = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.joinAsOf(purchases, signups,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTs = "ts", rightTs = "ts", tiebreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("r_event_id"), col("r_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: events of the same user in the preceding hour.
+    * Equi-key + range predicate → SMJ with range filter, not a cross
+    * product. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(spark, dir).select(
+      col("event_id").as("a_event_id"), col("user_id").as("a_user_id"), col("ts").as("a_ts"))
+    val b = Tables.events(spark, dir).select(
+      col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+    a.join(b,
+        col("a_user_id") === col("b_user_id") &&
+          col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
+          col("b_ts") < col("a_ts"),
+        "left_outer")
+      .groupBy(col("a_event_id"))
+      .agg(count(col("b_ts")).as("n_prior_events"))
+      .select(col("a_event_id").as("event_id"), col("n_prior_events"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Generalized masking (T4 extensions): literal, domain-preserving
+    * email redaction, salted hash pseudonym, partial mask. */
+  def maskPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        MaskFunctions.literalMask().as("email_masked"),
+        MaskFunctions.redactEmailLocal(
+          concat(col("c_name"), lit("@corp.example"))).as("email_domain_kept"),
+        MaskFunctions.hashMask(col("c_name"), "pepper1").as("name_token"),
+        MaskFunctions.partialMask(col("c_name"), 4).as("name_partial"))
+      .orderBy(col("c_custkey"))
+
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** Pivot: customer counts, nation × market segment. */
+  def pivotSegments(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val pivoted = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", segments)
+      .agg(count(lit(1)))
+    pivoted
+      .select(col("n_name") +: segments.map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+      .orderBy(col("n_name"))
+  }
+
+  /** Exact linear-interpolation percentiles (rounded to 6 dp — Spark and
+    * DuckDB agree up to last-ulp interpolation noise). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.9D))").as("qs"))
+      .select(col("event_type"),
+        round(element_at(col("qs"), 1), 6).as("q25"),
+        round(element_at(col("qs"), 2), 6).as("q50"),
+        round(element_at(col("qs"), 3), 6).as("q90"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
+    "range_join" -> (rangeJoin _),
+    "mask_pii" -> (maskPii _),
+    "pivot_segments" -> (pivotSegments _),
+    "agg_percentiles" -> (percentiles _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts FROM (
+        |    SELECT event_id, user_id, ts,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'signup') WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       s.event_id AS r_event_id, s.ts AS r_ts
+        |FROM events e ASOF LEFT JOIN s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "range_join" ->
+      """SELECT a.event_id, COUNT(b.ts) AS n_prior_events
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+    "mask_pii" ->
+      """SELECT c_custkey,
+        |       'redacted@email.com' AS email_masked,
+        |       regexp_replace(c_name || '@corp.example', '^[^@]+', 'redacted') AS email_domain_kept,
+        |       sha256('pepper1' || c_name) AS name_token,
+        |       repeat('*', greatest(length(c_name) - 4, 0)) || right(c_name, 4) AS name_partial
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "pivot_segments" ->
+      """SELECT n_name,
+        |       COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+        |       COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS "BUILDING",
+        |       COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS "FURNITURE",
+        |       COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+        |       COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS "MACHINERY"
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.25), 6) AS q25,
+        |       round(quantile_cont(value, 0.5), 6) AS q50,
+        |       round(quantile_cont(value, 0.9), 6) AS q90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

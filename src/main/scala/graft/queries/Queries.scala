@@ -10,10 +10,10 @@ object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CoverageQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ ExtendedQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++ ExtendedQueries.oracles
 }

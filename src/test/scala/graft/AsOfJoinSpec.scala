@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.operators.AsOfJoin
+import graft.plans.GraftExtensions
+
+case class L(id: Long, k: String, ts: Timestamp)
+case class R(rid: Long, k: String, ts: Timestamp, v: Double)
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Int) = Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+
+  private val left = Seq(
+    L(1, "a", t(10)), L(2, "a", t(20)), L(3, "a", t(5)),
+    L(4, "b", t(100)), L(5, "c", t(50))).toDF()
+  private val right = Seq(
+    R(100, "a", t(8), 1.0), R(101, "a", t(15), 2.0), R(102, "a", t(20), 3.0),
+    R(103, "b", t(100), 4.0), R(104, "b", t(100), 5.0) // tie on (k, ts)
+  ).toDF()
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val out = AsOfJoin.joinAsOf(left, right, "k", "k", "ts", "ts", tiebreak = "rid")
+      .select("id", "r_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(100L)) // ts=10 -> right ts=8
+    assert(out(2L) === Some(102L)) // exact-equal ts matches
+    assert(out(3L) === None)       // nothing at or before ts=5
+    assert(out(5L) === None)       // key with no right rows
+  }
+
+  test("right-side (key, ts) ties resolve to the greatest tiebreak") {
+    val out = AsOfJoin.joinAsOf(left, right, "k", "k", "ts", "ts", tiebreak = "rid")
+      .select("id", "r_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(4L) === Some(104L))
+  }
+
+  test("cosine_similarity is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val sim = spark.sql(
+      "SELECT cosine_similarity(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS s").head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+}
