@@ -44,6 +44,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Exact top-k via the custom map-side TopKByScore aggregate: same
+    * result as `bruteForceTopK`, but partial aggregation carries only
+    * k-sized heaps across the shuffle instead of every scored row — the
+    * 100 TB formulation (see expressions/TopKByScore). */
+  def bruteForceTopKAgg(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", sim(col("qvec"), col("nvec"), fused = true))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topk(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("sim"))
+  }
+
   /** All pairs with similarity >= threshold (embedding near-dup). The
     * brute self-join is the verification path; at scale the same verify
     * runs over `lshTopK`-style candidates instead of the cross product. */

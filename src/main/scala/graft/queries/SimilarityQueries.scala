@@ -28,6 +28,14 @@ object SimilarityQueries {
       threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Same semantics as simTopKBrute through the map-side top-k aggregate
+    * (shares its oracle — that is the aggregate's correctness proof). */
+  def simTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopKAgg(emb, queriesSubset(emb), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def simTopKLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb, queriesSubset(emb), "vec_id", "embedding", k = 10)
@@ -36,12 +44,12 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> (simTopKBrute _),
+    "sim_topk_agg" -> (simTopKAgg _),
     "sim_neardup_embeddings" -> (simNearDup _),
     "sim_topk_lsh" -> (simTopKLsh _)
   )
 
-  val oracles: Map[String, String] = Map(
-    "sim_topk_brute" ->
+  private val topkOracle =
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id % 50 = 0),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nvec
@@ -56,7 +64,11 @@ object SimilarityQueries {
         |                            ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" -> topkOracle,
+    "sim_topk_agg" -> topkOracle,
     "sim_neardup_embeddings" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
