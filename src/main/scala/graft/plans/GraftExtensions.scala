@@ -26,7 +26,18 @@ object GraftExtensions {
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))),
+    (FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[graft.expressions.TopKByScore].getName, "topk_by_score"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score k must be a literal int, got $other")
+        }
+        graft.expressions.TopKByScore(exprs.head, exprs(1), k).toAggregateExpression()
+      }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>

@@ -7,6 +7,9 @@ import org.apache.spark.sql.types.StructType
 
 import graft.ops.ProfileTransform
 
+case class UserEvent(user_id: Long, value: Double)
+case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
 /** Structured-Streaming rendering of the reference pipeline
   * (SURVEY.md §3.2): Kafka topic → per-record SMT → partitioned JSON
   * objects in a bucket. Here: a Kafka-shaped streaming DataFrame →
@@ -108,6 +111,29 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n_events"))
       .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** Custom keyed state (the `flatMapGroupsWithState` escape hatch,
+    * SURVEY.md §2.9 ST4): per-key running aggregates that survive across
+    * micro-batches. Used here for running per-user event counts + value
+    * totals; the same shape carries any incremental per-key model. */
+  def runningUserTotals(
+      events: org.apache.spark.sql.Dataset[UserEvent]): org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserTotal(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** ST4: streaming dedup with bounded state — duplicates arriving within
     * the watermark horizon are dropped; state for keys older than the

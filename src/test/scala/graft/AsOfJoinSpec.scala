@@ -44,4 +44,14 @@ class AsOfJoinSpec extends SparkSpec {
         "array(cast(1.0 as float), cast(0.0 as float))) AS s").head().getDouble(0)
     assert(math.abs(sim - 1.0) < 1e-12)
   }
+
+  test("topk_by_score is callable from SQL as an aggregate") {
+    GraftExtensions.register(spark)
+    Seq((1L, 0.3, 10L), (1L, 0.9, 11L), (1L, 0.5, 12L))
+      .toDF("g", "score", "id").createOrReplaceTempView("tk")
+    val top = spark.sql(
+      "SELECT topk_by_score(score, id, 2) AS top FROM tk GROUP BY g")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(1)) === Seq(11L, 12L))
+  }
 }

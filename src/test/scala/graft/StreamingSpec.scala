@@ -131,6 +131,22 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd_out").select("user_id").as[Long].collect().sorted === Array(7L, 8L))
   }
 
+  test("flatMapGroupsWithState carries per-user totals across micro-batches") {
+    import graft.streaming.{UserEvent, UserTotal}
+    val stream = MemoryStream[UserEvent]
+    val totals = StreamingPipeline.runningUserTotals(stream.toDS())
+    val q = totals.writeStream.format("memory").queryName("state_out")
+      .outputMode("append").start()
+    stream.addData(UserEvent(1L, 1.0), UserEvent(1L, 2.0), UserEvent(2L, 5.0))
+    q.processAllAvailable()
+    stream.addData(UserEvent(1L, 4.0)) // second batch: state must carry over
+    q.processAllAvailable(); q.stop()
+    val byUser = spark.table("state_out").as[UserTotal].collect()
+      .groupBy(_.user_id).map { case (k, vs) => k -> vs.maxBy(_.n_events) }
+    assert(byUser(1L).n_events === 3L && byUser(1L).total_value === 7.0)
+    assert(byUser(2L).n_events === 1L && byUser(2L).total_value === 5.0)
+  }
+
   test("tombstone passthrough keeps null-value records alongside live ones (T1)") {
     val enforced = StreamingPipeline.enforceSchema(golden.toDF(), userSchema)
     val flat = enforced.select(col("key"), col("partition"), col("v.*"), col("v"))
