@@ -199,6 +199,26 @@ object CoverageQueries {
     c.except(s).orderBy(col("nk"))
   }
 
+  /** Multiset (ALL) set ops — duplicates preserved per bag semantics. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
+    c.exceptAll(s).groupBy(col("nk")).agg(count(lit(1)).as("n")).orderBy(col("nk"))
+  }
+
+  /** Array HOF surface over the embedding vectors: per-vector stats via
+    * transform/aggregate, one scan-shaped pass. */
+  def arrayVectorStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 9).as("l2_norm"),
+        array_max(col("embedding")).cast("double").as("max_elem"),
+        array_min(col("embedding")).cast("double").as("min_elem"))
+      .orderBy(col("vec_id"))
+
   // ---- scalar functions (§2.8: F8 JSON, F5 datetime, F1/F2 strings) -----
 
   /** F8: schema-enforced JSON parse of `events.props` (the reference's
@@ -288,6 +308,8 @@ object CoverageQueries {
     "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
+    "set_except_all" -> (setExceptAll _),
+    "array_vector_stats" -> (arrayVectorStats _),
     "json_extract" -> (jsonExtract _),
     "date_trunc_agg" -> (dateTrunc _),
     "string_funcs" -> (stringFuncs _),
@@ -373,6 +395,18 @@ object CoverageQueries {
     "set_except" ->
       """SELECT c_nationkey AS nk FROM customer EXCEPT
         |SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+    "set_except_all" ->
+      """WITH d AS (
+        |  SELECT c_nationkey AS nk FROM customer EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |SELECT nk, COUNT(*) AS n FROM d GROUP BY nk ORDER BY nk""".stripMargin,
+    "array_vector_stats" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |       round(sqrt(list_aggregate(
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 9) AS l2_norm,
+        |       CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+        |       CAST(list_min(embedding) AS DOUBLE) AS min_elem
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
         |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

@@ -108,6 +108,18 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((h0, "a", 2L, 3.0), (h1, "a", 1L, 4.0), (h1, "b", 1L, 8.0)))
   }
 
+  test("sliding windows assign events to every overlapping window") {
+    val stream = MemoryStream[Ev]
+    stream.addData(ev(10, "a", 1.0)) // 00:10 → windows [23:20-00:20]...[00:00-01:00] at 20m slide
+    val agg = StreamingPipeline.windowedCounts(stream.toDF(), "ts", "10 minutes",
+      "1 hour", slide = Some("20 minutes"))
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    // a 1h window sliding every 20m covers each instant 3 times
+    assert(spark.table("slide_out").count() === 3)
+  }
+
   test("session windows merge events within the gap, split beyond it") {
     val stream = MemoryStream[Ev]
     // user 1: events at 0,10,20 (one session), then 60 (new session)
