@@ -89,7 +89,31 @@ object ExtendedQueries {
         round(element_at(col("qs"), 3), 6).as("q90"))
       .orderBy(col("event_type"))
 
+  /** Salted skew join whose oracle is the PLAIN join — the proof that
+    * salting changes the plan, not the result. */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.Salting.saltedJoin(orders, customer, "o_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** J2 last-writer-wins keying through its operator (Reconcile):
+    * latest event per user by (ts, event_id). */
+  def lastWriterWins(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Reconcile.lastWriterWins(
+      Tables.events(spark, dir), key = "user_id", order = "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "salted_join" -> (saltedJoinQuery _),
+    "last_writer_wins" -> (lastWriterWins _),
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _),
     "mask_pii" -> (maskPii _),
@@ -98,6 +122,16 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "last_writer_wins" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "asof_join" ->
       """WITH s AS (
         |  SELECT event_id, user_id, ts FROM (
