@@ -1,0 +1,177 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+private[expressions] object Md5Hex {
+  private val digits = "0123456789abcdef".toCharArray
+
+  def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = digits((bytes(i) >> 4) & 0xF)
+      out(2 * i + 1) = digits(bytes(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Mirror of Spark `trim` (strips 0x20 spaces only) + `split("\\s+")`
+    * (Java regex, limit -1) — the exact tokenization of
+    * TextFunctions.tokens, so fused and HOF paths are bit-identical. */
+  def sparkTokens(text: String): Array[String] = {
+    var start = 0
+    var end = text.length
+    while (start < end && text.charAt(start) == ' ') start += 1
+    while (end > start && text.charAt(end - 1) == ' ') end -= 1
+    text.substring(start, end).split("\\s+", -1)
+  }
+}
+
+/** Fused distinct word-k-shingles: equivalent to
+  * `array_distinct(transform(sequence(0, n-k), i => concat_ws(" ",
+  * slice(tokens, i+1, k))))` with the short-doc empty-array guard — one
+  * pass, first-occurrence order preserved (bit-identical to the HOF
+  * formulation), no interpreted lambda frames. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Md5Hex.sparkTokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((toks.length - k + 1) * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+/** Fused min-shingle-md5 fingerprint: equivalent to
+  * `array_min(transform(shingles(text, k), s => md5(s)))` but one tight
+  * pass — no intermediate shingle/hash arrays, no per-element Catalyst
+  * lambda frames (HOFs are interpreted, not codegen'd). Same md5-hex
+  * lexicographic-min semantics as the DuckDB oracle. */
+case class MinShingleMd5(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"min_shingle_md5 expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Md5Hex.sparkTokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < k) return null
+    val md = MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    var min: String = null
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val h = Md5Hex.hex(md.digest(sb.toString.getBytes(StandardCharsets.UTF_8)))
+      if (min == null || h.compareTo(min) < 0) min = h
+      i += 1
+    }
+    UTF8String.fromString(min)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "min_shingle_md5"
+}
+
+/** Fused MinHash signature: equivalent to
+  * `transform(sequence(0, n-1), i => array_min(transform(sh, s =>
+  * md5(concat(i, '|', s)))))` — one pass over the shingle array updating
+  * all n per-permutation minimums, instead of n interpreted HOF passes. */
+case class MinHashSignatureMd5(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature_md5 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[String](numHashes)
+    val md = MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(numHashes)(i => s"$i|")
+    var e = 0
+    while (e < n) {
+      val s = arr.getUTF8String(e).toString
+      var i = 0
+      while (i < numHashes) {
+        md.reset()
+        val h = Md5Hex.hex(md.digest((prefixes(i) + s).getBytes(StandardCharsets.UTF_8)))
+        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins.map(m =>
+      if (m == null) null else UTF8String.fromString(m)).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature_md5"
+}

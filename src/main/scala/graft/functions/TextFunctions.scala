@@ -34,12 +34,19 @@ object TextFunctions {
   /** Document fingerprint: md5 of normalized text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Distinct word k-shingles. Docs shorter than k tokens get an empty
-    * array (guard: Spark's `sequence(0, n)` flips to a descending range
-    * when n < 0, which would fabricate shingles). */
+  /** Distinct word k-shingles (fused custom expression; docs shorter
+    * than k tokens get an empty array). `shinglesHof` is the composable
+    * reference formulation — tests assert bit-equality. */
   def shingles(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ExprBridge
+    ExprBridge.column(graft.expressions.WordShingles(ExprBridge.expression(text), k))
+  }
+
+  def shinglesHof(text: Column, k: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
+    // guard: Spark's sequence(0, n) flips to a descending range when
+    // n < 0, which would fabricate shingles on short docs
     when(n >= k,
       array_distinct(transform(sequence(lit(0), n - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
@@ -47,8 +54,15 @@ object TextFunctions {
   }
 
   /** Rolling-hash fingerprint: the lexicographic min of shingle md5s — a
-    * 1-perm minhash usable as a cheap near-dup bucket key. */
-  def minShingleFingerprint(text: Column, k: Int): Column =
+    * 1-perm minhash usable as a cheap near-dup bucket key. Fused custom
+    * expression; `minShingleFingerprintHof` is the composable reference
+    * implementation (tests assert bit-equality). */
+  def minShingleFingerprint(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ExprBridge
+    ExprBridge.column(graft.expressions.MinShingleMd5(ExprBridge.expression(text), k))
+  }
+
+  def minShingleFingerprintHof(text: Column, k: Int): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
 
   /** Language-ID by marker-token counting (n-gram heuristic): count

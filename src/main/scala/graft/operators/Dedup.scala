@@ -30,9 +30,16 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signature as an array column: sig(i) = min over shingles of
-    * hash(i, shingle). One pass over the shingle array per perm, fully
-    * inside codegen; no shuffle. */
-  def minhashSignatureMd5(shinglesCol: Column, numHashes: Int): Column =
+    * hash(i, shingle). Fused custom expression — one pass over the
+    * shingle array updating all perm minimums (the HOF reference
+    * formulation below runs numHashes interpreted passes). */
+  def minhashSignatureMd5(shinglesCol: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.ExprBridge
+    ExprBridge.column(graft.expressions.MinHashSignatureMd5(
+      ExprBridge.expression(shinglesCol), numHashes))
+  }
+
+  def minhashSignatureMd5Hof(shinglesCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shinglesCol, s => md5(concat(i.cast("string"), lit("|"), s)))))
 

@@ -39,6 +39,44 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("fused WordShingles is bit-identical to the HOF formulation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val diff = docs.select(shingles($"text", 3).as("fused"), shinglesHof($"text", 3).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(diff === 0)
+    val edge = Seq("  a\tb c  ", "x", "", " \t ", "a  b\nc d e", "a b a b c a b")
+      .toDF("text")
+    val ediff = edge.select(shingles($"text", 2).as("fused"), shinglesHof($"text", 2).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(ediff === 0)
+  }
+
+  test("fused MinShingleMd5 is bit-identical to the HOF formulation on real docs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val diff = docs.select(
+      minShingleFingerprint($"text", 3).as("fused"),
+      minShingleFingerprintHof($"text", 3).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(diff === 0)
+    // whitespace edge cases: tabs/newlines inside, spaces at edges, short docs
+    val edge = Seq("  a\tb c  ", "x", "", " \t ", "a  b\nc d e").toDF("text")
+    val ediff = edge.select(
+      minShingleFingerprint($"text", 3).as("fused"),
+      minShingleFingerprintHof($"text", 3).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(ediff === 0)
+  }
+
+  test("fused MinHashSignatureMd5 is bit-identical to the HOF formulation") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(100)
+    val withSh = docs.select(shingles($"text", 3).as("sh"))
+    val diff = withSh.select(
+      graft.operators.Dedup.minhashSignatureMd5($"sh", 16).as("fused"),
+      graft.operators.Dedup.minhashSignatureMd5Hof($"sh", 16).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(diff === 0)
+  }
+
   private val rnd = new scala.util.Random(42)
   private def randWords(n: Int): List[String] =
     List.fill(n)(rnd.alphanumeric.filter(_.isLetter).take(1 + rnd.nextInt(8)).mkString)
