@@ -84,6 +84,52 @@ case class WordShingles(child: Expression, k: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Fused 64-bit SimHash over a token array: per-bit majority vote of
+  * token xxhash64 values (seed 42 — the same `XXH64.hashUTF8String` the
+  * built-in `xxhash64` uses, so this is bit-identical to the HOF
+  * formulation in Dedup.simhash64Hof, which walks 64 interpreted lambda
+  * frames per token). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](64)
+    var e = 0
+    val n = arr.numElements()
+    while (e < n) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(arr.getUTF8String(e), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      e += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
 /** Fused min-shingle-md5 fingerprint: equivalent to
   * `array_min(transform(shingles(text, k), s => md5(s)))` but one tight
   * pass — no intermediate shingle/hash arrays, no per-element Catalyst

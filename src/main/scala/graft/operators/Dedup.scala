@@ -117,9 +117,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash of a token array: per-bit majority vote of token
-    * hashes. HOF formulation (codegen-capable, no UDF): fold tokens into
-    * a 64-long bit-count vector, then collapse signs to a bitmask. */
+    * hashes. Fused custom expression; `simhash64Hof` is the composable
+    * reference (tests assert bit-equality). */
   def simhash64(tokensCol: Column): Column = {
+    import org.apache.spark.sql.graft.ExprBridge
+    ExprBridge.column(graft.expressions.SimHash64(ExprBridge.expression(tokensCol)))
+  }
+
+  def simhash64Hof(tokensCol: Column): Column = {
     val counts = aggregate(
       tokensCol,
       array_repeat(lit(0L), 64),

@@ -87,6 +87,28 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
 
+  /** S8 `flush.size` analog: the reference commits one S3 object per N
+    * records (`connectors/s3-sink.json:11`). Spark's file sink commits
+    * per micro-batch; to control object size the same way, foreachBatch
+    * repartitions each batch to ceil(batchRows / recordsPerObject)
+    * files. Object-count parity is approximate (records spread across
+    * partitions), record-level content is identical, and the commit is
+    * still exactly-once via the checkpoint. */
+  def jsonSinkSizedObjects(
+      df: DataFrame, outPath: String, checkpoint: String,
+      recordsPerObject: Int,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          val files = math.max(1, math.ceil(n.toDouble / recordsPerObject).toInt)
+          batch.repartition(files).write.mode("append").json(outPath)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
   // ---- ST3/ST4 gap: event-time semantics --------------------------------
 
   /** Tumbling or sliding windowed aggregation with a watermark. */

@@ -58,6 +58,15 @@ class DedupSpec extends SparkSpec {
     assert(hammingNear < hammingFar, s"near=$hammingNear far=$hammingFar")
   }
 
+  test("fused SimHash64 is bit-identical to the HOF formulation on real docs") {
+    val real = graft.sources.Tables.documents(spark, sf).limit(200)
+    val diff = real.select(
+      Dedup.simhash64(TextFunctions.tokens($"text")).as("fused"),
+      Dedup.simhash64Hof(TextFunctions.tokens($"text")).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(diff === 0)
+  }
+
   test("shingles guard: short docs yield empty array, not fabricated shingles") {
     val sh = docs.filter($"doc_id" === 5L)
       .select(TextFunctions.shingles($"text", 3)).as[Seq[String]].head()

@@ -143,6 +143,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd_out").select("user_id").as[Long].collect().sorted === Array(7L, 8L))
   }
 
+  test("flush.size analog: foreachBatch sizes JSON objects to ~N records") {
+    val out = Files.createTempDirectory("graft_sized").toString
+    val ckpt = Files.createTempDirectory("graft_sized_ckpt").toString
+    val stream = MemoryStream[Ev]
+    stream.addData((1 to 100).map(i => ev(i, "a", i.toDouble)): _*)
+    val q = StreamingPipeline.jsonSinkSizedObjects(
+      stream.toDF(), out, ckpt, recordsPerObject = 25).start()
+    q.processAllAvailable(); q.stop()
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".json") && f.length() > 0)
+    assert(files.length === 4, s"expected 4 objects of ~25 records, got ${files.length}")
+    assert(spark.read.json(out).count() === 100)
+  }
+
+  test("checkpointed sink is exactly-once across restarts (ST1)") {
+    val out = Files.createTempDirectory("graft_eo").toString
+    val ckpt = Files.createTempDirectory("graft_eo_ckpt").toString
+    val stream = MemoryStream[Ev]
+    stream.addData(ev(1, "a", 1.0), ev(2, "b", 2.0))
+    val mk = () => StreamingPipeline.jsonSink(
+      stream.toDF().withColumn("partition", lit(0)), out, ckpt).start()
+    val q1 = mk(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.json(out).count() === 2)
+    // restart on the same checkpoint with no new data: nothing re-emitted
+    val q2 = mk(); q2.processAllAvailable(); q2.stop()
+    assert(spark.read.json(out).count() === 2)
+    // new data after restart flows exactly once
+    stream.addData(ev(3, "c", 3.0))
+    val q3 = mk(); q3.processAllAvailable(); q3.stop()
+    assert(spark.read.json(out).count() === 3)
+  }
+
   test("flatMapGroupsWithState carries per-user totals across micro-batches") {
     import graft.streaming.{UserEvent, UserTotal}
     val stream = MemoryStream[UserEvent]
