@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF-flat approximate nearest neighbor: the second scale path beside
+  * hyperplane LSH (Similarity.lshTopK).
+  *
+  * Build: a k-means coarse quantizer (MLlib, seeded) partitions the
+  * corpus into nCells inverted lists; each vector stores its cell id.
+  * At 100 TB the assigned corpus is written partitioned by cell, so a
+  * probe reads only nProbe/nCells of the data (partition pruning does
+  * the skipping).
+  *
+  * Search: each query ranks centroids by euclidean distance (centroids
+  * are tiny — broadcast), probes the nProbe nearest cells, and
+  * exact-reranks candidates by cosine through the map-side TopKByScore
+  * aggregate — so only k-sized heaps cross the shuffle.
+  */
+object Ivf {
+
+  final case class Index(model: KMeansModel, assigned: DataFrame)
+
+  def build(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long = 42L): Index = {
+    val featured = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("__features"))
+    val model = new KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("__features")
+      .setPredictionCol("__cell")
+      .fit(featured)
+    val assigned = model.transform(featured)
+      .select(col(idCol), col(vecCol), col("__cell").as("cell"))
+    Index(model, assigned)
+  }
+
+  /** Centroids as a small DataFrame (cell, centroid float array). */
+  def centroidsDf(spark: SparkSession, model: KMeansModel): DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  def search(
+      index: Index, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+
+    // Rank cells per query by euclidean distance to the centroid.
+    val cents = centroidsDf(spark, index.model)
+    val dist2 = aggregate(
+      zip_with(col("qvec"), col("centroid"),
+        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val cellRank = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2)
+      .withColumn("__r", row_number().over(cellRank))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+
+    // Candidates = union of probed inverted lists; exact cosine rerank.
+    val cands = index.assigned
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(probed, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("qvec"), col("nvec")), 9))
+    cands
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topk(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("sim"))
+  }
+
+  /** One-shot convenience: build + search. */
+  def topK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame =
+    search(build(corpus, idCol, vecCol, nCells, seed), queries, idCol, vecCol, k, nProbe)
+}

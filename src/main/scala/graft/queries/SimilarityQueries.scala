@@ -42,11 +42,20 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-flat scale path (rows-only: k-means cells are engine-internal). */
+  def simTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Ivf.topK(emb, queriesSubset(emb), "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> (simTopKBrute _),
     "sim_topk_agg" -> (simTopKAgg _),
     "sim_neardup_embeddings" -> (simNearDup _),
-    "sim_topk_lsh" -> (simTopKLsh _)
+    "sim_topk_lsh" -> (simTopKLsh _),
+    "sim_topk_ivf" -> (simTopKIvf _)
   )
 
   private val topkOracle =

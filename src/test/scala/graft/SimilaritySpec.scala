@@ -61,6 +61,18 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF top-k achieves reasonable recall@10 vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.operators.Ivf.topK(emb, qs, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.2, s"IVF recall@10 too low: $recall")
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val out = Similarity.nearDupPairs(Tables.embeddings(spark, sf),
       "vec_id", "embedding", threshold = 0.4).collect()
