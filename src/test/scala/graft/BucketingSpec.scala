@@ -29,6 +29,31 @@ class BucketingSpec extends SparkSpec {
     try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned layout prunes partitions on a partition-column filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf).write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "signup")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("signup"),
+      s"no partition pruning in:\n$scan")
+    assert(q.count() === Tables.events(spark, sf)
+      .filter(col("event_type") === "signup").count())
+  }
+
+  test("dynamic partition pruning kicks in for a filtered dim join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .partitionBy("l_suppkey").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.supplier(spark, sf).filter(col("s_nationkey") === 1)
+    val joined = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP in plan:\n${plan.take(2000)}")
+    assert(joined.count() > 0 ||
+      Tables.supplier(spark, sf).filter(col("s_nationkey") === 1).count() == 0)
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
