@@ -189,19 +189,26 @@ object Dedup {
         .withColumn("block", array_min(transform(col("sh"), s => md5(s)))),
       idCol)(threshold)
 
+  /** Bucket-collect within blocks (same pattern as lshCandidates): one
+    * shuffle groups (id, shingle-set) rows per block, pairs + exact
+    * jaccard are computed bucket-locally — no self-join, shingling
+    * evaluated once. `maxBlock` caps degenerate blocks; the registered
+    * oracle applies the identical cap. */
   private def ngramJaccardOnBlocked(blocked: DataFrame, idCol: String)(
-      threshold: Double): DataFrame = {
-    val withSh = blocked
-      .filter(size(col("sh")) > 0 && col("block").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withSh.select(col("block"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col("block"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      threshold: Double, maxBlock: Int = 1000): DataFrame = {
+    val withSh = blocked.filter(size(col("sh")) > 0 && col("block").isNotNull)
+    val buckets = withSh
+      .groupBy(col("block"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("sh").as("sh"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBlock))
+    buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(xs)-2),
+        |  i -> transform(sequence(i+1, size(xs)-1),
+        |    j -> struct(least(xs[i].id, xs[j].id) AS id_a,
+        |                greatest(xs[i].id, xs[j].id) AS id_b,
+        |                CAST(size(array_intersect(xs[i].sh, xs[j].sh)) AS DOUBLE)
+        |                  / size(array_union(xs[i].sh, xs[j].sh)) AS jaccard))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.jaccard").as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

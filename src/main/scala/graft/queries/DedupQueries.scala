@@ -80,11 +80,15 @@ object DedupQueries {
       s"""WITH $shingleCte,
          |blocked AS (
          |  SELECT doc_id, s, list_min(list_transform(s, x -> md5(x))) AS block
-         |  FROM sh)
+         |  FROM sh),
+         |counts AS (SELECT block, COUNT(*) AS n FROM blocked GROUP BY block),
+         |eligible AS (
+         |  SELECT b.* FROM blocked b JOIN counts c USING (block)
+         |  WHERE c.n BETWEEN 2 AND 1000)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |         / len(list_distinct(a.s || b.s)) AS jaccard
-         |FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+         |FROM eligible a JOIN eligible b ON a.block = b.block AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |        / len(list_distinct(a.s || b.s)) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin
