@@ -221,6 +221,27 @@ object CoverageQueries {
 
   // ---- scalar functions (§2.8: F8 JSON, F5 datetime, F1/F2 strings) -----
 
+  /** S6 malformed-skip: the reference's verifier silently skips unparsable
+    * JSON lines (`verifier_ui.py:92-96`). from_json yields a null struct
+    * for malformed input — the DROPMALFORMED analog — exercised here by
+    * deterministically corrupting ~1/7 of the payloads. (Corruption is a
+    * PREFIX: Spark's Jackson parser tolerates trailing garbage after a
+    * complete JSON value, so a suffix would not invalidate.) */
+  def jsonMalformedSkip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(spark, dir)
+      .withColumn("payload",
+        when(col("event_id") % 7 === 0, concat(lit("x"), col("props")))
+          .otherwise(col("props")))
+      .withColumn("parsed", from_json(col("payload"), schema))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("parsed.k")).as("n_valid"),
+        sum(col("parsed.k").cast("long")).as("sum_valid_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** F8: schema-enforced JSON parse of `events.props` (the reference's
     * registry-enforced decode, mapped to from_json with explicit schema). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
@@ -311,6 +332,7 @@ object CoverageQueries {
     "set_except_all" -> (setExceptAll _),
     "array_vector_stats" -> (arrayVectorStats _),
     "json_extract" -> (jsonExtract _),
+    "json_malformed_skip" -> (jsonMalformedSkip _),
     "date_trunc_agg" -> (dateTrunc _),
     "string_funcs" -> (stringFuncs _),
     "case_when_buckets" -> (caseWhenBuckets _),
@@ -407,6 +429,17 @@ object CoverageQueries {
         |       CAST(list_max(embedding) AS DOUBLE) AS max_elem,
         |       CAST(list_min(embedding) AS DOUBLE) AS min_elem
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "json_malformed_skip" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS payload
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |       COUNT(CASE WHEN json_valid(payload)
+        |                  THEN json_extract_string(payload, '$.k') END) AS n_valid,
+        |       SUM(CASE WHEN json_valid(payload)
+        |                THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END) AS sum_valid_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
         |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
