@@ -65,6 +65,27 @@ object TextFunctions {
   def minShingleFingerprintHof(text: Column, k: Int): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
 
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    * ordered k-shingle (with duplicates), slide a window of `w` hashes,
+    * keep each window's minimum, dedupe. Position-robust multi-
+    * fingerprint sets — two documents sharing any sufficiently long run
+    * share a fingerprint. One scan pass; SQL-renderable (DuckDB list
+    * slicing) for the oracle. */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val hashes = when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val nh = size(hashes)
+    when(nh >= w,
+      array_distinct(transform(sequence(lit(0), nh - w),
+        j => array_min(slice(hashes, j + 1, lit(w))))))
+      .otherwise(when(nh > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<string>")))
+  }
+
   /** Language-ID by marker-token counting (n-gram heuristic): count
     * profile hits with multiplicity, argmax with a fixed precedence.
     * Deterministic and SQL-renderable; real profiles are swappable. */

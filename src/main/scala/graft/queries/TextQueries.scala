@@ -51,7 +51,16 @@ object TextQueries {
         minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprint sets, exploded to (doc, fingerprint) rows —
+    * the join-ready shape for fingerprint-overlap dedup. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(winnowingFingerprints(col("text"), 3, 4)).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnowing" -> (winnowing _),
     "text_token_stats" -> (tokenStats _),
     "text_bpe_tokens" -> (bpeTokenStats _),
     "text_lang_id" -> (langIdQuery _),
@@ -75,6 +84,27 @@ object TextQueries {
     "fr" -> "('le','les','et','je')")
 
   val oracles: Map[String, String] = Map(
+    "text_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wd
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(wd) >= 3
+        |              THEN list_transform(range(len(wd)-2),
+        |                     i -> md5(array_to_string(wd[i+1:i+3], ' ')))
+        |              ELSE [] END AS hs
+        |  FROM t),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hs) >= 4
+        |              THEN list_distinct(list_transform(range(len(hs)-3),
+        |                     j -> list_min(hs[j+1:j+4])))
+        |              WHEN len(hs) > 0 THEN [list_min(hs)]
+        |              ELSE [] END AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM fp
+        |ORDER BY doc_id, fp""".stripMargin,
     "text_token_stats" ->
       s"""WITH $tokCte
          |SELECT lang, COUNT(*) AS n_docs, SUM(len(w)) AS sum_tokens,

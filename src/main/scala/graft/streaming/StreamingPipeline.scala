@@ -134,6 +134,22 @@ object StreamingPipeline {
       .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within `horizon` before them. Watermarks on BOTH sides plus
+    * the time-range predicate bound the join state (without them the
+    * stream-stream join buffers forever — the 100 TB failure mode). */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      delay: String, horizon: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $horizon"))
+  }
+
   /** Custom keyed state (the `flatMapGroupsWithState` escape hatch,
     * SURVEY.md §2.9 ST4): per-key running aggregates that survive across
     * micro-batches. Used here for running per-user event counts + value

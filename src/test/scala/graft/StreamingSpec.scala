@@ -143,6 +143,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd_out").select("user_id").as[Long].collect().sorted === Array(7L, 8L))
   }
 
+  test("stream-stream interval join matches pairs within the horizon only") {
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    purchases.addData(ev(40, "purchase", 1.0, 1L), ev(200, "purchase", 2.0, 1L),
+      ev(50, "purchase", 3.0, 2L))
+    signups.addData(ev(10, "signup", 0.0, 1L), ev(45, "signup", 0.0, 2L))
+    val joined = StreamingPipeline.streamIntervalJoin(
+      purchases.toDF().select($"ts".as("p_ts"), $"user_id", $"value"),
+      signups.toDF().select($"ts".as("s_ts"), $"user_id"),
+      key = "user_id", leftTs = "p_ts", rightTs = "s_ts",
+      delay = "10 minutes", horizon = "1 HOUR")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out").select("value").as[Double].collect().sorted
+    // purchase@40 matches signup@10 (30m gap); purchase@200 does not (190m);
+    // user 2's purchase@50 matches signup@45
+    assert(got === Array(1.0, 3.0))
+  }
+
+  test("stream-static join enriches streaming events with a static dim") {
+    val stream = MemoryStream[Ev]
+    stream.addData(ev(1, "a", 1.0, 1L), ev(2, "b", 2.0, 99999L))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val joined = stream.toDF().join(dim, Seq("user_id"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj2_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj2_out").select("user_id", "tier")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L) === Some("gold"))
+    assert(got(99999L) === None)
+  }
+
   test("flush.size analog: foreachBatch sizes JSON objects to ~N records") {
     val out = Files.createTempDirectory("graft_sized").toString
     val ckpt = Files.createTempDirectory("graft_sized_ckpt").toString
