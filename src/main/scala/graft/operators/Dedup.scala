@@ -168,6 +168,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Winnowing-based near-dup candidates: docs sharing at least
+    * `minShared` winnowing fingerprints (position-robust — any
+    * sufficiently long shared run yields shared fingerprints). One
+    * shuffle on the fingerprint, bucket-collect pair explosion, then a
+    * count-shared filter; compose with `jaccardVerify` for exact
+    * confirmation. */
+  def winnowingCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, window: Int, minShared: Int, maxBucket: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(TextFunctions.winnowingFingerprints(col(textCol), k, window)).as("fp"))
+    val buckets = fps.groupBy(col("fp"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(ids)-2),
+        |  i -> transform(sequence(i+1, size(ids)-1),
+        |    j -> struct(least(ids[i], ids[j]) AS id_a,
+        |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   /** Exact n-gram Jaccard with blocking: all pairs within a blocking key
     * (quadratic per block — the demo/verification path; MinHash is the
     * scale path and the blocking key bounds the quadratic term). */

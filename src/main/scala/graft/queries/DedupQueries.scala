@@ -31,7 +31,27 @@ object DedupQueries {
     Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  def dedupWinnowing(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingCandidates(Tables.documents(spark, dir), "doc_id", "text",
+      k = 3, window = 4, minShared = 5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Composed training-data prep: quality filter → language filter →
+    * exact dedup, the stages of a corpus-cleaning pipeline in one plan. */
+  def prepPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+      .withColumn("q", TextFunctions.qualityScore(col("text")))
+      .filter(col("q") >= 0.5)
+      .filter(TextFunctions.langId(col("text")) === "en")
+    Dedup.exact(docs, "doc_id", "text")
+      .select(col("survivor_id"), col("n_copies"))
+      .orderBy(col("survivor_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnowing_candidates" -> (dedupWinnowing _),
+    "prep_pipeline" -> (prepPipeline _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -50,7 +70,66 @@ object DedupQueries {
       |  WHERE len(w) >= 3
       |)""".stripMargin
 
+  private val langScoreCols =
+    """len(list_filter(w, t -> t IN ('the','a','and','of'))) AS c_en,
+      |len(list_filter(w, t -> t IN ('der','die','das','und'))) AS c_de,
+      |len(list_filter(w, t -> t IN ('el','la','los','y'))) AS c_es,
+      |len(list_filter(w, t -> t IN ('le','les','et','je'))) AS c_fr""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_winnowing_candidates" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wd FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(wd) >= 3
+        |              THEN list_transform(range(len(wd)-2),
+        |                     i -> md5(array_to_string(wd[i+1:i+3], ' ')))
+        |              ELSE [] END AS hs
+        |  FROM t),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hs) >= 4
+        |              THEN list_distinct(list_transform(range(len(hs)-3),
+        |                     j -> list_min(hs[j+1:j+4])))
+        |              WHEN len(hs) > 0 THEN [list_min(hs)]
+        |              ELSE [] END AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |counts AS (SELECT fp, COUNT(*) AS n FROM e GROUP BY fp),
+        |elig AS (SELECT e.* FROM e JOIN counts c USING (fp)
+        |         WHERE c.n BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM elig a JOIN elig b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, COUNT(*) AS n_shared_fps
+        |FROM pairs GROUP BY id_a, id_b HAVING COUNT(*) >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "prep_pipeline" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |         least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |         + (CAST(len(list_filter(w, t -> t IN ('the','a','and','of'))) AS DOUBLE)
+         |            / CAST(len(w) AS DOUBLE)) * 0.3
+         |         + least((CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS DOUBLE)
+         |                  / CAST(len(w) AS DOUBLE)) / 10.0, 1.0) * 0.2 AS q,
+         |         $langScoreCols
+         |  FROM tok),
+         |filtered AS (
+         |  SELECT doc_id, text FROM scored
+         |  WHERE q >= 0.5
+         |    AND CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+         |             WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+         |             WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+         |             WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_es, c_fr) THEN 'fr'
+         |             ELSE 'und' END = 'en')
+        |SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+        |FROM filtered
+        |GROUP BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+        |ORDER BY survivor_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
         |       MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
