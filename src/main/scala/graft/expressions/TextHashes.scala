@@ -84,6 +84,76 @@ case class WordShingles(child: Expression, k: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Fused winnowing fingerprints (MOSS rolling-hash scheme): md5 every
+  * ordered k-shingle (duplicates kept), slide a window of w hashes, keep
+  * each window's minimum, dedupe preserving first occurrence. The HOF
+  * formulation (TextFunctions.winnowingFingerprintsHof) re-evaluates the
+  * entire hash array inside every window lambda — interpreted lambdas do
+  * no common-subexpression elimination, giving O(windows × shingles)
+  * md5 calls; this is one pass with a sliding minimum. */
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0 && w > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnowing_fingerprints expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Md5Hex.sparkTokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    val nh = toks.length - k + 1
+    val hashes = new Array[String](nh)
+    var i = 0
+    while (i < nh) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      hashes(i) = Md5Hex.hex(md.digest(sb.toString.getBytes(StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    if (nh < w) {
+      var min = hashes(0)
+      var x = 1
+      while (x < nh) { if (hashes(x).compareTo(min) < 0) min = hashes(x); x += 1 }
+      seen.add(min)
+    } else {
+      var j = 0
+      while (j <= nh - w) {
+        // w is small (4-8): direct scan beats a monotonic deque here
+        var min = hashes(j)
+        var x = j + 1
+        while (x < j + w) { if (hashes(x).compareTo(min) < 0) min = hashes(x); x += 1 }
+        seen.add(min)
+        j += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "winnowing_fingerprints"
+}
+
 /** Fused 64-bit SimHash over a token array: per-bit majority vote of
   * token xxhash64 values (seed 42 — the same `XXH64.hashUTF8String` the
   * built-in `xxhash64` uses, so this is bit-identical to the HOF

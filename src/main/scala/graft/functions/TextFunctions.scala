@@ -69,9 +69,18 @@ object TextFunctions {
     * ordered k-shingle (with duplicates), slide a window of `w` hashes,
     * keep each window's minimum, dedupe. Position-robust multi-
     * fingerprint sets — two documents sharing any sufficiently long run
-    * share a fingerprint. One scan pass; SQL-renderable (DuckDB list
-    * slicing) for the oracle. */
+    * share a fingerprint. Fused custom expression (one pass); the HOF
+    * reference below re-hashes the shingle array per window lambda —
+    * O(windows × shingles) md5 calls — and exists only for the
+    * bit-equality test. SQL-renderable (DuckDB list slicing) for the
+    * oracle. */
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graft.ExprBridge
+    ExprBridge.column(graft.expressions.WinnowingFingerprints(
+      ExprBridge.expression(text), k, w))
+  }
+
+  def winnowingFingerprintsHof(text: Column, k: Int, w: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
     val hashes = when(n >= k,

@@ -33,7 +33,7 @@ object DedupQueries {
 
   def dedupWinnowing(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowingCandidates(Tables.documents(spark, dir), "doc_id", "text",
-      k = 3, window = 4, minShared = 5)
+      k = 3, window = 4, minShared = 5, maxBucket = 100)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Composed training-data prep: quality filter → language filter →
@@ -98,7 +98,7 @@ object DedupQueries {
         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
         |counts AS (SELECT fp, COUNT(*) AS n FROM e GROUP BY fp),
         |elig AS (SELECT e.* FROM e JOIN counts c USING (fp)
-        |         WHERE c.n BETWEEN 2 AND 1000),
+        |         WHERE c.n BETWEEN 2 AND 100),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM elig a JOIN elig b ON a.fp = b.fp AND a.doc_id < b.doc_id)

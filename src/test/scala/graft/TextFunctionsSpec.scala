@@ -51,6 +51,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(ediff === 0)
   }
 
+  test("fused WinnowingFingerprints is bit-identical to the HOF formulation") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(150)
+    val diff = docs.select(
+      winnowingFingerprints($"text", 3, 4).as("fused"),
+      winnowingFingerprintsHof($"text", 3, 4).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(diff === 0)
+    val edge = Seq("a b c", "a b c d e", "x", "", "a a a a a a a a").toDF("text")
+    val ediff = edge.select(
+      winnowingFingerprints($"text", 3, 4).as("fused"),
+      winnowingFingerprintsHof($"text", 3, 4).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(ediff === 0)
+  }
+
   test("fused MinShingleMd5 is bit-identical to the HOF formulation on real docs") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val diff = docs.select(
