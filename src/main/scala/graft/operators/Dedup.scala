@@ -192,6 +192,20 @@ object Dedup {
       .filter(col("n_shared_fps") >= minShared)
   }
 
+  /** Winnowing near-dup pipeline: fingerprint candidates confirmed by
+    * exact shingle Jaccard (candidates are tiny vs the corpus, so the
+    * verify joins broadcast at scale). */
+  def winnowingNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4, minShared: Int = 5,
+      threshold: Double = 0.8): DataFrame = {
+    val cands = winnowingCandidates(df, idCol, textCol, k, window, minShared, maxBucket = 100)
+      .select(col("id_a"), col("id_b"))
+    val withSh = df.select(col(idCol), TextFunctions.shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    jaccardVerify(cands, withSh, idCol, "sh", threshold)
+  }
+
   /** Exact n-gram Jaccard with blocking: all pairs within a blocking key
     * (quadratic per block — the demo/verification path; MinHash is the
     * scale path and the blocking key bounds the quadratic term). */

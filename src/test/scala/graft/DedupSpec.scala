@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     assert(hammingNear < hammingFar, s"near=$hammingNear far=$hammingFar")
   }
 
+  test("winnowing near-dups find the true J>=0.8 pairs on real docs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val viaWinnowing = Dedup.winnowingNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: blocked exact jaccard (oracle-verified elsewhere)
+    val viaBlocked = Dedup.ngramJaccardFingerprintBlocked(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaWinnowing.nonEmpty)
+    // both are candidate generators with < 1 recall (minShared /
+    // bucket-cap pruning here, single-fingerprint collision there);
+    // winnowing should still recover most of the blocked set
+    val overlap = (viaBlocked & viaWinnowing).size.toDouble / viaBlocked.size
+    assert(overlap >= 0.7, s"winnowing recall vs blocked too low: $overlap")
+  }
+
   test("fused SimHash64 is bit-identical to the HOF formulation on real docs") {
     val real = graft.sources.Tables.documents(spark, sf).limit(200)
     val diff = real.select(
