@@ -19,6 +19,12 @@ object Salting {
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
+    // Replicating the small side is only sound when unmatched SMALL rows
+    // are dropped: a right/full join would emit each unmatched small row
+    // once per salt.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     // Deterministic spread: hash of the whole row modulo salts (row
     // identity, not the key — the point is to split a single hot key).
     val saltedBig = big.withColumn("__salt",

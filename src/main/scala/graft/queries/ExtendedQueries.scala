@@ -158,11 +158,11 @@ object ExtendedQueries {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "pivot_segments" ->
       """SELECT n_name,
-        |       COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
-        |       COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS "BUILDING",
-        |       COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS "FURNITURE",
-        |       COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
-        |       COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS "MACHINERY"
+        |       COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+        |       COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS "BUILDING",
+        |       COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS "FURNITURE",
+        |       COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+        |       COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS "MACHINERY"
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_percentiles" ->
