@@ -111,7 +111,29 @@ object ExtendedQueries {
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       .orderBy(col("user_id"))
 
+  /** Sketch aggregates (rows-only: sketch internals are engine-specific):
+    * t-digest-style approximate percentiles with bounded memory — the
+    * 100 TB alternative to exact sort-based percentiles. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5D, 0.9D), 1000)").as("qs"))
+      .select(col("event_type"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"))
+      .orderBy(col("event_type"))
+
+  /** Frequent-items sketch (df.stat.freqItems): single-pass heavy-hitter
+    * candidates without a full groupBy (rows-only). */
+  def freqItems(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.events(spark, dir).stat.freqItems(Array("user_id"), 0.05)
+    items.select(explode(col("user_id_freqItems")).as("frequent_user_id"))
+      .orderBy(col("frequent_user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_percentiles" -> (approxPercentiles _),
+    "freq_items" -> (freqItems _),
     "salted_join" -> (saltedJoinQuery _),
     "last_writer_wins" -> (lastWriterWins _),
     "asof_join" -> (asofJoin _),

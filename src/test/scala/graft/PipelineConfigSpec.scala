@@ -44,6 +44,17 @@ class PipelineConfigSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("email") == "redacted"))
   }
 
+  test("empty transforms list is identity; maskless profile keeps email") {
+    val id = graft.ops.PipelineConfig.fromConfig(Map("transforms" -> ""))
+    assert(id(users).collect().toSeq === users.collect().toSeq)
+    val noMask = graft.ops.PipelineConfig.fromConfig(Map(
+      "transforms" -> "p", "transforms.p.type" -> "profile",
+      "transforms.p.filter.cols" -> "first_name"))
+    val out = noMask(users).orderBy("user_id").collect()
+    assert(out.length === 2)
+    assert(out.head.getAs[String]("email") === "u0@x.com") // no mask configured
+  }
+
   test("unknown transform type fails fast") {
     assertThrows[IllegalArgumentException] {
       PipelineConfig.fromConfig(Map(
