@@ -78,6 +78,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** kNN self-join: for EVERY vector, its k nearest neighbors among LSH
+    * bucket collisions (approximate). Unlike `bruteForceTopK` (small
+    * query set × corpus), this is corpus × corpus — only viable through
+    * bucketing: candidates form inside buckets (bucket-collect, one
+    * shuffle), exact rerank via the map-side top-k aggregate. */
+  def knnJoinLsh(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, bands: Int = 4, bitsPerBand: Int = 4,
+      maxBucket: Int = 2000): DataFrame = {
+    val planes = bands * bitsPerBand
+    val withSig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), planes).as("sig"))
+    val banded = withSig.select(col("id"), col("vec"),
+      explode(array((0 until bands).map(bd => struct(
+        lit(bd).as("band"),
+        concat_ws("", slice(col("sig"), bd * bitsPerBand + 1, bitsPerBand)).as("bits"))): _*)).as("e"))
+      .select(col("id"), col("vec"), col("e.band").as("band"), col("e.bits").as("bits"))
+    val buckets = banded
+      .groupBy(col("band"), col("bits"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(xs)-1),
+        |  i -> transform(sequence(0, size(xs)-1),
+        |    j -> struct(xs[i].id AS qid, xs[j].id AS nid,
+        |                xs[i].vec AS qvec, xs[j].vec AS nvec))))""".stripMargin)).as("p"))
+      .filter(col("p.qid") =!= col("p.nid"))
+      // score before dedup: the fused cosine on duplicated pair rows
+      // (≤ bands×) is far cheaper than distinct over 64-float arrays
+      .select(col("p.qid").as("query_id"), col("p.nid").as("neighbor_id"),
+        sim(col("p.qvec"), col("p.nvec"), fused = true).as("sim"))
+      .distinct()
+    pairs
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topk(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("sim"))
+  }
+
   /** Banded hyperplane-LSH candidates, exact rerank, top-k per query.
     * Approximate: recall < 1 by design. bands=4 × bitsPerBand=4 gives
     * 16 planes; a candidate shares at least one 4-bit band with the

@@ -219,6 +219,19 @@ object CoverageQueries {
         array_min(col("embedding")).cast("double").as("min_elem"))
       .orderBy(col("vec_id"))
 
+  /** Deterministic stratified sampling: fixed-size per-stratum samples in
+    * a pseudo-random but engine-portable order (md5 of the unique key —
+    * identical in DuckDB, unlike rand()/TABLESAMPLE). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   // ---- scalar functions (§2.8: F8 JSON, F5 datetime, F1/F2 strings) -----
 
   /** S6 malformed-skip: the reference's verifier silently skips unparsable
@@ -331,6 +344,7 @@ object CoverageQueries {
     "set_except" -> (setExcept _),
     "set_except_all" -> (setExceptAll _),
     "array_vector_stats" -> (arrayVectorStats _),
+    "stratified_sample" -> (stratifiedSample _),
     "json_extract" -> (jsonExtract _),
     "json_malformed_skip" -> (jsonMalformedSkip _),
     "date_trunc_agg" -> (dateTrunc _),
@@ -422,6 +436,13 @@ object CoverageQueries {
         |  SELECT c_nationkey AS nk FROM customer EXCEPT ALL
         |  SELECT s_nationkey FROM supplier)
         |SELECT nk, COUNT(*) AS n FROM d GROUP BY nk ORDER BY nk""".stripMargin,
+    "stratified_sample" ->
+      """SELECT event_type, event_id, user_id, value FROM (
+        |  SELECT event_type, event_id, user_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events) WHERE rn <= 20
+        |ORDER BY event_type, event_id""".stripMargin,
     "array_vector_stats" ->
       """SELECT vec_id, len(embedding) AS dim,
         |       round(sqrt(list_aggregate(

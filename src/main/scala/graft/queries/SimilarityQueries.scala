@@ -50,7 +50,13 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** kNN self-join over LSH buckets (rows-only: approximate). */
+  def simKnnJoin(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_join_lsh" -> (simKnnJoin _),
     "sim_topk_brute" -> (simTopKBrute _),
     "sim_topk_agg" -> (simTopKAgg _),
     "sim_neardup_embeddings" -> (simNearDup _),
