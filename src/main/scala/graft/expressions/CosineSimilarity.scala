@@ -17,10 +17,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics: sum in IEEE-double element order (bit-identical to the HOF
   * formulation and to DuckDB's list_cosine_similarity on DOUBLE[], which
-  * the oracle uses); zero-norm input yields 0.0, not NaN.
+  * the oracle uses); zero-norm input yields 0.0, not NaN. Length-
+  * mismatched vectors yield NULL — same surfacing as the zip_with HOF
+  * reference, which pads the shorter array with nulls and nulls the whole
+  * aggregate, so malformed embedding pairs fail identically on both paths
+  * instead of being silently truncated.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -38,7 +44,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -65,17 +72,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -177,12 +177,17 @@ case class SimHash64(child: Expression)
     var e = 0
     val n = arr.numElements()
     while (e < n) {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUTF8String(arr.getUTF8String(e), 42L)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      // null elements contribute no vote (the SQL-registered surface
+      // accepts containsNull=true arrays; callers via WordShingles never
+      // produce them)
+      if (!arr.isNullAt(e)) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(e), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
       e += 1
     }
@@ -273,13 +278,17 @@ case class MinHashSignatureMd5(child: Expression, numHashes: Int)
     val prefixes = Array.tabulate(numHashes)(i => s"$i|")
     var e = 0
     while (e < n) {
-      val s = arr.getUTF8String(e).toString
-      var i = 0
-      while (i < numHashes) {
-        md.reset()
-        val h = Md5Hex.hex(md.digest((prefixes(i) + s).getBytes(StandardCharsets.UTF_8)))
-        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
-        i += 1
+      // null shingles are skipped rather than NPE'ing — the direct-Column
+      // surface doesn't restrict inputs to containsNull=false arrays
+      if (!arr.isNullAt(e)) {
+        val s = arr.getUTF8String(e).toString
+        var i = 0
+        while (i < numHashes) {
+          md.reset()
+          val h = Md5Hex.hex(md.digest((prefixes(i) + s).getBytes(StandardCharsets.UTF_8)))
+          if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+          i += 1
+        }
       }
       e += 1
     }

@@ -458,12 +458,12 @@ object CoverageQueries {
         |SELECT event_type, COUNT(*) AS n_rows,
         |       COUNT(CASE WHEN json_valid(payload)
         |                  THEN json_extract_string(payload, '$.k') END) AS n_valid,
-        |       SUM(CASE WHEN json_valid(payload)
-        |                THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END) AS sum_valid_k
+        |       CAST(SUM(CASE WHEN json_valid(payload)
+        |                THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END) AS BIGINT) AS sum_valid_k
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       COUNT(json_extract_string(props, '$.k')) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "date_trunc_agg" ->
@@ -496,7 +496,7 @@ object CoverageQueries {
         |         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM gaps)
-        |SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM marks GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

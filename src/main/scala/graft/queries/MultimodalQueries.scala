@@ -23,10 +23,17 @@ object MultimodalQueries {
     Multimodal.frameSample(media(spark, dir), everyMs = 250)
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** Driver-facing projection: the embedding array is reduced to scalar
+    * digests (dim + rounded L2 norm) because the rows-only gate sorts
+    * output columns in pandas, where raw arrays aren't hashable. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = Multimodal.extractFeatures(media(spark, dir)).toDF()
     feats.select(col("media_id"), col("kind"), col("n_bytes"),
-      col("payload_md5"), col("embedding")).orderBy(col("media_id"))
+      col("payload_md5"),
+      size(col("embedding")).as("emb_dim"),
+      round(sqrt(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("emb_l2"))
+      .orderBy(col("media_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

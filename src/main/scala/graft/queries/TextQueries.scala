@@ -107,7 +107,7 @@ object TextQueries {
         |ORDER BY doc_id, fp""".stripMargin,
     "text_token_stats" ->
       s"""WITH $tokCte
-         |SELECT lang, COUNT(*) AS n_docs, SUM(len(w)) AS sum_tokens,
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS sum_tokens,
          |       MIN(len(w)) AS min_tokens, MAX(len(w)) AS max_tokens,
          |       CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avg_tokens
          |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,

@@ -27,12 +27,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * truncate to microseconds (integer `div` — DuckDB also truncates when
-    * narrowing ns→us, so both engines see identical instants). */
+  /** Session conf every graft session must set at BUILD time: `events.ts`
+    * is parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]); this legacy flag reads the nanos as a
+    * plain long instead. It is session-global (no per-read parquet option
+    * exists for it — ParquetOptions only exposes mergeSchema/compression/
+    * rebase), so it lives in the session builders (Bench/Verify/Explain/
+    * SparkSpec), not as a hidden mutation inside a table loader. */
+  val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Truncates ns→us via integer `div` — DuckDB also truncates when
+    * narrowing, so both engines see identical instants. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption(nanosAsLongKey).contains("true"),
+      s"$nanosAsLongKey must be set to true at session build time " +
+        "(events.parquet stores TIMESTAMP(NANOS))")
     load(spark, dir, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -58,6 +58,19 @@ class DedupSpec extends SparkSpec {
     assert(hammingNear < hammingFar, s"near=$hammingNear far=$hammingFar")
   }
 
+  test("simhash64 and minhash signature tolerate null array elements") {
+    val withNulls = Seq((1L, Seq(Some("alpha"), None, Some("beta"))),
+      (2L, Seq(Some("alpha"), Some("beta")))).toDF("id", "toks")
+      .select($"id", $"toks".cast("array<string>").as("toks"))
+    val sigs = withNulls.select($"id",
+      Dedup.simhash64($"toks").as("sim"),
+      Dedup.minhashSignatureMd5($"toks", 8).as("mh"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[String](2))).toMap
+    // null elements contribute nothing: row 1 ≡ row 2
+    assert(sigs(1L)._1 === sigs(2L)._1)
+    assert(sigs(1L)._2 === sigs(2L)._2)
+  }
+
   test("winnowing near-dups find the true J>=0.8 pairs on real docs") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val viaWinnowing = Dedup.winnowingNearDups(docs, "doc_id", "text")

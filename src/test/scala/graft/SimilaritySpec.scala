@@ -41,6 +41,22 @@ class SimilaritySpec extends SparkSpec {
     assert(sims(4L) === 0.0)
   }
 
+  test("cosine yields NULL on length-mismatched vectors (both eval paths)") {
+    val mixed = Seq(
+      (0L, Array(1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    // codegen path
+    val gen = mixed.select($"id", VectorFunctions.cosine($"a", $"b").as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(gen(0L).isEmpty)
+    assert(gen(1L).contains(1.0) || gen(1L).exists(v => math.abs(v - 1.0) < 1e-12))
+    // interpreted path (filter forces eval in some plans; check via collect on expr directly)
+    val interp = mixed.filter($"id" === 0L)
+      .select(VectorFunctions.cosine($"a", $"b").as("s")).collect()
+    assert(interp.head.isNullAt(0))
+  }
+
   test("brute-force top-k ranks the near vector first, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
       "vec_id", "embedding", k = 2).collect()

@@ -32,12 +32,16 @@ def norm_cell(v):
     import math, datetime, decimal
     if v is None:
         return "NULL"
+    # Floats keep an "f" marker so an integer-valued float64 column (e.g.
+    # DuckDB HUGEINT fetched into pandas) hashes differently from a true
+    # int64 column — the driver's gate distinguishes these (round-1
+    # json_extract/session_window/text_token_stats lesson).
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return f"{v:.10g}"
+        return f"f{v:.10g}"
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.10g}"
+        return f"f{float(v):.10g}"
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return pd.Timestamp(v).tz_localize(None).isoformat() if pd.Timestamp(v).tzinfo else pd.Timestamp(v).isoformat()
     if isinstance(v, (list, tuple)):
