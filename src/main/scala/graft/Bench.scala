@@ -30,6 +30,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
+      } finally {
+        // a query that persists intermediates (e.g. the minhash shingle
+        // frame) must not hold executor memory against later queries
+        spark.catalog.clearCache()
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -38,7 +42,11 @@ object Bench {
     try SparkEntry.queries.headOption.foreach { case (n, _) => materialize(n) }
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    // Dev escape hatch: SPARK_GRAFT_ONLY=q1,q2 times a subset in isolation.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = selected.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

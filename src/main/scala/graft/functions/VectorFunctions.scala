@@ -50,7 +50,15 @@ object VectorFunctions {
     when(dot >= 0, lit(1)).otherwise(lit(0))
   }
 
-  /** Full signature as an int array (planes bits). */
-  def hyperplaneSignature(vec: Column, planes: Int): Column =
+  /** HOF reference formulation of the signature — planes interpreted
+    * aggregate lambdas per row (kept as the bit-identity baseline for
+    * the fused expression below). */
+  def hyperplaneSignatureHof(vec: Column, planes: Int): Column =
     array((0 until planes).map(p => hyperplaneBit(vec, p)): _*)
+
+  /** Full signature as an int array (planes bits) — fused single-pass
+    * expression, bit-identical to `hyperplaneSignatureHof`. */
+  def hyperplaneSignature(vec: Column, planes: Int): Column =
+    ExprBridge.column(graft.expressions.HyperplaneSignature(
+      ExprBridge.expression(vec), planes))
 }

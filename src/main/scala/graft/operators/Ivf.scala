@@ -29,11 +29,20 @@ object Ivf {
   def build(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long = 42L): Index = {
+    // Iterative fit re-reads its input every iteration — persist the
+    // featured frame for the build (MEMORY_AND_DISK: spills, never OOMs).
     val featured = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("__features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Coarse-quantizer settings: random init + few iterations is the
+    // standard IVF build recipe (the cells only need to be roughly
+    // balanced, not optimal) — k-means|| init plus the default 20
+    // iterations triples the build's job count for no search-quality
+    // gain. Seeded, so the index is deterministic.
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__features")
       .setPredictionCol("__cell")
+      .setInitMode("random").setMaxIter(8)
       .fit(featured)
     val assigned = model.transform(featured)
       .select(col(idCol), col(vecCol), col("__cell").as("cell"))

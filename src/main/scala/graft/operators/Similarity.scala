@@ -78,39 +78,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Banded (band, bits) rows for a frame — ids only, so the bucket
+    * shuffle moves bands × (id, int, string) rows, never the vectors. */
+  private def bandedIds(
+      df: DataFrame, idCol: String, vecCol: String, idAs: String,
+      bands: Int, bitsPerBand: Int): DataFrame =
+    df.select(col(idCol).as(idAs),
+      VectorFunctions.hyperplaneSignature(col(vecCol), bands * bitsPerBand).as("sig"))
+      .select(col(idAs),
+        explode(array((0 until bands).map(bd => struct(
+          lit(bd).as("band"),
+          concat_ws("", slice(col("sig"), bd * bitsPerBand + 1, bitsPerBand)).as("bits"))): _*)).as("e"))
+      .select(col(idAs), col("e.band").as("band"), col("e.bits").as("bits"))
+
   /** kNN self-join: for EVERY vector, its k nearest neighbors among LSH
     * bucket collisions (approximate). Unlike `bruteForceTopK` (small
     * query set × corpus), this is corpus × corpus — only viable through
-    * bucketing: candidates form inside buckets (bucket-collect, one
-    * shuffle), exact rerank via the map-side top-k aggregate. */
+    * bucketing. Buckets carry ids ONLY (the signature pass is scan-side;
+    * the bucket shuffle is bands × tiny rows); unique candidate pairs
+    * are deduped BEFORE scoring, then vectors join back by id — two
+    * equi-joins Catalyst turns into broadcasts when the corpus fits and
+    * shuffled-hash joins at scale. The previous formulation collected
+    * (id, vec) into buckets and exploded size² pair structs each
+    * carrying both 64-float vectors — O(bucket² × dim) transient bytes
+    * and ≤ bands× duplicate cosine evaluations. */
   def knnJoinLsh(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, bands: Int = 4, bitsPerBand: Int = 4,
       maxBucket: Int = 2000): DataFrame = {
-    val planes = bands * bitsPerBand
-    val withSig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      VectorFunctions.hyperplaneSignature(col(vecCol), planes).as("sig"))
-    val banded = withSig.select(col("id"), col("vec"),
-      explode(array((0 until bands).map(bd => struct(
-        lit(bd).as("band"),
-        concat_ws("", slice(col("sig"), bd * bitsPerBand + 1, bitsPerBand)).as("bits"))): _*)).as("e"))
-      .select(col("id"), col("vec"), col("e.band").as("band"), col("e.bits").as("bits"))
+    val banded = bandedIds(corpus, idCol, vecCol, "id", bands, bitsPerBand)
     val buckets = banded
       .groupBy(col("band"), col("bits"))
-      .agg(collect_list(struct(col("id"), col("vec"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
     val pairs = buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(xs)-1),
-        |  i -> transform(sequence(0, size(xs)-1),
-        |    j -> struct(xs[i].id AS qid, xs[j].id AS nid,
-        |                xs[i].vec AS qvec, xs[j].vec AS nvec))))""".stripMargin)).as("p"))
+      """flatten(transform(sequence(0, size(ids)-1),
+        |  i -> transform(sequence(0, size(ids)-1),
+        |    j -> struct(ids[i] AS qid, ids[j] AS nid))))""".stripMargin)).as("p"))
       .filter(col("p.qid") =!= col("p.nid"))
-      // score before dedup: the fused cosine on duplicated pair rows
-      // (≤ bands×) is far cheaper than distinct over 64-float arrays
-      .select(col("p.qid").as("query_id"), col("p.nid").as("neighbor_id"),
-        sim(col("p.qvec"), col("p.nvec"), fused = true).as("sim"))
+      .select(col("p.qid").as("query_id"), col("p.nid").as("neighbor_id"))
       .distinct()
-    pairs
+    val scored = pairs
+      .join(corpus.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
+      .withColumn("sim", sim(col("qvec"), col("nvec"), fused = true))
+    scored
       .groupBy(col("query_id"))
       .agg(graft.expressions.TopKByScore.topk(col("sim"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -121,32 +133,32 @@ object Similarity {
   /** Banded hyperplane-LSH candidates, exact rerank, top-k per query.
     * Approximate: recall < 1 by design. bands=4 × bitsPerBand=4 gives
     * 16 planes; a candidate shares at least one 4-bit band with the
-    * query. */
+    * query. The band join and the candidate dedup run over ids only;
+    * vectors join back afterwards (query side broadcast — small by
+    * construction; corpus side left to Catalyst/AQE), and the rerank
+    * goes through the map-side TopKByScore aggregate, so only k-sized
+    * heaps cross the final shuffle (same total order as the window
+    * formulation: sim desc, id asc). */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
-    val planes = bands * bitsPerBand
-    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val withSig = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-        VectorFunctions.hyperplaneSignature(col(vecCol), planes).as("sig"))
-      withSig.select(col(idAs), col(vecAs),
-        explode(array((0 until bands).map(bd => struct(
-          lit(bd).as("band"),
-          concat_ws("", slice(col("sig"), bd * bitsPerBand + 1, bitsPerBand)).as("bits"))): _*)).as("e"))
-        .select(col(idAs), col(vecAs), col("e.band").as("band"), col("e.bits").as("bits"))
-    }
-    val c = banded(corpus, "neighbor_id", "nvec")
-    val q = banded(queries, "query_id", "qvec")
+    val c = bandedIds(corpus, idCol, vecCol, "neighbor_id", bands, bitsPerBand)
+    val q = bandedIds(queries, idCol, vecCol, "query_id", bands, bitsPerBand)
     val cands = c.join(q, Seq("band", "bits"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("nvec"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val scored = cands
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
+        "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
+        "neighbor_id")
       .withColumn("sim", sim(col("qvec"), col("nvec"), fused = true))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topk(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("sim"))
   }
 }

@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Second coverage wave: corpus statistics (TF-IDF, bigram counts),
+  * analytic-window extensions (ntile/percent_rank/cume_dist, ignore-null
+  * carry-forward), statistical aggregates routed through exact decimal
+  * sums, ordered/conditional aggregates, schema-evolving unions, the
+  * two-phase distinct pattern, and metadata-level multimodal resize.
+  *
+  * Determinism rules follow the repo recipe: every double that reaches a
+  * compared column is either (a) derived from exact decimal sums with the
+  * final arithmetic written identically in both engines, or (b) a
+  * rank-count ratio both engines compute from identical integers; all are
+  * rounded before compare.
+  */
+object AnalyticsQueries {
+
+  /** TF-IDF over the documents corpus: tf = term count per doc, idf =
+    * ln((N+1)/(df+1)). Doc-count N is a 1-row aggregate cross-joined in
+    * (broadcast — never a single-partition window); the (term → df)
+    * side is vocabulary-sized, so Catalyst broadcasts it at scale. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)),
+          6).as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** Bigram frequency (all occurrences, not distinct shingles): the
+    * n-gram language-model counting shape — generator + re-agg, one
+    * shuffle on the bigram. Top 100 with a total tiebreak order. */
+  def textBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(split(trim(col("text")), "\\s+").as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        expr("transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+
+  /** Distribution windows: ntile buckets + percent_rank + cume_dist per
+    * priority, totally ordered by a unique key so ranks are exact
+    * integers in both engines. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("tile"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Ignore-null carry-forward: last non-null click value per user in
+    * event order — the gap-filling window shape. */
+  def windowIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("click_value",
+        when(col("event_type") === "click", col("value")))
+      .select(col("event_id"), col("user_id"),
+        round(last(col("click_value"), ignoreNulls = true).over(w), 9)
+          .as("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Correlation / sample-stddev per group, decimal-routed: the five
+    * sufficient statistics are EXACT decimal sums (order-independent),
+    * and the closed-form combination runs in IEEE double written
+    * identically in both engines — so a statistical aggregate becomes
+    * hash-comparable, which engine-native corr()/stddev() (partial-sum
+    * order dependent) is not. */
+  def aggCorrStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    val g = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q.cast(DecimalType(22, 4))).as("sx"),
+        sum(p.cast(DecimalType(30, 4))).as("sy"),
+        sum((q * q).cast(DecimalType(30, 6))).as("sxx"),
+        sum((p * p).cast(DecimalType(34, 4))).as("syy"),
+        sum((q * p).cast(DecimalType(32, 5))).as("sxy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    g.select(col("l_returnflag"), col("n"),
+      round((nD * sxy - sx * sy) /
+        (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 6).as("corr_qty_price"),
+      round(sqrt((nD * sxx - sx * sx) / (nD * (nD - 1.0))), 6).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Ordered/positional aggregates: min_by/max_by on a unique ordering
+    * key, plus a deterministic string_agg (sorted distinct). */
+  def aggMinmaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"),
+        max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Conditional aggregates: count_if / filtered sum / bool_or /
+    * bool_and on one scan. */
+  def aggConditional(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("count_if(l_discount > 0.05)").as("n_discounted"),
+        sum(when(col("l_discount") > 0.05,
+          col("l_extendedprice").cast(DecimalType(30, 4))))
+          .cast("double").as("disc_revenue"),
+        expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+        expr("bool_and(l_quantity > 0)").as("all_positive_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Schema-evolving union: unionByName(allowMissingColumns) pads
+    * side-specific columns with nulls — the JSONL/schema-drift ingest
+    * shape. */
+  def unionByNameQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"), lit("customer").as("src"),
+      col("c_mktsegment").as("segment"))
+    val s = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("id"), lit("supplier").as("src"),
+      col("s_acctbal").as("bal"))
+    c.unionByName(s, allowMissingColumns = true)
+      .orderBy(col("src"), col("id"))
+  }
+
+  /** Two-phase distinct count: partial dedup on (group, value) spreads a
+    * skewed distinct across the cluster before the per-group count —
+    * the COUNT(DISTINCT) formulation that survives a hot key at 100 TB
+    * (a direct distinct-agg funnels each group's values through one
+    * partition). */
+  def aggDistinctTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** Metadata-level resize: dimension scaling without touching payloads
+    * (the payload rewrite belongs to the decode stub's codec). */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMeta(
+      Multimodal.fromDocuments(Tables.documents(spark, dir)), maxWidth = 256)
+      .select(col("media_id"), col("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .orderBy(col("media_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
+    "text_bigrams" -> (textBigrams _),
+    "window_ntile" -> (windowNtile _),
+    "window_ignore_nulls" -> (windowIgnoreNulls _),
+    "agg_corr_stats" -> (aggCorrStats _),
+    "agg_minmax_by" -> (aggMinmaxBy _),
+    "agg_conditional" -> (aggConditional _),
+    "union_by_name" -> (unionByNameQuery _),
+    "agg_distinct_twophase" -> (aggDistinctTwoPhase _),
+    "mm_resize" -> (mmResize _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf,
+        |       round(CAST(tf.tf AS DOUBLE) *
+        |             ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)),
+        |             6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin,
+    "text_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |b AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |                THEN list_transform(range(len(w)-1),
+        |                       i -> w[i+1] || ' ' || w[i+2])
+        |                ELSE [] END) AS bigram
+        |  FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       ntile(4) OVER w AS tile,
+        |       round(percent_rank() OVER w, 9) AS pr,
+        |       round(cume_dist() OVER w, 9) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        |       round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
+        |         AS last_click_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "agg_corr_stats" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(22,4))) AS sx,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS sy,
+        |         SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS sxx,
+        |         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(34,4))) AS syy,
+        |         SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(32,5))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |         AS corr_qty_price,
+        |       round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        |         AS stddev_qty
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+    "agg_minmax_by" ->
+      """SELECT o_orderpriority,
+        |       arg_min(o_custkey, o_orderkey) AS first_cust,
+        |       arg_max(o_custkey, o_orderkey) AS last_cust,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_conditional" ->
+      """SELECT l_returnflag,
+        |       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+        |       CAST(SUM(CASE WHEN l_discount > 0.05
+        |                THEN CAST(l_extendedprice AS DECIMAL(30,4)) END) AS DOUBLE)
+        |         AS disc_revenue,
+        |       bool_or(l_discount > 0.09) AS any_deep_discount,
+        |       bool_and(l_quantity > 0) AS all_positive_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS id, 'customer' AS src, c_mktsegment AS segment
+        |  FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey AS id, 'supplier' AS src, s_acctbal AS bal
+        |  FROM supplier)
+        |ORDER BY src, id""".stripMargin,
+    "agg_distinct_twophase" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+        |         (doc_id % 640 + 64)::INT AS width,
+        |         (doc_id % 480 + 48)::INT AS height
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, kind, width, height,
+        |         least(1.0, 256.0 / width) AS scale
+        |  FROM m)
+        |SELECT media_id, kind,
+        |       CAST(floor(width * scale) AS INT) AS width,
+        |       CAST(floor(height * scale) AS INT) AS height,
+        |       'stub+resized' AS format
+        |FROM s ORDER BY media_id""".stripMargin
+  )
+}

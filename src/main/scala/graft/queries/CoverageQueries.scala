@@ -175,7 +175,7 @@ object CoverageQueries {
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
   // ---- set operations (§2.7) --------------------------------------------

@@ -10,10 +10,12 @@ object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CoverageQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ ExtendedQueries.queries
+      MultimodalQueries.queries ++ ExtendedQueries.queries ++
+      AnalyticsQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles ++ ExtendedQueries.oracles
+      MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
+      AnalyticsQueries.oracles
 }

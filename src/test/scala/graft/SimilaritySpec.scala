@@ -57,6 +57,15 @@ class SimilaritySpec extends SparkSpec {
     assert(interp.head.isNullAt(0))
   }
 
+  test("fused HyperplaneSignature is bit-identical to the HOF formulation") {
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    val diff = emb.select(
+      VectorFunctions.hyperplaneSignature($"embedding", 16).as("fused"),
+      VectorFunctions.hyperplaneSignatureHof($"embedding", 16).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(diff === 0)
+  }
+
   test("brute-force top-k ranks the near vector first, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
       "vec_id", "embedding", k = 2).collect()
