@@ -11,11 +11,11 @@ object Queries {
     RelationalQueries.queries ++ CoverageQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++ FunctionQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++ FunctionQueries.oracles
 }
