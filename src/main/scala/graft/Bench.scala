@@ -25,17 +25,24 @@ object Bench {
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      } finally {
-        // a query that persists intermediates (e.g. the minhash shingle
-        // frame) must not hold executor memory against later queries
-        spark.catalog.clearCache()
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // Cleanup OUTSIDE the timed region: drop persisted intermediates
+      // (e.g. the minhash shingle frame) and take the GC hit between
+      // queries — otherwise the garbage of a heavy query's broadcasts
+      // lands as a multi-second full-GC pause inside whichever
+      // unrelated query runs next (observed: string_funcs 1.4s isolated,
+      // 6-8s after the similarity block).
+      spark.catalog.clearCache()
+      System.gc()
+      elapsed
     }
 
     // Warmup: JIT + codegen + FS metadata, excluded from results.

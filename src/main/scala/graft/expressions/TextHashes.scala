@@ -205,6 +205,62 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** 64-bit SimHash with an md5-derived hash family: token hash = the
+  * first 8 digest bytes read big-endian (== the first 16 hex chars of
+  * `md5(token)` parsed as an unsigned 64-bit value), per-bit majority
+  * vote as in [[SimHash64]]. Unlike xxhash64, md5 is bit-identical in
+  * every engine, so signatures — and therefore hamming-distance dedup
+  * results — are DuckDB-oracle-able end to end (the oracle reassembles
+  * the same bits from the md5 hex string). xxhash64 [[SimHash64]] stays
+  * the production fast path.
+  */
+case class SimHash64Md5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64_md5 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Long](64)
+    var e = 0
+    val n = arr.numElements()
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(e).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (digest(b) & 0xFFL); b += 1 }
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      e += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64_md5"
+}
+
 /** Fused min-shingle-md5 fingerprint: equivalent to
   * `array_min(transform(shingles(text, k), s => md5(s)))` but one tight
   * pass — no intermediate shingle/hash arrays, no per-element Catalyst

@@ -124,6 +124,12 @@ object Dedup {
     ExprBridge.column(graft.expressions.SimHash64(ExprBridge.expression(tokensCol)))
   }
 
+  /** md5-family SimHash (oracle-able cross-engine; see SimHash64Md5). */
+  def simhash64Md5(tokensCol: Column): Column = {
+    import org.apache.spark.sql.graft.ExprBridge
+    ExprBridge.column(graft.expressions.SimHash64Md5(ExprBridge.expression(tokensCol)))
+  }
+
   def simhash64Hof(tokensCol: Column): Column = {
     val counts = aggregate(
       tokensCol,
@@ -140,12 +146,18 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 16-bit band LSH then hamming ≤ maxHamming
-    * verify (`bit_count(a xor b)`). */
+    * verify (`bit_count(a xor b)`). For maxHamming < 4 the banding is
+    * EXACT by pigeonhole (≤ 3 flipped bits cannot touch all 4 bands), so
+    * as long as `maxBucket` doesn't bind, the result equals the
+    * brute-force all-pairs hamming filter — which is what the md5-family
+    * oracle computes. */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      useMd5: Boolean = false): DataFrame = {
+    val sigFn = if (useMd5) simhash64Md5 _ else simhash64 _
     val withSig = df.select(col(idCol).as("id"),
-      simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+      sigFn(TextFunctions.tokens(col(textCol))).as("sig"))
     val banded = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),

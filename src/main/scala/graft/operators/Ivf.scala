@@ -95,4 +95,50 @@ object Ivf {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame =
     search(build(corpus, idCol, vecCol, nCells, seed), queries, idCol, vecCol, k, nProbe)
+
+  /** Persist the inverted lists partitioned by cell: at corpus scale the
+    * index is built once and probed many times, and a `cell=<c>/`
+    * directory layout lets every probe skip (nCells - nProbe)/nCells of
+    * the data via partition pruning — the scan never touches unprobed
+    * cells' files. */
+  def writeIndex(index: Index, path: String): Unit =
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search against a persisted index: ranks centroids per query, takes
+    * the union of probed cells (bounded by nCells — a driver-side
+    * constant, not data-sized), and scans the index with a `cell IN`
+    * partition filter so pruning applies before any file is opened.
+    * Result is identical to `search` with the same parameters
+    * (spec-asserted along with the PartitionFilters plan shape). */
+  def searchIndexed(
+      spark: SparkSession, indexPath: String, model: KMeansModel,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val cents = centroidsDf(spark, model)
+    val dist2 = aggregate(
+      zip_with(col("qvec"), col("centroid"),
+        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val cellRank = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2)
+      .withColumn("__r", row_number().over(cellRank))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val cands = lists.join(probed, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("qvec"), col("nvec")), 9))
+    cands
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topk(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("sim"))
+  }
 }

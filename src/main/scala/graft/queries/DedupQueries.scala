@@ -31,6 +31,16 @@ object DedupQueries {
     Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** md5-family simhash with maxHamming=3 < bands=4: the banding is
+    * exact (pigeonhole) and the hash is engine-neutral, so this variant
+    * carries a FULL oracle — the DuckDB side rebuilds each 64-bit
+    * signature from md5 hex nibbles and brute-forces the hamming
+    * filter. maxBucket is sized to never bind at oracle scale. */
+  def dedupSimhashMd5Pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+      maxHamming = 3, maxBucket = 1000000, useMd5 = true)
+      .orderBy(col("id_a"), col("id_b"))
+
   def dedupWinnowing(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowingCandidates(Tables.documents(spark, dir), "doc_id", "text",
       k = 3, window = 4, minShared = 5, maxBucket = 100)
@@ -55,7 +65,8 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "dedup_simhash_pairs" -> (dedupSimhashPairs _)
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_simhash_md5_pairs" -> (dedupSimhashMd5Pairs _)
   )
 
   /** Shared shingle CTE: distinct word 3-shingles, mirroring
@@ -170,6 +181,37 @@ object DedupQueries {
          |FROM eligible a JOIN eligible b ON a.block = b.block AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |        / len(list_distinct(a.s || b.s)) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Signature reassembly: token hash = first 16 md5 hex chars as an
+    // unsigned 64-bit value; bit j lives in hex char 16 - j//4 (1-based,
+    // big-endian) at within-nibble position j%4. Majority vote per bit,
+    // then assemble the signed BIGINT (bit 63 = Long.MinValue). With
+    // maxHamming 3 < 4 bands the Spark banding is exact, so the
+    // brute-force pair filter here is the same set.
+    "dedup_simhash_md5_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(w, tk -> substr(md5(tk), 1, 16)) AS hs
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, list_transform(range(64), j ->
+        |    CASE WHEN 2 * len(list_filter(hs, hx ->
+        |      ((strpos('0123456789abcdef', hx[CAST(16 - j // 4 AS INT)]) - 1)
+        |        // (1 << CAST(j % 4 AS INT))) % 2 = 1
+        |    )) > len(hs) THEN 1 ELSE 0 END) AS b
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN b[64] = 1 THEN -9223372036854775808 ELSE 0 END
+        |     + list_aggregate(list_transform(range(63),
+        |         j -> CAST(b[CAST(j+1 AS INT)] AS BIGINT) * (CAST(1 AS BIGINT) << CAST(j AS INT))),
+        |       'sum') AS BIGINT) AS sig
+        |  FROM bits)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.sig, b.sig)) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -71,6 +71,29 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L)._2 === sigs(2L)._2)
   }
 
+  test("md5-family simhash: identical docs collide; banded pairs = brute force for hamming<=3") {
+    val real = graft.sources.Tables.documents(spark, sf)
+    val sigs = real.select($"doc_id",
+      Dedup.simhash64Md5(TextFunctions.tokens($"text")).as("sig"))
+      .as[(Long, Long)].collect()
+    // exact-dup docs share a signature
+    val byText = real.select($"doc_id", $"text").as[(Long, String)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+    val sigMap = sigs.toMap
+    byText.foreach { grp =>
+      assert(grp.map(g => sigMap(g._1)).distinct.length === 1)
+    }
+    // banded (pigeonhole-exact) result equals brute-force hamming filter
+    val banded = Dedup.simhashNearDups(real, "doc_id", "text",
+      maxHamming = 3, maxBucket = 1000000, useMd5 = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded === brute)
+  }
+
   test("winnowing near-dups find the true J>=0.8 pairs on real docs") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val viaWinnowing = Dedup.winnowingNearDups(docs, "doc_id", "text")

@@ -98,6 +98,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"IVF recall@10 too low: $recall")
   }
 
+  test("IVF persisted index: partition-pruned probe matches in-memory search") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" % 100 === 0)
+    val index = graft.operators.Ivf.build(emb, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.operators.Ivf.writeIndex(index, dir)
+    val mem = graft.operators.Ivf.search(index, qs, "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val idx = graft.operators.Ivf.searchIndexed(spark, dir, index.model, qs,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition pruning on cell, plan:\n${plan.take(2000)}")
+    val got = idx.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(got === mem)
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val out = Similarity.nearDupPairs(Tables.embeddings(spark, sf),
       "vec_id", "embedding", threshold = 0.4).collect()
