@@ -130,6 +130,37 @@ object Similarity {
         col("t.id").as("neighbor_id"), col("t.score").as("sim"))
   }
 
+  /** Embedding near-dup at scale: LSH-blocked candidate pairs (a<b)
+    * confirmed by exact cosine — the scale path for `nearDupPairs`,
+    * whose corpus² cross join is the verification baseline. Approximate:
+    * pairs whose vectors collide in no band are missed. Near-dup
+    * thresholds sit at wider angles than top-k search, so the default
+    * banding is many short bands (8×2: P[miss] ≈ (1-p²)⁸ ≈ 2% at
+    * cosine 0.4) rather than lshTopK's fewer long bands — recall is
+    * spec-asserted against brute force. */
+  def nearDupPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 8, bitsPerBand: Int = 2, maxBucket: Int = 10000): DataFrame = {
+    val banded = bandedIds(df, idCol, vecCol, "id", bands, bitsPerBand)
+    val buckets = banded
+      .groupBy(col("band"), col("bits"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(ids)-2),
+        |  i -> transform(sequence(i+1, size(ids)-1),
+        |    j -> struct(least(ids[i], ids[j]) AS id_a,
+        |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    pairs
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
+      .withColumn("sim", sim(col("vec_a"), col("vec_b"), fused = true))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Banded hyperplane-LSH candidates, exact rerank, top-k per query.
     * Approximate: recall < 1 by design. bands=4 × bitsPerBand=4 gives
     * 16 planes; a candidate shares at least one 4-bit band with the

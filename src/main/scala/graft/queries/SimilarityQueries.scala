@@ -55,8 +55,17 @@ object SimilarityQueries {
     Similarity.knnJoinLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
       .orderBy(col("query_id"), col("rank"))
 
+  /** LSH-blocked near-dup pairs — the scale path whose baseline is the
+    * brute-force `sim_neardup_embeddings` (rows-only: approximate;
+    * recall spec-asserted against brute force). */
+  def simNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_join_lsh" -> (simKnnJoin _),
+    "sim_neardup_lsh" -> (simNearDupLsh _),
     "sim_topk_brute" -> (simTopKBrute _),
     "sim_topk_agg" -> (simTopKAgg _),
     "sim_neardup_embeddings" -> (simNearDup _),

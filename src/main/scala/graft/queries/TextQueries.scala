@@ -59,13 +59,47 @@ object TextQueries {
         explode(winnowingFingerprints(col("text"), 3, 4)).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
 
+  /** Fixed-window chunking with overlap (chunk=50 tokens, stride=40):
+    * the long-document splitting step of a training pipeline. Pure
+    * scan-side generator — chunk starts are a sequence explode, chunk
+    * text a bounded slice; no shuffle before the output ordering. */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(40))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("col") + 1, lit(50))).as("chunk"),
+        size(slice(col("w"), col("col") + 1, lit(50))).as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Greedy token-bin packing per language shard: bin id = exclusive
+    * prefix token count div 2048, so consecutive docs pack until the
+    * budget spills. Packing is inherently sequential, so it runs per
+    * partition key (lang) — the window never sees more than one shard,
+    * which is how packing distributes at corpus scale. */
+  def packBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("bin", ((col("cum") - col("ntok")) / 2048).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long").as("n_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnowing" -> (winnowing _),
     "text_token_stats" -> (tokenStats _),
     "text_bpe_tokens" -> (bpeTokenStats _),
     "text_lang_id" -> (langIdQuery _),
     "text_quality" -> (qualityScores _),
-    "text_fingerprint" -> (fingerprints _)
+    "text_fingerprint" -> (fingerprints _),
+    "text_chunks" -> (chunks _),
+    "text_pack_bins" -> (packBins _)
   )
 
   // Shared SQL fragments (DuckDB): tokens / shingles mirror
@@ -105,6 +139,25 @@ object TextQueries {
         |  FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM fp
         |ORDER BY doc_id, fp""".stripMargin,
+    "text_chunks" ->
+      s"""WITH $tokCte,
+         |st AS (
+         |  SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 40)) AS s
+         |  FROM tok)
+         |SELECT doc_id, CAST(s // 40 AS INT) AS chunk_idx,
+         |       array_to_string(w[s+1:s+50], ' ') AS chunk,
+         |       CAST(len(w[s+1:s+50]) AS INT) AS n_chunk_tokens
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_pack_bins" ->
+      s"""WITH $tokCte,
+         |c AS (
+         |  SELECT lang, doc_id, len(w) AS ntok,
+         |         SUM(len(w)) OVER (PARTITION BY lang ORDER BY doc_id
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tok)
+         |SELECT lang, CAST((cum - ntok) // 2048 AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "text_token_stats" ->
       s"""WITH $tokCte
          |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS sum_tokens,

@@ -115,6 +115,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got === mem)
   }
 
+  test("LSH-blocked near-dup recovers most brute-force pairs, no false positives") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((lsh -- brute).isEmpty, "LSH produced a pair below threshold")
+    val recall = (brute & lsh).size.toDouble / math.max(brute.size, 1)
+    assert(recall >= 0.5, s"LSH near-dup recall too low: $recall")
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val out = Similarity.nearDupPairs(Tables.embeddings(spark, sf),
       "vec_id", "embedding", threshold = 0.4).collect()
