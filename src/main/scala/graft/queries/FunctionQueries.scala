@@ -56,10 +56,44 @@ object FunctionQueries {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("key"))
 
+  /** Right-outer join: every supplier's nation row survives even with no
+    * matching supplier (complements join_left_outer / the full-outer
+    * flagship). */
+  def joinRightOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"), "right_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("n_name"))
+
+  /** The SQL entry point with correlated subqueries: EXISTS (planned as
+    * a left-semi join) and a scalar subquery (planned as a broadcast
+    * single-row aggregate) in one statement — exercising
+    * `spark.sql(...)` rather than the DataFrame DSL. */
+  def sqlExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    // the scalar threshold routes through an exact decimal sum (repo
+    // determinism rule) so the > comparison is engine-independent
+    spark.sql(
+      """SELECT c.c_custkey, c.c_mktsegment
+        |FROM customer_v c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                                 / COUNT(*) * 1.5
+        |                          FROM orders_v o2))
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "date_funcs" -> (dateFuncs _),
     "string_funcs2" -> (stringFuncs2 _),
-    "map_explode" -> (mapExplode _)
+    "map_explode" -> (mapExplode _),
+    "join_right_outer" -> (joinRightOuter _),
+    "sql_exists_subquery" -> (sqlExistsSubquery _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -82,6 +116,20 @@ object FunctionQueries {
     "map_explode" ->
       """SELECT key, COUNT(*) AS n_rows
         |FROM (SELECT unnest(json_keys(props)) AS key FROM events)
-        |GROUP BY key ORDER BY key""".stripMargin
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "join_right_outer" ->
+      """SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+        |FROM supplier RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "sql_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                                 / COUNT(*) * 1.5
+        |                          FROM orders o2))
+        |ORDER BY c.c_custkey""".stripMargin
   )
 }
