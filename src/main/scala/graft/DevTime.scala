@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch dev main: time variants of a query to bisect overhead. */
+/** Scratch dev main: time stages of a query to bisect overhead. */
 object DevTime {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -23,43 +23,30 @@ object DevTime {
       println(f"[devtime] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
-    val cust = graft.sources.Tables.customer(spark, dir)
-    time("warmup count")(cust.count())
-    time("scan only") {
-      cust.write.format("noop").mode("overwrite").save()
+    import graft.functions.TextFunctions
+    val docs = graft.sources.Tables.documents(spark, dir)
+    time("warmup")(docs.count())
+    val withSh = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    time("shingles only") {
+      withSh.write.format("noop").mode("overwrite").save()
     }
-    time("select no order") {
-      cust.select(
-        col("c_custkey"),
-        upper(col("c_mktsegment")).as("seg_upper"),
-        substring(col("c_name"), 1, 8).as("name_prefix"),
-        length(col("c_name")).as("name_len"),
-        regexp_replace(col("c_name"), "Customer", "C").as("short_name"),
-        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))
+    time("md5 16-perm signatures") {
+      withSh.withColumn("sig",
+        graft.operators.Dedup.minhashSignatureMd5(col("sh"), 16))
+        .select("doc_id", "sig")
         .write.format("noop").mode("overwrite").save()
     }
-    time("select + orderBy") {
-      graft.queries.CoverageQueries.stringFuncs(spark, dir)
+    time("full minhashNearDups") {
+      graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
         .write.format("noop").mode("overwrite").save()
     }
-    time("no regexp + orderBy") {
-      cust.select(
-        col("c_custkey"),
-        upper(col("c_mktsegment")).as("seg_upper"),
-        substring(col("c_name"), 1, 8).as("name_prefix"),
-        length(col("c_name")).as("name_len"),
-        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))
-        .orderBy(col("c_custkey"))
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("regexp only + orderBy") {
-      cust.select(col("c_custkey"),
-        regexp_replace(col("c_name"), "Customer", "C").as("short_name"))
-        .orderBy(col("c_custkey"))
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("select + orderBy again") {
-      graft.queries.CoverageQueries.stringFuncs(spark, dir)
+    spark.catalog.clearCache()
+    time("full minhashNearDups fast (xxhash)") {
+      graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = false)
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()

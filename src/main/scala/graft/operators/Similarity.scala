@@ -135,12 +135,15 @@ object Similarity {
     * whose corpus² cross join is the verification baseline. Approximate:
     * pairs whose vectors collide in no band are missed. Near-dup
     * thresholds sit at wider angles than top-k search, so the default
-    * banding is many short bands (8×2: P[miss] ≈ (1-p²)⁸ ≈ 2% at
-    * cosine 0.4) rather than lshTopK's fewer long bands — recall is
-    * spec-asserted against brute force. */
+    * banding uses more, shorter bands than lshTopK (6×3: P[miss] ≈
+    * (1-p³)⁶ ≈ 0.2 at cosine 0.4, and far lower at the ≥0.9 thresholds
+    * real dedup runs at) — shorter bands raise recall but coarsen
+    * buckets, so band count, not band length, is the recall knob that
+    * keeps bucket sizes (and the per-bucket quadratic term) bounded.
+    * Recall is spec-asserted against brute force. */
   def nearDupPairsLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bands: Int = 8, bitsPerBand: Int = 2, maxBucket: Int = 10000): DataFrame = {
+      bands: Int = 6, bitsPerBand: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val banded = bandedIds(df, idCol, vecCol, "id", bands, bitsPerBand)
     val buckets = banded
       .groupBy(col("band"), col("bits"))
