@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.Dedup
+
+/** Property tests: every fused custom expression must be bit-identical
+  * to its composable HOF reference on ARBITRARY inputs, not just the
+  * well-formed testdata corpus — whitespace runs, empty strings,
+  * unicode, single tokens, repeated tokens. (Raw scalacheck generators
+  * with a fixed seed; the scalatest bridge artifact isn't in the
+  * offline cache.)
+  */
+class ExpressionPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed0: Long = 42L): Seq[A] = {
+    var seed = Seed(seed0)
+    (1 to n).flatMap { _ =>
+      val r = g.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      r
+    }
+  }
+
+  // Text that stresses the tokenizer: unicode words, space runs, empties
+  // (Spark trim strips 0x20 only — generators stay within that contract).
+  private val wordGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.oneOf("über", "naïve", "日本語", "a", "", "x#y"))
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOfN(12, wordGen)
+    seps <- Gen.listOfN(12, Gen.oneOf(" ", "  ", "   "))
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  private lazy val texts = samples(textGen, 120)
+
+  private def assertColumnsEqual(fused: org.apache.spark.sql.Column,
+      hof: org.apache.spark.sql.Column): Unit = {
+    val df = texts.toDF("text")
+    val bad = df.select($"text", fused.as("f"), hof.as("h"))
+      .filter(not($"f" <=> $"h")).limit(3).collect()
+    assert(bad.isEmpty, s"fused != HOF, e.g.: ${bad.mkString("; ")}")
+  }
+
+  test("WordShingles == shinglesHof on arbitrary text") {
+    assertColumnsEqual(
+      TextFunctions.shingles($"text", 3), TextFunctions.shinglesHof($"text", 3))
+  }
+
+  test("WinnowingFingerprints == HOF on arbitrary text") {
+    assertColumnsEqual(
+      TextFunctions.winnowingFingerprints($"text", 3, 4),
+      TextFunctions.winnowingFingerprintsHof($"text", 3, 4))
+  }
+
+  test("MinShingleMd5 == HOF on arbitrary text") {
+    assertColumnsEqual(
+      TextFunctions.minShingleFingerprint($"text", 3),
+      TextFunctions.minShingleFingerprintHof($"text", 3))
+  }
+
+  test("SimHash64 == HOF on arbitrary token arrays") {
+    assertColumnsEqual(
+      Dedup.simhash64(TextFunctions.tokens($"text")),
+      Dedup.simhash64Hof(TextFunctions.tokens($"text")))
+  }
+
+  test("MinHashSignatureMd5 == HOF on arbitrary shingle arrays") {
+    assertColumnsEqual(
+      Dedup.minhashSignatureMd5(TextFunctions.shingles($"text", 2), 8),
+      Dedup.minhashSignatureMd5Hof(TextFunctions.shingles($"text", 2), 8))
+  }
+
+  test("HyperplaneSignature == HOF on arbitrary float vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    val vecs = samples(vecGen, 80).map(_.toArray)
+    val df = vecs.toDF("v")
+    val diff = df.select(
+      VectorFunctions.hyperplaneSignature($"v", 8).as("f"),
+      VectorFunctions.hyperplaneSignatureHof($"v", 8).as("h"))
+      .filter(not($"f" <=> $"h")).count()
+    assert(diff === 0)
+  }
+
+  test("CosineSimilarity == HOF on equal-length vectors incl. zero vectors") {
+    val vecGen = Gen.listOfN(8, Gen.frequency(
+      4 -> Gen.chooseNum(-5.0f, 5.0f), 1 -> Gen.const(0.0f)))
+    val pairs = samples(Gen.zip(vecGen, vecGen), 80)
+      .map { case (a, b) => (a.toArray, b.toArray) }
+    // include exact zero vectors on both sides
+    val all = pairs ++ Seq(
+      (Array.fill(8)(0.0f), pairs.head._2),
+      (pairs.head._1, Array.fill(8)(0.0f)))
+    val df = all.toDF("a", "b")
+    val diff = df.select(
+      VectorFunctions.cosine($"a", $"b").as("f"),
+      VectorFunctions.cosineHof($"a", $"b").as("h"))
+      .filter(not($"f" <=> $"h")).count()
+    assert(diff === 0)
+  }
+}

@@ -133,6 +133,25 @@ class StreamingSpec extends SparkSpec {
     assert(got === Array((1L, 1L), (1L, 3L)))
   }
 
+  test("late data beyond the watermark horizon is dropped (ST3)") {
+    val stream = MemoryStream[Ev]
+    val agg = StreamingPipeline.windowedCounts(stream.toDF(), "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    // batch 1 advances the watermark to 03:00 - 10m = 02:50
+    stream.addData(ev(1, "a", 1.0), ev(180, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: an hour-0 event is now far behind the watermark → dropped;
+    // append mode then finalizes hour 0 without it ever arriving
+    stream.addData(ev(2, "late", 99.0), ev(240, "a", 1.0))
+    q.processAllAvailable()
+    stream.addData(ev(400, "a", 1.0)) // push watermark past hour 4
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("late_out")
+      .select("event_type").as[String].collect().toSet
+    assert(!emitted.contains("late"), s"late event leaked into: $emitted")
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
     val stream = MemoryStream[Ev]
     stream.addData(ev(1, "dup", 1.0, 7L), ev(2, "dup", 2.0, 7L), ev(3, "uniq", 3.0, 8L))
