@@ -59,9 +59,38 @@ object DedupQueries {
       .orderBy(col("survivor_id"))
   }
 
+  /** The full training-corpus preparation pipeline as ONE declarative
+    * plan — quality filter → language filter → exact dedup (min-id
+    * survivor) → fuzzy dedup (MinHash-LSH pairs ≥ 0.8, drop the higher
+    * id of every pair) → fixed-window chunking — emitting per-surviving-
+    * doc chunk/token counts. Every stage is a library operator; Catalyst
+    * sees one tree, so filters fuse into the scan and the only shuffles
+    * are the dedup group-bys and the LSH bucket collect. */
+  def corpusPipelineFull(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+      .withColumn("q", TextFunctions.qualityScore(col("text")))
+      .filter(col("q") >= 0.5)
+      .filter(TextFunctions.langId(col("text")) === "en")
+    val survivors = Dedup.exact(docs, "doc_id", "text")
+      .select(col("survivor_id").as("doc_id"))
+      .join(docs, "doc_id")
+    val nearDupLosers = Dedup.minhashNearDups(survivors, "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
+      .select(col("id_b").as("doc_id")).distinct()
+    val kept = survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    kept
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(expr("sequence(0, greatest(size(w)-1, 0), 40)")).as("n_chunks"),
+        size(col("w")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
     "prep_pipeline" -> (prepPipeline _),
+    "corpus_pipeline_full" -> (corpusPipelineFull _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -182,6 +211,62 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |        / len(list_distinct(a.s || b.s)) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "corpus_pipeline_full" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, w,
+         |         least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |         + (CAST(len(list_filter(w, t -> t IN ('the','a','and','of'))) AS DOUBLE)
+         |            / CAST(len(w) AS DOUBLE)) * 0.3
+         |         + least((CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS DOUBLE)
+         |                  / CAST(len(w) AS DOUBLE)) / 10.0, 1.0) * 0.2 AS q,
+         |         $langScoreCols
+         |  FROM tok),
+         |filtered AS (
+         |  SELECT doc_id, text, w FROM scored
+         |  WHERE q >= 0.5
+         |    AND CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+         |             WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+         |             WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+         |             WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_es, c_fr) THEN 'fr'
+         |             ELSE 'und' END = 'en'),
+         |survivors AS (
+         |  SELECT f.doc_id, f.text, f.w FROM filtered f
+         |  JOIN (SELECT MIN(doc_id) AS doc_id
+         |        FROM filtered
+         |        GROUP BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))) s
+         |    USING (doc_id)),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(len(w)-2),
+         |           i -> array_to_string(w[i+1:i+3], ' '))) AS s
+         |  FROM survivors WHERE len(w) >= 3),
+         |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+         |sig AS (
+         |  SELECT t.doc_id, h.i, MIN(md5(CAST(h.i AS VARCHAR) || '|' || t.sng)) AS mh
+         |  FROM t CROSS JOIN (SELECT unnest(range(16)) AS i) h
+         |  GROUP BY t.doc_id, h.i),
+         |band AS (
+         |  SELECT doc_id, i // 4 AS b, md5(string_agg(mh, ',' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh
+         |  WHERE x.doc_id < y.doc_id),
+         |losers AS (
+         |  SELECT DISTINCT c.id_b AS doc_id
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |kept AS (
+         |  SELECT sv.* FROM survivors sv
+         |  WHERE sv.doc_id NOT IN (SELECT doc_id FROM losers))
+         |SELECT doc_id,
+         |       CAST(len(range(0, greatest(len(w), 1), 40)) AS INT) AS n_chunks,
+         |       CAST(len(w) AS INT) AS n_tokens
+         |FROM kept ORDER BY doc_id""".stripMargin,
     // Signature reassembly: token hash = first 16 md5 hex chars as an
     // unsigned 64-bit value; bit j lives in hex char 16 - j//4 (1-based,
     // big-endian) at within-nibble position j%4. Majority vote per bit,
