@@ -167,6 +167,39 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** RANGE frame over event time: per-user trailing-1-hour sum keyed on
+    * epoch seconds — the time-decayed-metric window shape (rowsBetween
+    * counts rows; rangeBetween bounds the ORDER BY value itself). */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"), col("epoch_s"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 3))).over(w)
+          .cast("double").as("trailing_1h_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Array-function surface on the embeddings table: sort, position,
+    * containment, zip — the list-manipulation shapes beyond HOFs. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        round(element_at(array_sort(col("embedding")), 1).cast("double"), 6).as("min_elem"),
+        round(element_at(array_sort(col("embedding")), -1).cast("double"), 6).as("max_elem"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+        round(element_at(reverse(col("embedding")), 1).cast("double"), 6).as("last_elem"),
+        size(array_distinct(col("embedding"))).as("n_distinct"))
+      .orderBy(col("vec_id"))
+
+  /** Explicit small×small cross join (the deliberate cartesian — every
+    * other cartesian in the library is a broadcast-query ANN scan). */
+  def crossJoinRegions(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).select(col("r_name"))
+      .crossJoin(Tables.nation(spark, dir).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
   /** Metadata-level resize: dimension scaling without touching payloads
     * (the payload rewrite belongs to the decode stub's codec). */
   def mmResize(spark: SparkSession, dir: String): DataFrame =
@@ -187,7 +220,10 @@ object AnalyticsQueries {
     "agg_conditional" -> (aggConditional _),
     "union_by_name" -> (unionByNameQuery _),
     "agg_distinct_twophase" -> (aggDistinctTwoPhase _),
-    "mm_resize" -> (mmResize _)
+    "mm_resize" -> (mmResize _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "array_funcs" -> (arrayFuncs _),
+    "cross_join" -> (crossJoinRegions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -281,6 +317,25 @@ object AnalyticsQueries {
     "agg_distinct_twophase" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "window_range_frame" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER (
+        |              PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS trailing_1h_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "array_funcs" ->
+      """SELECT vec_id,
+        |       round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_elem,
+        |       round(CAST(list_sort(embedding)[-1] AS DOUBLE), 6) AS max_elem,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+        |       round(CAST(embedding[-1] AS DOUBLE), 6) AS last_elem,
+        |       CAST(len(list_distinct(embedding)) AS INT) AS n_distinct
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
