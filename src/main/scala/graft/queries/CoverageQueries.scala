@@ -312,6 +312,40 @@ object CoverageQueries {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** The SAME tumbling aggregation executed as a genuine Structured
+    * Streaming job — file streaming source, watermark, AvailableNow
+    * trigger, memory sink — returned as a batch frame. Shares
+    * `tumbling_window`'s DuckDB oracle line for line: the driver gate
+    * itself proves stream == batch == external engine. */
+  def tumblingWindowStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // explicit source schema (streaming reads can't infer): ts arrives as
+    // raw TIMESTAMP(NANOS) int64 under the session's nanosAsLong flag
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the streaming file source wants a directory; glob-filter the one
+    // table file out of the sf dir
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 3))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    val name = "tumbling_streamed_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Session windows (30 min gap): sessions-per-user. Batch analog of the
     * streaming session_window; oracle is the gaps-and-islands rewrite. */
   def sessionWindow(spark: SparkSession, dir: String): DataFrame =
@@ -351,6 +385,7 @@ object CoverageQueries {
     "string_funcs" -> (stringFuncs _),
     "case_when_buckets" -> (caseWhenBuckets _),
     "tumbling_window" -> (tumblingWindow _),
+    "tumbling_window_streamed" -> (tumblingWindowStreamed _),
     "session_window" -> (sessionWindow _)
   )
 
@@ -483,6 +518,10 @@ object CoverageQueries {
         |            ELSE 'small' END AS bucket, COUNT(*) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "tumbling_window_streamed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
