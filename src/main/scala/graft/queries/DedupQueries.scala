@@ -68,10 +68,15 @@ object DedupQueries {
     * are the dedup group-bys and the LSH bucket collect. */
   def corpusPipelineFull(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
+    // the filtered frame feeds the dedup group-by AND the survivor
+    // join-back — persist so the interpreted quality/lang lambdas run
+    // one scan, not one per branch
     val docs = Tables.documents(spark, dir)
       .withColumn("q", TextFunctions.qualityScore(col("text")))
       .filter(col("q") >= 0.5)
       .filter(TextFunctions.langId(col("text")) === "en")
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val survivors = Dedup.exact(docs, "doc_id", "text")
       .select(col("survivor_id").as("doc_id"))
       .join(docs, "doc_id")

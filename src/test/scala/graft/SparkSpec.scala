@@ -11,16 +11,13 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config(graft.sources.Tables.nanosAsLongKey, "true")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
-      .config("spark.ui.enabled", "false")
+    val s = graft.sources.GraftSession.configure(
+      SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_wh").toString),
+      shufflePartitions = 4)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
