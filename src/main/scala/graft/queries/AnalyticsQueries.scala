@@ -200,6 +200,26 @@ object AnalyticsQueries {
       .crossJoin(Tables.nation(spark, dir).select(col("n_name")))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Weighted mean via the typed `Aggregator` API (the Dataset-typed
+    * custom-aggregation surface; TopKByScore covers the Catalyst-typed
+    * one). Weight = deterministic small int from the order key; internal
+    * sums are exact decimals, so the result hash-matches DuckDB. */
+  def aggWeightedMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val typed = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("v"),
+        (col("o_orderkey") % 10 + 1).as("w"))
+      .as[(String, java.math.BigDecimal, Long)]
+    typed.groupByKey(_._1)
+      .agg(graft.expressions.WeightedMean
+        .of[(String, java.math.BigDecimal, Long)](_._2, _._3)
+        .toColumn.name("wavg"))
+      .toDF("o_orderpriority", "wavg")
+      .select(col("o_orderpriority"), round(col("wavg"), 6).as("wavg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Metadata-level resize: dimension scaling without touching payloads
     * (the payload rewrite belongs to the decode stub's codec). */
   def mmResize(spark: SparkSession, dir: String): DataFrame =
@@ -222,6 +242,7 @@ object AnalyticsQueries {
     "agg_distinct_twophase" -> (aggDistinctTwoPhase _),
     "mm_resize" -> (mmResize _),
     "window_range_frame" -> (windowRangeFrame _),
+    "agg_weighted_mean" -> (aggWeightedMean _),
     "array_funcs" -> (arrayFuncs _),
     "cross_join" -> (crossJoinRegions _)
   )
@@ -317,6 +338,11 @@ object AnalyticsQueries {
     "agg_distinct_twophase" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_weighted_mean" ->
+      """SELECT o_orderpriority,
+        |       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * (o_orderkey % 10 + 1)) AS DOUBLE)
+        |             / CAST(SUM(o_orderkey % 10 + 1) AS DOUBLE), 6) AS wavg_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "window_range_frame" ->
       """SELECT event_id, user_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,

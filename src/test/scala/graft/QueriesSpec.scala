@@ -19,6 +19,24 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("weighted-mean Aggregator is partition-order independent (exact decimal buffer)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def run(parts: Int): Map[String, Double] =
+      graft.sources.Tables.orders(spark, sf).repartition(parts)
+        .select(col("o_orderpriority"),
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"),
+          (col("o_orderkey") % 10 + 1).as("w"))
+        .as[(String, java.math.BigDecimal, Long)]
+        .groupByKey(_._1)
+        .agg(graft.expressions.WeightedMean
+          .of[(String, java.math.BigDecimal, Long)](_._2, _._3).toColumn.name("wavg"))
+        .collect().toMap
+    val one = run(1)
+    val many = run(13)
+    assert(one === many) // bit-identical, not approximately equal
+  }
+
   test("flagship entry returns rows and all five audit statuses appear") {
     val df = SparkEntry.entry(spark)
     val statuses = df.groupBy("status").count().collect()
