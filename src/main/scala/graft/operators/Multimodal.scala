@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * the source partitions) and only the small feature rows move. Frame
   * sampling explodes indices, not frames: each output row is a (media_id,
   * frame_ts) extraction task for downstream workers.
+  *
+  * `extractFeatures` is the Scala analog of PySpark's
+  * `mapInPandas(decode_fn, schema)`: same contract — a per-partition
+  * iterator of batches in, typed feature rows out, explicit output
+  * schema ([[MediaFeatures]]'s encoder), decode state reusable across
+  * the partition. A Python decoder plugs into the identical pipeline
+  * position without touching any other operator.
   */
 object Multimodal {
 

@@ -54,6 +54,34 @@ class BucketingSpec extends SparkSpec {
       Tables.supplier(spark, sf).filter(col("s_nationkey") === 1).count() == 0)
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // one hot key carrying most rows, thresholds tuned so AQE flags it
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 60000)
+        .select(when($"id" % 10 === 0, 0L).otherwise($"id").as("k"),
+          concat(lit("payload_payload_payload_"), $"id").as("pad"))
+      val right = spark.range(0, 3000).select($"id".as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // execute through THIS queryExecution — count()/write() plan fresh
+      // executions and would leave this plan isFinalPlan=false
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
