@@ -18,6 +18,12 @@ object DevTime {
     import graft.functions.TextFunctions
     val docs = graft.sources.Tables.documents(spark, dir)
     time("warmup")(docs.count())
+    val fused = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), 3).as("sh"),
+      graft.operators.Dedup.simhash64(TextFunctions.tokens(col("text"))).as("sig"))
+    fused.collect()
+    println("[devtime] fused-expression plan after execution:")
+    println(fused.queryExecution.executedPlan.toString.linesIterator.take(8).mkString("\n"))
     val withSh = docs.select(col("doc_id"),
       TextFunctions.shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -13,7 +13,14 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.explain("formatted")
+        // raw executedPlan shows the `*(n)` whole-stage-codegen markers
+        // that formatted mode hides
+        println(df.queryExecution.executedPlan.toString
+          .linesIterator.take(15).mkString("\n"))
+      }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()

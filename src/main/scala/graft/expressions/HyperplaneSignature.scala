@@ -1,9 +1,9 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Fused random-hyperplane LSH signature over an `array<float>` vector:
@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * cost of every LSH operator (Similarity.lshTopK / knnJoinLsh).
   */
 case class HyperplaneSignature(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(planes > 0)
 
@@ -33,31 +33,12 @@ case class HyperplaneSignature(child: Expression, planes: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Any](planes)
-    var p = 0
-    while (p < planes) {
-      val planeSeed = XXH64.hashInt(p, 42L)
-      var dot = 0.0
-      var anyNull = false
-      var d = 0
-      while (d < n && !anyNull) {
-        if (arr.isNullAt(d)) anyNull = true
-        else {
-          val sign = if ((XXH64.hashInt(d, planeSeed) & 1L) == 1L) 1.0 else -1.0
-          dot += arr.getFloat(d).toDouble * sign
-          d += 1
-        }
-      }
-      // HOF parity: a null element nulls the whole fold, and
-      // `when(dot >= 0, 1).otherwise(0)` sends null to 0.
-      out(p) = if (!anyNull && dot >= 0) 1 else 0
-      p += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.hyperplaneSignature(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashOps.hyperplaneSignature($c, $planes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
