@@ -11,11 +11,13 @@ object Queries {
     RelationalQueries.queries ++ CoverageQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
-      AnalyticsQueries.queries ++ FunctionQueries.queries
+      AnalyticsQueries.queries ++ FunctionQueries.queries ++
+      TemporalQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
-      AnalyticsQueries.oracles ++ FunctionQueries.oracles
+      AnalyticsQueries.oracles ++ FunctionQueries.oracles ++
+      TemporalQueries.oracles
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** Temporal analytics wave: regular-grid resampling (composed from the
+  * as-of join operator), funnel conversion, and cohort retention — the
+  * event-stream shapes a feature/metrics pipeline computes daily.
+  */
+object TemporalQueries {
+
+  /** Per-user 6-hour time grid between first and last event, each grid
+    * point carrying the latest event at-or-before it — gap-filling
+    * resampling, composed as grid-generate → as-of join (operator
+    * reuse: AsOfJoin is the single-shuffle carry-forward plan). */
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"), max(col("ts")).as("hi"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 6 HOURS"))).as("grid_ts"))
+    val right = ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOfJoin.joinAsOf(grid, right,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTs = "grid_ts", rightTs = "ts", tiebreak = "event_id")
+      .select(col("user_id"), col("grid_ts"),
+        col("r_event_id").as("last_event_id"), col("r_value").as("last_value"))
+      .orderBy(col("user_id"), col("grid_ts"))
+  }
+
+  /** Signup → purchase-within-7-days funnel, grouped by signup day. The
+    * conversion flag folds per user BEFORE the daily rollup so repeat
+    * purchasers count once; the rate is a ratio of exact longs. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val perUser = signups.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(max(when(col("p_ts") > col("signup_ts") &&
+        col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"), 1L).otherwise(0L))
+        .as("converted"))
+    perUser.groupBy(date_trunc("day", col("signup_ts")).as("signup_day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(col("converted")).as("n_converted"))
+      .select(col("signup_day"), col("n_signups"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_signups").cast("double"), 6)
+          .as("conv_rate"))
+      .orderBy(col("signup_day"))
+  }
+
+  /** Cohort retention: distinct active users per (signup-month cohort,
+    * month offset). Offsets use explicit year*12+month integer
+    * arithmetic so both engines bucket identically. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("month", min(col("ts"))).as("cohort"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort"),
+        ((year(col("ts")) * 12 + month(col("ts"))) -
+          (year(col("cohort")) * 12 + month(col("cohort")))).as("month_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort"), col("month_offset"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_resample" -> (eventsResample _),
+    "funnel_conversion" -> (funnelConversion _),
+    "cohort_retention" -> (cohortRetention _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi
+        |  FROM events GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS grid_ts
+        |  FROM b),
+        |r AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT g.user_id, g.grid_ts,
+        |       e.event_id AS last_event_id, e.value AS last_value
+        |FROM grid g ASOF LEFT JOIN (SELECT * FROM r WHERE rn = 1) e
+        |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+        |ORDER BY g.user_id, g.grid_ts""".stripMargin,
+    "funnel_conversion" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT s.user_id, s.signup_ts,
+        |         MAX(CASE WHEN e.ts > s.signup_ts
+        |                   AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+        |                  THEN 1 ELSE 0 END) AS converted
+        |  FROM s LEFT JOIN events e
+        |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+        |  GROUP BY s.user_id, s.signup_ts)
+        |SELECT date_trunc('day', signup_ts) AS signup_day,
+        |       COUNT(*) AS n_signups,
+        |       CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |       round(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |         AS conv_rate
+        |FROM pu GROUP BY signup_day ORDER BY signup_day""".stripMargin,
+    "cohort_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('month', MIN(ts)) AS cohort
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT c.cohort,
+        |       (year(e.ts) * 12 + month(e.ts))
+        |         - (year(c.cohort) * 12 + month(c.cohort)) AS month_offset,
+        |       COUNT(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN c USING (user_id)
+        |GROUP BY c.cohort, month_offset ORDER BY cohort, month_offset""".stripMargin
+  )
+}
