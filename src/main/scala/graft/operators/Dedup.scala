@@ -218,6 +218,46 @@ object Dedup {
     jaccardVerify(cands, withSh, idCol, "sh", threshold)
   }
 
+  /** Connected components over a near-dup pair list (id_a < id_b) by
+    * iterative min-label propagation — the clustering step that turns
+    * pairwise matches into dedup GROUPS so one survivor represents each
+    * transitive family. Every iteration is one join + one group-by
+    * (both data-parallel shuffles on node id); iterations needed =
+    * graph diameter, which for near-dup families is tiny (duplicates of
+    * one document form near-cliques). The driver loop only checks a
+    * convergence count — no data moves through it.
+    *
+    * Output: (node, component) where component = min node id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(prop, labels("node") === prop("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.alias("n").join(labels.alias("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Exact n-gram Jaccard with blocking: all pairs within a blocking key
     * (quadratic per block — the demo/verification path; MinHash is the
     * scale path and the blocking key bounds the quadratic term). */

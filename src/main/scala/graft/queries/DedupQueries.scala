@@ -92,7 +92,19 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup pairs → transitive dedup clusters: connected components
+    * over the MinHash-LSH pair list (the step that turns pairwise
+    * matches into groups with one survivor each). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(pairs)
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
     "prep_pipeline" -> (prepPipeline _),
     "corpus_pipeline_full" -> (corpusPipelineFull _),
@@ -216,6 +228,38 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |        / len(list_distinct(a.s || b.s)) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    // transitive closure via recursive CTE: same minhash pair pipeline,
+    // then min-reachable-label per node (UNION set semantics terminate
+    // the recursion at the fixpoint)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+         |sig AS (
+         |  SELECT t.doc_id, h.i, MIN(md5(CAST(h.i AS VARCHAR) || '|' || t.sng)) AS mh
+         |  FROM t CROSS JOIN (SELECT unnest(range(16)) AS i) h
+         |  GROUP BY t.doc_id, h.i),
+         |band AS (
+         |  SELECT doc_id, i // 4 AS b, md5(string_agg(mh, ',' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh
+         |  WHERE x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node, MIN(label) AS component
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "corpus_pipeline_full" ->
       s"""WITH tok AS (
          |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w

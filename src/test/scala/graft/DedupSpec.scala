@@ -94,6 +94,16 @@ class DedupSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("connected components: chains collapse transitively, islands stay apart") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, pair 20-21 bridged to 10 via 11-20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (20L, 21L), (11L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(got) === Seq(1L, 1L, 1L, 1L))
+    assert(Seq(10L, 11L, 20L, 21L).map(got).distinct === Seq(10L))
+  }
+
   test("winnowing near-dups find the true J>=0.8 pairs on real docs") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val viaWinnowing = Dedup.winnowingNearDups(docs, "doc_id", "text")
