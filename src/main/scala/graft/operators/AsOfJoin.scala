@@ -38,12 +38,12 @@ object AsOfJoin {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
-    val rightPayload = struct(r.columns.map(col): _*)
+    val rightPayload = struct(r.columns.toIndexedSeq.map(col): _*)
     val rTagged = r.select(
       col(rightKey).as("__key"), col(rightTs).as("__ts"),
       lit(0).as("__tag"), rightPayload.as("__r"))
 
-    val leftPayload = struct(left.columns.map(col): _*)
+    val leftPayload = struct(left.columns.toIndexedSeq.map(col): _*)
     val lTagged = left.select(
       col(leftKey).as("__key"), col(leftTs).as("__ts"),
       lit(1).as("__tag"), lit(null).cast(rTagged.schema("__r").dataType).as("__r"),
@@ -63,6 +63,6 @@ object AsOfJoin {
 
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
     val rightCols = r.columns.map(c => col(s"__match.$c").as(s"r_$c"))
-    carried.filter(col("__tag") === 1).select(leftCols ++ rightCols: _*)
+    carried.filter(col("__tag") === 1).select((leftCols ++ rightCols).toIndexedSeq: _*)
   }
 }

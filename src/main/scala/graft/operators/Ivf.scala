@@ -129,7 +129,7 @@ object Ivf {
     val probedCells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     val cands = lists.join(probed, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

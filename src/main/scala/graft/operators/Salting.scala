@@ -28,7 +28,7 @@ object Salting {
     // Deterministic spread: hash of the whole row modulo salts (row
     // identity, not the key — the point is to split a single hot key).
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val explodedSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig

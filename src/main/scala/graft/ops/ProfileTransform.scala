@@ -86,6 +86,6 @@ object ProfileTransform {
     val missing = live.columns.filterNot(dead.columns.contains)
     val padded = missing.foldLeft(dead)((d, c) =>
       d.withColumn(c, lit(null).cast(live.schema(c).dataType)))
-    live.unionByName(padded.select(live.columns.map(col): _*))
+    live.unionByName(padded.select(live.columns.toIndexedSeq.map(col): _*))
   }
 }
