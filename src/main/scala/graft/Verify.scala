@@ -9,13 +9,24 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.sources.GraftSession.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Queries run on a small thread pool — Spark schedules concurrent
+    // jobs from one session, so the many tiny-stage queries overlap
+    // instead of serializing on per-job latency. Each worker catches its
+    // own failures; temp-view registrations are idempotent (same
+    // definition), so the one session-global surface race is benign.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

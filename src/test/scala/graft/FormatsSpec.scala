@@ -32,6 +32,16 @@ class FormatsSpec extends SparkSpec {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("ORC round-trip preserves values (columnar alternative to parquet)") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.orders(spark, sf)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === src.schema)
+    assert(back.orderBy("o_orderkey").collect().toSeq ===
+      src.orderBy("o_orderkey").collect().toSeq)
+  }
+
   test("malformed JSON lines drop under DROPMALFORMED, parse as null via from_json") {
     val dir = Files.createTempDirectory("graft_badjson").toString
     // note: trailing garbage ({"a":2}x) would still parse — Spark's
