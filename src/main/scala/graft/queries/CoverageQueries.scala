@@ -312,6 +312,18 @@ object CoverageQueries {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding windows in batch (1h window, 30m slide): every event lands
+    * in two overlapping windows — `window()` generates both assignments.
+    * The oracle enumerates the same two starts per event explicitly. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 3))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** The SAME tumbling aggregation executed as a genuine Structured
     * Streaming job — file streaming source, watermark, AvailableNow
     * trigger, memory sink — returned as a batch frame. Shares
@@ -386,6 +398,7 @@ object CoverageQueries {
     "case_when_buckets" -> (caseWhenBuckets _),
     "tumbling_window" -> (tumblingWindow _),
     "tumbling_window_streamed" -> (tumblingWindowStreamed _),
+    "sliding_window" -> (slidingWindow _),
     "session_window" -> (sessionWindow _)
   )
 
@@ -525,6 +538,19 @@ object CoverageQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // each event belongs to the two 30m-aligned window starts covering it:
+    // floor-to-30m and that minus 30m (window 1h, slide 30m)
+    "sliding_window" ->
+      """WITH assigned AS (
+        |  SELECT unnest([CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+        |                 CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)])
+        |           AS window_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM assigned GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
     "session_window" ->
       """WITH gaps AS (
         |  SELECT user_id, ts,

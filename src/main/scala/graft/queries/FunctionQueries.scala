@@ -88,7 +88,20 @@ object FunctionQueries {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  /** Outer generator semantics: explode_outer keeps rows whose array is
+    * empty (as a null element) — short documents survive the shingle
+    * explode instead of silently vanishing. */
+  def explodeOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode_outer(graft.functions.TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("shingle")).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "explode_outer" -> (explodeOuter _),
     "date_funcs" -> (dateFuncs _),
     "string_funcs2" -> (stringFuncs2 _),
     "map_explode" -> (mapExplode _),
@@ -97,6 +110,23 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // outer-explode emulation: empty shingle lists become [NULL] so the
+    // doc keeps exactly one row; COUNT(col) skips the null
+    "explode_outer" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct(list_transform(range(len(w)-2),
+        |                     i -> array_to_string(w[i+1:i+3], ' ')))
+        |              ELSE [] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |x AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(s) = 0 THEN [NULL] ELSE s END) AS shingle
+        |  FROM sh)
+        |SELECT doc_id, COUNT(*) AS n_rows, COUNT(shingle) AS n_shingles
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "date_funcs" ->
       """SELECT event_id,
         |       year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS d,
