@@ -220,6 +220,21 @@ object AnalyticsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Equi-width histogram (20 bins between data min/max): the value-
+    * distribution profiling shape. Bin edges derive from exact min/max
+    * (no summation), so the double arithmetic is engine-identical; the
+    * top edge clamps into the last bin on both sides. */
+  def histogramValues(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(least(
+        floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 20)).cast("int"),
+        lit(19)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+  }
+
   /** Metadata-level resize: dimension scaling without touching payloads
     * (the payload rewrite belongs to the decode stub's codec). */
   def mmResize(spark: SparkSession, dir: String): DataFrame =
@@ -243,6 +258,7 @@ object AnalyticsQueries {
     "mm_resize" -> (mmResize _),
     "window_range_frame" -> (windowRangeFrame _),
     "agg_weighted_mean" -> (aggWeightedMean _),
+    "histogram_values" -> (histogramValues _),
     "array_funcs" -> (arrayFuncs _),
     "cross_join" -> (crossJoinRegions _)
   )
@@ -338,6 +354,11 @@ object AnalyticsQueries {
     "agg_distinct_twophase" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "histogram_values" ->
+      """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+        |SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS INT), 19) AS bin,
+        |       COUNT(*) AS n
+        |FROM events, b GROUP BY bin ORDER BY bin""".stripMargin,
     "agg_weighted_mean" ->
       """SELECT o_orderpriority,
         |       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * (o_orderkey % 10 + 1)) AS DOUBLE)

@@ -91,7 +91,21 @@ object TextQueries {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** Naive suffix-stripping stemmer (regex shared verbatim by both
+    * engines) + stem frequency: the vocabulary-normalization shape.
+    * Not linguistic Porter stemming — a deterministic approximation. */
+  def stemCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 4)
+      .select(regexp_replace(lower(col("tok")), "(ing|ed|es|s)$", "").as("stem"))
+      .filter(length(col("stem")) >= 3)
+      .groupBy(col("stem")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("stem"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stem_counts" -> (stemCounts _),
     "text_winnowing" -> (winnowing _),
     "text_token_stats" -> (tokenStats _),
     "text_bpe_tokens" -> (bpeTokenStats _),
@@ -118,6 +132,15 @@ object TextQueries {
     "fr" -> "('le','les','et','je')")
 
   val oracles: Map[String, String] = Map(
+    "text_stem_counts" ->
+      s"""WITH $tokCte,
+         |t AS (SELECT unnest(w) AS tok FROM tok),
+         |st AS (
+         |  SELECT regexp_replace(lower(tok), '(ing|ed|es|s)$$', '') AS stem
+         |  FROM t WHERE length(tok) >= 4)
+         |SELECT stem, COUNT(*) AS n FROM st
+         |WHERE length(stem) >= 3
+         |GROUP BY stem ORDER BY n DESC, stem LIMIT 100""".stripMargin,
     "text_winnowing" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wd
