@@ -66,6 +66,51 @@ object PipelineConfig {
         val e = prop("expr").getOrElse(throw new IllegalArgumentException(
           s"transforms.$name.expr missing"))
         PipelineStage(s"derive:$name")(_.withColumn(c, expr(e)))
+
+      // ---- training-data stages: the same config surface drives the
+      // ---- corpus operators, so a whole prep pipeline is deployable as
+      // ---- flat properties (the generalization of `transforms=`).
+      case "quality_filter" =>
+        val textCol = prop("text.col").getOrElse("text")
+        val t = prop("threshold").map(_.toDouble).getOrElse(0.5)
+        PipelineStage(s"quality_filter:$name")(
+          _.filter(graft.functions.TextFunctions.qualityScore(col(textCol)) >= t))
+      case "lang_filter" =>
+        val textCol = prop("text.col").getOrElse("text")
+        val lang = prop("lang").getOrElse("en")
+        PipelineStage(s"lang_filter:$name")(
+          _.filter(graft.functions.TextFunctions.langId(col(textCol)) === lang))
+      case "dedup_exact" =>
+        val idCol = prop("id.col").getOrElse("doc_id")
+        val textCol = prop("text.col").getOrElse("text")
+        PipelineStage(s"dedup_exact:$name") { df =>
+          graft.operators.Dedup.exact(df, idCol, textCol)
+            .select(col("survivor_id").as(idCol))
+            .join(df, idCol)
+        }
+      case "dedup_minhash" =>
+        val idCol = prop("id.col").getOrElse("doc_id")
+        val textCol = prop("text.col").getOrElse("text")
+        val t = prop("threshold").map(_.toDouble).getOrElse(0.8)
+        PipelineStage(s"dedup_minhash:$name") { df =>
+          val losers = graft.operators.Dedup
+            .minhashNearDups(df, idCol, textCol, threshold = t, useMd5 = true)
+            .select(col("id_b").as(idCol)).distinct()
+          df.join(losers, Seq(idCol), "left_anti")
+        }
+      case "chunk" =>
+        val idCol = prop("id.col").getOrElse("doc_id")
+        val textCol = prop("text.col").getOrElse("text")
+        val size = prop("size").map(_.toInt).getOrElse(50)
+        val stride = prop("stride").map(_.toInt).getOrElse(40)
+        PipelineStage(s"chunk:$name") { df =>
+          df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+            .select(col(idCol), col("__w"), posexplode(
+              sequence(lit(0), greatest(org.apache.spark.sql.functions.size(col("__w")) - 1,
+                lit(0)), lit(stride))))
+            .select(col(idCol), col("pos").as("chunk_idx"),
+              concat_ws(" ", slice(col("__w"), col("col") + 1, lit(size))).as("chunk"))
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown transform type: $other")
     }

@@ -55,6 +55,36 @@ class PipelineConfigSpec extends SparkSpec {
     assert(out.head.getAs[String]("email") === "u0@x.com") // no mask configured
   }
 
+  test("config-driven corpus pipeline matches the code-composed flagship's kept set") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val configured = PipelineConfig.fromConfig(Map(
+      "transforms" -> "q,l,de,dm",
+      "transforms.q.type" -> "quality_filter",
+      "transforms.q.threshold" -> "0.5",
+      "transforms.l.type" -> "lang_filter",
+      "transforms.l.lang" -> "en",
+      "transforms.de.type" -> "dedup_exact",
+      "transforms.dm.type" -> "dedup_minhash",
+      "transforms.dm.threshold" -> "0.8"))
+    val keptViaConfig = configured(docs).select("doc_id").as[Long].collect().toSet
+    val keptViaCode = graft.queries.DedupQueries.corpusPipelineFull(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptViaConfig === keptViaCode)
+  }
+
+  test("config-driven chunk stage emits (id, chunk_idx, chunk) rows") {
+    val one = Seq((1L, Seq.fill(60)("tok").mkString(" "))).toDF("doc_id", "text")
+    val chunked = PipelineConfig.fromConfig(Map(
+      "transforms" -> "c",
+      "transforms.c.type" -> "chunk",
+      "transforms.c.size" -> "50",
+      "transforms.c.stride" -> "40"))(one)
+    val rows = chunked.collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1))
+    assert(rows.head.getString(2).split(" ").length === 50)
+    assert(rows.last.getString(2).split(" ").length === 20)
+  }
+
   test("unknown transform type fails fast") {
     assertThrows[IllegalArgumentException] {
       PipelineConfig.fromConfig(Map(
