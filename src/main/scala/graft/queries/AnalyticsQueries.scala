@@ -220,6 +220,22 @@ object AnalyticsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Unpivot (melt — the inverse of pivot): wide numeric columns to
+    * (col_name, value) rows, then a per-column profile — the
+    * data-quality sweep that audits every column in one pass. */
+  def unpivotProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_totalprice"), col("o_custkey").cast("double").as("o_custkey_d"))
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("o_totalprice"), col("o_custkey_d")), "col_name", "value")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_non_null"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("col_name"))
+
   /** Equi-width histogram (20 bins between data min/max): the value-
     * distribution profiling shape. Bin edges derive from exact min/max
     * (no summation), so the double arithmetic is engine-identical; the
@@ -259,6 +275,7 @@ object AnalyticsQueries {
     "window_range_frame" -> (windowRangeFrame _),
     "agg_weighted_mean" -> (aggWeightedMean _),
     "histogram_values" -> (histogramValues _),
+    "unpivot_profile" -> (unpivotProfile _),
     "array_funcs" -> (arrayFuncs _),
     "cross_join" -> (crossJoinRegions _)
   )
@@ -354,6 +371,14 @@ object AnalyticsQueries {
     "agg_distinct_twophase" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "unpivot_profile" ->
+      """SELECT col_name, COUNT(*) AS n_rows, COUNT(value) AS n_non_null,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM (UNPIVOT (SELECT o_totalprice, CAST(o_custkey AS DOUBLE) AS o_custkey_d
+        |               FROM orders)
+        |      ON o_totalprice, o_custkey_d INTO NAME col_name VALUE value)
+        |GROUP BY col_name ORDER BY col_name""".stripMargin,
     "histogram_values" ->
       """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
         |SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS INT), 19) AS bin,

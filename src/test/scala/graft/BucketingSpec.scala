@@ -29,6 +29,19 @@ class BucketingSpec extends SparkSpec {
     try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val q = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    val m = "ReadSchema: ([^,]*struct<[^>]*>)".r.findFirstMatchIn(scan)
+    assert(m.isDefined, s"no ReadSchema in scan:\n$scan")
+    val readSchema = m.get.group(1)
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    // the 11-column table must NOT be read in full
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
   test("partitioned layout prunes partitions on a partition-column filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.events(spark, sf).write.mode("overwrite")
