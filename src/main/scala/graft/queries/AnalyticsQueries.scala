@@ -220,6 +220,28 @@ object AnalyticsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Fact ⋈ part-dim revenue rollup with a conditional promo share
+    * (TPC-H Q14 shape): the dim broadcasts; both the total and the
+    * conditional revenue route through exact decimals so the share is a
+    * ratio of exact sums. */
+  def partPromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_type"))
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(22, 6))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        sum(rev).as("rev_dec"),
+        sum(when(col("p_type") === "PROMO", rev)).as("promo_dec"))
+      .select(col("p_brand"), col("n_lineitems"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(coalesce(col("promo_dec"), lit(0)).cast("double") /
+          col("rev_dec").cast("double") * 100, 6).as("promo_share_pct"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Unpivot (melt — the inverse of pivot): wide numeric columns to
     * (col_name, value) rows, then a per-column profile — the
     * data-quality sweep that audits every column in one pass. */
@@ -276,6 +298,7 @@ object AnalyticsQueries {
     "agg_weighted_mean" -> (aggWeightedMean _),
     "histogram_values" -> (histogramValues _),
     "unpivot_profile" -> (unpivotProfile _),
+    "part_promo_revenue" -> (partPromoRevenue _),
     "array_funcs" -> (arrayFuncs _),
     "cross_join" -> (crossJoinRegions _)
   )
@@ -371,6 +394,16 @@ object AnalyticsQueries {
     "agg_distinct_twophase" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "part_promo_revenue" ->
+      """SELECT p_brand, COUNT(*) AS n_lineitems,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+        |         AS revenue,
+        |       round(CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+        |                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)) END), 0) AS DOUBLE)
+        |             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+        |             * 100, 6) AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "unpivot_profile" ->
       """SELECT col_name, COUNT(*) AS n_rows, COUNT(value) AS n_non_null,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
