@@ -1,0 +1,300 @@
+package graft.avro
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.avro.util.Utf8
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro wire codec over the plain `org.apache.avro` runtime (avro-1.12.1
+  * ships with Spark's jars; the `spark-avro` module does not, so the
+  * Catalyst<->Avro bridge is implemented here from the public Avro API).
+  *
+  * Wire format is the Confluent framing the reference actually produces
+  * (`/root/reference/producer/producer.py:40` AvroSerializer;
+  * `/root/reference/docker-compose.yml` value.converter=AvroConverter):
+  * one magic byte 0x00, a 4-byte big-endian schema id, then the Avro
+  * binary body. The schema itself is a config input (the Schema-Registry
+  * fetch is out of scope per SURVEY.md §1.2 — the id is carried, not
+  * resolved).
+  *
+  * Scale design: these are static kernels shared by interpreted eval and
+  * whole-stage codegen (the TextHashOps pattern — one static call per
+  * row, no CodegenFallback). Parsed schemas are cached process-wide;
+  * datum readers/writers and Avro binary decoders/encoders are reused
+  * per thread, so the per-row cost is the Avro decode itself with zero
+  * setup allocation. Supported type lattice: record, string, int, long,
+  * float, double, boolean, bytes, fixed, enum, array, map(string->v),
+  * and 2-branch null unions (producer.py:18-19) — the full surface the
+  * reference's schema can express plus the usual evolution moves.
+  */
+object AvroCodec {
+
+  val MagicByte: Byte = 0x00
+
+  // ---- schema handling --------------------------------------------------
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+
+  def parsedSchema(json: String): Schema =
+    schemaCache.computeIfAbsent(json, j => new Schema.Parser().parse(j))
+
+  /** The non-null branch of a `["null", X]` union (either order); identity
+    * for non-unions. Unions with 2+ non-null branches are rejected — they
+    * have no stable columnar rendering. */
+  private def nonNull(s: Schema): Schema = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(branches.size == 1,
+        s"unsupported union ${s}: exactly one non-null branch required")
+      branches.head
+    case _ => s
+  }
+
+  private def isNullable(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION &&
+      s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+
+  /** Avro schema -> Spark DataType (mirrors spark-avro's public mapping). */
+  def sparkType(s: Schema): DataType = nonNull(s).getType match {
+    case Schema.Type.RECORD =>
+      StructType(nonNull(s).getFields.asScala.map { f =>
+        StructField(f.name, sparkType(f.schema), nullable = isNullable(f.schema))
+      }.toArray)
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.ENUM    => StringType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES   => BinaryType
+    case Schema.Type.FIXED   => BinaryType
+    case Schema.Type.ARRAY =>
+      val el = nonNull(s).getElementType
+      ArrayType(sparkType(el), containsNull = isNullable(el))
+    case Schema.Type.MAP =>
+      val v = nonNull(s).getValueType
+      MapType(StringType, sparkType(v), valueContainsNull = isNullable(v))
+    case t => throw new UnsupportedOperationException(s"avro type $t")
+  }
+
+  def sparkStructType(schemaJson: String): StructType =
+    sparkType(parsedSchema(schemaJson)).asInstanceOf[StructType]
+
+  // ---- per-thread runtime state ----------------------------------------
+
+  private final class ThreadState {
+    val readers = new java.util.HashMap[String, GenericDatumReader[GenericRecord]]()
+    val writers = new java.util.HashMap[String, GenericDatumWriter[GenericRecord]]()
+    var decoder: BinaryDecoder = _
+    var encoder: BinaryEncoder = _
+    val bytesOut = new ByteArrayOutputStream(256)
+  }
+
+  private val state = new ThreadLocal[ThreadState] {
+    override def initialValue(): ThreadState = new ThreadState
+  }
+
+  // ---- decode -----------------------------------------------------------
+
+  /** Confluent-framed bytes -> InternalRow. Strict mode throws on a bad
+    * frame or truncated body; permissive mode returns null instead (the
+    * S6 malformed-skip semantic — DROPMALFORMED via `.filter(isNotNull)`). */
+  def decode(bytes: Array[Byte], schemaJson: String, permissive: Boolean): InternalRow = {
+    try {
+      if (bytes.length < 5 || bytes(0) != MagicByte)
+        throw new IllegalArgumentException(
+          s"not a Confluent-framed Avro payload (len=${bytes.length})")
+      val st = state.get()
+      val schema = parsedSchema(schemaJson)
+      var reader = st.readers.get(schemaJson)
+      if (reader == null) {
+        reader = new GenericDatumReader[GenericRecord](schema)
+        st.readers.put(schemaJson, reader)
+      }
+      st.decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, st.decoder)
+      val rec = reader.read(null, st.decoder)
+      toCatalyst(rec, schema).asInstanceOf[InternalRow]
+    } catch {
+      case scala.util.control.NonFatal(_) if permissive => null
+    }
+  }
+
+  /** The schema id from the Confluent frame header (S4 passthrough). */
+  def frameSchemaId(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 5 && bytes(0) == MagicByte, "bad frame")
+    ByteBuffer.wrap(bytes, 1, 4).getInt
+  }
+
+  private def toCatalyst(v: AnyRef, s0: Schema): Any = {
+    if (v == null) return null
+    val s = nonNull(s0)
+    s.getType match {
+      case Schema.Type.RECORD =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val fields = s.getFields
+        val out = new Array[Any](fields.size)
+        var i = 0
+        while (i < fields.size) {
+          out(i) = toCatalyst(rec.get(i).asInstanceOf[AnyRef], fields.get(i).schema)
+          i += 1
+        }
+        new GenericInternalRow(out)
+      case Schema.Type.STRING | Schema.Type.ENUM =>
+        UTF8String.fromString(v.toString)
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val arr = new Array[Byte](bb.remaining())
+        bb.duplicate().get(arr)
+        arr
+      case Schema.Type.FIXED => v.asInstanceOf[GenericFixed].bytes().clone()
+      case Schema.Type.ARRAY =>
+        val el = s.getElementType
+        val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
+        val out = new Array[Any](coll.size)
+        val it = coll.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = toCatalyst(it.next(), el); i += 1 }
+        new GenericArrayData(out)
+      case Schema.Type.MAP =>
+        val vt = s.getValueType
+        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val ks = new Array[Any](m.size)
+        val vs = new Array[Any](m.size)
+        val it = m.entrySet().iterator()
+        var i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          ks(i) = UTF8String.fromString(e.getKey.toString)
+          vs(i) = toCatalyst(e.getValue, vt)
+          i += 1
+        }
+        ArrayBasedMapData(ks, vs)
+      case t => throw new UnsupportedOperationException(s"avro type $t")
+    }
+  }
+
+  // ---- encode -----------------------------------------------------------
+
+  /** InternalRow (whose layout is `sparkType(schema)`) -> Confluent-framed
+    * Avro bytes carrying `schemaId` in the header. */
+  def encode(row: InternalRow, schemaJson: String, schemaId: Int): Array[Byte] = {
+    val st = state.get()
+    val schema = parsedSchema(schemaJson)
+    var writer = st.writers.get(schemaJson)
+    if (writer == null) {
+      writer = new GenericDatumWriter[GenericRecord](schema)
+      st.writers.put(schemaJson, writer)
+    }
+    val rec = toAvro(row, schema).asInstanceOf[GenericRecord]
+    val out = st.bytesOut
+    out.reset()
+    out.write(MagicByte.toInt)
+    out.write((schemaId >>> 24) & 0xFF)
+    out.write((schemaId >>> 16) & 0xFF)
+    out.write((schemaId >>> 8) & 0xFF)
+    out.write(schemaId & 0xFF)
+    st.encoder = EncoderFactory.get().directBinaryEncoder(out, st.encoder)
+    writer.write(rec, st.encoder)
+    st.encoder.flush()
+    out.toByteArray
+  }
+
+  private def toAvro(v: Any, s0: Schema): AnyRef = {
+    if (v == null) return null
+    val s = nonNull(s0)
+    s.getType match {
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[InternalRow]
+        val fields = s.getFields
+        val rec = new GenericData.Record(s)
+        var i = 0
+        while (i < fields.size) {
+          val fs = fields.get(i).schema
+          val fv =
+            if (row.isNullAt(i)) null
+            else toAvro(get(row, i, nonNull(fs)), fs)
+          rec.put(i, fv)
+          i += 1
+        }
+        rec
+      case Schema.Type.STRING => new Utf8(v.asInstanceOf[UTF8String].getBytes)
+      case Schema.Type.ENUM =>
+        new GenericData.EnumSymbol(s, v.asInstanceOf[UTF8String].toString)
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v.asInstanceOf[AnyRef]
+      case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.FIXED =>
+        new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+      case Schema.Type.ARRAY =>
+        val el = s.getElementType
+        val arr = v.asInstanceOf[ArrayData]
+        val out = new java.util.ArrayList[AnyRef](arr.numElements())
+        var i = 0
+        while (i < arr.numElements()) {
+          out.add(if (arr.isNullAt(i)) null
+            else toAvro(getArray(arr, i, nonNull(el)), el))
+          i += 1
+        }
+        out
+      case Schema.Type.MAP =>
+        val vt = s.getValueType
+        val m = v.asInstanceOf[MapData]
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        val out = new java.util.HashMap[Utf8, AnyRef](m.numElements() * 2)
+        var i = 0
+        while (i < m.numElements()) {
+          val mv = if (vals.isNullAt(i)) null
+            else toAvro(getArray(vals, i, nonNull(vt)), vt)
+          out.put(new Utf8(keys.getUTF8String(i).getBytes), mv)
+          i += 1
+        }
+        out
+      case t => throw new UnsupportedOperationException(s"avro type $t")
+    }
+  }
+
+  /** Typed InternalRow getter driven by the Avro (not Spark) type. */
+  private def get(row: InternalRow, i: Int, s: Schema): Any = s.getType match {
+    case Schema.Type.RECORD  => row.getStruct(i, s.getFields.size)
+    case Schema.Type.STRING | Schema.Type.ENUM => row.getUTF8String(i)
+    case Schema.Type.INT     => row.getInt(i)
+    case Schema.Type.LONG    => row.getLong(i)
+    case Schema.Type.FLOAT   => row.getFloat(i)
+    case Schema.Type.DOUBLE  => row.getDouble(i)
+    case Schema.Type.BOOLEAN => row.getBoolean(i)
+    case Schema.Type.BYTES | Schema.Type.FIXED => row.getBinary(i)
+    case Schema.Type.ARRAY   => row.getArray(i)
+    case Schema.Type.MAP     => row.getMap(i)
+    case t => throw new UnsupportedOperationException(s"avro type $t")
+  }
+
+  private def getArray(arr: ArrayData, i: Int, s: Schema): Any = s.getType match {
+    case Schema.Type.RECORD  => arr.getStruct(i, s.getFields.size)
+    case Schema.Type.STRING | Schema.Type.ENUM => arr.getUTF8String(i)
+    case Schema.Type.INT     => arr.getInt(i)
+    case Schema.Type.LONG    => arr.getLong(i)
+    case Schema.Type.FLOAT   => arr.getFloat(i)
+    case Schema.Type.DOUBLE  => arr.getDouble(i)
+    case Schema.Type.BOOLEAN => arr.getBoolean(i)
+    case Schema.Type.BYTES | Schema.Type.FIXED => arr.getBinary(i)
+    case Schema.Type.ARRAY   => arr.getArray(i)
+    case Schema.Type.MAP     => arr.getMap(i)
+    case t => throw new UnsupportedOperationException(s"avro type $t")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.avro
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ExprBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `from_avro`/`to_avro` equivalents for the reference's Confluent wire
+  * format (the spark-avro module is absent from the runtime jars, so the
+  * expressions are built directly on [[AvroCodec]]). Both participate in
+  * whole-stage codegen via the static-call pattern — the generated code
+  * calls `graft.avro.AvroCodec.decode/encode` once per row, so an
+  * enclosing projection stays compiled.
+  */
+case class AvroDecode(child: Expression, schemaJson: String,
+    permissive: Boolean = false) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"from_avro expects binary, got ${t.simpleString}")
+  }
+
+  override lazy val dataType: DataType = AvroCodec.sparkStructType(schemaJson)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    AvroCodec.decode(input.asInstanceOf[Array[Byte]], schemaJson, permissive)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sj = ctx.addReferenceObj("avroSchemaJson", schemaJson, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.avro.AvroCodec.decode($c, $sj, $permissive);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "from_avro_confluent"
+}
+
+case class AvroEncode(child: Expression, schemaJson: String, schemaId: Int)
+    extends UnaryExpression {
+
+  /** The child struct must match the schema's columnar layout exactly
+    * (ignoring nullability) — positional encoding reads fields by index. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = AvroCodec.sparkStructType(schemaJson)
+    def strip(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => StructField(f.name, strip(f.dataType))))
+      case a: ArrayType => ArrayType(strip(a.elementType))
+      case m: MapType => MapType(strip(m.keyType), strip(m.valueType))
+      case other => other
+    }
+    child.dataType match {
+      case s: StructType if strip(s) == strip(expected) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"to_avro: input ${t.simpleString} does not match schema " +
+          s"layout ${expected.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    AvroCodec.encode(input.asInstanceOf[InternalRow], schemaJson, schemaId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sj = ctx.addReferenceObj("avroSchemaJson", schemaJson, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.avro.AvroCodec.encode($c, $sj, $schemaId);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "to_avro_confluent"
+}
+
+/** The schema id carried in a frame header (S4 passthrough — the registry
+  * lookup itself is a config input, SURVEY.md §1.2). */
+case class AvroFrameSchemaId(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"avro_schema_id expects binary, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.length < 5 || bytes(0) != AvroCodec.MagicByte) null
+    else java.lang.Integer.valueOf(AvroCodec.frameSchemaId(bytes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.length < 5 || $c[0] != (byte) 0x00) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.avro.AvroCodec.frameSchemaId($c);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "avro_schema_id"
+}
+
+/** Column-level surface (the `org.apache.spark.sql.avro.functions`
+  * analog). */
+object functions {
+  def from_avro_confluent(c: Column, schemaJson: String,
+      permissive: Boolean = false): Column =
+    ExprBridge.column(AvroDecode(ExprBridge.expression(c), schemaJson, permissive))
+
+  def to_avro_confluent(c: Column, schemaJson: String, schemaId: Int = 1): Column =
+    ExprBridge.column(AvroEncode(ExprBridge.expression(c), schemaJson, schemaId))
+
+  def avro_schema_id(c: Column): Column =
+    ExprBridge.column(AvroFrameSchemaId(ExprBridge.expression(c)))
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.avro.functions.{avro_schema_id, from_avro_confluent, to_avro_confluent}
+import graft.ops.ProfileTransform
+import graft.sources.Tables
+
+/** The reference's actual wire format, exercised end to end: rows are
+  * encoded to Confluent-framed Avro binary and decoded back inside the
+  * plan, so the DuckDB oracle (which never sees Avro) hash-matching the
+  * output proves the codec is lossless — including the `["null","string"]`
+  * union fields (`/root/reference/producer/producer.py:18-19`) and the
+  * nested `address` record (producer.py:27-37).
+  */
+object AvroQueries {
+
+  /** The producer's value schema, verbatim — the wire contract
+    * (`/root/reference/producer/producer.py:11-38`). */
+  val userSchemaJson: String =
+    """{
+      |  "type": "record", "name": "User", "namespace": "com.dorjee.avro",
+      |  "fields": [
+      |    {"name": "user_id", "type": "string"},
+      |    {"name": "first_name", "type": ["null", "string"], "default": null},
+      |    {"name": "last_name", "type": ["null", "string"], "default": null},
+      |    {"name": "email", "type": "string"},
+      |    {"name": "age", "type": "int"},
+      |    {"name": "raw_password_hash", "type": "string"},
+      |    {"name": "internal_tracking_code", "type": "string"},
+      |    {"name": "address", "type": {"type": "record", "name": "Address",
+      |      "fields": [
+      |        {"name": "street", "type": "string"},
+      |        {"name": "city", "type": "string"},
+      |        {"name": "zip_code", "type": "string"}]}}
+      |  ]
+      |}""".stripMargin
+
+  private val FixedClock = Instant.parse("2024-01-01T00:00:00Z")
+  private val SchemaId = 7
+
+  /** Fixture: `customer` rendered as the producer's User records.
+    * c_custkey%7 rows carry a NULL first_name (the null union branch),
+    * %13 rows a blank one (T2 filter fodder), %11 a NULL last_name. */
+  private def userStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(struct(
+      col("c_custkey").cast("string").as("user_id"),
+      when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+        .when(col("c_custkey") % 13 === 0, lit(" "))
+        .otherwise(col("c_name")).as("first_name"),
+      when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("last_name"),
+      concat(col("c_name"), lit("@example.com")).as("email"),
+      (lit(10) + col("c_custkey") % 60).cast("int").as("age"),
+      md5(col("c_name")).as("raw_password_hash"),
+      concat(lit("TRACK_"), col("c_nationkey").cast("string")).as("internal_tracking_code"),
+      struct(
+        concat((col("c_custkey") % 100).cast("string"), lit(" St")).as("street"),
+        col("c_mktsegment").as("city"),
+        lpad(col("c_nationkey").cast("string"), 5, "0").as("zip_code")
+      ).as("address")
+    ).as("user"))
+
+  /** The same fixture in DuckDB, bypassing Avro entirely. */
+  private val usersCte =
+    """users AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS user_id,
+      |         CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |              WHEN c_custkey % 13 = 0 THEN ' '
+      |              ELSE c_name END AS first_name,
+      |         CASE WHEN c_custkey % 11 = 0 THEN NULL
+      |              ELSE c_mktsegment END AS last_name,
+      |         c_name || '@example.com' AS email,
+      |         CAST(10 + c_custkey % 60 AS INTEGER) AS age,
+      |         md5(c_name) AS raw_password_hash,
+      |         'TRACK_' || CAST(c_nationkey AS VARCHAR) AS internal_tracking_code,
+      |         CAST(c_custkey % 100 AS VARCHAR) || ' St' AS street,
+      |         c_mktsegment AS city,
+      |         lpad(CAST(c_nationkey AS VARCHAR), 5, '0') AS zip_code
+      |  FROM customer
+      |)""".stripMargin
+
+  /** Encode -> decode -> flatten. A hash match against the Avro-free
+    * oracle is a losslessness proof over every field incl. both union
+    * branches; `schema_id` additionally pins the frame header bytes. */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val wire = userStruct(spark, dir)
+      .select(to_avro_confluent(col("user"), userSchemaJson, SchemaId).as("value"))
+    wire
+      .select(
+        avro_schema_id(col("value")).as("schema_id"),
+        from_avro_confluent(col("value"), userSchemaJson).as("u"))
+      .select(col("schema_id"), col("u.user_id"), col("u.first_name"),
+        col("u.last_name"), col("u.email"), col("u.age"),
+        col("u.raw_password_hash"), col("u.internal_tracking_code"),
+        col("u.address.street").as("street"), col("u.address.city").as("city"),
+        col("u.address.zip_code").as("zip_code"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Decode feeding the reference SMT (T2-T8) — the full reference
+    * pipeline over its true wire format, batch-rendered. */
+  def avroPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val t = ProfileTransform(clock = Some(FixedClock))
+    val wire = userStruct(spark, dir)
+      .select(to_avro_confluent(col("user"), userSchemaJson, SchemaId).as("value"))
+    val decoded = wire
+      .select(from_avro_confluent(col("value"), userSchemaJson).as("u"))
+      .select(col("u.*"))
+    t(decoded)
+      .select(col("user_id"), col("first_name"), col("last_name"), col("email"),
+        col("age"), col("address.street").as("street"),
+        col("address.zip_code").as("zip_code"), col("full_name"),
+        col("is_adult"), col("processed_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** S6 semantics on the Avro path: frames with a corrupted magic byte
+    * (every %13th row) decode to null in permissive mode and are
+    * dropped; the survivors aggregate to the oracle's numbers. */
+  def avroMalformedSkip(spark: SparkSession, dir: String): DataFrame = {
+    val wire = userStruct(spark, dir).select(
+      col("user.user_id").cast("long").as("key"),
+      to_avro_confluent(col("user"), userSchemaJson, SchemaId).as("value"))
+    val corrupted = wire.select(
+      when(col("key") % 13 === 0,
+        concat(lit(Array[Byte](0x01.toByte)), col("value")))
+        .otherwise(col("value")).as("value"))
+    corrupted
+      .select(from_avro_confluent(col("value"), userSchemaJson, permissive = true).as("u"))
+      .filter(col("u").isNotNull)
+      .agg(
+        count(lit(1)).as("n_good"),
+        sum(col("u.age").cast("long")).as("sum_age"),
+        count(col("u.first_name")).as("n_named"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "avro_roundtrip" -> (avroRoundtrip _),
+    "avro_pipeline" -> (avroPipeline _),
+    "avro_malformed_skip" -> (avroMalformedSkip _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "avro_roundtrip" ->
+      s"""WITH $usersCte
+         |SELECT CAST($SchemaId AS INTEGER) AS schema_id, user_id, first_name,
+         |       last_name, email, age, raw_password_hash,
+         |       internal_tracking_code, street, city, zip_code
+         |FROM users ORDER BY user_id""".stripMargin,
+    "avro_pipeline" ->
+      s"""WITH $usersCte
+         |SELECT user_id, first_name, last_name,
+         |       'redacted@email.com' AS email, age, street, zip_code,
+         |       concat_ws(' ', first_name, last_name) AS full_name,
+         |       coalesce(age >= 18, false) AS is_adult,
+         |       '2024-01-01T00:00:00Z' AS processed_ts
+         |FROM users
+         |WHERE first_name IS NOT NULL AND trim(first_name) <> ''
+         |  AND last_name IS NOT NULL AND trim(last_name) <> ''
+         |ORDER BY user_id""".stripMargin,
+    "avro_malformed_skip" ->
+      s"""WITH $usersCte
+         |SELECT COUNT(*) AS n_good,
+         |       CAST(SUM(age) AS BIGINT) AS sum_age,
+         |       COUNT(first_name) AS n_named
+         |FROM users WHERE CAST(user_id AS BIGINT) % 13 <> 0""".stripMargin
+  )
+}

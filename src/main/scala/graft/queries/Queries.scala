@@ -12,12 +12,12 @@ object Queries {
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
       AnalyticsQueries.queries ++ FunctionQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++ AvroQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
       AnalyticsQueries.oracles ++ FunctionQueries.oracles ++
-      TemporalQueries.oracles
+      TemporalQueries.oracles ++ AvroQueries.oracles
 }

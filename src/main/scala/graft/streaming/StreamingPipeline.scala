@@ -62,6 +62,34 @@ object StreamingPipeline {
       col("key"), col("topic"), col("partition"), col("offset"), col("timestamp"),
       from_json(col("value"), valueSchema).as("v"))
 
+  /** S3 for real: decode the Confluent-framed Avro value payload (the
+    * reference's actual wire format — producer.py:40 AvroSerializer)
+    * against the producer schema. The value column must still be binary
+    * (use [[kafkaStreamBinary]], not the string-casting [[kafkaStream]]).
+    * Tombstones (null value) pass through as null structs (T1). */
+  def enforceAvro(kafkaShaped: DataFrame, schemaJson: String,
+      permissive: Boolean = false): DataFrame =
+    kafkaShaped.select(
+      col("key"), col("topic"), col("partition"), col("offset"), col("timestamp"),
+      graft.avro.functions.from_avro_confluent(
+        col("value"), schemaJson, permissive).as("v"))
+
+  /** [[kafkaStream]] minus the value cast — Avro payloads need the raw
+    * bytes. */
+  def kafkaStreamBinary(
+      spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+
   /** The transform stage over an enforced frame: T1 tombstone passthrough
     * + T2-T9 on the value fields + T10 re-wrap (key/partition/timestamp
     * preserved alongside the new value struct). */

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.avro.AvroCodec
+import graft.avro.functions._
+import graft.ops.ProfileTransform
+import graft.queries.AvroQueries
+import graft.streaming.StreamingPipeline
+
+case class KBinRecord(key: String, value: Array[Byte], topic: String,
+    partition: Int, offset: Long, timestamp: Timestamp)
+
+/** The Avro wire path (S1/S3): Confluent framing, nullable unions, nested
+  * records, permissive malformed-skip, and the full reference pipeline
+  * streamed over Avro-encoded payloads.
+  */
+class AvroSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = AvroQueries.userSchemaJson
+
+  private def userRow(i: Int, first: Option[String]): Row = Row(
+    s"id_$i", first.orNull, s"Doe$i", s"user$i@example.com", 20 + i,
+    "secret123", "TRACK_XYZ", Row(s"$i St", "City", "00000"))
+
+  private val sparkUserType =
+    AvroCodec.sparkStructType(schema)
+
+  private def usersDf(rows: Seq[Row]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 2),
+      StructType(Seq(StructField("user", sparkUserType))))
+
+  test("schema -> Spark type mapping (unions nullable, nested record)") {
+    assert(sparkUserType.fieldNames.toSeq === Seq("user_id", "first_name",
+      "last_name", "email", "age", "raw_password_hash",
+      "internal_tracking_code", "address"))
+    assert(sparkUserType("first_name").nullable)
+    assert(!sparkUserType("user_id").nullable)
+    assert(sparkUserType("age").dataType === IntegerType)
+    assert(sparkUserType("address").dataType.isInstanceOf[StructType])
+  }
+
+  test("round trip preserves values, null unions, unicode, empty strings") {
+    val rows = Seq(
+      userRow(0, Some("User0")), userRow(1, Some("")), userRow(2, None),
+      userRow(3, Some("Üsér✓3")))
+    val back = usersDf(rows)
+      .select(to_avro_confluent(col("user"), schema, schemaId = 42).as("b"))
+      .select(from_avro_confluent(col("b"), schema).as("user"))
+      .select(col("user"))
+      .collect().map(_.getStruct(0)).toSeq
+    assert(back === rows)
+  }
+
+  test("frame header: magic byte 0x00 + big-endian schema id") {
+    val bytes = usersDf(Seq(userRow(0, Some("A"))))
+      .select(to_avro_confluent(col("user"), schema, schemaId = 0x01020304).as("b"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(bytes(0) === 0x00.toByte)
+    assert(ByteBuffer.wrap(bytes, 1, 4).getInt === 0x01020304)
+    val ids = usersDf(Seq(userRow(0, Some("A"))))
+      .select(avro_schema_id(to_avro_confluent(col("user"), schema, 0x01020304)).as("id"))
+      .as[Int].collect()
+    assert(ids.toSeq === Seq(0x01020304))
+  }
+
+  test("strict decode throws on a bad frame; permissive yields null") {
+    val corrupt = Seq(Array[Byte](1, 2, 3)).toDF("b")
+    intercept[Exception] {
+      corrupt.select(from_avro_confluent(col("b"), schema)).collect()
+    }
+    val out = corrupt
+      .select(from_avro_confluent(col("b"), schema, permissive = true).as("u"))
+      .collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("extended types: arrays, maps, bytes, long/double/boolean round trip") {
+    val richSchema =
+      """{"type":"record","name":"Rich","fields":[
+        |  {"name":"tags","type":{"type":"array","items":"string"}},
+        |  {"name":"scores","type":{"type":"map","values":"double"}},
+        |  {"name":"payload","type":"bytes"},
+        |  {"name":"n","type":"long"},
+        |  {"name":"ok","type":"boolean"},
+        |  {"name":"maybe","type":["null",{"type":"array","items":"long"}]}
+        |]}""".stripMargin
+    val t = AvroCodec.sparkStructType(richSchema)
+    val rows = Seq(
+      Row(Seq("a", "b"), Map("x" -> 1.5, "y" -> -2.0), Array[Byte](7, 8), 9L, true, Seq(1L, 2L)),
+      Row(Seq.empty[String], Map.empty[String, Double], Array.empty[Byte], -1L, false, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1),
+      StructType(Seq(StructField("r", t))))
+    val back = df
+      .select(to_avro_confluent(col("r"), richSchema).as("b"))
+      .select(from_avro_confluent(col("b"), richSchema).as("r"))
+      .select(col("r.tags"), col("r.scores"), col("r.payload"), col("r.n"),
+        col("r.ok"), col("r.maybe"))
+      .collect()
+    assert(back(0).getSeq[String](0) === Seq("a", "b"))
+    assert(back(0).getMap[String, Double](1) === Map("x" -> 1.5, "y" -> -2.0))
+    assert(back(0).getAs[Array[Byte]](2).toSeq === Seq[Byte](7, 8))
+    assert(back(0).getLong(3) === 9L && back(0).getBoolean(4))
+    assert(back(0).getSeq[Long](5) === Seq(1L, 2L))
+    assert(back(1).getSeq[String](0).isEmpty)
+    assert(back(1).isNullAt(5))
+  }
+
+  test("stream == batch over the Avro wire: reference 4-user fixture + tombstone") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clock = Instant.parse("2024-01-01T00:00:00Z")
+    val t = ProfileTransform(clock = Some(clock))
+
+    // Encode the reference fixture (producer.py:46-61) through the codec
+    // directly — the producer side of the wire.
+    val enc = usersDf((0 to 3).map(i =>
+        userRow(i, Some(if (i == 2) "" else s"User$i"))))
+      .select(to_avro_confluent(col("user"), schema, schemaId = 1).as("b"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    val ts = Timestamp.from(clock)
+    val records = enc.zipWithIndex.map { case (b, i) =>
+      KBinRecord(s"id_$i", b, "users", i % 2, i.toLong, ts)
+    }.toSeq :+ KBinRecord("id_9", null, "users", 0, 4L, ts) // tombstone
+
+    val stream = MemoryStream[KBinRecord]
+    stream.addData(records: _*)
+    val transformed = StreamingPipeline.transformed(
+      StreamingPipeline.enforceAvro(stream.toDF(), schema), t)
+    val q = transformed.writeStream.format("memory").queryName("avro_pipe_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("avro_pipe_out").drop("offset").collect().toSet
+
+    val batch = StreamingPipeline.transformed(
+      StreamingPipeline.enforceAvro(records.toDF(), schema), t)
+      .drop("offset").collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3) // id_2 blank-name filtered; tombstone not live
+    assert(streamed.forall(_.getAs[String]("email") == "redacted@email.com"))
+    assert(streamed.map(_.getAs[String]("full_name")) ===
+      Set("User0 Doe0", "User1 Doe1", "User3 Doe3"))
+  }
+
+  test("whole-stage codegen survives the avro expressions (no fallback)") {
+    val df = usersDf(Seq(userRow(0, Some("A"))))
+      .select(from_avro_confluent(
+        to_avro_confluent(col("user"), schema), schema).as("u"))
+      .select(col("u.user_id"), col("u.age"))
+    // `*(n)` prefixes mark WholeStageCodegen spans in the plan string —
+    // the Project holding both avro expressions must carry one.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("+- *(") || l.trim.startsWith("*(")), plan)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
