@@ -328,7 +328,16 @@ object CoverageQueries {
     * Streaming job — file streaming source, watermark, AvailableNow
     * trigger, memory sink — returned as a batch frame. Shares
     * `tumbling_window`'s DuckDB oracle line for line: the driver gate
-    * itself proves stream == batch == external engine. */
+    * itself proves stream == batch == external engine.
+    *
+    * Runs in APPEND mode so the watermark actually evicts window state
+    * (complete mode retains every window forever — the unbounded-state
+    * failure at streaming scale). On bounded input the last open windows
+    * would never emit, so a one-row far-future sentinel stream is
+    * unioned in: its event time pushes the final watermark past every
+    * real window end, the AvailableNow no-data batch flushes them, and
+    * only the sentinel's own window (one row) is left in state. The
+    * sentinel's window is filtered from the output. */
   def tumblingWindowStreamed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     // explicit source schema (streaming reads can't infer): ts arrives as
@@ -337,11 +346,21 @@ object CoverageQueries {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
+    val sentinelType = "__sentinel__"
+    val sentinelNanos = // 2100-01-01, far beyond any testdata event
+      java.time.Instant.parse("2100-01-01T00:00:00Z").getEpochSecond * 1000000000L
+    val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sentinel")
+    import spark.implicits._
+    Seq((-1L, sentinelNanos, -1L, sentinelType, 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(sentinelDir.toString)
     // the streaming file source wants a directory; glob-filter the one
     // table file out of the sf dir
-    val stream = spark.readStream.schema(schema)
+    val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    val sentinel = spark.readStream.schema(schema).parquet(sentinelDir.toString)
+    val stream = events.union(sentinel)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -351,11 +370,13 @@ object CoverageQueries {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
     val name = "tumbling_streamed_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("window_start"), col("event_type"))
+    spark.table(name)
+      .filter(col("event_type") =!= sentinelType)
+      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** Session windows (30 min gap): sessions-per-user. Batch analog of the

