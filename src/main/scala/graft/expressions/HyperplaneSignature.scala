@@ -44,3 +44,34 @@ case class HyperplaneSignature(child: Expression, planes: Int)
     copy(child = newChild)
   override def prettyName: String = "hyperplane_signature"
 }
+
+/** md5-parity twin of [[HyperplaneSignature]]: plane components from
+  * md5("hp|p|d") hex parity instead of xxhash64, so the resulting LSH
+  * bucket assignment is recomputable in DuckDB SQL — the trick that
+  * turns approximate LSH operators into fully oracle-checked queries
+  * (same move as SimHash64Md5). xxhash64 remains the fast path. */
+case class HyperplaneSignatureMd5(child: Expression, planes: Int)
+    extends UnaryExpression {
+
+  require(planes > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_signature_md5 expects array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.hyperplaneSignatureMd5(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashOps.hyperplaneSignatureMd5($c, $planes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_signature_md5"
+}

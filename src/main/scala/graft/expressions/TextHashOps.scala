@@ -187,6 +187,51 @@ object TextHashOps {
     sig
   }
 
+  /** ±1 plane components from md5 parity — engine-neutral, so LSH bucket
+    * assignments are reproducible in SQL on any engine with md5():
+    * sign(p,d) = +1 iff the first hex char of md5("hp|p|d") has an odd
+    * ASCII code (balanced: 8 of the 16 hex chars are odd). The matrix is
+    * row-independent, so it's computed once per (planes, dim) and cached
+    * process-wide — the per-row cost is the plain dot products. */
+  private val md5PlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def md5PlaneMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    md5PlaneCache.computeIfAbsent((planes, dim), { key =>
+      val (np, nd) = key
+      val md = MessageDigest.getInstance("MD5")
+      Array.tabulate(np) { p =>
+        Array.tabulate(nd) { d =>
+          md.reset()
+          val h = Md5Hex.hex(md.digest(s"hp|$p|$d".getBytes(StandardCharsets.UTF_8)))
+          if (h.charAt(0).toInt % 2 == 1) 1.0 else -1.0
+        }
+      }
+    })
+
+  /** md5-family twin of [[hyperplaneSignature]]: identical banding
+    * semantics, DuckDB-oracle-able bits. Dot accumulates in index order
+    * (bit-identical to a sequential SQL list_dot_product fold). */
+  def hyperplaneSignatureMd5(arr: ArrayData, planes: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = md5PlaneMatrix(planes, n)
+    val out = new Array[Any](planes)
+    var p = 0
+    while (p < planes) {
+      val row = m(p)
+      var dot = 0.0
+      var anyNull = false
+      var d = 0
+      while (d < n && !anyNull) {
+        if (arr.isNullAt(d)) anyNull = true
+        else { dot += arr.getFloat(d).toDouble * row(d); d += 1 }
+      }
+      out(p) = if (!anyNull && dot >= 0) 1 else 0
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def hyperplaneSignature(arr: ArrayData, planes: Int): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Any](planes)

@@ -61,4 +61,27 @@ object VectorFunctions {
   def hyperplaneSignature(vec: Column, planes: Int): Column =
     ExprBridge.column(graft.expressions.HyperplaneSignature(
       ExprBridge.expression(vec), planes))
+
+  /** md5-parity plane bit (engine-neutral): sign(p,d) = +1 iff the first
+    * hex char of md5("hp|p|d") has odd ASCII. HOF reference for the
+    * fused twin below — and the exact formula a DuckDB oracle replays. */
+  def hyperplaneBitMd5(vec: Column, plane: Int): Column = {
+    val dim = size(vec)
+    val dot = aggregate(sequence(lit(0), dim - 1), lit(0.0),
+      (acc, d) => acc +
+        element_at(vec, d + 1).cast("double") *
+          when(ascii(substring(md5(
+            concat(lit(s"hp|$plane|"), d.cast("string"))), 1, 1)) % 2 === 1,
+            lit(1.0)).otherwise(lit(-1.0)))
+    when(dot >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  def hyperplaneSignatureMd5Hof(vec: Column, planes: Int): Column =
+    array((0 until planes).map(p => hyperplaneBitMd5(vec, p)): _*)
+
+  /** Fused md5-family signature — bit-identical to the HOF reference and
+    * recomputable in SQL (the oracle path for LSH operators). */
+  def hyperplaneSignatureMd5(vec: Column, planes: Int): Column =
+    ExprBridge.column(graft.expressions.HyperplaneSignatureMd5(
+      ExprBridge.expression(vec), planes))
 }

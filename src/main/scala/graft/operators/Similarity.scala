@@ -79,12 +79,16 @@ object Similarity {
   }
 
   /** Banded (band, bits) rows for a frame — ids only, so the bucket
-    * shuffle moves bands × (id, int, string) rows, never the vectors. */
+    * shuffle moves bands × (id, int, string) rows, never the vectors.
+    * `md5Planes` switches the plane family from xxhash64 (fast path) to
+    * md5 parity (engine-neutral: a DuckDB oracle can rebuild the exact
+    * same buckets — see HyperplaneSignatureMd5). */
   private def bandedIds(
       df: DataFrame, idCol: String, vecCol: String, idAs: String,
-      bands: Int, bitsPerBand: Int): DataFrame =
+      bands: Int, bitsPerBand: Int, md5Planes: Boolean = false): DataFrame =
     df.select(col(idCol).as(idAs),
-      VectorFunctions.hyperplaneSignature(col(vecCol), bands * bitsPerBand).as("sig"))
+      (if (md5Planes) VectorFunctions.hyperplaneSignatureMd5(col(vecCol), bands * bitsPerBand)
+       else VectorFunctions.hyperplaneSignature(col(vecCol), bands * bitsPerBand)).as("sig"))
       .select(col(idAs),
         explode(array((0 until bands).map(bd => struct(
           lit(bd).as("band"),
@@ -104,20 +108,26 @@ object Similarity {
     * and ≤ bands× duplicate cosine evaluations. */
   def knnJoinLsh(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, bands: Int = 4, bitsPerBand: Int = 4,
-      maxBucket: Int = 2000): DataFrame = {
-    val banded = bandedIds(corpus, idCol, vecCol, "id", bands, bitsPerBand)
+      k: Int, bands: Int = 8, bitsPerBand: Int = 3,
+      maxBucket: Int = 2000, md5Planes: Boolean = false): DataFrame = {
+    val banded = bandedIds(corpus, idCol, vecCol, "id", bands, bitsPerBand, md5Planes)
     val buckets = banded
       .groupBy(col("band"), col("bits"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    val pairs = buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(ids)-1),
-        |  i -> transform(sequence(0, size(ids)-1),
-        |    j -> struct(ids[i] AS qid, ids[j] AS nid))))""".stripMargin)).as("p"))
-      .filter(col("p.qid") =!= col("p.nid"))
-      .select(col("p.qid").as("query_id"), col("p.nid").as("neighbor_id"))
+    // triangular enumeration: size²/2 transient structs, and the dedup
+    // shuffle carries unordered pairs (half the rows); both orientations
+    // are regenerated AFTER the distinct — a projection, not a shuffle
+    val upairs = buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(ids)-2),
+        |  i -> transform(sequence(i+1, size(ids)-1),
+        |    j -> struct(least(ids[i], ids[j]) AS id_a,
+        |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+    val pairs = upairs
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .union(upairs.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
     val scored = pairs
       .join(corpus.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id")
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
@@ -143,8 +153,9 @@ object Similarity {
     * Recall is spec-asserted against brute force. */
   def nearDupPairsLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bands: Int = 6, bitsPerBand: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val banded = bandedIds(df, idCol, vecCol, "id", bands, bitsPerBand)
+      bands: Int = 6, bitsPerBand: Int = 3, maxBucket: Int = 10000,
+      md5Planes: Boolean = false): DataFrame = {
+    val banded = bandedIds(df, idCol, vecCol, "id", bands, bitsPerBand, md5Planes)
     val buckets = banded
       .groupBy(col("band"), col("bits"))
       .agg(collect_list(col("id")).as("ids"))
@@ -175,9 +186,10 @@ object Similarity {
     * formulation: sim desc, id asc). */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
-    val c = bandedIds(corpus, idCol, vecCol, "neighbor_id", bands, bitsPerBand)
-    val q = bandedIds(queries, idCol, vecCol, "query_id", bands, bitsPerBand)
+      k: Int, bands: Int = 4, bitsPerBand: Int = 4,
+      md5Planes: Boolean = false): DataFrame = {
+    val c = bandedIds(corpus, idCol, vecCol, "neighbor_id", bands, bitsPerBand, md5Planes)
+    val q = bandedIds(queries, idCol, vecCol, "query_id", bands, bitsPerBand, md5Planes)
     val cands = c.join(q, Seq("band", "bits"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))

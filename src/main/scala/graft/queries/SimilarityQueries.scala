@@ -36,9 +36,12 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** md5-plane LSH top-k — fully oracle-checked: the DuckDB oracle
+    * rebuilds the 4×4-bit buckets and reranks only candidates. */
   def simTopKLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb, queriesSubset(emb), "vec_id", "embedding", k = 10)
+    Similarity.lshTopK(emb, queriesSubset(emb), "vec_id", "embedding", k = 10,
+      md5Planes = true)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -50,17 +53,22 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** kNN self-join over LSH buckets (rows-only: approximate). */
+  /** kNN self-join over md5-plane LSH buckets — oracle rebuilds the
+    * 8×3-bit buckets, enumerates both pair orientations, reranks. */
   def simKnnJoin(spark: SparkSession, dir: String): DataFrame =
-    Similarity.knnJoinLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
+    Similarity.knnJoinLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5,
+        md5Planes = true)
       .orderBy(col("query_id"), col("rank"))
 
-  /** LSH-blocked near-dup pairs — the scale path whose baseline is the
-    * brute-force `sim_neardup_embeddings` (rows-only: approximate;
-    * recall spec-asserted against brute force). */
+  /** THE named near-dup query — the LSH scale path, with a FULL DuckDB
+    * oracle: md5-parity hyperplanes make the bucket assignment
+    * engine-neutral, so the oracle rebuilds the exact same candidate
+    * set in SQL and the hash check covers blocking + rerank end to end.
+    * The brute-force cross join survives as `sim_neardup_exact_check`
+    * (the verification baseline; it dies at 100× scale). */
   def simNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.4)
+      threshold = 0.4, md5Planes = true)
       .orderBy(col("id_a"), col("id_b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -68,7 +76,7 @@ object SimilarityQueries {
     "sim_neardup_lsh" -> (simNearDupLsh _),
     "sim_topk_brute" -> (simTopKBrute _),
     "sim_topk_agg" -> (simTopKAgg _),
-    "sim_neardup_embeddings" -> (simNearDup _),
+    "sim_neardup_exact_check" -> (simNearDup _),
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _)
   )
@@ -93,12 +101,84 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> topkOracle,
     "sim_topk_agg" -> topkOracle,
-    "sim_neardup_embeddings" ->
+    "sim_neardup_exact_check" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.vec, b.vec), 9) AS sim
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.vec, b.vec), 9) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Full oracles for the LSH paths: each replays the md5-parity
+    // hyperplanes (sign(p,d) from md5("hp|p|d") hex parity), the exact
+    // banding, the bucket join, and the cosine rerank — list_dot_product
+    // and list_cosine_similarity fold sequentially like the fused
+    // kernels, so bits and sims are bit-identical across engines.
+    "sim_neardup_lsh" ->
+      s"""WITH ${lshBandsCte(planes = 18, bitsPerBand = 3)},
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
+        |SELECT c.id_a, c.id_b,
+        |       round(list_cosine_similarity(ea.vec, eb.vec), 9) AS sim
+        |FROM cands c
+        |JOIN e ea ON ea.vec_id = c.id_a
+        |JOIN e eb ON eb.vec_id = c.id_b
+        |WHERE round(list_cosine_similarity(ea.vec, eb.vec), 9) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_topk_lsh" ->
+      s"""WITH ${lshBandsCte(planes = 16, bitsPerBand = 4)},
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM bands q JOIN bands c ON q.band = c.band AND q.bits = c.bits
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT ca.query_id, ca.neighbor_id,
+        |         round(list_cosine_similarity(eq.vec, ec.vec), 9) AS sim
+        |  FROM cands ca
+        |  JOIN e eq ON eq.vec_id = ca.query_id
+        |  JOIN e ec ON ec.vec_id = ca.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_knn_join_lsh" ->
+      s"""WITH ${lshBandsCte(planes = 24, bitsPerBand = 3)},
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT ca.query_id, ca.neighbor_id,
+        |         round(list_cosine_similarity(eq.vec, ec.vec), 9) AS sim
+        |  FROM cands ca
+        |  JOIN e eq ON eq.vec_id = ca.query_id
+        |  JOIN e ec ON ec.vec_id = ca.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Shared oracle scaffolding: md5-parity plane matrix, per-vector sign
+    * bits, banded bit-strings — parameterized exactly like `bandedIds`. */
+  private def lshBandsCte(planes: Int, bitsPerBand: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |planes AS (
+       |  SELECT p, [CASE WHEN ascii(substr(md5('hp|' || p::VARCHAR || '|' || d::VARCHAR), 1, 1)) % 2 = 1
+       |                  THEN 1.0 ELSE -1.0 END FOR d IN range(64)] AS plane
+       |  FROM range($planes) t(p)),
+       |bits AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_dot_product(e.vec, pl.plane) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e CROSS JOIN planes pl),
+       |bands AS (
+       |  SELECT vec_id, (p // $bitsPerBand) AS band, string_agg(bit, '' ORDER BY p) AS bits
+       |  FROM bits GROUP BY vec_id, (p // $bitsPerBand))""".stripMargin
 }

@@ -66,6 +66,27 @@ class SimilaritySpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("fused HyperplaneSignatureMd5 is bit-identical to its HOF formulation") {
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    val diff = emb.select(
+      VectorFunctions.hyperplaneSignatureMd5($"embedding", 18).as("fused"),
+      VectorFunctions.hyperplaneSignatureMd5Hof($"embedding", 18).as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(diff === 0)
+  }
+
+  test("md5-plane near-dup LSH has no false positives and >=0.5 recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", 0.4,
+        md5Planes = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((lsh -- brute).isEmpty, "md5 LSH produced a pair below threshold")
+    val recall = (brute & lsh).size.toDouble / math.max(brute.size, 1)
+    assert(recall >= 0.5, s"md5 LSH near-dup recall too low: $recall")
+  }
+
   test("brute-force top-k ranks the near vector first, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
       "vec_id", "embedding", k = 2).collect()
