@@ -36,6 +36,48 @@ class MultimodalSpec extends SparkSpec {
     assert(before.toSeq === after.toSeq)
   }
 
+  test("sniffMeta reads real PNG IHDR dimensions (javax.imageio payload)") {
+    val img = new java.awt.image.BufferedImage(37, 21,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val fallback = Multimodal.MediaMeta(0, 0, 0, 0, "stub")
+    val got = Multimodal.sniffMeta(baos.toByteArray, fallback)
+    assert(got.width === 37 && got.height === 21 && got.format === "png")
+  }
+
+  test("sniffMeta reads WAV sample rate and duration from RIFF chunks") {
+    // canonical 44-byte PCM header: mono, 8000 Hz, 16-bit -> byteRate
+    // 16000; 32000 data bytes = 2000 ms
+    val rate = 8000; val byteRate = rate * 2; val dataLen = 32000
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(36 + dataLen); b.put("WAVE".getBytes)
+    b.put("fmt ".getBytes); b.putInt(16); b.putShort(1); b.putShort(1)
+    b.putInt(rate); b.putInt(byteRate); b.putShort(2); b.putShort(16)
+    b.put("data".getBytes); b.putInt(dataLen)
+    val fallback = Multimodal.MediaMeta(0, 0, 0, 0, "stub")
+    val got = Multimodal.sniffMeta(b.array(), fallback)
+    assert(got.sample_rate === 8000 && got.duration_ms === 2000 && got.format === "wav")
+  }
+
+  test("withSniffedMeta corrects recognizable payloads, keeps the rest") {
+    // fixture payloads are UTF-8 text -> every row falls back unchanged
+    val before = media.select($"media_id", $"meta").collect().toSet
+    val after = Multimodal.withSniffedMeta(media).toDF()
+      .select($"media_id", $"meta").collect().toSet
+    assert(after === before)
+    // a real PNG row gets its true dimensions through the same operator
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val one = Seq(Multimodal.MediaRow(1L, "image", baos.toByteArray,
+      Multimodal.MediaMeta(9, 9, 0, 0, "stub"))).toDS().toDF()
+    val sniffed = Multimodal.withSniffedMeta(one).collect().head.meta
+    assert(sniffed.width === 64 && sniffed.height === 48 && sniffed.format === "png")
+  }
+
   test("frame sampling emits one task per 250ms step, video only") {
     val frames = Multimodal.frameSample(media, everyMs = 250)
     val perVideo = frames.groupBy("media_id").count()
