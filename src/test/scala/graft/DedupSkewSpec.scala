@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Skew torture for the LSH bucket caps (VERDICT r2 item 8): a
+  * boilerplate shingle set duplicated far past `maxBucket` must NOT
+  * produce a quadratic bucket — and the price (those duplicates escape
+  * LSH candidate generation entirely) is the documented recall
+  * consequence, with exact dedup as the tool that still catches them.
+  */
+class DedupSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 500 identical boilerplate docs (identical signature -> one bucket in
+  // EVERY band), a 20-copy cluster under the cap, and 50 unique docs.
+  private val boiler = (1L to 500L).map(i =>
+    (i, "all rights reserved this document is confidential and intended solely for the addressee"))
+  private val cluster = (1001L to 1020L).map(i =>
+    (i, "this moderately duplicated disclaimer paragraph appears exactly twenty times in the corpus"))
+  private val uniques = (2001L to 2050L).map(i =>
+    (i, s"unique document number $i discussing topic ${i * 7} alongside subject ${i * 13} in detail"))
+
+  test("maxBucket drops the boilerplate bucket: no quadratic blow-up, documented recall cost") {
+    val df = (boiler ++ cluster ++ uniques).toDF("doc_id", "text")
+    val withSh = df
+      .select($"doc_id", TextFunctions.shingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val withSig = withSh.withColumn("sig", Dedup.minhashSignatureMd5($"sh", 16))
+    val pairs = Dedup.lshCandidates(withSig, "doc_id", "sig",
+        bands = 4, rowsPerBand = 4, maxBucket = 50)
+      .as[(Long, Long)].collect()
+
+    // (a) no quadratic blow-up: unbounded, the boilerplate bucket alone
+    // would emit 500*499/2 = 124,750 pairs; the cap drops it whole
+    assert(pairs.length < 1000, s"pair explosion: ${pairs.length}")
+    val boilerPairs = pairs.filter { case (a, b) => a <= 500L && b <= 500L }
+    assert(boilerPairs.isEmpty,
+      s"capped bucket leaked ${boilerPairs.length} boilerplate pairs")
+
+    // (b) the cap does not over-prune: the 20-copy cluster sits below
+    // maxBucket and is recovered in full (C(20,2) = 190 pairs)
+    val clusterPairs = pairs.filter { case (a, b) => a >= 1001L && b <= 1020L && a <= 1020L }
+    assert(clusterPairs.length === 190, s"cluster pairs: ${clusterPairs.length}")
+
+    // (c) identical boilerplate is exact-dedup's job, and it still works:
+    // one fingerprint group carrying all 500 copies
+    val ex = Dedup.exact(df, "doc_id", "text")
+      .filter($"n_copies" === 500L).collect()
+    assert(ex.length === 1 && ex.head.getAs[Long]("survivor_id") === 1L)
+  }
+
+  test("raising maxBucket past the skew point restores the pairs (the cap is the only gate)") {
+    val df = (boiler.take(60) ++ uniques).toDF("doc_id", "text")
+    val withSh = df
+      .select($"doc_id", TextFunctions.shingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val withSig = withSh.withColumn("sig", Dedup.minhashSignatureMd5($"sh", 16))
+    def nPairs(cap: Int): Long = Dedup.lshCandidates(withSig, "doc_id", "sig",
+      bands = 4, rowsPerBand = 4, maxBucket = cap).count()
+    assert(nPairs(50) === 0L)            // 60-copy bucket over the cap: dropped
+    assert(nPairs(100) >= 60L * 59 / 2)  // under the cap: full C(60,2) emitted
+  }
+}
