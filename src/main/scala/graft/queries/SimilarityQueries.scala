@@ -71,14 +71,54 @@ object SimilarityQueries {
       threshold = 0.4, md5Planes = true)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Semantic dedup: connected components over the embedding near-dup
+    * graph — "keep one representative per embedding cluster", the
+    * semantic analog of text `dedup_clusters`. Pairs come from the
+    * oracle-backed md5-plane LSH path; components are iterative
+    * min-label propagation (driver sees only a convergence count). The
+    * oracle closes the same edge set with a recursive CTE. */
+  def simNearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", threshold = 0.4, md5Planes = true)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Dedup.connectedComponents(pairs)
+      .orderBy(col("node"))
+  }
+
+  /** Symmetric int8 quantization of embeddings (the storage-scale move
+    * for a 100 TB vector corpus: 4 bytes/dim -> 1). q = round(x/‖v‖ ·
+    * 127); the gate output is per-vector scalar stats (the driver
+    * cannot hash array columns), which pin every quantized element
+    * through sum/min/max/saturation counts. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = sqrt(graft.functions.VectorFunctions.normSq(col("embedding")))
+    val quant = transform(col("embedding"),
+      x => when(col("scale") === 0.0, lit(0))
+        .otherwise(round(x.cast("double") / col("scale") * 127).cast("int")))
+    Tables.embeddings(spark, dir)
+      .withColumn("scale", norm)
+      .withColumn("q", quant)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        round(col("scale"), 9).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_join_lsh" -> (simKnnJoin _),
     "sim_neardup_lsh" -> (simNearDupLsh _),
+    "sim_neardup_clusters" -> (simNearDupClusters _),
     "sim_topk_brute" -> (simTopKBrute _),
     "sim_topk_agg" -> (simTopKAgg _),
     "sim_neardup_exact_check" -> (simNearDup _),
     "sim_topk_lsh" -> (simTopKLsh _),
-    "sim_topk_ivf" -> (simTopKIvf _)
+    "sim_topk_ivf" -> (simTopKIvf _),
+    "emb_quantize" -> (embQuantize _)
   )
 
   private val topkOracle =
@@ -145,6 +185,47 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_neardup_clusters" ->
+      s"""WITH RECURSIVE ${lshBandsCte(planes = 18, bitsPerBand = 3)},
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
+        |pairsx AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cands c
+        |  JOIN e ea ON ea.vec_id = c.id_a
+        |  JOIN e eb ON eb.vec_id = c.id_b
+        |  WHERE round(list_cosine_similarity(ea.vec, eb.vec), 9) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairsx
+        |  UNION ALL SELECT id_b, id_a FROM pairsx),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.node)
+        |SELECT node, MIN(label) AS component
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    "emb_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, nrm,
+        |         CAST(len(vec) AS INTEGER) AS n_dims,
+        |         CASE WHEN nrm = 0
+        |              THEN list_transform(vec, x -> 0)
+        |              ELSE list_transform(vec, x -> CAST(round(x / nrm * 127) AS INTEGER))
+        |         END AS qv
+        |  FROM v)
+        |SELECT vec_id, n_dims, round(nrm, 9) AS scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
     "sim_knn_join_lsh" ->
       s"""WITH ${lshBandsCte(planes = 24, bitsPerBand = 3)},
         |cands AS (

@@ -87,6 +87,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"md5 LSH near-dup recall too low: $recall")
   }
 
+  test("int8 quantization stays within [-127,127] with positive scale") {
+    val q = graft.queries.SimilarityQueries.embQuantize(spark, sf).collect()
+    assert(q.nonEmpty)
+    assert(q.forall(r => r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127))
+    assert(q.forall(_.getAs[Double]("scale") > 0.0))
+    assert(q.forall(_.getAs[Int]("n_dims") === 64))
+  }
+
+  test("semantic clusters label every member with the min reachable id") {
+    val comp = graft.queries.SimilarityQueries.simNearDupClusters(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(comp.nonEmpty)
+    assert(comp.forall { case (node, label) => label <= node })
+    // every edge endpoint pair shares a component
+    val labels = comp.toMap
+    val pairs = Similarity.nearDupPairsLsh(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", 0.4, md5Planes = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
+  }
+
   test("brute-force top-k ranks the near vector first, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
       "vec_id", "embedding", k = 2).collect()
