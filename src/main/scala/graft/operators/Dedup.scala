@@ -229,32 +229,61 @@ object Dedup {
     *
     * Output: (node, component) where component = min node id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Persist the edge list BEFORE symmetrizing: the union has two
+    // branches over `pairs`, and an unpersisted input would evaluate its
+    // whole upstream pipeline (e.g. an LSH candidate join) twice in one
+    // plan — at sf0.1 embedding scale that doubled a million-candidate
+    // explosion and OOM'd the executor heap.
+    val p = pairs.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each iteration references `labels` twice (propagation join + the
+    // convergence check), so the LOGICAL PLAN doubles per iteration —
+    // persist() caches data but keeps the full lineage, and by ~20
+    // iterations just rendering the plan tree OOMs the driver.
+    // localCheckpoint (eager) truncates lineage each iteration: the plan
+    // stays O(1) per step. (On a fault-tolerance-sensitive cluster the
+    // same call site takes checkpoint() + setCheckpointDir.)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(prop, labels("node") === prop("dst"), "left")
+      val hop = labels.join(prop, labels("node") === prop("dst"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.alias("n").join(labels.alias("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).limit(1).count() > 0
-      labels.unpersist()
+      // pointer jumping (path halving): label := label(label). One-hop
+      // propagation alone needs diameter-many iterations — a 40-long
+      // near-dup chain costs 40 job rounds of fixed scheduling overhead;
+      // with compression convergence is logarithmic in the diameter.
+      val next = hop.alias("a")
+        .join(hop.select(col("node").as("l_node"), col("label").as("l_label")).alias("b"),
+          col("a.label") === col("b.l_node"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.l_label"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      // the convergence probe is its own job — run it every other
+      // iteration (a wasted extra iteration is cheaper than a count
+      // action per step; correctness only needs SOME no-change probe
+      // before exit, and labels are monotonically non-increasing)
+      val probe = i % 2 == 1 || i == maxIter - 1
+      val changed = !probe ||
+        next.alias("n").join(labels.alias("o"), "node")
+          .filter(col("n.label") =!= col("o.label")).limit(1).count() > 0
       labels = next
-      converged = !changed
+      converged = probe && !changed
       i += 1
     }
     sym.unpersist()
+    p.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
 
