@@ -108,7 +108,7 @@ object Similarity {
     * and ≤ bands× duplicate cosine evaluations. */
   def knnJoinLsh(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, bands: Int = 8, bitsPerBand: Int = 3,
+      k: Int, bands: Int = 8, bitsPerBand: Int = 4,
       maxBucket: Int = 2000, md5Planes: Boolean = false): DataFrame = {
     val banded = bandedIds(corpus, idCol, vecCol, "id", bands, bitsPerBand, md5Planes)
     val buckets = banded

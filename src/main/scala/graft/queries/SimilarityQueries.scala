@@ -54,7 +54,7 @@ object SimilarityQueries {
   }
 
   /** kNN self-join over md5-plane LSH buckets — oracle rebuilds the
-    * 8×3-bit buckets, enumerates both pair orientations, reranks. */
+    * 8×4-bit buckets, enumerates both pair orientations, reranks. */
   def simKnnJoin(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnJoinLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5,
         md5Planes = true)
@@ -227,7 +227,7 @@ object SimilarityQueries {
         |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_sat
         |FROM q ORDER BY vec_id""".stripMargin,
     "sim_knn_join_lsh" ->
-      s"""WITH ${lshBandsCte(planes = 24, bitsPerBand = 3)},
+      s"""WITH ${lshBandsCte(planes = 32, bitsPerBand = 4)},
         |cands AS (
         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
         |  FROM bands a JOIN bands b

@@ -59,8 +59,9 @@ class ApproxValidationSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lsh = Similarity.knnJoinLsh(emb, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    // 8×3-bit banding measures 0.87 on this (driver-fixed) corpus; 0.6
-    // leaves margin while still catching a mis-tuned banding (4×4 = 0.44)
+    // 8×4-bit banding measures ~0.70 on this (driver-fixed) corpus at
+    // half the candidate volume of 8×3 (0.87); 0.6 still catches a
+    // mis-tuned banding (4×4 = 0.44)
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.6, s"kNN-join recall vs exact too low: $recall")
     // scores on recovered edges are exact (LSH only prunes candidates)
