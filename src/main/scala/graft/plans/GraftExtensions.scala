@@ -37,7 +37,31 @@ object GraftExtensions {
             s"topk_by_score k must be a literal int, got $other")
         }
         graft.expressions.TopKByScore(exprs.head, exprs(1), k).toAggregateExpression()
-      }))
+      }),
+    (FunctionIdentifier("from_avro_confluent"),
+      new ExpressionInfo(classOf[graft.avro.AvroDecode].getName, "from_avro_confluent"),
+      (exprs: Seq[Expression]) => graft.avro.AvroDecode(
+        exprs.head, stringLit(exprs(1), "from_avro_confluent schema"),
+        permissive = exprs.lift(2).exists(
+          stringLit(_, "from_avro_confluent mode").toBoolean))),
+    (FunctionIdentifier("to_avro_confluent"),
+      new ExpressionInfo(classOf[graft.avro.AvroEncode].getName, "to_avro_confluent"),
+      (exprs: Seq[Expression]) => graft.avro.AvroEncode(
+        exprs.head, stringLit(exprs(1), "to_avro_confluent schema"),
+        schemaId = exprs.lift(2).map(stringLit(_, "to_avro_confluent id").toInt).getOrElse(1))),
+    (FunctionIdentifier("avro_schema_id"),
+      new ExpressionInfo(classOf[graft.avro.AvroFrameSchemaId].getName, "avro_schema_id"),
+      (exprs: Seq[Expression]) => graft.avro.AvroFrameSchemaId(exprs.head)))
+
+  /** SQL-surface args that must be compile-time literals (schema JSON,
+    * mode flags) — mirrors how spark-avro's SQL registration treats its
+    * schema argument. */
+  private def stringLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a non-null literal, got $other")
+  }
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>

@@ -151,6 +151,19 @@ class AvroSpec extends SparkSpec {
       Set("User0 Doe0", "User1 Doe1", "User3 Doe3"))
   }
 
+  test("SQL surface: avro functions registered via SparkSessionExtensions") {
+    graft.plans.GraftExtensions.register(spark)
+    usersDf(Seq(userRow(5, Some("Sql")))).createOrReplaceTempView("avro_users")
+    val out = spark.sql(
+      s"""SELECT u.user_id AS uid, u.age AS age, avro_schema_id(b) AS sid
+         |FROM (SELECT from_avro_confluent(b, '$schema') AS u, b
+         |      FROM (SELECT to_avro_confluent(user, '$schema', '9') AS b
+         |            FROM avro_users))""".stripMargin).collect()
+    assert(out.head.getAs[String]("uid") === "id_5")
+    assert(out.head.getAs[Int]("age") === 25)
+    assert(out.head.getAs[Int]("sid") === 9)
+  }
+
   test("whole-stage codegen survives the avro expressions (no fallback)") {
     val df = usersDf(Seq(userRow(0, Some("A"))))
       .select(from_avro_confluent(
