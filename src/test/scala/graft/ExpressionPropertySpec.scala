@@ -86,6 +86,52 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("HyperplaneSignatureMd5 == HOF on arbitrary float vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    val vecs = samples(vecGen, 80).map(_.toArray)
+    val df = vecs.toDF("v")
+    val diff = df.select(
+      VectorFunctions.hyperplaneSignatureMd5($"v", 8).as("f"),
+      VectorFunctions.hyperplaneSignatureMd5Hof($"v", 8).as("h"))
+      .filter(not($"f" <=> $"h")).count()
+    assert(diff === 0)
+  }
+
+  test("Avro codec round-trips arbitrary values (JVM-level property)") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema =
+      """{"type":"record","name":"P","fields":[
+        |  {"name":"s","type":"string"},
+        |  {"name":"os","type":["null","string"],"default":null},
+        |  {"name":"i","type":"int"},
+        |  {"name":"l","type":"long"},
+        |  {"name":"d","type":"double"},
+        |  {"name":"b","type":"boolean"}
+        |]}""".stripMargin
+    val gen = for {
+      s <- Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("", "日本語", "a\"b\\c", "line\nbreak"))
+      os <- Gen.option(Gen.alphaNumStr)
+      i <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      l <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      d <- Gen.oneOf(Gen.chooseNum(-1e18, 1e18), Gen.oneOf(0.0, -0.0, Double.MaxValue))
+      b <- Gen.oneOf(true, false)
+    } yield (s, os, i, l, d, b)
+    samples(gen, 200, seed0 = 7L).zipWithIndex.foreach { case ((s, os, i, l, d, b), idx) =>
+      val row = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(s), os.map(UTF8String.fromString).orNull,
+        i, l, d, b))
+      val bytes = graft.avro.AvroCodec.encode(row, schema, schemaId = idx)
+      assert(graft.avro.AvroCodec.frameSchemaId(bytes) === idx)
+      val back = graft.avro.AvroCodec.decode(bytes, schema, permissive = false)
+      assert(back.getUTF8String(0).toString === s)
+      assert(Option(back.getUTF8String(1)).map(_.toString) === os)
+      assert(back.getInt(2) === i && back.getLong(3) === l)
+      assert(java.lang.Double.compare(back.getDouble(4), d) === 0)
+      assert(back.getBoolean(5) === b)
+    }
+  }
+
   test("CosineSimilarity == HOF on equal-length vectors incl. zero vectors") {
     val vecGen = Gen.listOfN(8, Gen.frequency(
       4 -> Gen.chooseNum(-5.0f, 5.0f), 1 -> Gen.const(0.0f)))
