@@ -104,7 +104,90 @@ object TextQueries {
       .orderBy(col("n").desc, col("stem"))
       .limit(100)
 
+  /** Benchmark-contamination scan (train/test overlap): corpus docs
+    * sharing any 5-shingle with the benchmark set (every 37th doc plays
+    * the benchmark). Scale shape: the benchmark's distinct shingle set
+    * is tiny by construction and broadcast; the corpus explodes
+    * scan-side and semi-aggregates — the 100 TB side never shuffles
+    * whole documents, only matched (doc_id, shingle) rows. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(explode(shingles(col("text"), 5)).as("sng")).distinct()
+    val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sng"))
+    corpus.join(broadcast(bench), Seq("sng"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sng")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition quality signal: share of duplicated
+    * bigrams per doc. One scan-side pass, no shuffle but the sort. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bg",
+        expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+      .select(col("doc_id"),
+        size(col("bg")).as("n_bigrams"),
+        size(array_distinct(col("bg"))).as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+          / size(col("bg")), 9).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Training-mix planning: per-source sampling rates toward target
+    * shares (shares derived from the source id so the fixture needs no
+    * side table; a real run joins a weights dim). Pure aggregate
+    * arithmetic — one groupBy shuffle of |sources| rows. */
+  def sourceMixPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    counts
+      .withColumn("share",
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(50.0))
+      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("rate",
+        round(least(lit(1.0), col("share") * col("total") / col("n_docs")), 9))
+      .select(col("source"), col("n_docs"),
+        round(col("share"), 9).as("target_share"), col("rate"),
+        floor(col("rate") * col("n_docs")).cast("long").as("expected_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** PII detection scan: email/phone hit counts. The fixture plants a
+    * deterministic contact line on every 41st doc so the counts are
+    * non-trivial; patterns are dialect-neutral (Java regex == RE2 on
+    * this subset). Scan-shaped: one pass, single-row aggregate. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    Tables.documents(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") % 41 === 0,
+          concat(col("text"), lit(" contact user@example.com or 555-123-4567")))
+          .otherwise(col("text")))
+      .select(
+        // patterns as lit() values, NOT inside expr("...") — the SQL
+        // string-literal parser would eat the backslashes ('\b' ->
+        // backspace)
+        regexp_count(col("text"), lit(emailRe)).as("n_email"),
+        regexp_count(col("text"), lit(phoneRe)).as("n_phone"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("n_phone") > 0, 1L).otherwise(0L)).as("docs_with_phone"),
+        sum(col("n_email").cast("long")).as("total_emails"),
+        sum(col("n_phone").cast("long")).as("total_phones"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_contamination" -> (contamination _),
+    "text_repetition" -> (repetition _),
+    "source_mix_plan" -> (sourceMixPlan _),
+    "text_pii_scan" -> (piiScan _),
     "text_stem_counts" -> (stemCounts _),
     "text_winnowing" -> (winnowing _),
     "text_token_stats" -> (tokenStats _),
@@ -132,6 +215,64 @@ object TextQueries {
     "fr" -> "('le','les','et','je')")
 
   val oracles: Map[String, String] = Map(
+    "text_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh5 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 5
+        |              THEN list_distinct(list_transform(range(len(w)-4),
+        |                     i -> array_to_string(w[i+1:i+5], ' ')))
+        |              ELSE [] END AS s
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(s) AS sng FROM sh5 WHERE doc_id % 37 = 0),
+        |corpus AS (SELECT doc_id, unnest(s) AS sng FROM sh5 WHERE doc_id % 37 <> 0)
+        |SELECT c.doc_id, CAST(COUNT(DISTINCT c.sng) AS BIGINT) AS n_shared
+        |FROM corpus c JOIN bench b ON c.sng = b.sng
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2]) AS b
+        |  FROM t WHERE len(w) >= 2)
+        |SELECT doc_id,
+        |       CAST(len(b) AS INT) AS n_bigrams,
+        |       CAST(len(list_distinct(b)) AS INT) AS n_distinct,
+        |       round(CAST(1 AS DOUBLE)
+        |             - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 9) AS rep_ratio
+        |FROM bg ORDER BY doc_id""".stripMargin,
+    "source_mix_plan" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |s AS (
+        |  SELECT source, n_docs,
+        |         (CAST(substr(source, 4) AS INT) % 4 + 1) / CAST(50 AS DOUBLE) AS share,
+        |         SUM(n_docs) OVER () AS total
+        |  FROM c)
+        |SELECT source, n_docs, round(share, 9) AS target_share,
+        |       round(least(CAST(1 AS DOUBLE), share * total / n_docs), 9) AS rate,
+        |       CAST(floor(round(least(CAST(1 AS DOUBLE), share * total / n_docs), 9)
+        |                  * n_docs) AS BIGINT) AS expected_docs
+        |FROM s ORDER BY source""".stripMargin,
+    "text_pii_scan" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 41 = 0
+        |              THEN text || ' contact user@example.com or 555-123-4567'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |         len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone
+        |  FROM d)
+        |SELECT COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+        |       CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+        |       CAST(SUM(n_email) AS BIGINT) AS total_emails,
+        |       CAST(SUM(n_phone) AS BIGINT) AS total_phones
+        |FROM m""".stripMargin,
     "text_stem_counts" ->
       s"""WITH $tokCte,
          |t AS (SELECT unnest(w) AS tok FROM tok),
