@@ -183,7 +183,54 @@ object TextQueries {
         sum(col("n_phone").cast("long")).as("total_phones"))
   }
 
+  /** Flagship curation report: every per-doc signal a corpus-curation
+    * pass needs, in ONE declarative plan — token count, quality score,
+    * language-ID, bigram repetition, PII flag, benchmark contamination,
+    * exact-dup survivor status. Signal columns are scan-side
+    * projections; the only shuffles are the fingerprint window (dup
+    * detection), the broadcast contamination semi-join, and the final
+    * sort. Catalyst evaluates the shared token array once per branch
+    * it needs. */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(explode(shingles(col("text"), 5)).as("sng")).distinct()
+    val contaminated = docs.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sng"))
+      .join(broadcast(bench), Seq("sng"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val fpw = Window.partitionBy(col("fp"))
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"),
+        fingerprint(col("text")).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(fpw))
+      .withColumn("survivor_id", min(col("doc_id")).over(fpw))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        round(qualityScore(col("text")), 9).as("quality"),
+        langId(col("text")).as("lang_pred"),
+        when(size(col("w")) >= 2,
+          round(lit(1.0) -
+            size(array_distinct(expr(
+              "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")))
+              .cast("double") / (size(col("w")) - 1), 9))
+          .otherwise(lit(0.0)).as("rep_ratio"),
+        (regexp_count(col("text"), lit(emailRe)) > 0 ||
+          regexp_count(col("text"), lit(phoneRe)) > 0).as("has_pii"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        (col("n_copies") > 1).as("is_dup"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_report" -> (curationReport _),
     "text_contamination" -> (contamination _),
     "text_repetition" -> (repetition _),
     "source_mix_plan" -> (sourceMixPlan _),
@@ -215,6 +262,57 @@ object TextQueries {
     "fr" -> "('le','les','et','je')")
 
   val oracles: Map[String, String] = Map(
+    "curation_report" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh5 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 5
+         |              THEN list_distinct(list_transform(range(len(w)-4),
+         |                     i -> array_to_string(w[i+1:i+5], ' ')))
+         |              ELSE [] END AS s
+         |  FROM t),
+         |bench AS (SELECT DISTINCT unnest(s) AS sng FROM sh5 WHERE doc_id % 37 = 0),
+         |contam AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, unnest(s) AS sng FROM sh5 WHERE doc_id % 37 <> 0) c
+         |  JOIN bench b ON c.sng = b.sng),
+         |fw AS (
+         |  SELECT doc_id, text, w,
+         |         COUNT(*) OVER (PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_copies,
+         |         MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS survivor_id
+         |  FROM t),
+         |sig AS (
+         |  SELECT doc_id, text, w, n_copies, survivor_id,
+         |         len(list_filter(w, x -> x IN ${markers("en")})) AS c_en,
+         |         len(list_filter(w, x -> x IN ${markers("de")})) AS c_de,
+         |         len(list_filter(w, x -> x IN ${markers("es")})) AS c_es,
+         |         len(list_filter(w, x -> x IN ${markers("fr")})) AS c_fr,
+         |         list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2]) AS bg
+         |  FROM fw)
+         |SELECT s.doc_id,
+         |       CAST(len(w) AS INT) AS n_tokens,
+         |       round(least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |             + (CAST(c_en AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 0.3
+         |             + least((CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS DOUBLE)
+         |                      / CAST(len(w) AS DOUBLE)) / 10.0, 1.0) * 0.2, 9) AS quality,
+         |       CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+         |            WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+         |            WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+         |            WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_es, c_fr) THEN 'fr'
+         |            ELSE 'und' END AS lang_pred,
+         |       CASE WHEN len(w) >= 2
+         |            THEN round(CAST(1 AS DOUBLE)
+         |                       - CAST(len(list_distinct(bg)) AS DOUBLE) / (len(w) - 1), 9)
+         |            ELSE CAST(0 AS DOUBLE) END AS rep_ratio,
+         |       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+         |        OR len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) > 0) AS has_pii,
+         |       (ct.doc_id IS NOT NULL) AS contaminated,
+         |       (n_copies > 1) AS is_dup,
+         |       (s.doc_id = survivor_id) AS is_survivor
+         |FROM sig s LEFT JOIN contam ct ON s.doc_id = ct.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "text_contamination" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
