@@ -52,6 +52,28 @@ class DedupSkewSpec extends SparkSpec {
     assert(ex.length === 1 && ex.head.getAs[Long]("survivor_id") === 1L)
   }
 
+  test("knnJoinLsh maxBucket drops a degenerate identical-embedding bucket") {
+    import graft.operators.Similarity
+    // 300 identical embeddings: identical signature -> one bucket per
+    // band, all past the cap; 50 varied vectors keep their own buckets
+    val base = Array.fill(64)(0.5f)
+    val dupes = (1L to 300L).map(i => (i, base))
+    val others = (1001L to 1050L).map(i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)))
+    val df = (dupes ++ others).toDF("vec_id", "embedding")
+    val capped = Similarity.knnJoinLsh(df, "vec_id", "embedding", k = 3,
+        maxBucket = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(!capped.exists { case (a, b) => a <= 300L && b <= 300L },
+      "capped bucket leaked duplicate-embedding pairs")
+    assert(capped.length <= 50 * 3, s"pair explosion: ${capped.length}")
+    // with the cap lifted the duplicate family comes back
+    val lifted = Similarity.knnJoinLsh(df, "vec_id", "embedding", k = 3,
+        maxBucket = 1000)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(lifted.exists { case (a, b) => a <= 300L && b <= 300L })
+  }
+
   test("raising maxBucket past the skew point restores the pairs (the cap is the only gate)") {
     val df = (boiler.take(60) ++ uniques).toDF("doc_id", "text")
     val withSh = df
