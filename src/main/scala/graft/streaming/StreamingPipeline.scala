@@ -9,6 +9,9 @@ import graft.ops.ProfileTransform
 
 case class UserEvent(user_id: Long, value: Double)
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+case class LshBandRow(id: Long, band: Int, bh: String)
+case class LshBucketState(ids: List[Long], saturated: Boolean)
+case class LshPair(id_a: Long, id_b: Long)
 
 /** Structured-Streaming rendering of the reference pipeline
   * (SURVEY.md §3.2): Kafka topic → per-record SMT → partitioned JSON
@@ -198,6 +201,66 @@ object StreamingPipeline {
           val next = UserTotal(userId, n, total)
           state.update(next)
           Iterator.single(next)
+      }
+  }
+
+  /** Streaming MinHash-LSH near-dup candidates: documents arrive as a
+    * stream, signatures are computed scan-side (the same fused
+    * MinHashSignatureMd5 kernel as the batch path), banded rows group by
+    * (band, bucket-hash), and per-bucket keyed state holds the member id
+    * list — each new doc emits one candidate pair per existing member.
+    *
+    * Semantics vs the batch `Dedup.lshCandidates`: identical pair set on
+    * any prefix where no bucket exceeds `maxBucket` (spec-asserted), with
+    * two documented stream-shaped deltas: (a) pairs that collide in
+    * several bands are emitted once PER band (batch dedups globally —
+    * consumers `dropDuplicates` downstream; retraction-free sinks can't
+    * dedup retroactively), and (b) the bucket cap is prospective — a
+    * bucket saturates once it holds `maxBucket` members and stops
+    * emitting, while batch drops the whole oversized bucket
+    * retroactively. State is bounded: ≤ maxBucket ids per live bucket.
+    */
+  def streamingLshCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1000): org.apache.spark.sql.Dataset[LshPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", graft.operators.Dedup.minhashSignatureMd5(col("sh"), numHashes))
+    val banded = withSig.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
+      }: _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      .as[LshBandRow]
+    banded
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[LshBucketState, LshPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[LshBandRow],
+         state: GroupState[LshBucketState]) =>
+          val prior = state.getOption.getOrElse(LshBucketState(Nil, saturated = false))
+          var members = prior.ids
+          var saturated = prior.saturated
+          val out = scala.collection.mutable.ListBuffer.empty[LshPair]
+          rows.foreach { r =>
+            if (!saturated && !members.contains(r.id)) {
+              members.foreach { m =>
+                out += LshPair(math.min(m, r.id), math.max(m, r.id))
+              }
+              members = r.id :: members
+              if (members.length >= maxBucket) saturated = true
+            }
+          }
+          state.update(LshBucketState(members, saturated))
+          out.iterator
       }
   }
 

@@ -270,6 +270,51 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(2L).n_events === 1L && byUser(2L).total_value === 5.0)
   }
 
+  test("streaming LSH candidates match batch candidates across micro-batches") {
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").limit(200).as[(Long, String)].collect()
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.streamingLshCandidates(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("slsh_out")
+      .outputMode("append").start()
+    stream.addData(docs.take(100).toSeq: _*); q.processAllAvailable()
+    stream.addData(docs.drop(100).toSeq: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slsh_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val df = docs.toSeq.toDF("doc_id", "text")
+    val withSig = df
+      .select($"doc_id".as("id"), TextFunctions.shingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("sig", Dedup.minhashSignatureMd5($"sh", 16))
+    val batch = Dedup.lshCandidates(withSig, "id", "sig",
+        bands = 4, rowsPerBand = 4, useMd5 = true)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture produced no candidate pairs")
+  }
+
+  test("streaming LSH bucket state saturates at maxBucket (bounded state)") {
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.streamingLshCandidates(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 5)
+      .writeStream.format("memory").queryName("slsh_cap_out")
+      .outputMode("append").start()
+    // 20 identical docs -> one bucket per band; only the first 5 members
+    // may emit, later arrivals find the bucket saturated
+    stream.addData((1L to 20L).map(i => (i, "the same boilerplate text repeated verbatim every time")): _*)
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("slsh_cap_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.size === 10, s"expected C(5,2)=10 distinct pairs, got ${pairs.size}")
+    val ids = pairs.flatMap(p => Set(p._1, p._2))
+    assert(ids.size <= 5, s"more than maxBucket ids emitted: $ids")
+  }
+
   test("tombstone passthrough keeps null-value records alongside live ones (T1)") {
     val enforced = StreamingPipeline.enforceSchema(golden.toDF(), userSchema)
     val flat = enforced.select(col("key"), col("partition"), col("v.*"), col("v"))
