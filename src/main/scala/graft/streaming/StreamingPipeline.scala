@@ -185,22 +185,36 @@ object StreamingPipeline {
     * SURVEY.md §2.9 ST4): per-key running aggregates that survive across
     * micro-batches. Used here for running per-user event counts + value
     * totals; the same shape carries any incremental per-key model. */
+  /** `idleTimeout` bounds state at stream scale: a key idle past the
+    * horizon has its running total evicted (the next event starts a
+    * fresh count — the documented trade for per-key state that would
+    * otherwise grow with lifetime key cardinality forever). */
   def runningUserTotals(
-      events: org.apache.spark.sql.Dataset[UserEvent]): org.apache.spark.sql.Dataset[UserTotal] = {
+      events: org.apache.spark.sql.Dataset[UserEvent],
+      idleTimeout: Option[String] = None): org.apache.spark.sql.Dataset[UserTotal] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserTotal, UserTotal](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
-          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
-          var n = prev.n_events
-          var total = prev.total_value
-          rows.foreach { e => n += 1; total += e.value }
-          val next = UserTotal(userId, n, total)
-          state.update(next)
-          Iterator.single(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+            var n = prev.n_events
+            var total = prev.total_value
+            rows.foreach { e => n += 1; total += e.value }
+            val next = UserTotal(userId, n, total)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
       }
   }
 
@@ -223,10 +237,14 @@ object StreamingPipeline {
   def streamingLshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      maxBucket: Int = 1000): org.apache.spark.sql.Dataset[LshPair] = {
+      maxBucket: Int = 1000,
+      bucketTtl: Option[String] = None): org.apache.spark.sql.Dataset[LshPair] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (bucketTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val rowsPerBand = numHashes / bands
     val withSig = docs
       .select(col(idCol).cast("long").as("id"),
@@ -243,24 +261,34 @@ object StreamingPipeline {
     banded
       .groupByKey(r => (r.band, r.bh))
       .flatMapGroupsWithState[LshBucketState, LshPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: (Int, String), rows: Iterator[LshBandRow],
          state: GroupState[LshBucketState]) =>
-          val prior = state.getOption.getOrElse(LshBucketState(Nil, saturated = false))
-          var members = prior.ids
-          var saturated = prior.saturated
-          val out = scala.collection.mutable.ListBuffer.empty[LshPair]
-          rows.foreach { r =>
-            if (!saturated && !members.contains(r.id)) {
-              members.foreach { m =>
-                out += LshPair(math.min(m, r.id), math.max(m, r.id))
+          if (state.hasTimedOut) {
+            // bucketTtl eviction: idle buckets are dropped; later docs in
+            // that bucket miss pairs against pre-TTL members (the
+            // documented recall trade that keeps total state ∝ the
+            // active working set, not corpus lifetime)
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(LshBucketState(Nil, saturated = false))
+            var members = prior.ids
+            var saturated = prior.saturated
+            val out = scala.collection.mutable.ListBuffer.empty[LshPair]
+            rows.foreach { r =>
+              if (!saturated && !members.contains(r.id)) {
+                members.foreach { m =>
+                  out += LshPair(math.min(m, r.id), math.max(m, r.id))
+                }
+                members = r.id :: members
+                if (members.length >= maxBucket) saturated = true
               }
-              members = r.id :: members
-              if (members.length >= maxBucket) saturated = true
             }
+            state.update(LshBucketState(members, saturated))
+            bucketTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(LshBucketState(members, saturated))
-          out.iterator
       }
   }
 

@@ -298,6 +298,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture produced no candidate pairs")
   }
 
+  test("idle-timeout evicts per-user running totals (bounded keyed state)") {
+    import graft.streaming.{UserEvent, UserTotal}
+    // NOTE: with ProcessingTimeTimeout the engine keeps scheduling
+    // timer-check batches, so the query is never "idle" and
+    // processAllAvailable would block forever — poll the sink with a
+    // deadline instead.
+    def await(cond: () => Boolean, what: String, timeoutMs: Long = 60000): Unit = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (!cond() && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond(), s"timed out waiting for $what")
+    }
+    def rows(): Seq[UserTotal] = spark.table("ttl_evict_out").as[UserTotal].collect().toSeq
+    val stream = MemoryStream[UserEvent]
+    val totals = StreamingPipeline.runningUserTotals(
+      stream.toDS(), idleTimeout = Some("50 milliseconds"))
+    val q = totals.writeStream.format("memory").queryName("ttl_evict_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(UserEvent(1L, 1.0), UserEvent(1L, 2.0))
+      await(() => rows().exists(t => t.user_id == 1L && t.n_events == 2L), "u1 total")
+      Thread.sleep(500) // let the timeout mature; timer batches fire it
+      stream.addData(UserEvent(2L, 9.0))
+      await(() => rows().exists(_.user_id == 2L), "u2 total")
+      stream.addData(UserEvent(1L, 4.0)) // user 1 returns after eviction
+      await(() => rows().exists(t => t.user_id == 1L && t.total_value == 4.0), "fresh u1")
+    } finally q.stop()
+    val u1 = rows().filter(_.user_id == 1L).map(t => (t.n_events, t.total_value)).toSet
+    // first lifetime: (2, 3.0); fresh state after eviction: (1, 4.0) —
+    // (3, 7.0) would mean state survived the timeout
+    assert(u1 === Set((2L, 3.0), (1L, 4.0)), s"got $u1")
+  }
+
   test("streaming LSH bucket state saturates at maxBucket (bounded state)") {
     val stream = MemoryStream[(Long, String)]
     val q = StreamingPipeline.streamingLshCandidates(
