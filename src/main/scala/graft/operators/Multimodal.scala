@@ -116,13 +116,16 @@ object Multimodal {
       var rate = 0
       var byteRate = 0
       var dataLen = -1L
-      while (o + 8 <= payload.length && (rate == 0 || dataLen < 0)) {
+      while (o >= 0 && o + 8 <= payload.length && (rate == 0 || dataLen < 0)) {
         val len = le32(o + 4).toLong & 0xFFFFFFFFL
         if (ascii(o, "fmt ") && o + 32 <= payload.length) {
           rate = le32(o + 12)
           byteRate = le32(o + 16)
         } else if (ascii(o, "data")) dataLen = len
-        o += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        // word-aligned chunk walk; a corrupt length that would not
+        // advance (or overflow int) ends the scan instead of looping
+        if (len > payload.length.toLong) o = payload.length
+        else o += 8 + len.toInt + (len.toInt & 1)
       }
       if (rate <= 0) fallback
       else fallback.copy(

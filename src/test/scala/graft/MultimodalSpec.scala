@@ -61,6 +61,17 @@ class MultimodalSpec extends SparkSpec {
     assert(got.sample_rate === 8000 && got.duration_ms === 2000 && got.format === "wav")
   }
 
+  test("sniffMeta survives corrupt RIFF chunk lengths (no loop, falls back)") {
+    val fallback = Multimodal.MediaMeta(1, 2, 3, 4, "stub")
+    // RIFF/WAVE header followed by a chunk claiming a huge length
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(56); b.put("WAVE".getBytes)
+    b.put("junk".getBytes); b.putInt(0xFFFFFFF0) // bogus 4 GiB chunk
+    val got = Multimodal.sniffMeta(b.array(), fallback)
+    assert(got === fallback) // no fmt chunk reachable -> fallback, no hang
+  }
+
   test("withSniffedMeta corrects recognizable payloads, keeps the rest") {
     // fixture payloads are UTF-8 text -> every row falls back unchanged
     val before = media.select($"media_id", $"meta").collect().toSet
