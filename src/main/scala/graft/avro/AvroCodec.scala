@@ -112,21 +112,32 @@ object AvroCodec {
   /** Confluent-framed bytes -> InternalRow. Strict mode throws on a bad
     * frame or truncated body; permissive mode returns null instead (the
     * S6 malformed-skip semantic — DROPMALFORMED via `.filter(isNotNull)`). */
-  def decode(bytes: Array[Byte], schemaJson: String, permissive: Boolean): InternalRow = {
+  def decode(bytes: Array[Byte], schemaJson: String, permissive: Boolean): InternalRow =
+    decodeEvolved(bytes, schemaJson, schemaJson, permissive)
+
+  /** Schema-evolution read (the registry story): payloads written with
+    * `writerJson` are resolved against `readerJson` by standard Avro
+    * resolution — reader-added fields take their defaults, writer-only
+    * fields are skipped, field order is matched by name. The columnar
+    * layout is the READER schema's. */
+  def decodeEvolved(bytes: Array[Byte], writerJson: String, readerJson: String,
+      permissive: Boolean): InternalRow = {
     try {
       if (bytes.length < 5 || bytes(0) != MagicByte)
         throw new IllegalArgumentException(
           s"not a Confluent-framed Avro payload (len=${bytes.length})")
       val st = state.get()
-      val schema = parsedSchema(schemaJson)
-      var reader = st.readers.get(schemaJson)
+      val readerSchema = parsedSchema(readerJson)
+      val cacheKey = writerJson + "\u0000" + readerJson
+      var reader = st.readers.get(cacheKey)
       if (reader == null) {
-        reader = new GenericDatumReader[GenericRecord](schema)
-        st.readers.put(schemaJson, reader)
+        reader = new GenericDatumReader[GenericRecord](
+          parsedSchema(writerJson), readerSchema)
+        st.readers.put(cacheKey, reader)
       }
       st.decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, st.decoder)
       val rec = reader.read(null, st.decoder)
-      toCatalyst(rec, schema).asInstanceOf[InternalRow]
+      toCatalyst(rec, readerSchema).asInstanceOf[InternalRow]
     } catch {
       case scala.util.control.NonFatal(_) if permissive => null
     }

@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * enclosing projection stays compiled.
   */
 case class AvroDecode(child: Expression, schemaJson: String,
-    permissive: Boolean = false) extends UnaryExpression {
+    permissive: Boolean = false,
+    readerSchemaJson: Option[String] = None) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -25,17 +26,22 @@ case class AvroDecode(child: Expression, schemaJson: String,
       s"from_avro expects binary, got ${t.simpleString}")
   }
 
-  override lazy val dataType: DataType = AvroCodec.sparkStructType(schemaJson)
+  /** Output layout follows the READER schema when evolution is in play. */
+  override lazy val dataType: DataType =
+    AvroCodec.sparkStructType(readerSchemaJson.getOrElse(schemaJson))
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    AvroCodec.decode(input.asInstanceOf[Array[Byte]], schemaJson, permissive)
+    AvroCodec.decodeEvolved(input.asInstanceOf[Array[Byte]], schemaJson,
+      readerSchemaJson.getOrElse(schemaJson), permissive)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sj = ctx.addReferenceObj("avroSchemaJson", schemaJson, "java.lang.String")
+    val rj = ctx.addReferenceObj("avroReaderSchemaJson",
+      readerSchemaJson.getOrElse(schemaJson), "java.lang.String")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |${ev.value} = graft.avro.AvroCodec.decode($c, $sj, $permissive);
+         |${ev.value} = graft.avro.AvroCodec.decodeEvolved($c, $sj, $rj, $permissive);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
   }
@@ -125,6 +131,13 @@ object functions {
   def from_avro_confluent(c: Column, schemaJson: String,
       permissive: Boolean = false): Column =
     ExprBridge.column(AvroDecode(ExprBridge.expression(c), schemaJson, permissive))
+
+  /** Evolution read: payload written with `writerSchemaJson`, projected
+    * onto `readerSchemaJson` (defaults filled, dropped fields skipped). */
+  def from_avro_evolved(c: Column, writerSchemaJson: String,
+      readerSchemaJson: String, permissive: Boolean = false): Column =
+    ExprBridge.column(AvroDecode(ExprBridge.expression(c), writerSchemaJson,
+      permissive, Some(readerSchemaJson)))
 
   def to_avro_confluent(c: Column, schemaJson: String, schemaId: Int = 1): Column =
     ExprBridge.column(AvroEncode(ExprBridge.expression(c), schemaJson, schemaId))

@@ -151,6 +151,41 @@ class AvroSpec extends SparkSpec {
       Set("User0 Doe0", "User1 Doe1", "User3 Doe3"))
   }
 
+  test("schema evolution: reader adds defaulted field, drops one, survives reorder") {
+    // v2 reader: drops internal_tracking_code, adds loyalty_tier with a
+    // default, and lists email before last_name (resolution is by name)
+    val readerSchema =
+      """{
+        |  "type": "record", "name": "User", "namespace": "com.dorjee.avro",
+        |  "fields": [
+        |    {"name": "user_id", "type": "string"},
+        |    {"name": "first_name", "type": ["null", "string"], "default": null},
+        |    {"name": "email", "type": "string"},
+        |    {"name": "last_name", "type": ["null", "string"], "default": null},
+        |    {"name": "age", "type": "int"},
+        |    {"name": "loyalty_tier", "type": "string", "default": "basic"},
+        |    {"name": "address", "type": {"type": "record", "name": "Address",
+        |      "fields": [
+        |        {"name": "street", "type": "string"},
+        |        {"name": "city", "type": "string"},
+        |        {"name": "zip_code", "type": "string"}]}}
+        |  ]
+        |}""".stripMargin
+    val out = usersDf(Seq(userRow(4, Some("Evo"))))
+      .select(to_avro_confluent(col("user"), schema).as("b"))
+      .select(from_avro_evolved(col("b"), schema, readerSchema).as("u"))
+      .select(col("u.*"))
+      .collect().head
+    assert(out.getAs[String]("user_id") === "id_4")
+    assert(out.getAs[String]("first_name") === "Evo")
+    assert(out.getAs[String]("email") === "user4@example.com")
+    assert(out.getAs[Int]("age") === 24)
+    assert(out.getAs[String]("loyalty_tier") === "basic") // reader default
+    assert(out.schema.fieldNames.contains("loyalty_tier"))
+    assert(!out.schema.fieldNames.contains("internal_tracking_code")) // dropped
+    assert(out.getAs[Row]("address").getAs[String]("street") === "4 St")
+  }
+
   test("SQL surface: avro functions registered via SparkSessionExtensions") {
     graft.plans.GraftExtensions.register(spark)
     usersDf(Seq(userRow(5, Some("Sql")))).createOrReplaceTempView("avro_users")
