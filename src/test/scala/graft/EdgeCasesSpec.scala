@@ -59,6 +59,39 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("connected components on an empty pair list returns empty") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(emptyPairs).count() === 0)
+  }
+
+  test("avro decode edge inputs: empty body record, empty strings") {
+    val schema =
+      """{"type":"record","name":"E","fields":[
+        |  {"name":"s","type":"string"},
+        |  {"name":"os","type":["null","string"],"default":null}
+        |]}""".stripMargin
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val row = new GenericInternalRow(Array[Any](UTF8String.fromString(""), null))
+    val bytes = graft.avro.AvroCodec.encode(row, schema, 1)
+    val back = graft.avro.AvroCodec.decode(bytes, schema, permissive = false)
+    assert(back.getUTF8String(0).toString === "")
+    assert(back.isNullAt(1))
+    // empty byte array is never a valid frame
+    assert(graft.avro.AvroCodec.decode(Array.empty[Byte], schema, permissive = true) == null)
+  }
+
+  test("int8 quantization guards the zero-vector division") {
+    val zero = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val q = zero
+      .withColumn("scale", sqrt(VectorFunctions.normSq($"embedding")))
+      .select(transform($"embedding",
+        x => when($"scale" === 0.0, lit(0))
+          .otherwise(round(x.cast("double") / $"scale" * 127).cast("int"))).as("q"))
+      .head().getSeq[Int](0)
+    assert(q === Seq(0, 0, 0, 0))
+  }
+
   test("cosine on empty arrays yields 0 (zero-norm contract)") {
     val df = Seq((Array.empty[Float], Array.empty[Float])).toDF("a", "b")
     val v = df.select(VectorFunctions.cosine($"a", $"b")).head().getDouble(0)
