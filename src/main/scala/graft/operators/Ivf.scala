@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,27 +57,35 @@ object Ivf {
       .toSeq.toDF("cell", "centroid")
   }
 
+  /** Squared L2 distance between two float arrays, folded in index
+    * order — bit-identical to the oracle's list_transform+list_sum. */
+  private def dist2(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b,
+      (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+    lit(0.0), (acc, v) => acc + v)
+
   def search(
       index: Index, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame =
+    searchWithCentroids(centroidsDf(index.assigned.sparkSession, index.model),
+      index.assigned, queries, idCol, vecCol, k, nProbe)
+
+  private def searchWithCentroids(
+      cents: DataFrame, assigned: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int): DataFrame = {
-    val spark = index.assigned.sparkSession
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
 
-    // Rank cells per query by euclidean distance to the centroid.
-    val cents = centroidsDf(spark, index.model)
-    val dist2 = aggregate(
-      zip_with(col("qvec"), col("centroid"),
-        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    // Rank cells per query by (squared) euclidean distance to the centroid.
     val cellRank = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
     val probed = q.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2)
+      .withColumn("d2", dist2(col("qvec"), col("centroid")))
       .withColumn("__r", row_number().over(cellRank))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell"))
 
     // Candidates = union of probed inverted lists; exact cosine rerank.
-    val cands = index.assigned
+    val cands = assigned
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
       .join(probed, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -88,6 +96,44 @@ object Ivf {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("t.id").as("neighbor_id"), col("t.score").as("sim"))
+  }
+
+  /** Deterministic, engine-neutral IVF: centroids are the nCells corpus
+    * vectors with the lexicographically smallest md5(id) (a seeded
+    * sample — the standard "coarse quantizer from sampled points"
+    * degenerate of k-means with 0 iterations), and every vector joins
+    * the argmin-d2 cell (ties to the lowest cell id). No MLlib state,
+    * so a DuckDB oracle can rebuild the exact same cells — the IVF
+    * probe/rerank machinery runs under the full hash gate. The k-means
+    * build (`build`/`topK`) remains the quality quantizer. */
+  def buildSeededFlat(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): (DataFrame, DataFrame) = {
+    val hashed = corpus.select(col(idCol).as("cid"), col(vecCol).as("centroid"),
+      md5(col(idCol).cast("string")).as("h"))
+    // nCells rows: the single-partition window is over a constant-sized
+    // frame (the LIMIT happens first), not the corpus
+    val cents = hashed.orderBy(col("h"), col("cid")).limit(nCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("h"), col("cid"))) - 1).cast("int"))
+      .select(col("cell"), col("centroid"))
+    val assignRank = Window.partitionBy(col("__id")).orderBy(col("d2"), col("cell"))
+    val assigned = corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("__vec"), col("centroid")))
+      .withColumn("__r", row_number().over(assignRank))
+      .filter(col("__r") === 1)
+      .select(col("__id").as(idCol), col("__vec").as(vecCol), col("cell"))
+    (cents, assigned)
+  }
+
+  /** One-shot seeded-IVF search (the oracle-backed variant). */
+  def seededTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val (cents, assigned) = buildSeededFlat(corpus, idCol, vecCol, nCells)
+    searchWithCentroids(cents, assigned, queries, idCol, vecCol, k, nProbe)
   }
 
   /** One-shot convenience: build + search. */

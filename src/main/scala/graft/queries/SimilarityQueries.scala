@@ -53,6 +53,16 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Seeded-centroid IVF — the same probe/rerank machinery with an
+    * engine-neutral quantizer, so the DuckDB oracle rebuilds the exact
+    * cells and the whole IVF search path sits under the hash gate. */
+  def simTopKIvfSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Ivf.seededTopK(emb, queriesSubset(emb), "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** kNN self-join over md5-plane LSH buckets — oracle rebuilds the
     * 8×4-bit buckets, enumerates both pair orientations, reranks. */
   def simKnnJoin(spark: SparkSession, dir: String): DataFrame =
@@ -118,6 +128,7 @@ object SimilarityQueries {
     "sim_neardup_exact_check" -> (simNearDup _),
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
+    "sim_topk_ivf_seeded" -> (simTopKIvfSeeded _),
     "emb_quantize" -> (embQuantize _)
   )
 
@@ -178,6 +189,39 @@ object SimilarityQueries {
         |  FROM cands ca
         |  JOIN e eq ON eq.vec_id = ca.query_id
         |  JOIN e ec ON ec.vec_id = ca.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Seeded IVF: centroids = the 16 vectors with smallest md5(id);
+    // assignment/probe rank cells by squared L2 computed as an ordered
+    // list fold (bit-identical to the Spark-side zip_with aggregate).
+    "sim_topk_ivf_seeded" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |cents AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+        |         vec AS centroid
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, vec, cell FROM (
+        |    SELECT e.vec_id, e.vec, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_sum(list_transform(range(64), i -> (e.vec[i+1]-c.centroid[i+1])*(e.vec[i+1]-c.centroid[i+1]))), c.cell) AS r
+        |    FROM e CROSS JOIN cents c) t WHERE r = 1),
+        |probed AS (
+        |  SELECT query_id, qvec, cell FROM (
+        |    SELECT q.vec_id AS query_id, q.vec AS qvec, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |             list_sum(list_transform(range(64), i -> (q.vec[i+1]-c.centroid[i+1])*(q.vec[i+1]-c.centroid[i+1]))), c.cell) AS r
+        |    FROM e q CROSS JOIN cents c WHERE q.vec_id % 50 = 0) t WHERE r <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(p.qvec, a.vec), 9) AS sim
+        |  FROM probed p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, sim,
         |         ROW_NUMBER() OVER (PARTITION BY query_id
