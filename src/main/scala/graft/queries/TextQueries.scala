@@ -229,7 +229,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (80/10/10): bucket =
+    * md5(doc_id + salt) folded to 0..99 via ascii arithmetic — stable
+    * across runs, engines, and partitionings (the property a split MUST
+    * have so re-runs never leak val docs into train). Scan-shaped; the
+    * only shuffle is the per-split rollup. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("|graftsplit")))
+    val bucket =
+      (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_split" -> (datasetSplit _),
     "curation_report" -> (curationReport _),
     "text_contamination" -> (contamination _),
     "text_repetition" -> (repetition _),
@@ -262,6 +286,19 @@ object TextQueries {
     "fr" -> "('le','les','et','je')")
 
   val oracles: Map[String, String] = Map(
+    "dataset_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |         (ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graftsplit'), 1, 1)) * 256
+        |          + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|graftsplit'), 2, 1))) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "curation_report" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
