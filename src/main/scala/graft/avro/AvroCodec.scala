@@ -149,6 +149,16 @@ object AvroCodec {
     ByteBuffer.wrap(bytes, 1, 4).getInt
   }
 
+  /** Record -> InternalRow with the given (reader) schema's layout — the
+    * container-file read path ([[AvroFiles]]). */
+  private[avro] def avroToRow(rec: GenericRecord, schema: Schema): InternalRow =
+    toCatalyst(rec, schema).asInstanceOf[InternalRow]
+
+  /** InternalRow (layout = `sparkType(schema)`) -> Record — the
+    * container-file write path ([[AvroFiles]]). */
+  private[avro] def rowToAvro(row: InternalRow, schema: Schema): GenericRecord =
+    toAvro(row, schema).asInstanceOf[GenericRecord]
+
   private def toCatalyst(v: AnyRef, s0: Schema): Any = {
     if (v == null) return null
     val s = nonNull(s0)

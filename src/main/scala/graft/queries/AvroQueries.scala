@@ -138,10 +138,70 @@ object AvroQueries {
         count(col("u.first_name")).as("n_named"))
   }
 
+  /** An evolved reader schema for the OCF evolution read: drops the two
+    * sensitive columns, reorders fields (name-matched resolution), and
+    * adds `status` with a default — the three standard evolution moves. */
+  val userV2SchemaJson: String =
+    """{
+      |  "type": "record", "name": "User", "namespace": "com.dorjee.avro",
+      |  "fields": [
+      |    {"name": "user_id", "type": "string"},
+      |    {"name": "email", "type": "string"},
+      |    {"name": "age", "type": "int"},
+      |    {"name": "first_name", "type": ["null", "string"], "default": null},
+      |    {"name": "last_name", "type": ["null", "string"], "default": null},
+      |    {"name": "status", "type": "string", "default": "active"},
+      |    {"name": "address", "type": {"type": "record", "name": "Address",
+      |      "fields": [
+      |        {"name": "street", "type": "string"},
+      |        {"name": "city", "type": "string"},
+      |        {"name": "zip_code", "type": "string"}]}}
+      |  ]
+      |}""".stripMargin
+
+  /** Scratch dir for the container-file queries, keyed by the testdata
+    * dir so concurrent Verify runs at different scale factors never
+    * collide; each query owns its own subdir (AvroFiles.write replaces
+    * it wholesale, so reruns are self-cleaning). */
+  private def ocfDir(dir: String, sub: String): String =
+    new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ocf_${Integer.toHexString(dir.hashCode)}"), sub).toString
+
+  /** Write the users fixture as Avro container files, read it back, and
+    * flatten — a hash match against the Avro-free oracle proves the OCF
+    * round trip lossless (incl. both union branches). */
+  def avroFileRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val users = userStruct(spark, dir).select(col("user.*"))
+    val out = ocfDir(dir, "roundtrip")
+    graft.avro.AvroFiles.write(users, userSchemaJson, out, codec = "deflate")
+    graft.avro.AvroFiles.read(spark, out, userSchemaJson)
+      .select(col("user_id"), col("first_name"), col("last_name"), col("email"),
+        col("age"), col("raw_password_hash"), col("internal_tracking_code"),
+        col("address.street").as("street"), col("address.city").as("city"),
+        col("address.zip_code").as("zip_code"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Files written with the producer schema, read with the evolved
+    * reader: dropped fields vanish, `status` takes its default, and the
+    * reordered layout is the reader's. */
+  def avroFileEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val users = userStruct(spark, dir).select(col("user.*"))
+    val out = ocfDir(dir, "evolution")
+    graft.avro.AvroFiles.write(users, userSchemaJson, out, codec = "null")
+    graft.avro.AvroFiles.read(spark, out, userV2SchemaJson)
+      .select(col("user_id"), col("email"), col("age"), col("first_name"),
+        col("last_name"), col("status"),
+        col("address.city").as("city"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "avro_roundtrip" -> (avroRoundtrip _),
     "avro_pipeline" -> (avroPipeline _),
-    "avro_malformed_skip" -> (avroMalformedSkip _)
+    "avro_malformed_skip" -> (avroMalformedSkip _),
+    "avro_file_roundtrip" -> (avroFileRoundtrip _),
+    "avro_file_evolution" -> (avroFileEvolution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -167,6 +227,17 @@ object AvroQueries {
          |SELECT COUNT(*) AS n_good,
          |       CAST(SUM(age) AS BIGINT) AS sum_age,
          |       COUNT(first_name) AS n_named
-         |FROM users WHERE CAST(user_id AS BIGINT) % 13 <> 0""".stripMargin
+         |FROM users WHERE CAST(user_id AS BIGINT) % 13 <> 0""".stripMargin,
+    "avro_file_roundtrip" ->
+      s"""WITH $usersCte
+         |SELECT user_id, first_name, last_name, email, age,
+         |       raw_password_hash, internal_tracking_code, street, city,
+         |       zip_code
+         |FROM users ORDER BY user_id""".stripMargin,
+    "avro_file_evolution" ->
+      s"""WITH $usersCte
+         |SELECT user_id, email, age, first_name, last_name,
+         |       'active' AS status, city
+         |FROM users ORDER BY user_id""".stripMargin
   )
 }

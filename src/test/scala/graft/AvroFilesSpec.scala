@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.avro.AvroFiles
+import graft.queries.AvroQueries
+
+/** The Avro Object Container File source/sink: round trip, codec
+  * parity, schema-evolution reads, and empty-partition handling.
+  */
+class AvroFilesSpec extends SparkSpec {
+
+  private val schema = AvroQueries.userSchemaJson
+  private val schemaV2 = AvroQueries.userV2SchemaJson
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ocf_spec").toString
+
+  private def usersDf(n: Int, partitions: Int) = {
+    val rows = (0 until n).map { i =>
+      Row(s"id_$i",
+        if (i % 3 == 0) null else s"First$i",
+        s"Last$i", s"u$i@example.com", 20 + i, s"hash$i", s"TRACK_$i",
+        Row(s"$i St", "City", f"$i%05d"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, partitions),
+      graft.avro.AvroCodec.sparkStructType(schema))
+  }
+
+  test("OCF round trip preserves every field including null unions") {
+    val df = usersDf(20, 3)
+    val dir = tmp()
+    val written = AvroFiles.write(df, schema, dir)
+    assert(written === 20)
+    val back = AvroFiles.read(spark, dir, schema)
+    assert(back.schema === df.schema)
+    val a = df.collect().map(_.toString).sorted.toSeq
+    val b = back.collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("one container file per non-empty partition; empty partitions skipped") {
+    val df = usersDf(4, 8) // 8 slices over 4 rows -> some empty
+    val dir = tmp()
+    AvroFiles.write(df, schema, dir, codec = "null")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty && files.length <= 4)
+    assert(AvroFiles.read(spark, dir, schema).count() === 4)
+  }
+
+  test("deflate and null codecs read back identically") {
+    val df = usersDf(15, 2)
+    val d1 = tmp(); val d2 = tmp()
+    AvroFiles.write(df, schema, d1, codec = "deflate")
+    AvroFiles.write(df, schema, d2, codec = "null")
+    val a = AvroFiles.read(spark, d1, schema).collect().map(_.toString).sorted.toSeq
+    val b = AvroFiles.read(spark, d2, schema).collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("write replaces stale files from a previous layout") {
+    val dir = tmp()
+    AvroFiles.write(usersDf(20, 5), schema, dir) // up to 5 part files
+    AvroFiles.write(usersDf(6, 1), schema, dir)  // 1 part file
+    assert(AvroFiles.read(spark, dir, schema).count() === 6)
+  }
+
+  test("schema-evolution read: defaults filled, drops skipped, fields name-matched") {
+    val df = usersDf(10, 2)
+    val dir = tmp()
+    AvroFiles.write(df, schema, dir)
+    val evolved = AvroFiles.read(spark, dir, schemaV2)
+    assert(evolved.schema.fieldNames.toSeq === Seq(
+      "user_id", "email", "age", "first_name", "last_name", "status", "address"))
+    val rows = evolved.orderBy(col("user_id")).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getString(5) === "active"))
+    val r0 = rows.find(_.getString(0) == "id_1").get
+    assert(r0.getString(1) === "u1@example.com")
+    assert(r0.getInt(2) === 21)
+    assert(r0.getString(3) === "First1")
+    // null-union branch still resolves through evolution
+    assert(rows.find(_.getString(0) == "id_0").get.isNullAt(3))
+  }
+
+  test("registry OCF queries run and agree with the wire-path fixture") {
+    val fileRt = AvroQueries.avroFileRoundtrip(spark, sf)
+    val wireRt = AvroQueries.avroRoundtrip(spark, sf).drop("schema_id")
+    assert(fileRt.count() > 0)
+    assert(fileRt.exceptAll(wireRt).isEmpty && wireRt.exceptAll(fileRt).isEmpty)
+    val evo = AvroQueries.avroFileEvolution(spark, sf)
+    assert(evo.count() === fileRt.count())
+    assert(evo.select("status").distinct().collect().map(_.getString(0)).toSeq === Seq("active"))
+  }
+}
