@@ -29,6 +29,43 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Passage-level exact substring dedup (the exact-substring member of
+    * the dedup family at fixed passage granularity, cf. the dedup
+    * literature's suffix-array formulation): documents are cut into
+    * non-overlapping `passageTokens`-token windows, and a passage whose
+    * text occurs more than once corpus-wide is duplicated content. Emits
+    * per doc: passage/duplicate counts, total tokens, and the token
+    * count that survives dropping every duplicated passage.
+    *
+    * Scale: the passage explode is scan-side; the corpus-wide occurrence
+    * count is ONE shuffle (a count window over the passage key — not a
+    * groupBy + join back, which would shuffle the passage set twice);
+    * the per-doc rollup is the second. A boilerplate passage shared by
+    * millions of docs makes a large hash partition but never a pair
+    * explosion — cost stays linear in occurrences. */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(passageTokens))).as("start"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(passageTokens))).as("passage"),
+        size(slice(col("w"), col("start") + 1, lit(passageTokens))).cast("long").as("n_toks"))
+    val occ = p.withColumn("n_occ",
+      count(lit(1)).over(Window.partitionBy(col("passage"))))
+    occ.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("n_occ") === 1, col("n_toks")).otherwise(0L)).as("n_kept_tokens"))
+      .withColumn("dup_share",
+        round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
+  }
+
   /** MinHash signature as an array column: sig(i) = min over shingles of
     * hash(i, shingle). Fused custom expression — one pass over the
     * shingle array updating all perm minimums (the HOF reference

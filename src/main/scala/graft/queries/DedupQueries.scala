@@ -103,7 +103,16 @@ object DedupQueries {
       .orderBy(col("node"))
   }
 
+  /** Exact substring dedup at 10-token passage granularity: which spans
+    * of each document are copied text anywhere in the corpus, and how
+    * many tokens survive removing them. */
+  def dedupPassages(spark: SparkSession, dir: String): DataFrame =
+    Dedup.passageDedup(Tables.documents(spark, dir), "doc_id", "text",
+      passageTokens = 10)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_passages" -> (dedupPassages _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
     "prep_pipeline" -> (prepPipeline _),
@@ -134,6 +143,26 @@ object DedupQueries {
       |len(list_filter(w, t -> t IN ('le','les','et','je'))) AS c_fr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_passages" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         array_to_string(w[CAST(s+1 AS INT):CAST(s+10 AS INT)], ' ') AS passage,
+        |         CAST(len(w[CAST(s+1 AS INT):CAST(s+10 AS INT)]) AS BIGINT) AS n_toks
+        |  FROM t, UNNEST(range(0, len(w), 10)) AS u(s)),
+        |f AS (
+        |  SELECT doc_id, n_toks,
+        |         COUNT(*) OVER (PARTITION BY passage) AS n_occ
+        |  FROM p)
+        |SELECT doc_id,
+        |       COUNT(*) AS n_passages,
+        |       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+        |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN n_occ = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+        |       round(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*), 6) AS dup_share
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_winnowing_candidates" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wd FROM documents),

@@ -70,10 +70,30 @@ object TemporalQueries {
       .orderBy(col("cohort"), col("month_offset"))
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) history from the event
+    * changelog: each event becomes a validity interval
+    * [ts, next event's ts) per user, the open interval marking the
+    * current row — the full-history extension of the reference's
+    * last-writer-wins keying (J2, `Reconcile.lastWriterWins` keeps only
+    * the final row; this keeps the lineage). One shuffle: a lead window
+    * over (user_id; ts, event_id) — the same partitioning the
+    * last-writer-wins row_number uses, so a combined plan reuses the
+    * exchange. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"), col("value"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> (eventsResample _),
     "funnel_conversion" -> (funnelConversion _),
-    "cohort_retention" -> (cohortRetention _)
+    "cohort_retention" -> (cohortRetention _),
+    "scd2_history" -> (scd2History _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +140,15 @@ object TemporalQueries {
         |         - (year(c.cohort) * 12 + month(c.cohort)) AS month_offset,
         |       COUNT(DISTINCT e.user_id) AS n_active
         |FROM events e JOIN c USING (user_id)
-        |GROUP BY c.cohort, month_offset ORDER BY cohort, month_offset""".stripMargin
+        |GROUP BY c.cohort, month_offset ORDER BY cohort, month_offset""".stripMargin,
+    "scd2_history" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS valid_to,
+        |       value,
+        |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS NULL) AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin
   )
 }

@@ -24,6 +24,25 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L) === 1L)
   }
 
+  test("passage dedup: corpus-wide and within-doc repeats flagged, tail passage kept") {
+    val d = Seq(
+      (1L, "a b c d e f g h"), // passages: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"), // shares "a b c d" with doc 1
+      (3L, "p q r s t"),       // unique passages, short tail "t"
+      (4L, "m n o p m n o p")  // self-repeats: both passages duplicated
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(d, "doc_id", "text", passageTokens = 4)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_passages"),
+      out(i).getAs[Long]("n_dup_passages"), out(i).getAs[Long]("n_tokens"),
+      out(i).getAs[Long]("n_kept_tokens"))
+    assert(row(0) === ((2L, 1L, 8L, 4L)))
+    assert(row(1) === ((2L, 1L, 8L, 4L)))
+    assert(row(2) === ((2L, 0L, 5L, 5L)))
+    assert(row(3) === ((2L, 2L, 8L, 0L)))
+    assert(out(3).getAs[Double]("dup_share") === 1.0)
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
