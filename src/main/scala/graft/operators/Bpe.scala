@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions
+
+/** Byte-pair-encoding vocabulary learning: the first `steps` merge rules
+  * of a BPE tokenizer, learned from the corpus — the training half of the
+  * tokenizer story (`TextFunctions.tokensBpe` is the apply half).
+  *
+  * The expensive part — one corpus scan — happens exactly once: BPE
+  * statistics live on the WORD-FREQUENCY table (vocab-sized, orders of
+  * magnitude smaller than the corpus), so each merge iteration is an
+  * explode + sum aggregate over the cached vocab, and only the single
+  * argmax row crosses the driver per step (the convergence-probe
+  * pattern). At 100 TB the corpus scan dominates and parallelizes
+  * fully; the per-step work is bounded by vocabulary size.
+  *
+  * Merge application is the greedy left-to-right fold over a word's
+  * symbol sequence (leftmost pair first, merged symbols immediately
+  * eligible as left context for the NEXT occurrence but a fixed pair
+  * never re-merges its own output — standard BPE semantics). The fold
+  * is expressed as a string-accumulator `aggregate` HOF so the DuckDB
+  * oracle can replicate it bit-identically with `list_reduce`.
+  */
+object Bpe {
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** The greedy merge fold: symbols `sym` -> space-joined merged string.
+    * Single-symbol words return that symbol (empty fold = init). */
+  private def mergeFoldExpr(a: String, b: String, merged: String): String = {
+    val (qa, qb, qm) = (sqlLit(a), sqlLit(b), sqlLit(merged))
+    s"""aggregate(slice(sym, 2, size(sym) - 1), element_at(sym, 1),
+       |  (acc, x) -> CASE
+       |    WHEN x = '$qb' AND (acc = '$qa' OR endswith(acc, concat(' ', '$qa')))
+       |    THEN CASE WHEN acc = '$qa' THEN '$qm'
+       |         ELSE concat(left(acc, length(acc) - ${a.length + 1}), ' ', '$qm') END
+       |    ELSE concat(acc, ' ', x) END)""".stripMargin
+  }
+
+  /** Learn the first `steps` merges. Output: one row per step with the
+    * winning pair (ties broken by pair string ascending — deterministic
+    * across engines), its merged symbol, and its weighted frequency. */
+  def learnMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(array_join(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        " ").as("s"), col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var cur = words
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (step <- 1 to steps) {
+      val top = cur
+        .select(col("cnt"), split(col("s"), " ").as("sym"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(sym) - 2), " +
+            "i -> concat(element_at(sym, i + 1), ' ', element_at(sym, i + 2)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(desc("pair_count"), asc("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        val merged = a + b
+        out += ((step, pair, merged, top(0).getLong(1)))
+        cur = cur
+          .select(col("cnt"), split(col("s"), " ").as("sym"))
+          .select(expr(mergeFoldExpr(a, b, merged)).as("s"), col("cnt"))
+      }
+    }
+    words.unpersist(blocking = false)
+    out.toSeq.toDF("step", "pair", "merged", "pair_count")
+  }
+}

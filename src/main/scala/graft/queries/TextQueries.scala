@@ -252,7 +252,14 @@ object TextQueries {
       .orderBy(col("split"))
   }
 
+  /** Learn the first 3 BPE merge rules from the corpus (tokenizer
+    * training; `text_bpe_tokens` is the apply side). */
+  def bpeLearnMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learnMerges(Tables.documents(spark, dir), "text", steps = 3)
+      .orderBy(col("step"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_learn_merges" -> (bpeLearnMerges _),
     "dataset_split" -> (datasetSplit _),
     "curation_report" -> (curationReport _),
     "text_contamination" -> (contamination _),
@@ -285,7 +292,48 @@ object TextQueries {
     "es" -> "('el','la','los','y')",
     "fr" -> "('le','les','et','je')")
 
+  /** One BPE step: pair counts over the vocab (p), deterministic argmax
+    * (m), and the greedy merge fold applied per word (w) — list_reduce
+    * with a string accumulator is bit-identical to the Spark-side
+    * `aggregate` HOF in `Bpe.mergeFoldExpr`. */
+  private def bpeStepCte(k: Int): String =
+    s"""p$k AS (
+       |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+       |  FROM (
+       |    SELECT cnt, unnest(list_transform(range(len(sym)-1),
+       |             i -> sym[CAST(i+1 AS INT)] || ' ' || sym[CAST(i+2 AS INT)])) AS pair
+       |    FROM (SELECT string_split(s, ' ') AS sym, cnt FROM w${k - 1}))
+       |  GROUP BY pair),
+       |m$k AS (
+       |  SELECT pair, pair_count, replace(pair, ' ', '') AS merged,
+       |         string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+       |  FROM p$k ORDER BY pair_count DESC, pair LIMIT 1),
+       |w$k AS (
+       |  SELECT list_reduce(string_split(w.s, ' '), (acc, x) ->
+       |    CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+       |         THEN CASE WHEN acc = m.a THEN m.merged
+       |              ELSE left(acc, length(acc) - length(m.a) - 1) || ' ' || m.merged END
+       |         ELSE acc || ' ' || x END) AS s, w.cnt
+       |  FROM w${k - 1} w, m$k m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "bpe_learn_merges" ->
+      s"""WITH words AS (
+         |  SELECT w AS word, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |        FROM documents)
+         |  GROUP BY w),
+         |w0 AS (
+         |  SELECT array_to_string(list_transform(range(length(word)),
+         |           i -> word[CAST(i+1 AS INT)]), ' ') AS s, cnt
+         |  FROM words),
+         |${bpeStepCte(1)},
+         |${bpeStepCte(2)},
+         |${bpeStepCte(3)}
+         |SELECT 1 AS step, pair, merged, pair_count FROM m1
+         |UNION ALL SELECT 2, pair, merged, pair_count FROM m2
+         |UNION ALL SELECT 3, pair, merged, pair_count FROM m3
+         |ORDER BY step""".stripMargin,
     "dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id, n_chars,

@@ -112,4 +112,27 @@ class TextFunctionsSpec extends SparkSpec {
       assert(sh.distinct.size === sh.size)
     }
   }
+
+  test("BPE merge learning: counts, greedy application, deterministic ties") {
+    // "aaab": a a a b -> pairs (a,a)x2 (a,b); "aab": (a,a) (a,b)
+    // step 1: (a,a)=3 wins; greedy left fold gives [aa,a,b] / [aa,b]
+    // step 2: pairs (aa,a)=1 (a,b)=1 (aa,b)=1 -> tie, 'a b' < 'aa a' asc
+    // step 3: [aa,ab] / [aa,b] -> (aa,ab)=1 (aa,b)=1 -> 'aa ab' wins
+    val docs = Seq((1L, "aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val m = graft.operators.Bpe.learnMerges(docs, "text", steps = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq(
+      (1, "a a", "aa", 3L),
+      (2, "a b", "ab", 1L),
+      (3, "aa ab", "aaab", 1L)))
+  }
+
+  test("BPE merge learning: single-char words contribute no pairs but stay counted") {
+    val docs = Seq((1L, "x y x y xy")).toDF("doc_id", "text")
+    val m = graft.operators.Bpe.learnMerges(docs, "text", steps = 1)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    // only the two-char word 'xy' has a pair
+    assert(m.toSeq === Seq(("x y", 1L)))
+  }
 }
