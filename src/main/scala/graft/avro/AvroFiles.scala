@@ -84,7 +84,9 @@ object AvroFiles {
     * writer-only fields are skipped, fields match by name. */
   def read(spark: SparkSession, dir: String, readerSchemaJson: String): DataFrame = {
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.avro").load(dir)
+      .option("pathGlobFilter", "*.avro")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
       .select("content")
     val schema = AvroCodec.sparkStructType(readerSchemaJson)
     val rows = InternalDf.toInternalRdd(files).mapPartitions { parts =>

@@ -41,16 +41,14 @@ object Bpe {
        |    ELSE concat(acc, ' ', x) END)""".stripMargin
   }
 
-  /** Learn the first `steps` merges. Output: one row per step with the
-    * winning pair (ties broken by pair string ascending — deterministic
-    * across engines), its merged symbol, and its weighted frequency. */
-  def learnMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Shared learner: merge rules + the vocab in its final segmented
+    * state (the `word` column rides along untouched). */
+  private def learn(docs: DataFrame, textCol: String,
+      steps: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     val words = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(array_join(
+      .select(col("word"), array_join(
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
         " ").as("s"), col("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -74,11 +72,28 @@ object Bpe {
         val merged = a + b
         out += ((step, pair, merged, top(0).getLong(1)))
         cur = cur
-          .select(col("cnt"), split(col("s"), " ").as("sym"))
-          .select(expr(mergeFoldExpr(a, b, merged)).as("s"), col("cnt"))
+          .select(col("word"), col("cnt"), split(col("s"), " ").as("sym"))
+          .select(col("word"), expr(mergeFoldExpr(a, b, merged)).as("s"), col("cnt"))
       }
     }
-    words.unpersist(blocking = false)
-    out.toSeq.toDF("step", "pair", "merged", "pair_count")
+    (out.toSeq, cur)
+  }
+
+  /** Learn the first `steps` merges. Output: one row per step with the
+    * winning pair (ties broken by pair string ascending — deterministic
+    * across engines), its merged symbol, and its weighted frequency. */
+  def learnMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, _) = learn(docs, textCol, steps)
+    merges.toDF("step", "pair", "merged", "pair_count")
+  }
+
+  /** The apply side: the vocabulary segmented by the learned merges —
+    * (word, space-joined subword symbols, corpus frequency). This is
+    * what a tokenizer ships: the segmentation lookup table. */
+  def segmentVocab(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val (_, segmented) = learn(docs, textCol, steps)
+    segmented.select(col("word"), col("s").as("segments"), col("cnt"))
   }
 }

@@ -258,8 +258,15 @@ object TextQueries {
     graft.operators.Bpe.learnMerges(Tables.documents(spark, dir), "text", steps = 3)
       .orderBy(col("step"))
 
+  /** The apply side of BPE: the vocabulary segmented by the 3 learned
+    * merges (word -> subword symbols + corpus frequency). */
+  def bpeSegmentVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.segmentVocab(Tables.documents(spark, dir), "text", steps = 3)
+      .orderBy(col("word"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_learn_merges" -> (bpeLearnMerges _),
+    "bpe_segment_vocab" -> (bpeSegmentVocab _),
     "dataset_split" -> (datasetSplit _),
     "curation_report" -> (curationReport _),
     "text_contamination" -> (contamination _),
@@ -309,31 +316,39 @@ object TextQueries {
        |         string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
        |  FROM p$k ORDER BY pair_count DESC, pair LIMIT 1),
        |w$k AS (
-       |  SELECT list_reduce(string_split(w.s, ' '), (acc, x) ->
+       |  SELECT w.word, list_reduce(string_split(w.s, ' '), (acc, x) ->
        |    CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
        |         THEN CASE WHEN acc = m.a THEN m.merged
        |              ELSE left(acc, length(acc) - length(m.a) - 1) || ' ' || m.merged END
        |         ELSE acc || ' ' || x END) AS s, w.cnt
        |  FROM w${k - 1} w, m$k m)""".stripMargin
 
+  /** Shared CTE chain for both BPE queries: words -> spaced chars -> 3
+    * learn/apply steps. */
+  private def bpeCtes: String =
+    s"""words AS (
+       |  SELECT w AS word, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  GROUP BY w),
+       |w0 AS (
+       |  SELECT word, array_to_string(list_transform(range(length(word)),
+       |           i -> word[CAST(i+1 AS INT)]), ' ') AS s, cnt
+       |  FROM words),
+       |${bpeStepCte(1)},
+       |${bpeStepCte(2)},
+       |${bpeStepCte(3)}""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "bpe_learn_merges" ->
-      s"""WITH words AS (
-         |  SELECT w AS word, COUNT(*) AS cnt
-         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-         |        FROM documents)
-         |  GROUP BY w),
-         |w0 AS (
-         |  SELECT array_to_string(list_transform(range(length(word)),
-         |           i -> word[CAST(i+1 AS INT)]), ' ') AS s, cnt
-         |  FROM words),
-         |${bpeStepCte(1)},
-         |${bpeStepCte(2)},
-         |${bpeStepCte(3)}
+      s"""WITH $bpeCtes
          |SELECT 1 AS step, pair, merged, pair_count FROM m1
          |UNION ALL SELECT 2, pair, merged, pair_count FROM m2
          |UNION ALL SELECT 3, pair, merged, pair_count FROM m3
          |ORDER BY step""".stripMargin,
+    "bpe_segment_vocab" ->
+      s"""WITH $bpeCtes
+         |SELECT word, s AS segments, cnt FROM w3 ORDER BY word""".stripMargin,
     "dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id, n_chars,

@@ -140,6 +140,32 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
 
+  /** Avro container-file streaming sink: one subdirectory of OCF files
+    * per micro-batch (`batch=<id>/part-*.avro`) written through
+    * [[graft.avro.AvroFiles]]. A replayed batch (restart before the
+    * checkpoint commit) rewrites its OWN subdirectory wholesale, so
+    * object contents are exactly-once without a commit log — the
+    * idempotent-overwrite delivery pattern. `recordsPerObject > 0`
+    * sizes files per the flush.size story (S8). */
+  def avroSink(
+      df: DataFrame, schemaJson: String, outPath: String, checkpoint: String,
+      recordsPerObject: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          val sized =
+            if (recordsPerObject > 0)
+              batch.repartition(math.max(1, math.ceil(n.toDouble / recordsPerObject).toInt))
+            else batch
+          graft.avro.AvroFiles.write(sized.toDF(), schemaJson, s"$outPath/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
   // ---- ST3/ST4 gap: event-time semantics --------------------------------
 
   /** Tumbling or sliding windowed aggregation with a watermark. */

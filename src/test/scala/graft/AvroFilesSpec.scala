@@ -8,8 +8,19 @@ import org.apache.spark.sql.functions._
 import graft.avro.AvroFiles
 import graft.queries.AvroQueries
 
+/** Top-level (encoder requirement) fixture row for the streaming sink. */
+case class OcfEvent(id: Long, name: String)
+
+object AvroFilesSpec {
+  val eventSchemaJson: String =
+    """{"type": "record", "name": "E", "fields": [
+      |  {"name": "id", "type": "long"},
+      |  {"name": "name", "type": "string"}]}""".stripMargin
+}
+
 /** The Avro Object Container File source/sink: round trip, codec
-  * parity, schema-evolution reads, and empty-partition handling.
+  * parity, schema-evolution reads, empty-partition handling, and the
+  * per-batch streaming sink.
   */
 class AvroFilesSpec extends SparkSpec {
 
@@ -85,6 +96,36 @@ class AvroFilesSpec extends SparkSpec {
     assert(r0.getString(3) === "First1")
     // null-union branch still resolves through evolution
     assert(rows.find(_.getString(0) == "id_0").get.isNullAt(3))
+  }
+
+  test("streaming OCF sink: per-batch subdirs, sized objects, lossless read-back") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val out = tmp(); val ckpt = tmp()
+    val mem = MemoryStream[OcfEvent]
+    mem.addData((1L to 4L).map(i => OcfEvent(i, s"n$i")): _*)
+    val q1 = graft.streaming.StreamingPipeline
+      .avroSink(mem.toDF(), AvroFilesSpec.eventSchemaJson, out, ckpt,
+        recordsPerObject = 2)
+      .start()
+    q1.awaitTermination()
+    mem.addData(OcfEvent(5L, "n5"))
+    val q2 = graft.streaming.StreamingPipeline
+      .avroSink(mem.toDF(), AvroFilesSpec.eventSchemaJson, out, ckpt,
+        recordsPerObject = 2)
+      .start()
+    q2.awaitTermination()
+    val batchDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(batchDirs.toSeq === Seq("batch=0", "batch=1"))
+    val files0 = new java.io.File(out, "batch=0").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files0.length === 2) // 4 rows at recordsPerObject=2
+    val back = AvroFiles.read(spark, out, AvroFilesSpec.eventSchemaJson)
+      .as[OcfEvent].collect().sortBy(_.id).toSeq
+    assert(back === (1L to 5L).map(i => OcfEvent(i, s"n$i")))
   }
 
   test("registry OCF queries run and agree with the wire-path fixture") {
