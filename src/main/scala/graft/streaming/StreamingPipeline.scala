@@ -166,6 +166,59 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
 
+  /** The highest committed state version strictly below `before` (a
+    * replayed batch must fold from its ORIGINAL predecessor, never from
+    * its own possibly-half-written output). */
+  private def latestStateVersion(spark: SparkSession, stateDir: String,
+      before: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val versions = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+        .filter(_ < before)
+      if (versions.isEmpty) None
+      else Some(spark.read.parquet(s"$stateDir/v=${versions.max}"))
+    }
+  }
+
+  /** Incremental materialized aggregate — the CDC upsert-merge pattern
+    * without a table format: each micro-batch folds its partial
+    * aggregate into a versioned keyed state table. `stateDir/v=<id>` is
+    * computed deterministically from `v=<previous id>` plus this batch,
+    * so a replayed batch overwrites its OWN version (exactly-once), and
+    * readers take the highest committed version (manifest-free snapshot
+    * isolation; a production deployment swaps the parquet dirs for a
+    * table format's transactional commit). The merge shuffles on the
+    * grouping key only — state size tracks distinct keys, never stream
+    * length, which is what makes the materialized view viable at
+    * 100 TB of history. */
+  def incrementalTotals(
+      df: DataFrame, keyCol: String, valueCol: String,
+      stateDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val agg = batch.groupBy(col(keyCol))
+          .agg(sum(col(valueCol)).as("total"), count(lit(1)).as("n_events"))
+        val merged = latestStateVersion(spark, stateDir, before = batchId) match {
+          case Some(prev) =>
+            prev.unionByName(agg).groupBy(col(keyCol))
+              .agg(sum(col("total")).as("total"), sum(col("n_events")).as("n_events"))
+          case None => agg
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
+  /** Read the current snapshot of an [[incrementalTotals]] state table. */
+  def currentTotals(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latestStateVersion(spark, stateDir, before = Long.MaxValue)
+
   // ---- ST3/ST4 gap: event-time semantics --------------------------------
 
   /** Tumbling or sliding windowed aggregation with a watermark. */

@@ -10,6 +10,24 @@ import graft.sources.Tables
   * CSV writes read back losslessly with explicit schemas. */
 class FormatsSpec extends SparkSpec {
 
+  test("compaction rewrites a small-file directory into sized files, content intact") {
+    val smallDir = Files.createTempDirectory("graft_small").toString
+    val outDir = Files.createTempDirectory("graft_compact").toString
+    val src = Tables.customer(spark, sf).repartition(8)
+    src.write.mode("overwrite").parquet(smallDir)
+    val before = new java.io.File(smallDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before === 8)
+    val n = src.count()
+    val (rows, files) = graft.operators.Maintenance.compact(
+      spark, smallDir, outDir, "parquet", targetRowsPerFile = (n + 1) / 2)
+    assert(rows === n)
+    assert(files === 2)
+    val a = spark.read.parquet(smallDir).orderBy("c_custkey").collect()
+    val b = spark.read.parquet(outDir).orderBy("c_custkey").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("JSONL round-trip preserves rows including nested structs") {
     val dir = Files.createTempDirectory("graft_jsonl").toString
     val src = Tables.customer(spark, sf)

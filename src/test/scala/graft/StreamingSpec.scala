@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
   private def ev(minute: Int, typ: String, v: Double, u: Long = 1L): Ev =
     Ev(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(minute * 60L)), typ, v, u)
 
+  test("incremental materialized aggregate: versioned folds, snapshot = global agg") {
+    val stateDir = Files.createTempDirectory("graft_incr").toString
+    val ckpt = Files.createTempDirectory("graft_incr_ck").toString
+    val stream = MemoryStream[Ev]
+    def run(): Unit = {
+      val q = StreamingPipeline.incrementalTotals(stream.toDF(), "user_id", "value",
+        stateDir, ckpt).start()
+      q.awaitTermination()
+    }
+    stream.addData(ev(0, "a", 1.0, 1L), ev(1, "a", 2.0, 1L), ev(2, "b", 3.0, 2L))
+    run()
+    stream.addData(ev(3, "a", 4.0, 1L), ev(4, "c", 5.0, 3L))
+    run()
+    val dirs = new java.io.File(stateDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq("v=0", "v=1"))
+    val snap = StreamingPipeline.currentTotals(spark, stateDir).get
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("total"),
+        r.getAs[Long]("n_events")))
+    assert(snap.toSeq === Seq((1L, 7.0, 3L), (2L, 3.0, 1L), (3L, 5.0, 1L)))
+    // v=0 still holds the first snapshot untouched (version isolation)
+    val v0 = spark.read.parquet(s"$stateDir/v=0")
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("total")))
+    assert(v0.toSeq === Seq((1L, 3.0), (2L, 3.0)))
+  }
+
   test("watermarked tumbling window matches batch aggregation") {
     val stream = MemoryStream[Ev]
     val data = Seq(ev(1, "a", 1.0), ev(5, "a", 2.0), ev(61, "a", 4.0), ev(62, "b", 8.0))
