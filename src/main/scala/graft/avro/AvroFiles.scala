@@ -77,12 +77,21 @@ object AvroFiles {
     counts.sum
   }
 
-  /** Read every `*.avro` container file under `dir` as a DataFrame with
-    * `readerSchemaJson`'s columnar layout. The writer schema comes from
-    * each file's header, so passing a DIFFERENT reader schema is the
-    * schema-evolution read: reader-added fields take their defaults,
-    * writer-only fields are skipped, fields match by name. */
-  def read(spark: SparkSession, dir: String, readerSchemaJson: String): DataFrame = {
+  /** Read every `*.avro` container file under `dir` (recursively, so
+    * streaming-sink `batch=N/` layouts read directly) as a DataFrame
+    * with `readerSchemaJson`'s columnar layout. The writer schema comes
+    * from each file's header, so passing a DIFFERENT reader schema is
+    * the schema-evolution read: reader-added fields take their
+    * defaults, writer-only fields are skipped, fields match by name.
+    *
+    * `permissive = true` is the lake-robustness mode: a file with a
+    * corrupt header is skipped entirely, and a file that breaks
+    * mid-stream yields its rows up to the corruption — one bad object
+    * in a 100 TB prefix must not kill the scan (the S6 malformed-skip
+    * semantic applied at container granularity). Strict mode fails the
+    * task, surfacing the bad path. */
+  def read(spark: SparkSession, dir: String, readerSchemaJson: String,
+      permissive: Boolean = false): DataFrame = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.avro")
       .option("recursiveFileLookup", "true")
@@ -93,19 +102,42 @@ object AvroFiles {
       parts.flatMap { fileRow =>
         val bytes = fileRow.getBinary(0)
         val readerSchema = AvroCodec.parsedSchema(readerSchemaJson)
-        val r = new DataFileReader[GenericRecord](
-          new SeekableByteArrayInput(bytes),
-          new GenericDatumReader[GenericRecord](null, readerSchema))
-        new Iterator[InternalRow] {
-          private var rec: GenericRecord = null
-          def hasNext: Boolean = {
-            val h = r.hasNext
-            if (!h) r.close()
-            h
+        val opened =
+          try Some(new DataFileReader[GenericRecord](
+            new SeekableByteArrayInput(bytes),
+            new GenericDatumReader[GenericRecord](null, readerSchema)))
+          catch { case scala.util.control.NonFatal(e) =>
+            if (permissive) None else throw e
           }
-          def next(): InternalRow = {
-            rec = r.next(rec)
-            AvroCodec.avroToRow(rec, readerSchema)
+        opened match {
+          case None => Iterator.empty
+          case Some(r) => new Iterator[InternalRow] {
+            // one-row lookahead: decode happens inside hasNext so a
+            // corrupt tail can end the iteration cleanly instead of
+            // throwing after hasNext already promised an element
+            private var rec: GenericRecord = null
+            private var pending: InternalRow = null
+            private var done = false
+            private def advance(): Unit =
+              try {
+                if (r.hasNext) {
+                  rec = r.next(rec)
+                  pending = AvroCodec.avroToRow(rec, readerSchema)
+                } else { done = true; r.close() }
+              } catch { case scala.util.control.NonFatal(e) =>
+                if (!permissive) throw e
+                done = true; r.close()
+              }
+            def hasNext: Boolean = {
+              if (pending == null && !done) advance()
+              pending != null
+            }
+            def next(): InternalRow = {
+              if (!hasNext) throw new java.util.NoSuchElementException
+              val out = pending
+              pending = null
+              out
+            }
           }
         }
       }

@@ -98,6 +98,28 @@ class AvroFilesSpec extends SparkSpec {
     assert(rows.find(_.getString(0) == "id_0").get.isNullAt(3))
   }
 
+  test("permissive read skips corrupt files and salvages a corrupt tail; strict read fails") {
+    val df = usersDf(10, 1)
+    val dir = tmp()
+    AvroFiles.write(df, schema, dir, codec = "null")
+    // a file that is not an Avro container at all
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "garbage.avro"), "not avro".getBytes)
+    // a valid file truncated mid-body: header survives, tail breaks
+    val good = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val bytes = java.nio.file.Files.readAllBytes(good.toPath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "truncated.avro"),
+      java.util.Arrays.copyOf(bytes, bytes.length - 7))
+    intercept[org.apache.spark.SparkException] {
+      AvroFiles.read(spark, dir, schema).count()
+    }
+    val n = AvroFiles.read(spark, dir, schema, permissive = true).count()
+    // all 10 intact rows + whatever the truncated copy salvages (>= 0)
+    assert(n >= 10 && n < 20)
+  }
+
   test("streaming OCF sink: per-batch subdirs, sized objects, lossless read-back") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
