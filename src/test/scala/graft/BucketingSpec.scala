@@ -113,4 +113,31 @@ class BucketingSpec extends SparkSpec {
     assert(out.count() === 3)
     assert(out.filter(col("rv").isNull).count() === 2)
   }
+
+  // ---- plan-shape regression guards for the late-r3 operators ----------
+
+  test("passage dedup: two hash shuffles (count window + doc rollup), no join-back") {
+    val plan = graft.queries.DedupQueries.dedupPassages(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 2, s"expected exactly 2 hash exchanges:\n$plan")
+    assert(plan.contains("Window"),
+      "corpus-wide occurrence must be a count window, not a groupBy + join back")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"passage dedup must not join:\n$plan")
+  }
+
+  test("scd2 history: a single hash exchange feeds the lead window") {
+    val plan = graft.queries.TemporalQueries.scd2History(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("bpe corpus tokenization: segment table broadcast, corpus side un-shuffled") {
+    val plan = graft.queries.TextQueries.bpeCorpusSubwords(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
