@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * typed metadata, per the training-data-pipeline north star.
   *
   * The Spark-side plumbing is real — schema, partitioning, batch-shaped
-  * decode iteration, frame-sampling explode — while the codec itself is a
-  * STUB (`decodeStub`): this container has no image/audio libraries, so
-  * decode produces deterministic fake features derived from the payload
-  * bytes. Swapping in a real codec changes only the body of
-  * `decodeStub`; every schema and operator stays as-is.
+  * decode iteration, frame-sampling explode. The codec boundary is
+  * split honestly: JDK-decodable containers get REAL parsing (pixel
+  * decode + feature extraction for PNG/BMP/GIF via `decodeImage`;
+  * PNG/WAV header sniffing via `sniffMeta`) while everything else falls
+  * back to a deterministic STUB (`decodeStub` — this container has no
+  * external image/audio libraries). Swapping in a full codec changes
+  * only the `decodeImage`/`decodeStub` bodies; every schema and
+  * operator stays as-is.
   *
   * Scale notes: payloads never pass through a shuffle — features are
   * extracted scan-side (`extractFeatures` is a mapPartitions directly over
@@ -50,8 +53,9 @@ object Multimodal {
         ((col("doc_id") % 10) * 1000 + 500).cast("int").as("duration_ms"),
         lit("stub").as("format")).as("meta"))
 
-  /** ??? — the real codec goes here. Deterministic fake: 8-dim embedding
-    * from chunked byte sums, so tests and oracles are stable. */
+  /** ??? — external-codec formats (JPEG-XL, video, …) would go here.
+    * Deterministic fake: 8-dim embedding from chunked byte sums, so
+    * tests and oracles are stable. */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val dims = 8
     val acc = new Array[Float](dims)
@@ -62,6 +66,47 @@ object Multimodal {
     }
     acc
   }
+
+  /** REAL pixel decode for JDK-supported containers (PNG/BMP/GIF via
+    * javax.imageio — no external libraries): 8-dim feature vector
+    * [mean R, mean G, mean B, mean luma, luma variance, edge energy
+    * (mean |horizontal gradient|), width/1k, height/1k], all in [0,~1].
+    * Returns None when the payload is not a decodable image, so callers
+    * fall back to [[decodeStub]] — the honest boundary between real and
+    * stubbed decode. */
+  def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb, sl, sl2, se) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          var prevLuma = 0.0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = ((rgb >> 16) & 0xFF) / 255.0
+            val g = ((rgb >> 8) & 0xFF) / 255.0
+            val b = (rgb & 0xFF) / 255.0
+            val luma = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += luma; sl2 += luma * luma
+            if (x > 0) se += math.abs(luma - prevLuma)
+            prevLuma = luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        val mean = sl / n
+        Some(Array(
+          (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat, mean.toFloat,
+          (sl2 / n - mean * mean).toFloat,
+          (if (w > 1) se / ((w - 1).toDouble * h) else 0.0).toFloat,
+          (w / 1000.0).toFloat, (h / 1000.0).toFloat))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Batch-shaped feature extraction: one pass per partition, payloads
     * consumed in-place (never shuffled), emitting small feature rows. The
@@ -88,7 +133,8 @@ object Multimodal {
             i += 1
           }
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-            new String(hex), decodeStub(r.payload))
+            new String(hex),
+            decodeImage(r.payload).getOrElse(decodeStub(r.payload)))
         }
       }
   }

@@ -36,6 +36,52 @@ class MultimodalSpec extends SparkSpec {
     assert(before.toSeq === after.toSeq)
   }
 
+  test("real image decode: solid-color PNG yields exact channel means, zero variance") {
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(255, 0, 0)); g.fillRect(0, 0, 6, 4); g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val f = Multimodal.decodeImage(baos.toByteArray).get
+    assert(f.length === 8)
+    assert(f(0) === 1.0f && f(1) === 0.0f && f(2) === 0.0f) // mean RGB
+    assert(math.abs(f(3) - 0.299f) < 1e-6)                  // mean luma
+    assert(math.abs(f(4)) < 1e-6 && math.abs(f(5)) < 1e-6)  // variance, edges
+    assert(f(6) === 0.006f && f(7) === 0.004f)              // w/1k, h/1k
+  }
+
+  test("real image decode: an edge between two halves registers as edge energy") {
+    val img = new java.awt.image.BufferedImage(10, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.BLACK); g.fillRect(0, 0, 5, 2)
+    g.setColor(java.awt.Color.WHITE); g.fillRect(5, 0, 5, 2); g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val f = Multimodal.decodeImage(baos.toByteArray).get
+    assert(math.abs(f(3) - 0.5f) < 1e-5)          // half black half white
+    // one black->white step among 9 horizontal gradients per row
+    assert(math.abs(f(5) - 1.0f / 9.0f) < 1e-5)
+  }
+
+  test("extractFeatures routes decodable payloads to the real decoder, rest to stub") {
+    val img = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val rows = Seq(
+      (1L, "image", png, Multimodal.MediaMeta(3, 3, 0, 0, "png")),
+      (2L, "image", "just text".getBytes("UTF-8"), Multimodal.MediaMeta(0, 0, 0, 0, "stub")))
+      .toDF("media_id", "kind", "payload", "meta")
+    val f = Multimodal.extractFeatures(rows).collect().sortBy(_.media_id)
+    // all-black 3x3 PNG: real features = zeros except dims
+    assert(f(0).embedding.toSeq === Seq(0f, 0f, 0f, 0f, 0f, 0f, 0.003f, 0.003f))
+    // non-image payload: stub features (byte sums), not dims-in-tail shape
+    assert(f(1).embedding.toSeq === Multimodal.decodeStub("just text".getBytes("UTF-8")).toSeq)
+  }
+
   test("sniffMeta reads real PNG IHDR dimensions (javax.imageio payload)") {
     val img = new java.awt.image.BufferedImage(37, 21,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
