@@ -286,8 +286,12 @@ object Dedup {
     // localCheckpoint (eager) truncates lineage each iteration: the plan
     // stays O(1) per step. (On a fault-tolerance-sensitive cluster the
     // same call site takes checkpoint() + setCheckpointDir.)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed labels with min(self, min neighbor): the first propagation
+    // step fused into initialization — one groupBy replaces the distinct
+    // AND saves a full join+groupBy iteration of the loop below.
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .select(col("node"), least(col("node"), col("min_nbr")).as("label"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
