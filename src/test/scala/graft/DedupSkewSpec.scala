@@ -85,4 +85,21 @@ class DedupSkewSpec extends SparkSpec {
     assert(nPairs(50) === 0L)            // 60-copy bucket over the cap: dropped
     assert(nPairs(100) >= 60L * 59 / 2)  // under the cap: full C(60,2) emitted
   }
+
+  test("passage dedup stays linear on a passage shared by thousands of docs") {
+    // 5000 docs all opening with the same 10-token boilerplate passage:
+    // the count window aggregates the hot key linearly — output stays one
+    // row per doc, never a pair set
+    val boilerplate = "all rights reserved this document is confidential and intended for addressee"
+    val docs = (1L to 5000L)
+      .map(i => (i, s"$boilerplate unique tail $i with words ${i * 7} ${i * 13}"))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, "doc_id", "text", passageTokens = 10)
+    assert(out.count() === 5000)
+    val r = out.filter($"doc_id" === 1L).head()
+    // first passage (10 boilerplate tokens) duplicated corpus-wide; the
+    // unique tail passages survive
+    assert(r.getAs[Long]("n_dup_passages") >= 1L)
+    assert(r.getAs[Long]("n_kept_tokens") < r.getAs[Long]("n_tokens"))
+  }
 }
