@@ -9,6 +9,11 @@ import graft.ops.ProfileTransform
 
 case class UserEvent(user_id: Long, value: Double)
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+case class VersionEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, value: Double)
+case class Scd2Out(user_id: Long, event_id: Long,
+    valid_from: java.sql.Timestamp, valid_to: Option[java.sql.Timestamp],
+    value: Double, is_current: Boolean)
 case class LshBandRow(id: Long, band: Int, bh: String)
 case class LshBucketState(ids: List[Long], saturated: Boolean)
 case class LshPair(id_a: Long, id_b: Long)
@@ -293,6 +298,46 @@ object StreamingPipeline {
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
             Iterator.single(next)
+          }
+      }
+  }
+
+  /** Streaming SCD2: the stateful twin of the batch `scd2_history`
+    * query — each user's open validity interval lives in keyed state;
+    * an arriving event CLOSES it (emitting the finalized
+    * [valid_from, valid_to) row) and opens its own. Append-mode CDC
+    * caveat, documented: the open (is_current) row is emitted
+    * optimistically and cannot be retracted when a later event closes
+    * it — downstream consumers keep the LAST emission per
+    * (user_id, event_id), exactly the last-writer-wins convention the
+    * reference's verifier applies. In-batch rows sort by (ts, event_id)
+    * before folding, so batch boundaries never change the intervals;
+    * state per user is ONE open interval — bounded by keys, not stream
+    * length. */
+  def streamingScd2(events: org.apache.spark.sql.Dataset[VersionEvent])
+      : org.apache.spark.sql.Dataset[Scd2Out] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Out, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[VersionEvent], state: GroupState[Scd2Out]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[Scd2Out]()
+            var open = state.getOption
+            sorted.foreach { e =>
+              open.foreach { o =>
+                out += o.copy(valid_to = Some(e.ts), is_current = false)
+              }
+              open = Some(Scd2Out(userId, e.event_id, e.ts, None, e.value,
+                is_current = true))
+            }
+            state.update(open.get)
+            out += open.get
+            out.iterator
           }
       }
   }

@@ -92,6 +92,31 @@ class StreamingSpec extends SparkSpec {
   private def ev(minute: Int, typ: String, v: Double, u: Long = 1L): Ev =
     Ev(Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(minute * 60L)), typ, v, u)
 
+  test("streaming SCD2 closes intervals across micro-batches; settled rows = batch history") {
+    import graft.streaming.{Scd2Out, VersionEvent}
+    def t(m: Int) = Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60L))
+    val stream = MemoryStream[VersionEvent]
+    val q = StreamingPipeline.streamingScd2(stream.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    stream.addData(VersionEvent(1L, 10L, t(0), 1.0),
+      VersionEvent(1L, 11L, t(5), 2.0), VersionEvent(2L, 20L, t(1), 9.0))
+    q.processAllAvailable()
+    stream.addData(VersionEvent(1L, 12L, t(9), 3.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("scd2_out").as[Scd2Out].collect()
+    // CDC convention: a (user,event) appears at most twice — open then
+    // closed; the closed emission settles it
+    val settled = rows.groupBy(r => (r.user_id, r.event_id))
+      .map { case (_, v) => v.find(_.valid_to.isDefined).getOrElse(v.head) }
+      .toSeq.sortBy(r => (r.user_id, r.event_id))
+    assert(settled === Seq(
+      Scd2Out(1L, 10L, t(0), Some(t(5)), 1.0, is_current = false),
+      Scd2Out(1L, 11L, t(5), Some(t(9)), 2.0, is_current = false),
+      Scd2Out(1L, 12L, t(9), None, 3.0, is_current = true),
+      Scd2Out(2L, 20L, t(1), None, 9.0, is_current = true)))
+  }
+
   test("incremental materialized aggregate: versioned folds, snapshot = global agg") {
     val stateDir = Files.createTempDirectory("graft_incr").toString
     val ckpt = Files.createTempDirectory("graft_incr_ck").toString
