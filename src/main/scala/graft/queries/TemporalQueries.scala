@@ -89,11 +89,48 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** The REAL streaming SCD2 job inside the DuckDB gate (the
+    * tumbling_window_streamed pattern): events replay through a parquet
+    * file-source stream, intervals close in flatMapGroupsWithState
+    * keyed state, and the settled rows — the closed emission preferred
+    * over its optimistic open twin — must hash-match the same oracle as
+    * the batch `scd2_history`. stream == batch == external engine. */
+  def scd2HistoryStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      .as[graft.streaming.VersionEvent]
+    val out = graft.streaming.StreamingPipeline.streamingScd2(events)
+    val name = "scd2_streamed_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val settle = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_id"))
+      .orderBy(col("valid_to").asc_nulls_last)
+    spark.table(name)
+      .withColumn("rn", row_number().over(settle)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("valid_from"),
+        col("valid_to"), col("value"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> (eventsResample _),
     "funnel_conversion" -> (funnelConversion _),
     "cohort_retention" -> (cohortRetention _),
-    "scd2_history" -> (scd2History _)
+    "scd2_history" -> (scd2History _),
+    "scd2_history_streamed" -> (scd2HistoryStreamed _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,14 +178,17 @@ object TemporalQueries {
         |       COUNT(DISTINCT e.user_id) AS n_active
         |FROM events e JOIN c USING (user_id)
         |GROUP BY c.cohort, month_offset ORDER BY cohort, month_offset""".stripMargin,
-    "scd2_history" ->
-      """SELECT user_id, event_id, ts AS valid_from,
-        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |         AS valid_to,
-        |       value,
-        |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |         IS NULL) AS is_current
-        |FROM events
-        |ORDER BY user_id, valid_from, event_id""".stripMargin
+    "scd2_history" -> scd2OracleSql,
+    "scd2_history_streamed" -> scd2OracleSql
   )
+
+  private lazy val scd2OracleSql: String =
+    """SELECT user_id, event_id, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         AS valid_to,
+      |       value,
+      |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         IS NULL) AS is_current
+      |FROM events
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
 }
