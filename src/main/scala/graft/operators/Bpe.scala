@@ -96,4 +96,20 @@ object Bpe {
     val (_, segmented) = learn(docs, textCol, steps)
     segmented.select(col("word"), col("s").as("segments"), col("cnt"))
   }
+
+  /** Corpus-level subword statistics under the learned vocabulary: the
+    * token-count planning number a training pipeline needs ("how many
+    * subword tokens is this corpus under tokenizer X"). The segment
+    * table is vocab-sized, so tokenization is a broadcast join against
+    * the corpus token stream — the corpus itself never reshuffles; the
+    * only wide exchange is the final subword rollup. */
+  def corpusSubwords(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val segments = segmentVocab(docs, textCol, steps)
+    val corpusTokens = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+    corpusTokens
+      .join(broadcast(segments.select(col("word"), col("segments"))), "word")
+      .select(explode(split(col("segments"), " ")).as("subword"))
+      .groupBy(col("subword")).agg(count(lit(1)).as("n_occurrences"))
+  }
 }

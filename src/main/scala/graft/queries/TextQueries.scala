@@ -264,9 +264,15 @@ object TextQueries {
     graft.operators.Bpe.segmentVocab(Tables.documents(spark, dir), "text", steps = 3)
       .orderBy(col("word"))
 
+  /** Corpus subword frequencies under the learned BPE vocabulary. */
+  def bpeCorpusSubwords(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.corpusSubwords(Tables.documents(spark, dir), "text", steps = 3)
+      .orderBy(col("subword"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_learn_merges" -> (bpeLearnMerges _),
     "bpe_segment_vocab" -> (bpeSegmentVocab _),
+    "bpe_corpus_subwords" -> (bpeCorpusSubwords _),
     "dataset_split" -> (datasetSplit _),
     "curation_report" -> (curationReport _),
     "text_contamination" -> (contamination _),
@@ -349,6 +355,11 @@ object TextQueries {
     "bpe_segment_vocab" ->
       s"""WITH $bpeCtes
          |SELECT word, s AS segments, cnt FROM w3 ORDER BY word""".stripMargin,
+    "bpe_corpus_subwords" ->
+      s"""WITH $bpeCtes
+         |SELECT subword, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+         |FROM (SELECT cnt, unnest(string_split(s, ' ')) AS subword FROM w3)
+         |GROUP BY subword ORDER BY subword""".stripMargin,
     "dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id, n_chars,
