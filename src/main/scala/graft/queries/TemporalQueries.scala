@@ -125,12 +125,39 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Hourly OHLC bars per user — the time-series bar aggregation
+    * (open/high/low/close + count) with deterministic (ts, event_id)
+    * endpoint tiebreaks. The two endpoint windows and the rollup all
+    * share the (user_id, hour) hash partitioning, so the plan carries
+    * ONE exchange; min/max/count are exact and order-independent. */
+  def eventsOhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts"), col("event_id"), col("value"))
+    val asc = Window.partitionBy(col("user_id"), col("bar_ts"))
+      .orderBy(col("ts"), col("event_id"))
+    val desc = Window.partitionBy(col("user_id"), col("bar_ts"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn_open", row_number().over(asc))
+      .withColumn("rn_close", row_number().over(desc))
+      .groupBy(col("user_id"), col("bar_ts"))
+      .agg(
+        max(when(col("rn_open") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_close") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("bar_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> (eventsResample _),
     "funnel_conversion" -> (funnelConversion _),
     "cohort_retention" -> (cohortRetention _),
     "scd2_history" -> (scd2History _),
-    "scd2_history_streamed" -> (scd2HistoryStreamed _)
+    "scd2_history_streamed" -> (scd2HistoryStreamed _),
+    "events_ohlc_bars" -> (eventsOhlcBars _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -179,7 +206,25 @@ object TemporalQueries {
         |FROM events e JOIN c USING (user_id)
         |GROUP BY c.cohort, month_offset ORDER BY cohort, month_offset""".stripMargin,
     "scd2_history" -> scd2OracleSql,
-    "scd2_history_streamed" -> scd2OracleSql
+    "scd2_history_streamed" -> scd2OracleSql,
+    "events_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, bar_ts
+        |                            ORDER BY ts, event_id) AS rn_open,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, bar_ts
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_close
+        |  FROM e)
+        |SELECT user_id, bar_ts,
+        |       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+        |       MAX(value) AS high, MIN(value) AS low,
+        |       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+        |       COUNT(*) AS n_events
+        |FROM r GROUP BY user_id, bar_ts
+        |ORDER BY user_id, bar_ts""".stripMargin
   )
 
   private lazy val scd2OracleSql: String =
