@@ -15,7 +15,13 @@ object Verify {
     // own failures; temp-view registrations are idempotent (same
     // definition), so the one session-global surface race is benign.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump (driver leaves
+    // it unset and gets the full registry).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -196,12 +196,41 @@ object AvroQueries {
       .orderBy(col("user_id"))
   }
 
+  /** S2 through the REAL DataSource-V2 API: the users fixture is
+    * produced onto a `graft-kafka-replay` segment log (partitioned by
+    * `custkey % 4`, broker-style sequential offsets), then scanned back
+    * via `format("graft-kafka-replay")` and Avro-decoded. The oracle
+    * recomputes partition AND offset with `row_number()`, so a hash
+    * match proves the source's partition routing and offset assignment
+    * — not just the payload bytes. */
+  def kafkaReplayPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KafkaReplay
+    val log = ocfDir(dir, "replay_log")
+    val wire = userStruct(spark, dir).select(
+      (col("user.user_id").cast("long") % 4).cast("int").as("partition"),
+      encode(col("user.user_id"), "UTF-8").as("key"),
+      to_avro_confluent(col("user"), userSchemaJson, SchemaId).as("value"),
+      lit(FixedClock.toEpochMilli * 1000L).as("tsMicros"),
+      col("user.user_id").cast("long").as("seq"))
+    KafkaReplay.writeLog(wire, log)
+    spark.read.format(KafkaReplay.ShortName)
+      .option("path", log).option("topic", "users").load()
+      .select(col("partition"), col("offset"),
+        col("key").cast("string").as("key"),
+        from_avro_confluent(col("value"), userSchemaJson).as("u"))
+      .select(col("partition"), col("offset"), col("key"),
+        col("u.user_id"), col("u.email"), col("u.age"),
+        col("u.address.city").as("city"))
+      .orderBy(col("partition"), col("offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "avro_roundtrip" -> (avroRoundtrip _),
     "avro_pipeline" -> (avroPipeline _),
     "avro_malformed_skip" -> (avroMalformedSkip _),
     "avro_file_roundtrip" -> (avroFileRoundtrip _),
-    "avro_file_evolution" -> (avroFileEvolution _)
+    "avro_file_evolution" -> (avroFileEvolution _),
+    "kafka_replay_pipeline" -> (kafkaReplayPipeline _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -238,6 +267,14 @@ object AvroQueries {
       s"""WITH $usersCte
          |SELECT user_id, email, age, first_name, last_name,
          |       'active' AS status, city
-         |FROM users ORDER BY user_id""".stripMargin
+         |FROM users ORDER BY user_id""".stripMargin,
+    "kafka_replay_pipeline" ->
+      s"""WITH $usersCte
+         |SELECT CAST(CAST(user_id AS BIGINT) % 4 AS INTEGER) AS partition,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY CAST(user_id AS BIGINT) % 4
+         |         ORDER BY CAST(user_id AS BIGINT)) - 1 AS BIGINT) AS "offset",
+         |       user_id AS key, user_id, email, age, city
+         |FROM users ORDER BY partition, "offset"""".stripMargin
   )
 }

@@ -1,0 +1,341 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+import java.util.{Map => JMap}
+
+import scala.collection.immutable.SortedMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-kafka-replay`: a DataSource-V2 streaming source that replays a
+  * Kafka-shaped segment log from disk through the REAL `MicroBatchStream`
+  * API — offsets, admission control, `planInputPartitions`, checkpoint
+  * commit — so the reference's consumer contract
+  * (`/root/reference/producer/verifier_ui.py:36-76`: subscribe, seek to
+  * earliest, poll batches, track offsets) is exercised end to end without
+  * a broker in the sandbox (the spark-sql-kafka connector jar is not in
+  * the image; documented in COVERAGE.md).
+  *
+  * The on-disk log mirrors a topic: `partition-<p>.log` files of
+  * big-endian framed records `[offset i64][tsMicros i64][keyLen i32][key]
+  * [valLen i32][value]`, `len = -1` marking a null key/value (tombstone,
+  * T1). Values carry whatever bytes the producer wrote — in the tests the
+  * Confluent-framed Avro wire payloads (`producer.py:40-66`).
+  *
+  * The table's read schema is exactly what `format("kafka")` yields
+  * (minus headers/timestampType): key/value binary, topic, partition,
+  * offset, timestamp — so every downstream pipeline stage
+  * ([[graft.streaming.StreamingPipeline]]) is byte-for-byte the one a
+  * real cluster would run.
+  */
+object KafkaReplay {
+  val ShortName = "graft-kafka-replay"
+
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false)))
+
+  /** One record destined for the log. Offsets are assigned append-order
+    * per partition, like a broker. */
+  final case class Record(partition: Int, key: Array[Byte],
+      value: Array[Byte], tsMicros: Long)
+
+  private def partFile(dir: File, p: Int) = new File(dir, s"partition-$p.log")
+
+  private def listPartitions(dir: File): Seq[Int] = {
+    val fs = Option(dir.listFiles()).getOrElse(Array.empty[File])
+    fs.flatMap { f =>
+      val n = f.getName
+      if (n.startsWith("partition-") && n.endsWith(".log"))
+        Some(n.stripPrefix("partition-").stripSuffix(".log").toInt)
+      else None
+    }.toSeq.sorted
+  }
+
+  /** Append records to the log at `path` (creating it if absent),
+    * continuing each partition's offset sequence — the producer side of
+    * the replay contract. */
+  def append(path: String, records: Seq[Record]): Unit = {
+    val dir = new File(path)
+    dir.mkdirs()
+    records.groupBy(_.partition).foreach { case (p, recs) =>
+      val f = partFile(dir, p)
+      var next = endOffset(f)
+      val out = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(f, true)))
+      try recs.foreach { r =>
+        out.writeLong(next); next += 1
+        out.writeLong(r.tsMicros)
+        if (r.key == null) out.writeInt(-1)
+        else { out.writeInt(r.key.length); out.write(r.key) }
+        if (r.value == null) out.writeInt(-1)
+        else { out.writeInt(r.value.length); out.write(r.value) }
+      } finally out.close()
+    }
+  }
+
+  /** Distributed producer for fixture logs: a DataFrame with columns
+    * `(partition int, key binary, value binary, tsMicros long, seq long)`
+    * is hash-routed so each log partition lands in exactly ONE task
+    * (`repartition(col("partition"))` — colliding partition values share
+    * a task but never split), sorted by `seq` within it, and appended
+    * with broker-style sequential offsets. The target is replaced
+    * wholesale, so reruns are self-cleaning. Local/shared-FS writer by
+    * design: in production the producer IS Kafka — this exists so the
+    * oracle gate can materialize a topic to replay. */
+  def writeLog(df: org.apache.spark.sql.DataFrame, path: String,
+      numTasks: Int = 8): Unit = {
+    val dir = new File(path)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(dir)
+    dir.mkdirs()
+    import org.apache.spark.sql.functions.col
+    df.select(col("partition").cast("int"), col("key"), col("value"),
+        col("tsMicros").cast("long"), col("seq").cast("long"))
+      .repartition(numTasks, col("partition"))
+      .sortWithinPartitions(col("partition"), col("seq"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var curPart = Int.MinValue
+        var out: DataOutputStream = null
+        var next = 0L
+        try {
+          it.foreach { r =>
+            val p = r.getInt(0)
+            if (p != curPart) {
+              if (out != null) out.close()
+              curPart = p
+              next = 0L
+              out = new DataOutputStream(new BufferedOutputStream(
+                new FileOutputStream(partFile(new File(path), p), false)))
+            }
+            out.writeLong(next); next += 1
+            out.writeLong(r.getLong(3))
+            val k = r.getAs[Array[Byte]](1)
+            if (k == null) out.writeInt(-1) else { out.writeInt(k.length); out.write(k) }
+            val v = r.getAs[Array[Byte]](2)
+            if (v == null) out.writeInt(-1) else { out.writeInt(v.length); out.write(v) }
+          }
+        } finally if (out != null) out.close()
+      }
+  }
+
+  /** Next offset to be written = number of records in the file. */
+  private def endOffset(f: File): Long = {
+    if (!f.exists()) return 0L
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+    var n = 0L
+    try {
+      while (true) {
+        in.readLong(); in.readLong()
+        val kl = in.readInt(); if (kl >= 0) in.skipNBytes(kl.toLong)
+        val vl = in.readInt(); if (vl >= 0) in.skipNBytes(vl.toLong)
+        n += 1
+      }
+    } catch { case _: EOFException => }
+    finally in.close()
+    n
+  }
+
+  /** Per-partition end offsets (exclusive) — the broker's "latest". */
+  def endOffsets(path: String): SortedMap[Int, Long] = {
+    val dir = new File(path)
+    SortedMap.from(listPartitions(dir).map(p => p -> endOffset(partFile(dir, p))))
+  }
+
+  /** `{"0":12,"1":7}` — partition → exclusive end offset, sorted for a
+    * stable checkpoint representation. */
+  final case class ReplayOffset(parts: SortedMap[Int, Long]) extends Offset {
+    override def json(): String =
+      parts.map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+  }
+
+  object ReplayOffset {
+    private val Entry = """"(\d+)"\s*:\s*(\d+)""".r
+    def fromJson(s: String): ReplayOffset =
+      ReplayOffset(SortedMap.from(
+        Entry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong)))
+  }
+
+  final case class ReplayInputPartition(file: String, partition: Int,
+      start: Long, end: Long, topic: String) extends InputPartition
+
+  /** Streams the framed log, emitting rows for offsets in [start, end).
+    * Records before `start` are skipped without copying their payloads. */
+  final class ReplayPartitionReader(ip: ReplayInputPartition)
+      extends PartitionReader[InternalRow] {
+    private val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(ip.file)))
+    private val topic = UTF8String.fromString(ip.topic)
+    private var row: InternalRow = _
+
+    override def next(): Boolean = {
+      try {
+        while (true) {
+          val off = in.readLong()
+          val ts = in.readLong()
+          if (off >= ip.end) return false
+          val skip = off < ip.start
+          val kl = in.readInt()
+          val key = if (kl < 0) null
+            else if (skip) { in.skipNBytes(kl.toLong); null }
+            else { val b = new Array[Byte](kl); in.readFully(b); b }
+          val vl = in.readInt()
+          val value = if (vl < 0) null
+            else if (skip) { in.skipNBytes(vl.toLong); null }
+            else { val b = new Array[Byte](vl); in.readFully(b); b }
+          if (!skip) {
+            row = new GenericInternalRow(
+              Array[Any](key, value, topic, ip.partition, off, ts))
+            return true
+          }
+        }
+        false
+      } catch { case _: EOFException => false }
+    }
+
+    override def get(): InternalRow = row
+    override def close(): Unit = in.close()
+  }
+
+  object ReplayReaderFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new ReplayPartitionReader(p.asInstanceOf[ReplayInputPartition])
+  }
+
+  private def planRange(path: String, topic: String, from: SortedMap[Int, Long],
+      until: SortedMap[Int, Long]): Array[InputPartition] = {
+    val dir = new File(path)
+    until.iterator.flatMap { case (p, end) =>
+      val start = from.getOrElse(p, 0L)
+      if (end > start)
+        Some(ReplayInputPartition(partFile(dir, p).getPath, p, start, end, topic))
+      else None
+    }.toArray
+  }
+
+  /** The streaming half: offsets live in the checkpoint via
+    * `json()`/`deserializeOffset`; admission control caps each
+    * micro-batch at `maxOffsetsPerTrigger` rows (allocated across
+    * partitions in partition order, like the Kafka source's per-partition
+    * proration); `Trigger.AvailableNow` pins the end offsets once at
+    * query start so a bounded run drains exactly the log prefix that
+    * existed when it began. */
+  final class ReplayMicroBatchStream(path: String, topic: String,
+      maxPerTrigger: Option[Long])
+      extends MicroBatchStream with SupportsTriggerAvailableNow {
+    @volatile private var availableNowEnd: Option[SortedMap[Int, Long]] = None
+    @volatile private var committed: Option[ReplayOffset] = None
+
+    /** Committed high-water mark (test observability; the checkpoint is
+      * authoritative across restarts). */
+    def lastCommitted: Option[ReplayOffset] = committed
+
+    private def currentEnd: SortedMap[Int, Long] =
+      availableNowEnd.getOrElse(endOffsets(path))
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowEnd = Some(endOffsets(path))
+
+    override def initialOffset(): Offset =
+      ReplayOffset(currentEnd.map { case (p, _) => p -> 0L }) // earliest (ST5)
+
+    override def getDefaultReadLimit: ReadLimit =
+      maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "latestOffset(Offset, ReadLimit) should be called instead")
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val from = start.asInstanceOf[ReplayOffset].parts
+      val end = currentEnd
+      val capped = limit match {
+        case r: ReadMaxRows =>
+          var budget = r.maxRows()
+          end.map { case (p, e) =>
+            val s = from.getOrElse(p, 0L)
+            val take = math.min(e - s, budget).max(0L)
+            budget -= take
+            p -> (s + take)
+          }
+        case _ => end
+      }
+      ReplayOffset(capped)
+    }
+
+    override def reportLatestOffset(): Offset = ReplayOffset(currentEnd)
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+      planRange(path, topic, start.asInstanceOf[ReplayOffset].parts,
+        end.asInstanceOf[ReplayOffset].parts)
+
+    override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
+    override def deserializeOffset(json: String): Offset = ReplayOffset.fromJson(json)
+    override def commit(end: Offset): Unit =
+      committed = Some(end.asInstanceOf[ReplayOffset])
+    override def stop(): Unit = ()
+  }
+
+  /** Batch half: the whole log as of planning time (the bounded-read O2
+    * shape — lets the oracle gate scan the same bytes the stream sees). */
+  final class ReplayBatch(path: String, topic: String) extends Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val end = endOffsets(path)
+      planRange(path, topic, end.map { case (p, _) => p -> 0L }, end)
+    }
+    override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
+  }
+
+  final class ReplayScan(path: String, topic: String, maxPerTrigger: Option[Long])
+      extends Scan with ScanBuilder {
+    override def build(): Scan = this
+    override def readSchema(): StructType = schema
+    override def description(): String = s"$ShortName path=$path"
+    override def toBatch: Batch = new ReplayBatch(path, topic)
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new ReplayMicroBatchStream(path, topic, maxPerTrigger)
+  }
+
+  final class ReplayTable(options: CaseInsensitiveStringMap)
+      extends Table with SupportsRead {
+    private val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(s"$ShortName requires option 'path'"))
+    private val topic = Option(options.get("topic")).getOrElse("replay")
+    override def name(): String = s"$ShortName($path)"
+    override def schema(): StructType = KafkaReplay.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+      new ReplayScan(path, topic,
+        Option(o.get("maxOffsetsPerTrigger")).map(_.toLong))
+  }
+}
+
+/** Registered as `graft-kafka-replay` via META-INF/services
+  * (`DataSourceRegister`), so call sites use the short name exactly like
+  * `format("kafka")`. */
+class KafkaReplayProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = KafkaReplay.ShortName
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaReplay.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new KafkaReplay.ReplayTable(new CaseInsensitiveStringMap(properties))
+}

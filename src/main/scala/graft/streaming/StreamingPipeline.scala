@@ -82,6 +82,25 @@ object StreamingPipeline {
       graft.avro.functions.from_avro_confluent(
         col("value"), schemaJson, permissive).as("v"))
 
+  /** The in-sandbox Kafka stand-in over the REAL DataSource-V2 streaming
+    * API ([[graft.sources.KafkaReplay]]): same column contract as
+    * [[kafkaStreamBinary]], fed from a replayable on-disk segment log.
+    * `maxOffsetsPerTrigger` flows into the source's admission control
+    * exactly like the Kafka connector's option. */
+  def replayStream(spark: SparkSession, path: String,
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
+      .format(graft.sources.KafkaReplay.ShortName)
+      .option("path", path)
+      .option("topic", "users")
+    maxOffsetsPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n.toString))
+    r.load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+  }
+
   /** [[kafkaStream]] minus the value cast — Avro payloads need the raw
     * bytes. */
   def kafkaStreamBinary(
