@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch dev main: the 100× scaling probe (VERDICT r3 items 4+7).
+  *
+  * A) Synthetic deterministic embedding corpora at n = 2k / 20k / 200k
+  *    (no sf1 testdata exists): candidate-pair mass for the registered
+  *    static 6×3 banding vs the self-tuned `autoBitsPerBand` banding,
+  *    plus wall time of the full near-dup clusters pipeline under the
+  *    auto banding — the quadratic-vs-linear receipt.
+  * B) `corpus_pipeline_full` wall time across the three real scale
+  *    factors (100× spread) — the text-path scaling exponent.
+  *
+  * Results recorded in BENCH_NOTES.md. */
+object ScaleTime {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.sources.GraftSession.local(32)
+    import graft.operators.Similarity
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[scaletime] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    }
+
+    // deterministic 64-dim vectors in [-1,1): md5-derived, seed-free
+    def synth(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+        |  cast(cast(conv(substr(md5(concat(id, '|', d)), 1, 8), 16, 10) AS BIGINT)
+        |       % 2000000 AS DOUBLE) / 1e6 - 1.0)""".stripMargin)
+        .cast("array<float>").as("embedding"))
+
+    // registered-query envelope: real embeddings, md5 planes, 6×3
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val c = Similarity.candidatePairCount(
+        emb, "vec_id", "embedding", bands = 6, bitsPerBand = 3, md5Planes = true)
+      println(s"[scaletime] REAL $dir n=$n md5_6x3_candidates=$c")
+    }
+
+    Seq(2000L, 20000L, 200000L).foreach { n =>
+      val emb = synth(n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val static63 = Similarity.candidatePairCount(
+        emb, "vec_id", "embedding", bands = 6, bitsPerBand = 3)
+      val autoBits = Similarity.autoBitsPerBand(n)
+      val auto = Similarity.candidatePairCount(
+        emb, "vec_id", "embedding", bands = 6, bitsPerBand = autoBits)
+      println(f"[scaletime] n=$n static6x3=$static63 (${static63.toDouble / n}%.1f/vec) " +
+        f"auto6x$autoBits=$auto (${auto.toDouble / n}%.1f/vec)")
+      time(s"neardup_clusters n=$n auto6x$autoBits") {
+        graft.operators.Dedup.connectedComponents(
+          Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
+            threshold = 0.9, bitsPerBand = autoBits)
+            .select(col("id_a"), col("id_b")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      emb.unpersist()
+    }
+
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        time(s"corpus_pipeline_full $dir") {
+          graft.queries.DedupQueries.corpusPipelineFull(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    spark.stop()
+  }
+}

@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.InternalDf
 
 /** Avro Object Container File (OCF) source + sink over the plain
@@ -77,6 +78,25 @@ object AvroFiles {
     counts.sum
   }
 
+  /** Observable skip accounting for a [[read]] call — the r3 "silent
+    * skip" fix. `oversizedSkipped` is resolved at plan time from the
+    * file listing (metadata only — oversized content is never loaded);
+    * the two accumulators fill as the scan executes, surfacing in the
+    * Spark UI like any task metric. */
+  final case class ReadMetrics(
+      oversizedSkipped: Long,
+      corruptHeaderFiles: org.apache.spark.util.LongAccumulator,
+      truncatedFiles: org.apache.spark.util.LongAccumulator)
+
+  /** Per-file on-heap ceiling for [[read]]: the whole-file `binaryFile`
+    * path materializes each container in task memory, so a multi-GiB
+    * object would OOM the task. Files above the cap are skipped (and
+    * counted) in permissive mode, or fail fast with their paths in
+    * strict mode — BEFORE any content is read. Finer-than-file sync-
+    * marker splits need a full FileFormat; this is the public-API
+    * guard. */
+  val DefaultMaxFileBytes: Long = 512L << 20
+
   /** Read every `*.avro` container file under `dir` (recursively, so
     * streaming-sink `batch=N/` layouts read directly) as a DataFrame
     * with `readerSchemaJson`'s columnar layout. The writer schema comes
@@ -89,13 +109,37 @@ object AvroFiles {
     * mid-stream yields its rows up to the corruption — one bad object
     * in a 100 TB prefix must not kill the scan (the S6 malformed-skip
     * semantic applied at container granularity). Strict mode fails the
-    * task, surfacing the bad path. */
+    * task, surfacing the bad path. Either way the skips are COUNTED —
+    * see [[readWithMetrics]]; this overload discards the handle. */
   def read(spark: SparkSession, dir: String, readerSchemaJson: String,
-      permissive: Boolean = false): DataFrame = {
-    val files = spark.read.format("binaryFile")
+      permissive: Boolean = false,
+      maxFileBytes: Long = DefaultMaxFileBytes): DataFrame =
+    readWithMetrics(spark, dir, readerSchemaJson, permissive, maxFileBytes)._1
+
+  /** [[read]] plus its [[ReadMetrics]] handle (accumulators are live —
+    * read them after an action has executed the scan). */
+  def readWithMetrics(spark: SparkSession, dir: String, readerSchemaJson: String,
+      permissive: Boolean = false,
+      maxFileBytes: Long = DefaultMaxFileBytes): (DataFrame, ReadMetrics) = {
+    val listing = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.avro")
       .option("recursiveFileLookup", "true")
       .load(dir)
+    // metadata-only pre-flight: binaryFile prunes `content` when it is
+    // not selected and pushes the length filter, so oversized objects
+    // cost a listing row, not a heap allocation
+    val oversized = listing.filter(col("length") > maxFileBytes)
+      .select("path").limit(21).collect().map(_.getString(0))
+    if (oversized.nonEmpty && !permissive)
+      throw new IllegalStateException(
+        s"OCF file(s) exceed maxFileBytes=$maxFileBytes (whole-file read " +
+          s"would OOM the task): ${oversized.take(3).mkString(", ")}" +
+          (if (oversized.length > 3) s" … (${oversized.length}+ files)" else "") +
+          " — raise maxFileBytes, re-shard the writer, or read permissive")
+    val corruptHeaderFiles = spark.sparkContext.longAccumulator("ocfCorruptHeaderFiles")
+    val truncatedFiles = spark.sparkContext.longAccumulator("ocfTruncatedFiles")
+    val files = listing
+      .filter(col("length") <= maxFileBytes)
       .select("content")
     val schema = AvroCodec.sparkStructType(readerSchemaJson)
     val rows = InternalDf.toInternalRdd(files).mapPartitions { parts =>
@@ -107,7 +151,7 @@ object AvroFiles {
             new SeekableByteArrayInput(bytes),
             new GenericDatumReader[GenericRecord](null, readerSchema)))
           catch { case scala.util.control.NonFatal(e) =>
-            if (permissive) None else throw e
+            if (permissive) { corruptHeaderFiles.add(1L); None } else throw e
           }
         opened match {
           case None => Iterator.empty
@@ -126,6 +170,7 @@ object AvroFiles {
                 } else { done = true; r.close() }
               } catch { case scala.util.control.NonFatal(e) =>
                 if (!permissive) throw e
+                truncatedFiles.add(1L)
                 done = true; r.close()
               }
             def hasNext: Boolean = {
@@ -142,6 +187,7 @@ object AvroFiles {
         }
       }
     }
-    InternalDf.fromInternalRdd(spark, rows, schema)
+    (InternalDf.fromInternalRdd(spark, rows, schema),
+      ReadMetrics(oversized.length.toLong, corruptHeaderFiles, truncatedFiles))
   }
 }

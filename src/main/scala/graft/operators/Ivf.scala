@@ -106,26 +106,84 @@ object Ivf {
     * so a DuckDB oracle can rebuild the exact same cells — the IVF
     * probe/rerank machinery runs under the full hash gate. The k-means
     * build (`build`/`topK`) remains the quality quantizer. */
-  def buildSeededFlat(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): (DataFrame, DataFrame) = {
-    val hashed = corpus.select(col(idCol).as("cid"), col(vecCol).as("centroid"),
-      md5(col(idCol).cast("string")).as("h"))
-    // nCells rows: the single-partition window is over a constant-sized
-    // frame (the LIMIT happens first), not the corpus
-    val cents = hashed.orderBy(col("h"), col("cid")).limit(nCells)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(col("h"), col("cid"))) - 1).cast("int"))
-      .select(col("cell"), col("centroid"))
+  /** Every vector joins its argmin-d2 cell (ties to the lowest cell id);
+    * centroids are tiny and broadcast. */
+  private def assignTo(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val assignRank = Window.partitionBy(col("__id")).orderBy(col("d2"), col("cell"))
-    val assigned = corpus
+    corpus
       .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
       .crossJoin(broadcast(cents))
       .withColumn("d2", dist2(col("__vec"), col("centroid")))
       .withColumn("__r", row_number().over(assignRank))
       .filter(col("__r") === 1)
       .select(col("__id").as(idCol), col("__vec").as(vecCol), col("cell"))
-    (cents, assigned)
+  }
+
+  /** The nCells corpus vectors with the lexicographically smallest
+    * md5(id): a seeded, engine-neutral centroid sample. */
+  private def seededCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame = {
+    val hashed = corpus.select(col(idCol).as("cid"), col(vecCol).as("centroid"),
+      md5(col(idCol).cast("string")).as("h"))
+    // nCells rows: the single-partition window is over a constant-sized
+    // frame (the LIMIT happens first), not the corpus
+    hashed.orderBy(col("h"), col("cid")).limit(nCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("h"), col("cid"))) - 1).cast("int"))
+      .select(col("cell"), col("centroid"))
+  }
+
+  def buildSeededFlat(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): (DataFrame, DataFrame) = {
+    val cents = seededCentroids(corpus, idCol, vecCol, nCells)
+    (cents, assignTo(corpus, cents, idCol, vecCol))
+  }
+
+  /** TRUE k-means (Lloyd) with engine-neutral arithmetic: seeded init
+    * ([[seededCentroids]]) plus `iters` assign/recompute rounds whose
+    * centroid means are EXACT — each component is quantized to an
+    * integer (`round(x·1e6)`), summed exactly (order-independent, no
+    * float drift), and divided once — so a SQL oracle unrolling the same
+    * iterations rebuilds bit-identical centroids and the full k-means
+    * IVF path sits under the hash gate (the MLlib `build` remains the
+    * off-gate production quantizer; same machinery, opaque seeding).
+    * Empty cells keep their previous centroid (both engines). Per-round
+    * cost: one broadcast-assign pass + one (cell,dim)-keyed partial agg
+    * — no corpus shuffle; `localCheckpoint` keeps the centroid plan flat
+    * across rounds. */
+  def buildLloydFlat(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    var cents = seededCentroids(corpus, idCol, vecCol, nCells)
+      .select(col("cell"),
+        transform(col("centroid"), x => x.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignTo(corpus, cents, idCol, vecCol)
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sq"), col("n")))),
+          s => round(s.getField("sq").cast("double") / 1e6 / s.getField("n"), 9))
+          .as("newc"))
+      cents = cents.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("newc"), col("centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    (cents, assignTo(corpus, cents, idCol, vecCol))
+  }
+
+  /** One-shot Lloyd-IVF search (oracle-backed true k-means). */
+  def lloydTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, nProbe: Int, iters: Int = 2): DataFrame = {
+    val (cents, assigned) = buildLloydFlat(corpus, idCol, vecCol, nCells, iters)
+    searchWithCentroids(cents, assigned, queries, idCol, vecCol, k, nProbe)
   }
 
   /** One-shot seeded-IVF search (the oracle-backed variant). */

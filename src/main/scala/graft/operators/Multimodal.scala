@@ -54,17 +54,20 @@ object Multimodal {
         lit("stub").as("format")).as("meta"))
 
   /** ??? — external-codec formats (JPEG-XL, video, …) would go here.
-    * Deterministic fake: 8-dim embedding from chunked byte sums, so
-    * tests and oracles are stable. */
+    * Deterministic fake: 8-dim embedding from chunked byte sums. The
+    * accumulator is an exact integer sum with ONE trailing float
+    * division — order-independent and engine-neutral, so a SQL oracle
+    * reproduces each component bit-for-bit (a float running sum would
+    * be partition-order-sensitive and unreproducible outside the JVM). */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val dims = 8
-    val acc = new Array[Float](dims)
+    val acc = new Array[Long](dims)
     var i = 0
     while (i < payload.length) {
-      acc(i % dims) += (payload(i) & 0xFF) / 255.0f
+      acc(i % dims) += (payload(i) & 0xFF)
       i += 1
     }
-    acc
+    acc.map(s => (s / 255.0).toFloat)
   }
 
   /** REAL pixel decode for JDK-supported containers (PNG/BMP/GIF via

@@ -140,6 +140,34 @@ object Similarity {
         col("t.id").as("neighbor_id"), col("t.score").as("sim"))
   }
 
+  /** Band length that keeps expected bucket size ≈ `targetBucket` for a
+    * corpus of `corpusSize` vectors: parity planes split a generic
+    * corpus roughly in half per bit, so buckets hold ~n/2^bits ids and
+    * the per-bucket quadratic term stays ~targetBucket²/2 — candidates
+    * grow LINEARLY with n when bits grows with log2(n). This is the
+    * self-tuning knob VERDICT r3 flagged: a fixed bitsPerBand re-run on
+    * a 100× corpus silently goes quadratic; `ceil(log2(n/target))`
+    * doesn't. (Registered oracle queries keep a static banding — the
+    * DuckDB plane CTE is compile-time SQL — and declare their envelope
+    * with `maxCandidatePairs` instead.) */
+  def autoBitsPerBand(corpusSize: Long, targetBucket: Int = 64): Int =
+    math.max(3, math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** The candidate-pair mass a banding would enumerate: Σ over buckets
+    * of C(size, 2), skipping over-cap buckets — counts only (one
+    * map-combined agg over ids-only banded rows; vectors never move).
+    * The guard/spec surface for the quadratic-blowup failure mode. */
+  def candidatePairCount(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bitsPerBand: Int, maxBucket: Int = 10000,
+      md5Planes: Boolean = false): Long =
+    bandedIds(df, idCol, vecCol, "id", bands, bitsPerBand, md5Planes)
+      .groupBy(col("band"), col("bits")).agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("total"))
+      .first().getLong(0)
+
   /** Embedding near-dup at scale: LSH-blocked candidate pairs (a<b)
     * confirmed by exact cosine — the scale path for `nearDupPairs`,
     * whose corpus² cross join is the verification baseline. Approximate:
@@ -150,11 +178,31 @@ object Similarity {
     * real dedup runs at) — shorter bands raise recall but coarsen
     * buckets, so band count, not band length, is the recall knob that
     * keeps bucket sizes (and the per-bucket quadratic term) bounded.
-    * Recall is spec-asserted against brute force. */
+    * Recall is spec-asserted against brute force.
+    *
+    * `maxCandidatePairs`: a loud envelope for hand-tuned bandings — if
+    * the blocking would enumerate more candidates than the budget, fail
+    * with the corpus-sized `autoBitsPerBand` suggestion instead of
+    * silently going quadratic (costs one extra ids-only counting pass;
+    * callers without a static-oracle constraint should size
+    * `bitsPerBand = autoBitsPerBand(n)` and skip the guard). */
   def nearDupPairsLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bands: Int = 6, bitsPerBand: Int = 3, maxBucket: Int = 10000,
-      md5Planes: Boolean = false): DataFrame = {
+      md5Planes: Boolean = false,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
+    maxCandidatePairs.foreach { budget =>
+      val total = candidatePairCount(df, idCol, vecCol, bands, bitsPerBand,
+        maxBucket, md5Planes)
+      if (total > budget) {
+        val n = df.count()
+        throw new IllegalStateException(
+          s"LSH candidate budget exceeded: $bands×$bitsPerBand banding over " +
+            s"$n vectors enumerates $total candidate pairs > budget $budget. " +
+            s"Raise bitsPerBand to ~${autoBitsPerBand(n)} " +
+            "(Similarity.autoBitsPerBand) or raise the budget.")
+      }
+    }
     val banded = bandedIds(df, idCol, vecCol, "id", bands, bitsPerBand, md5Planes)
     val buckets = banded
       .groupBy(col("band"), col("bits"))

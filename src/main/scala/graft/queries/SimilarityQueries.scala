@@ -45,10 +45,15 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF-flat scale path (rows-only: k-means cells are engine-internal). */
+  /** IVF-flat over TRUE k-means (2 engine-neutral Lloyd rounds from the
+    * md5-seeded init; integer-quantized exact centroid means) — fully
+    * oracle-checked: the DuckDB oracle unrolls the same two iterations
+    * and rebuilds bit-identical centroids, cells, probes, and rerank
+    * (r3 "shrink rows-only" item; the MLlib quantizer stays spec-tested
+    * for recall). */
   def simTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    graft.operators.Ivf.topK(emb, queriesSubset(emb), "vec_id", "embedding",
+    graft.operators.Ivf.lloydTopK(emb, queriesSubset(emb), "vec_id", "embedding",
       k = 10, nCells = 16, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -76,9 +81,21 @@ object SimilarityQueries {
     * set in SQL and the hash check covers blocking + rerank end to end.
     * The brute-force cross join survives as `sim_neardup_exact_check`
     * (the verification baseline; it dies at 100× scale). */
+  /** The static 6×3 banding's declared envelope: measured candidate
+    * mass is 95.6k at sf0.01 and 1.52M at sf0.1 (ScaleTime, r4) —
+    * per-vector mass quadruples when the corpus does, so a ~2× corpus
+    * trips this budget and fails LOUDLY with the autoBitsPerBand
+    * suggestion instead of silently going quadratic (at 100× the fixed
+    * banding is outright broken: every bucket overflows maxBucket and
+    * candidate recall collapses to zero). The oracle's plane CTE is
+    * compile-time SQL, which is why the registered config stays static
+    * rather than self-tuning. */
+  private val NearDupCandidateBudget = 4000000L
+
   def simNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.4, md5Planes = true)
+      threshold = 0.4, md5Planes = true,
+      maxCandidatePairs = Some(NearDupCandidateBudget))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Semantic dedup: connected components over the embedding near-dup
@@ -89,7 +106,8 @@ object SimilarityQueries {
     * oracle closes the same edge set with a recursive CTE. */
   def simNearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", threshold = 0.4, md5Planes = true)
+        "vec_id", "embedding", threshold = 0.4, md5Planes = true,
+        maxCandidatePairs = Some(NearDupCandidateBudget))
       .select(col("id_a"), col("id_b"))
     graft.operators.Dedup.connectedComponents(pairs)
       .orderBy(col("node"))
@@ -196,6 +214,41 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // True-k-means IVF: md5-seeded init + 2 unrolled Lloyd rounds with
+    // integer-quantized exact centroid means (round(x*1e6) sums are
+    // order-independent BIGINTs; one double division + round(9) per
+    // component), then the same probe/rerank as the seeded variant.
+    "sim_topk_ivf" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+        |         vec AS centroid
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),""".stripMargin +
+        lloydIterCtes(2) + s"""
+        |af AS (
+        |  SELECT vec_id, vec, cell FROM (
+        |    SELECT e.vec_id, e.vec, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             ${lloydD2("e.vec", "c.centroid")}, c.cell) AS r
+        |    FROM e CROSS JOIN c2 c) t WHERE r = 1),
+        |probed AS (
+        |  SELECT query_id, qvec, cell FROM (
+        |    SELECT q.vec_id AS query_id, q.vec AS qvec, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |             ${lloydD2("q.vec", "c.centroid")}, c.cell) AS r
+        |    FROM e q CROSS JOIN c2 c WHERE q.vec_id % 50 = 0) t WHERE r <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(p.qvec, a.vec), 9) AS sim
+        |  FROM probed p JOIN af a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     // Seeded IVF: centroids = the 16 vectors with smallest md5(id);
     // assignment/probe rank cells by squared L2 computed as an ordered
     // list fold (bit-identical to the Spark-side zip_with aggregate).
@@ -290,6 +343,35 @@ object SimilarityQueries {
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Ordered squared-L2 fold — bit-identical to `Ivf.dist2`. */
+  private def lloydD2(v: String, c: String): String =
+    s"list_sum(list_transform(range(64), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1])))"
+
+  /** One assign/recompute Lloyd round per iteration, mirroring
+    * `Ivf.buildLloydFlat`: exact integer-quantized component sums, one
+    * double division, round(9), empty cells keep the prior centroid. */
+  private def lloydIterCtes(iters: Int): String =
+    (1 to iters).map { it =>
+      s"""
+        |a$it AS (
+        |  SELECT vec_id, vec, cell FROM (
+        |    SELECT e.vec_id, e.vec, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             ${lloydD2("e.vec", "c.centroid")}, c.cell) AS r
+        |    FROM e CROSS JOIN c${it - 1} c) t WHERE r = 1),
+        |m$it AS (
+        |  SELECT cell, CAST(t.i AS INT) AS pos,
+        |         CAST(SUM(CAST(round(vec[CAST(t.i AS INT) + 1] * 1e6) AS BIGINT)) AS BIGINT) AS sq,
+        |         COUNT(*) AS n
+        |  FROM a$it, range(64) t(i) GROUP BY cell, t.i),
+        |n$it AS (
+        |  SELECT cell, list(round(CAST(sq AS DOUBLE) / 1e6 / n, 9) ORDER BY pos) AS centroid
+        |  FROM m$it GROUP BY cell),
+        |c$it AS (
+        |  SELECT p.cell, COALESCE(u.centroid, p.centroid) AS centroid
+        |  FROM c${it - 1} p LEFT JOIN n$it u ON u.cell = p.cell),""".stripMargin
+    }.mkString
 
   /** Shared oracle scaffolding: md5-parity plane matrix, per-vector sign
     * bits, banded bit-strings — parameterized exactly like `bandedIds`. */

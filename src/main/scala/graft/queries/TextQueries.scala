@@ -252,21 +252,35 @@ object TextQueries {
       .orderBy(col("split"))
   }
 
+  /** One learned tokenizer per (session, corpus dir) shared by all three
+    * BPE queries — re-learning identical merges per query cost ~1.5 s
+    * each at sf0.1 (BENCH_NOTES r3); the segmented vocab is checkpointed
+    * inside [[graft.operators.Bpe.learn]], so reuse is free. Keyed on the
+    * session too: a checkpointed DataFrame dies with its session, so a
+    * stale cross-session hit would hold dead block references. */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.Bpe.Learned]()
+
+  private def bpeLearned(spark: SparkSession, dir: String): graft.operators.Bpe.Learned =
+    bpeMemo.computeIfAbsent((spark, dir), _ =>
+      graft.operators.Bpe.learn(Tables.documents(spark, dir), "text", steps = 3))
+
   /** Learn the first 3 BPE merge rules from the corpus (tokenizer
     * training; `text_bpe_tokens` is the apply side). */
   def bpeLearnMerges(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Bpe.learnMerges(Tables.documents(spark, dir), "text", steps = 3)
+    graft.operators.Bpe.mergesDf(spark, bpeLearned(spark, dir))
       .orderBy(col("step"))
 
   /** The apply side of BPE: the vocabulary segmented by the 3 learned
     * merges (word -> subword symbols + corpus frequency). */
   def bpeSegmentVocab(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Bpe.segmentVocab(Tables.documents(spark, dir), "text", steps = 3)
+    graft.operators.Bpe.segmentsDf(bpeLearned(spark, dir))
       .orderBy(col("word"))
 
   /** Corpus subword frequencies under the learned BPE vocabulary. */
   def bpeCorpusSubwords(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Bpe.corpusSubwords(Tables.documents(spark, dir), "text", steps = 3)
+    graft.operators.Bpe.corpusSubwords(
+        Tables.documents(spark, dir), "text", bpeLearned(spark, dir))
       .orderBy(col("subword"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -120,6 +120,52 @@ class AvroFilesSpec extends SparkSpec {
     assert(n >= 10 && n < 20)
   }
 
+  test("permissive skips are COUNTED: corrupt-header and mid-stream decode metrics") {
+    val df = usersDf(10, 1)
+    val dir = tmp()
+    AvroFiles.write(df, schema, dir, codec = "null")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "garbage.avro"), "not avro".getBytes)
+    // a copy whose last record's data is scribbled over: the header and
+    // earlier records survive, the decode of the tail throws — the
+    // OBSERVABLE mid-stream corruption (a truncated tail merely ends the
+    // avro block stream early, which the reader reports as clean EOF)
+    val good = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val bytes = java.nio.file.Files.readAllBytes(good.toPath)
+    for (i <- bytes.length - 40 until bytes.length - 32) bytes(i) = 0xFF.toByte
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "scribbled.avro"), bytes)
+    val (back, m) = AvroFiles.readWithMetrics(spark, dir, schema, permissive = true)
+    val n = back.count() // execute the scan; accumulators fill
+    assert(n >= 10 && n < 20) // intact file + salvaged prefix of the copy
+    assert(m.oversizedSkipped === 0L)
+    assert(m.corruptHeaderFiles.value === 1L, "garbage.avro should be counted")
+    assert(m.truncatedFiles.value === 1L, "scribbled.avro should be counted")
+  }
+
+  test("oversized files are bounded BEFORE content load: strict fails with paths, permissive skips+counts") {
+    val dir = tmp()
+    AvroFiles.write(usersDf(4, 1), schema, dir, codec = "null")
+    val big = tmp()
+    AvroFiles.write(usersDf(30, 1), schema, big, codec = "null")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(big, "part-00000.avro"),
+      java.nio.file.Paths.get(dir, "big.avro"))
+    val cap = new java.io.File(dir, "big.avro").length() - 1
+    val e = intercept[IllegalStateException] {
+      AvroFiles.read(spark, dir, schema, maxFileBytes = cap)
+    }
+    assert(e.getMessage.contains("maxFileBytes"))
+    assert(e.getMessage.contains("big.avro"))
+    val (under, m) = AvroFiles.readWithMetrics(
+      spark, dir, schema, permissive = true, maxFileBytes = cap)
+    assert(m.oversizedSkipped === 1L)
+    assert(under.count() === 4) // the skipped file's rows are absent
+    // generous cap: everything reads
+    assert(AvroFiles.read(spark, dir, schema).count() === 34)
+  }
+
   test("streaming OCF sink: per-batch subdirs, sized objects, lossless read-back") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

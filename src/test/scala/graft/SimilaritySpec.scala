@@ -174,4 +174,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
     assert(out.forall(_.getAs[Double]("sim") >= 0.4))
   }
+
+  test("candidate budget guard fails loudly with the autoBitsPerBand suggestion") {
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalStateException] {
+      Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", threshold = 0.4,
+        maxCandidatePairs = Some(1L))
+    }
+    assert(e.getMessage.contains("candidate budget exceeded"))
+    assert(e.getMessage.contains("autoBitsPerBand"))
+    // a budget sized for the corpus admits the plan (and the result is
+    // identical to the unguarded path)
+    val guarded = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
+      threshold = 0.4, maxCandidatePairs = Some(1000L * 500))
+    val plain = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", 0.4)
+    assert(guarded.collect().toSet === plain.collect().toSet)
+  }
+
+  test("autoBitsPerBand keeps candidate mass per vector bounded as the corpus grows") {
+    // 500 (sf0.001) -> 2000 (sf0.1) vectors: at FIXED 3-bit bands the
+    // per-vector candidate mass grows ~linearly (total quadratic); the
+    // log2-derived band length holds it roughly flat
+    val small = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val big = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val (nS, nB) = (small.count(), big.count())
+    assert(nB >= 4 * nS)
+    val bitsS = Similarity.autoBitsPerBand(nS)
+    val bitsB = Similarity.autoBitsPerBand(nB)
+    assert(bitsB > bitsS, "band length must grow with the corpus")
+    val staticSmall = Similarity.candidatePairCount(
+      small, "vec_id", "embedding", bands = 6, bitsPerBand = 3).toDouble / nS
+    val staticBig = Similarity.candidatePairCount(
+      big, "vec_id", "embedding", bands = 6, bitsPerBand = 3).toDouble / nB
+    val autoBig = Similarity.candidatePairCount(
+      big, "vec_id", "embedding", bands = 6, bitsPerBand = bitsB).toDouble / nB
+    assert(staticBig > 2 * staticSmall,
+      s"fixed banding should blow up per-vector ($staticSmall -> $staticBig)")
+    assert(autoBig <= 2 * staticSmall,
+      s"auto banding should hold per-vector mass ~flat (small=$staticSmall auto=$autoBig)")
+  }
 }
