@@ -48,7 +48,20 @@ object Bench {
     val results = selected.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line has been tail-truncated by log capture two rounds
+    // running, losing the per-query map. Persist the complete artifact to a
+    // repo file as the lossless source of truth (overridable for dev runs).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full results written to $p")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

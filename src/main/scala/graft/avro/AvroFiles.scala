@@ -1,12 +1,12 @@
 package graft.avro
 
-import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter, FileReader}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.InternalDf
 
 /** Avro Object Container File (OCF) source + sink over the plain
@@ -24,14 +24,19 @@ import org.apache.spark.sql.graft.InternalDf
   *    `flush.size` story, S8). Paths go through the Hadoop FileSystem
   *    API, so the same call sites write `s3a://` URIs; the session's
   *    Hadoop conf is broadcast to tasks.
-  *  - READ: one task per file (`binaryFile` listing); records decode
-  *    straight to InternalRow with a single reused GenericRecord per
-  *    file, and schema-evolution reads resolve writer->reader by
+  *  - READ: sync-marker splits, the same contract a built-in FileFormat
+  *    gives parquet — each container is planned as `ceil(len /
+  *    splitBytes)` byte ranges, a task seeks to the first Avro sync
+  *    marker at-or-after its range start (`FileReader.sync`) and decodes
+  *    blocks until `pastSync(end)`, so every block is read by exactly
+  *    one task and a multi-GiB archival object parallelizes across the
+  *    cluster instead of pinning (and OOMing) one task. Records stream
+  *    from the FileSystem (`FsInput`) — no whole-file buffering — and
+  *    decode straight to InternalRow with a single reused GenericRecord
+  *    per split; schema-evolution reads resolve writer->reader by
   *    standard Avro resolution (the file header carries the writer
-  *    schema). A 100 TB corpus of OCF files parallelizes by file count —
-  *    the writer's one-file-per-partition contract keeps those sized.
-  *    (Finer-than-file splits via Avro sync markers would need a full
-  *    FileFormat implementation; per-file tasks are the public-API path.)
+  *    schema). Small files are bin-packed several-to-a-task so a 100 TB
+  *    prefix of tiny objects doesn't explode the task count.
   */
 object AvroFiles {
 
@@ -48,7 +53,7 @@ object AvroFiles {
     * partition under `outDir` (replaced if present). Returns the row
     * count written. */
   def write(df: DataFrame, schemaJson: String, outDir: String,
-      codec: String = "deflate"): Long = {
+      codec: String = "deflate", syncIntervalBytes: Int = 64000): Long = {
     val spark = df.sparkSession
     val confAccess = InternalDf.hadoopConfAccessor(spark)
     val dirPath = new Path(outDir)
@@ -64,6 +69,7 @@ object AvroFiles {
         val out = p.getFileSystem(confAccess()).create(p, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(codecFactory(codecName))
+        w.setSyncInterval(syncIntervalBytes)
         w.create(schema, out)
         var n = 0L
         try {
@@ -79,23 +85,62 @@ object AvroFiles {
   }
 
   /** Observable skip accounting for a [[read]] call — the r3 "silent
-    * skip" fix. `oversizedSkipped` is resolved at plan time from the
-    * file listing (metadata only — oversized content is never loaded);
-    * the two accumulators fill as the scan executes, surfacing in the
-    * Spark UI like any task metric. */
+    * skip" fix. The accumulators fill as the scan executes, surfacing in
+    * the Spark UI like any task metric.
+    *
+    * Validity: read them after exactly ONE successful action over the
+    * returned DataFrame. Task retries, speculative duplicates, or a
+    * second action re-executing the scan will increment again — this is
+    * inherent to Spark accumulators in transformations; treat the values
+    * as a per-run diagnostic, not an exactly-once ledger. */
   final case class ReadMetrics(
-      oversizedSkipped: Long,
       corruptHeaderFiles: org.apache.spark.util.LongAccumulator,
       truncatedFiles: org.apache.spark.util.LongAccumulator)
 
-  /** Per-file on-heap ceiling for [[read]]: the whole-file `binaryFile`
-    * path materializes each container in task memory, so a multi-GiB
-    * object would OOM the task. Files above the cap are skipped (and
-    * counted) in permissive mode, or fail fast with their paths in
-    * strict mode — BEFORE any content is read. Finer-than-file sync-
-    * marker splits need a full FileFormat; this is the public-API
-    * guard. */
-  val DefaultMaxFileBytes: Long = 512L << 20
+  /** Target bytes per read task: a container larger than this is split
+    * on Avro sync markers into multiple ranges; files (or ranges)
+    * smaller than it are bin-packed several-to-a-task. Mirrors
+    * `spark.sql.files.maxPartitionBytes`' default. */
+  val DefaultSplitBytes: Long = 128L << 20
+
+  /** One planned byte range of one container file. The reader seeks to
+    * the first sync marker at-or-after `start` and stops once past
+    * `start + length` — the canonical Avro split contract, so ranges
+    * tile a file with every block decoded exactly once. */
+  final case class OcfSplit(path: String, start: Long, length: Long)
+
+  /** Plan the splits for every `*.avro` under `dir` (recursive),
+    * bin-packed into task groups of ~`splitBytes`. Driver-side metadata
+    * only. Exposed for tests/planning introspection. */
+  def planSplits(spark: SparkSession, dir: String,
+      splitBytes: Long): Seq[Seq[OcfSplit]] = {
+    require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(dirPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".avro") && st.getLen > 0)
+        files += st.getPath.toString -> st.getLen
+    }
+    val splits = files.sortBy(_._1).flatMap { case (p, len) =>
+      (0L until len by splitBytes).map(s => OcfSplit(p, s, math.min(splitBytes, len - s)))
+    }
+    // greedy pack in listing order: consecutive small files share a task,
+    // a full-sized range fills its own
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[OcfSplit]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[OcfSplit]
+    var curBytes = 0L
+    splits.foreach { sp =>
+      if (cur.nonEmpty && curBytes + sp.length > splitBytes) {
+        bins += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty; curBytes = 0L
+      }
+      cur += sp; curBytes += sp.length
+    }
+    if (cur.nonEmpty) bins += cur.toSeq
+    bins.toSeq
+  }
 
   /** Read every `*.avro` container file under `dir` (recursively, so
     * streaming-sink `batch=N/` layouts read directly) as a DataFrame
@@ -103,6 +148,10 @@ object AvroFiles {
     * from each file's header, so passing a DIFFERENT reader schema is
     * the schema-evolution read: reader-added fields take their
     * defaults, writer-only fields are skipped, fields match by name.
+    *
+    * Containers larger than `splitBytes` are split on sync markers and
+    * read by multiple tasks in parallel (see [[planSplits]]); records
+    * stream from the FileSystem, so file size never pressures task heap.
     *
     * `permissive = true` is the lake-robustness mode: a file with a
     * corrupt header is skipped entirely, and a file that breaks
@@ -113,81 +162,85 @@ object AvroFiles {
     * see [[readWithMetrics]]; this overload discards the handle. */
   def read(spark: SparkSession, dir: String, readerSchemaJson: String,
       permissive: Boolean = false,
-      maxFileBytes: Long = DefaultMaxFileBytes): DataFrame =
-    readWithMetrics(spark, dir, readerSchemaJson, permissive, maxFileBytes)._1
+      splitBytes: Long = DefaultSplitBytes): DataFrame =
+    readWithMetrics(spark, dir, readerSchemaJson, permissive, splitBytes)._1
 
   /** [[read]] plus its [[ReadMetrics]] handle (accumulators are live —
     * read them after an action has executed the scan). */
   def readWithMetrics(spark: SparkSession, dir: String, readerSchemaJson: String,
       permissive: Boolean = false,
-      maxFileBytes: Long = DefaultMaxFileBytes): (DataFrame, ReadMetrics) = {
-    val listing = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.avro")
-      .option("recursiveFileLookup", "true")
-      .load(dir)
-    // metadata-only pre-flight: binaryFile prunes `content` when it is
-    // not selected and pushes the length filter, so oversized objects
-    // cost a listing row, not a heap allocation
-    val oversized = listing.filter(col("length") > maxFileBytes)
-      .select("path").limit(21).collect().map(_.getString(0))
-    if (oversized.nonEmpty && !permissive)
-      throw new IllegalStateException(
-        s"OCF file(s) exceed maxFileBytes=$maxFileBytes (whole-file read " +
-          s"would OOM the task): ${oversized.take(3).mkString(", ")}" +
-          (if (oversized.length > 3) s" … (${oversized.length}+ files)" else "") +
-          " — raise maxFileBytes, re-shard the writer, or read permissive")
+      splitBytes: Long = DefaultSplitBytes): (DataFrame, ReadMetrics) = {
+    val confAccess = InternalDf.hadoopConfAccessor(spark)
     val corruptHeaderFiles = spark.sparkContext.longAccumulator("ocfCorruptHeaderFiles")
     val truncatedFiles = spark.sparkContext.longAccumulator("ocfTruncatedFiles")
-    val files = listing
-      .filter(col("length") <= maxFileBytes)
-      .select("content")
+    val bins = planSplits(spark, dir, splitBytes)
     val schema = AvroCodec.sparkStructType(readerSchemaJson)
-    val rows = InternalDf.toInternalRdd(files).mapPartitions { parts =>
-      parts.flatMap { fileRow =>
-        val bytes = fileRow.getBinary(0)
-        val readerSchema = AvroCodec.parsedSchema(readerSchemaJson)
-        val opened =
-          try Some(new DataFileReader[GenericRecord](
-            new SeekableByteArrayInput(bytes),
-            new GenericDatumReader[GenericRecord](null, readerSchema)))
-          catch { case scala.util.control.NonFatal(e) =>
-            if (permissive) { corruptHeaderFiles.add(1L); None } else throw e
-          }
-        opened match {
-          case None => Iterator.empty
-          case Some(r) => new Iterator[InternalRow] {
-            // one-row lookahead: decode happens inside hasNext so a
-            // corrupt tail can end the iteration cleanly instead of
-            // throwing after hasNext already promised an element
-            private var rec: GenericRecord = null
-            private var pending: InternalRow = null
-            private var done = false
-            private def advance(): Unit =
-              try {
-                if (r.hasNext) {
-                  rec = r.next(rec)
-                  pending = AvroCodec.avroToRow(rec, readerSchema)
-                } else { done = true; r.close() }
-              } catch { case scala.util.control.NonFatal(e) =>
-                if (!permissive) throw e
-                truncatedFiles.add(1L)
-                done = true; r.close()
+    val rdd = spark.sparkContext
+      .parallelize(bins, math.max(1, bins.size))
+      .mapPartitions { binIt =>
+        binIt.flatMap(_.iterator).flatMap { sp =>
+          val readerSchema = AvroCodec.parsedSchema(readerSchemaJson)
+          val opened: Option[FileReader[GenericRecord]] =
+            try {
+              val in = new FsInput(new Path(sp.path), confAccess())
+              try Some(DataFileReader.openReader(in,
+                new GenericDatumReader[GenericRecord](null, readerSchema)))
+              catch { case scala.util.control.NonFatal(e) => in.close(); throw e }
+            } catch { case scala.util.control.NonFatal(e) =>
+              if (!permissive) throw e
+              // every split of a headerless file fails open; attribute the
+              // skip to the split that owns byte 0 so the file counts once
+              if (sp.start == 0L) corruptHeaderFiles.add(1L)
+              None
+            }
+          opened match {
+            case None => Iterator.empty
+            case Some(r) =>
+              val splitEnd = sp.start + sp.length
+              // seek to the first block at-or-after our range start; a
+              // file mangled badly enough that the seek itself fails is a
+              // truncation in permissive mode
+              val positioned =
+                try { r.sync(sp.start); true }
+                catch { case scala.util.control.NonFatal(e) =>
+                  r.close()
+                  if (!permissive) throw e
+                  truncatedFiles.add(1L); false
+                }
+              if (!positioned) Iterator.empty
+              else new Iterator[InternalRow] {
+                // one-row lookahead: decode happens inside hasNext so a
+                // corrupt tail can end the iteration cleanly instead of
+                // throwing after hasNext already promised an element
+                private var rec: GenericRecord = null
+                private var pending: InternalRow = null
+                private var done = false
+                private def advance(): Unit =
+                  try {
+                    if (r.hasNext && !r.pastSync(splitEnd)) {
+                      rec = r.next(rec)
+                      pending = AvroCodec.avroToRow(rec, readerSchema)
+                    } else { done = true; r.close() }
+                  } catch { case scala.util.control.NonFatal(e) =>
+                    if (!permissive) throw e
+                    truncatedFiles.add(1L)
+                    done = true; r.close()
+                  }
+                def hasNext: Boolean = {
+                  if (pending == null && !done) advance()
+                  pending != null
+                }
+                def next(): InternalRow = {
+                  if (!hasNext) throw new java.util.NoSuchElementException
+                  val out = pending
+                  pending = null
+                  out
+                }
               }
-            def hasNext: Boolean = {
-              if (pending == null && !done) advance()
-              pending != null
-            }
-            def next(): InternalRow = {
-              if (!hasNext) throw new java.util.NoSuchElementException
-              val out = pending
-              pending = null
-              out
-            }
           }
         }
       }
-    }
-    (InternalDf.fromInternalRdd(spark, rows, schema),
-      ReadMetrics(oversized.length.toLong, corruptHeaderFiles, truncatedFiles))
+    (InternalDf.fromInternalRdd(spark, rdd, schema),
+      ReadMetrics(corruptHeaderFiles, truncatedFiles))
   }
 }

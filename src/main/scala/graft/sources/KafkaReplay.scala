@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -112,18 +112,33 @@ object KafkaReplay {
       .repartition(numTasks, col("partition"))
       .sortWithinPartitions(col("partition"), col("seq"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // Each log partition is written to a task-attempt-unique temp file
+        // and atomically renamed into place on completion, so a retried or
+        // speculative duplicate task never interleaves bytes with the
+        // original — the last attempt to finish wins wholesale.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var curPart = Int.MinValue
         var out: DataOutputStream = null
+        var tmp: File = null
         var next = 0L
+        def finishCurrent(): Unit = if (out != null) {
+          out.close(); out = null
+          java.nio.file.Files.move(tmp.toPath,
+            partFile(new File(path), curPart).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         try {
           it.foreach { r =>
             val p = r.getInt(0)
             if (p != curPart) {
-              if (out != null) out.close()
+              finishCurrent()
               curPart = p
               next = 0L
+              tmp = new File(new File(path), s"partition-$p.log.tmp-$attempt")
               out = new DataOutputStream(new BufferedOutputStream(
-                new FileOutputStream(partFile(new File(path), p), false)))
+                new FileOutputStream(tmp, false)))
             }
             out.writeLong(next); next += 1
             out.writeLong(r.getLong(3))
@@ -132,7 +147,8 @@ object KafkaReplay {
             val v = r.getAs[Array[Byte]](2)
             if (v == null) out.writeInt(-1) else { out.writeInt(v.length); out.write(v) }
           }
-        } finally if (out != null) out.close()
+          finishCurrent()
+        } finally if (out != null) { out.close(); tmp.delete(); () }
       }
   }
 
@@ -172,6 +188,52 @@ object KafkaReplay {
       ReplayOffset(SortedMap.from(
         Entry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong)))
   }
+
+  // User-facing offset-spec JSON (startingOffsets/endingOffsets) allows the
+  // Kafka sentinels -2 (earliest) and -1 (latest), and tolerates the
+  // topic-nested form `{"t":{"0":5}}` — only numeric keys are offsets.
+  private val SpecEntry = """"(\d+)"\s*:\s*(-?\d+)""".r
+  private def parseOffsetSpec(s: String): Map[Int, Long] =
+    SpecEntry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+
+  /** Resolve a `startingOffsets` spec against the log's latest offsets —
+    * same surface as the Kafka batch source: "earliest" (default), or a
+    * JSON map with -2 = earliest; "latest"/-1 is rejected for a batch
+    * start, matching Kafka. Unlisted partitions start at earliest. */
+  def resolveStartingOffsets(spec: String, latest: SortedMap[Int, Long]): SortedMap[Int, Long] =
+    spec.trim match {
+      case "earliest" => latest.map { case (p, _) => p -> 0L }
+      case "latest" => throw new IllegalArgumentException(
+        s"$ShortName: startingOffsets 'latest' is not allowed for batch reads")
+      case json =>
+        val m = parseOffsetSpec(json)
+        latest.map { case (p, e) =>
+          p -> (m.get(p) match {
+            case Some(-2L) | None => 0L
+            case Some(-1L) => throw new IllegalArgumentException(
+              s"$ShortName: startingOffsets -1 (latest) is not allowed for batch reads")
+            case Some(o) => o.max(0L).min(e)
+          })
+        }
+    }
+
+  /** Resolve an `endingOffsets` spec: "latest" (default) or a JSON map
+    * with -1 = latest; unlisted partitions end at latest. Requested ends
+    * past the log are clamped to what exists. */
+  def resolveEndingOffsets(spec: String, latest: SortedMap[Int, Long]): SortedMap[Int, Long] =
+    spec.trim match {
+      case "latest" => latest
+      case "earliest" => throw new IllegalArgumentException(
+        s"$ShortName: endingOffsets 'earliest' is not allowed")
+      case json =>
+        val m = parseOffsetSpec(json)
+        latest.map { case (p, e) =>
+          p -> (m.get(p) match {
+            case Some(-1L) | None => e
+            case Some(o) => o.max(0L).min(e)
+          })
+        }
+    }
 
   final case class ReplayInputPartition(file: String, partition: Int,
       start: Long, end: Long, topic: String) extends InputPartition
@@ -263,19 +325,34 @@ object KafkaReplay {
       throw new UnsupportedOperationException(
         "latestOffset(Offset, ReadLimit) should be called instead")
 
+    /** Extract the row cap from any ReadLimit shape. A composite (e.g.
+      * minRows + maxRows from Trigger.AvailableNow pacing) is searched for
+      * its ReadMaxRows component; all-available and min-rows floors mean
+      * "no cap"; anything unrecognized throws rather than silently
+      * dropping a configured admission limit. */
+    private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+      case r: ReadMaxRows => Some(r.maxRows())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(l => maxRowsOf(l)).minOption
+      case _: ReadAllAvailable => None
+      case _: ReadMinRows => None
+      case other => throw new UnsupportedOperationException(
+        s"$ShortName: unsupported ReadLimit ${other.getClass.getName}")
+    }
+
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val from = start.asInstanceOf[ReplayOffset].parts
       val end = currentEnd
-      val capped = limit match {
-        case r: ReadMaxRows =>
-          var budget = r.maxRows()
+      val capped = maxRowsOf(limit) match {
+        case Some(maxRows) =>
+          var budget = maxRows
           end.map { case (p, e) =>
             val s = from.getOrElse(p, 0L)
             val take = math.min(e - s, budget).max(0L)
             budget -= take
             p -> (s + take)
           }
-        case _ => end
+        case None => end
       }
       ReplayOffset(capped)
     }
@@ -293,22 +370,29 @@ object KafkaReplay {
     override def stop(): Unit = ()
   }
 
-  /** Batch half: the whole log as of planning time (the bounded-read O2
-    * shape — lets the oracle gate scan the same bytes the stream sees). */
-  final class ReplayBatch(path: String, topic: String) extends Batch {
+  /** Batch half: a bounded slice of the log as of planning time (the
+    * bounded-read O2 shape — lets the oracle gate scan the same bytes the
+    * stream sees). Honors `startingOffsets`/`endingOffsets` with the Kafka
+    * batch-source surface (S2 batch mapping). */
+  final class ReplayBatch(path: String, topic: String,
+      startingOffsets: String, endingOffsets: String) extends Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val end = endOffsets(path)
-      planRange(path, topic, end.map { case (p, _) => p -> 0L }, end)
+      val latest = endOffsets(path)
+      planRange(path, topic,
+        resolveStartingOffsets(startingOffsets, latest),
+        resolveEndingOffsets(endingOffsets, latest))
     }
     override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
   }
 
-  final class ReplayScan(path: String, topic: String, maxPerTrigger: Option[Long])
+  final class ReplayScan(path: String, topic: String, maxPerTrigger: Option[Long],
+      startingOffsets: String, endingOffsets: String)
       extends Scan with ScanBuilder {
     override def build(): Scan = this
     override def readSchema(): StructType = schema
     override def description(): String = s"$ShortName path=$path"
-    override def toBatch: Batch = new ReplayBatch(path, topic)
+    override def toBatch: Batch =
+      new ReplayBatch(path, topic, startingOffsets, endingOffsets)
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new ReplayMicroBatchStream(path, topic, maxPerTrigger)
   }
@@ -324,7 +408,9 @@ object KafkaReplay {
       Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
       new ReplayScan(path, topic,
-        Option(o.get("maxOffsetsPerTrigger")).map(_.toLong))
+        Option(o.get("maxOffsetsPerTrigger")).map(_.toLong),
+        Option(o.get("startingOffsets")).getOrElse("earliest"),
+        Option(o.get("endingOffsets")).getOrElse("latest"))
   }
 }
 

@@ -139,31 +139,31 @@ class AvroFilesSpec extends SparkSpec {
     val (back, m) = AvroFiles.readWithMetrics(spark, dir, schema, permissive = true)
     val n = back.count() // execute the scan; accumulators fill
     assert(n >= 10 && n < 20) // intact file + salvaged prefix of the copy
-    assert(m.oversizedSkipped === 0L)
     assert(m.corruptHeaderFiles.value === 1L, "garbage.avro should be counted")
     assert(m.truncatedFiles.value === 1L, "scribbled.avro should be counted")
   }
 
-  test("oversized files are bounded BEFORE content load: strict fails with paths, permissive skips+counts") {
+  test("sync-marker splits: one large container reads through MANY tasks, losslessly") {
     val dir = tmp()
-    AvroFiles.write(usersDf(4, 1), schema, dir, codec = "null")
-    val big = tmp()
-    AvroFiles.write(usersDf(30, 1), schema, big, codec = "null")
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(big, "part-00000.avro"),
-      java.nio.file.Paths.get(dir, "big.avro"))
-    val cap = new java.io.File(dir, "big.avro").length() - 1
-    val e = intercept[IllegalStateException] {
-      AvroFiles.read(spark, dir, schema, maxFileBytes = cap)
-    }
-    assert(e.getMessage.contains("maxFileBytes"))
-    assert(e.getMessage.contains("big.avro"))
-    val (under, m) = AvroFiles.readWithMetrics(
-      spark, dir, schema, permissive = true, maxFileBytes = cap)
-    assert(m.oversizedSkipped === 1L)
-    assert(under.count() === 4) // the skipped file's rows are absent
-    // generous cap: everything reads
-    assert(AvroFiles.read(spark, dir, schema).count() === 34)
+    // one single-partition container with a small sync interval so it
+    // carries many blocks (~1 KiB apart) — the shape of an oversized
+    // archival object, at test scale
+    val df = usersDf(4000, 1)
+    AvroFiles.write(df, schema, dir, codec = "null", syncIntervalBytes = 1024)
+    val len = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head.length()
+    val splitBytes = len / 8 + 1 // force ~8 ranges over the one file
+    val bins = AvroFiles.planSplits(spark, dir, splitBytes)
+    assert(bins.map(_.size).sum >= 4, s"expected multiple splits, got $bins")
+    assert(bins.flatten.map(_.length).sum === len, "splits must tile the file")
+    val back = AvroFiles.read(spark, dir, schema, splitBytes = splitBytes)
+    // every block decoded by exactly one task: no loss, no double-read
+    assert(back.count() === 4000)
+    assert(back.select("user_id").distinct().count() === 4000)
+    // and the task count actually fanned out (parallelism beyond file granularity)
+    assert(graft.avro.AvroFiles.planSplits(spark, dir, splitBytes).size >= 4)
+    // boundary sanity at a pathological split size: 1-byte-over ranges
+    assert(AvroFiles.read(spark, dir, schema, splitBytes = len - 1).count() === 4000)
   }
 
   test("streaming OCF sink: per-batch subdirs, sized objects, lossless read-back") {

@@ -74,6 +74,32 @@ class KafkaReplaySpec extends SparkSpec {
     assert(rows.filter(_._5).map(_._4).toSeq === Seq("id_9"))
   }
 
+  test("batch bounded range: startingOffsets/endingOffsets JSON with Kafka sentinels") {
+    val dir = writeTopic(10) // p0: ids 0,2,4,6,8 + tombstone (6 offsets); p1: 1,3,5,7,9
+    def read(startSpec: String, endSpec: String) =
+      spark.read.format(KafkaReplay.ShortName)
+        .option("path", dir).option("topic", "users")
+        .option("startingOffsets", startSpec).option("endingOffsets", endSpec)
+        .load()
+        .select($"partition", $"offset").as[(Int, Long)]
+        .collect().sortBy(identity).toSeq
+    // explicit window on p0, -2 (earliest) start and -1 (latest) end on p1
+    assert(read("""{"0":2,"1":-2}""", """{"0":4,"1":-1}""") ===
+      Seq((0, 2L), (0, 3L), (1, 0L), (1, 1L), (1, 2L), (1, 3L), (1, 4L)))
+    // unlisted partitions: start defaults to earliest, end to latest
+    assert(read("""{"0":5}""", """{"0":6}""").filter(_._1 == 0) === Seq((0, 5L)))
+    assert(read("""{"0":5}""", """{"0":6}""").count(_._1 == 1) === 5)
+    // ends past the log clamp to what exists
+    assert(read("earliest", """{"0":999,"1":999}""").size === 11)
+    // defaults stay the whole log (the existing O2 shape)
+    assert(read("earliest", "latest").size === 11)
+    // Kafka parity: 'latest' is not a legal batch start
+    intercept[IllegalArgumentException] {
+      KafkaReplay.resolveStartingOffsets("latest",
+        scala.collection.immutable.SortedMap(0 -> 5L))
+    }
+  }
+
   test("micro-batch replay-from-earliest == batch pipeline over the same wire bytes") {
     val dir = writeTopic(4)
     val t = ProfileTransform(clock = Some(Instant.parse("2024-01-01T00:00:00Z")))
