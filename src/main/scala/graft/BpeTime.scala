@@ -22,10 +22,15 @@ object BpeTime {
     val mode = args.drop(1).headOption.getOrElse("all")
     if (mode != "off")
       for (steps <- Seq(10, 25, 50))
-        time(s"learn steps=$steps cadence=8") {
+        time(s"learn steps=$steps cadence=8 batch=8") {
           graft.operators.Bpe.learn(docs, "text", steps)
         }
-    if (mode != "on")
+    if (mode == "seq")
+      for (steps <- Seq(10, 25, 50))
+        time(s"learn steps=$steps cadence=8 batch=1 (sequential)") {
+          graft.operators.Bpe.learn(docs, "text", steps, batchSize = 1)
+        }
+    if (mode == "off")
       for (steps <- Seq(10, 25))
         time(s"learn steps=$steps cadence=off") {
           graft.operators.Bpe.learn(docs, "text", steps,

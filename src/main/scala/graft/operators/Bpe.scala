@@ -29,15 +29,22 @@ object Bpe {
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 
-  /** The greedy merge fold: symbols `sym` -> space-joined merged string.
-    * Single-symbol words return that symbol (empty fold = init). */
-  private def mergeFoldExpr(a: String, b: String, merged: String): String = {
-    val (qa, qb, qm) = (sqlLit(a), sqlLit(b), sqlLit(merged))
+  /** The greedy merge fold for a BATCH of rules: symbols `sym` ->
+    * space-joined merged string, applying every rule in one left-to-right
+    * pass (first matching rule in batch order wins at each position —
+    * selection guarantees the rules' symbols are pairwise disjoint, so at
+    * most one can match). Single-symbol words return that symbol (empty
+    * fold = init). */
+  private def mergeFoldExpr(rules: Seq[(String, String, String)]): String = {
+    val whens = rules.map { case (a, b, merged) =>
+      val (qa, qb, qm) = (sqlLit(a), sqlLit(b), sqlLit(merged))
+      s"""    WHEN x = '$qb' AND (acc = '$qa' OR endswith(acc, concat(' ', '$qa')))
+         |    THEN CASE WHEN acc = '$qa' THEN '$qm'
+         |         ELSE concat(left(acc, length(acc) - ${a.length + 1}), ' ', '$qm') END""".stripMargin
+    }.mkString("\n")
     s"""aggregate(slice(sym, 2, size(sym) - 1), element_at(sym, 1),
        |  (acc, x) -> CASE
-       |    WHEN x = '$qb' AND (acc = '$qa' OR endswith(acc, concat(' ', '$qa')))
-       |    THEN CASE WHEN acc = '$qa' THEN '$qm'
-       |         ELSE concat(left(acc, length(acc) - ${a.length + 1}), ' ', '$qm') END
+       |$whens
        |    ELSE concat(acc, ' ', x) END)""".stripMargin
   }
 
@@ -47,19 +54,34 @@ object Bpe {
   final case class Learned(merges: Seq[(Int, String, String, Long)],
       segmented: DataFrame)
 
-  /** Learn the first `steps` merge rules over the corpus.
+  /** Candidate-ranking margin per batch: the greedy disjoint selection
+    * walks the top `CandidateMargin × batch` ranked pairs. Fixed (not
+    * data-dependent) so an external oracle can replicate the selection
+    * bit-identically. */
+  val CandidateMargin = 8
+
+  /** Learn the first `steps` merge rules over the corpus, merging up to
+    * `batchSize` pairs per pair-count scan (standard multi-merge BPE,
+    * VERDICT r4 item 2): the ranked pair list (count desc, pair asc) is
+    * walked greedily, accepting pairs whose symbols are disjoint from
+    * every already-accepted pair in the batch, and the whole batch is
+    * applied in ONE fold pass. Scans-per-merge drops ~batchSize× — the
+    * difference between a 32k-merge vocab being ~11 h of driver-
+    * sequential argmaxes and a tractable batch job. `batchSize = 1` is
+    * classical sequential BPE.
     *
-    * Scale honesty (VERDICT r3 item 3): `cur` is a per-step
-    * `mergeFoldExpr` projection over the vocab, so left alone the plan at
-    * step k stacks k folds and step cost grows linearly — O(steps²) fold
-    * work over the whole learn. `localCheckpoint` every
-    * `checkpointCadence` steps truncates the lineage, capping plan depth
-    * at the cadence: total fold work is O(steps · cadence) ⇒ linear in
-    * steps at fixed cadence (measured in BENCH_NOTES, steps=50 at sf0.1).
-    * The vocab table is small (distinct words), so the materialization
-    * cost per checkpoint is one vocab-sized projection. */
+    * Scale honesty (VERDICT r3 item 3): `cur` is a per-scan
+    * `mergeFoldExpr` projection over the vocab, so left alone the plan
+    * after k scans stacks k folds and scan cost grows linearly — O(scans²)
+    * fold work over the whole learn. `localCheckpoint` every
+    * `checkpointCadence` scans truncates the lineage, capping plan depth
+    * at the cadence: total fold work is linear in scans at fixed cadence
+    * (measured in BENCH_NOTES, steps=50 at sf0.1). The vocab table is
+    * small (distinct words), so the materialization cost per checkpoint
+    * is one vocab-sized projection. */
   def learn(docs: DataFrame, textCol: String, steps: Int,
-      checkpointCadence: Int = 8): Learned = {
+      checkpointCadence: Int = 8, batchSize: Int = 8): Learned = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
     val words = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -69,9 +91,11 @@ object Bpe {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var cur = words
-    var foldsSinceCheckpoint = 0
+    var scansSinceCheckpoint = 0
+    var exhausted = false
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (step <- 1 to steps) {
+    while (out.size < steps && !exhausted) {
+      val want = math.min(batchSize, steps - out.size)
       val top = cur
         .select(col("cnt"), split(col("s"), " ").as("sym"))
         .filter(size(col("sym")) >= 2)
@@ -81,19 +105,38 @@ object Bpe {
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_count"))
         .orderBy(desc("pair_count"), asc("pair"))
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val pair = top(0).getString(0)
-        val Array(a, b) = pair.split(" ", 2)
-        val merged = a + b
-        out += ((step, pair, merged, top(0).getLong(1)))
+        .limit(CandidateMargin * want).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // greedy disjoint selection over the ranked candidates: a pair
+        // joins the batch only if neither symbol was claimed by an
+        // earlier (higher-ranked) acceptance, so one fold pass applies
+        // the whole batch without rule interaction
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
+        val it = top.iterator
+        while (accepted.size < want && it.hasNext) {
+          val row = it.next()
+          val pair = row.getString(0)
+          val Array(a, b) = pair.split(" ", 2)
+          if (!used(a) && !used(b)) {
+            accepted += ((pair, a, b, row.getLong(1)))
+            used += a; used += b
+          }
+        }
+        accepted.foreach { case (pair, a, b, cnt) =>
+          out += ((out.size + 1, pair, a + b, cnt))
+        }
         cur = cur
           .select(col("word"), col("cnt"), split(col("s"), " ").as("sym"))
-          .select(col("word"), expr(mergeFoldExpr(a, b, merged)).as("s"), col("cnt"))
-        foldsSinceCheckpoint += 1
-        if (foldsSinceCheckpoint >= checkpointCadence) {
+          .select(col("word"),
+            expr(mergeFoldExpr(accepted.map { case (_, a, b, _) => (a, b, a + b) }.toSeq))
+              .as("s"),
+            col("cnt"))
+        scansSinceCheckpoint += 1
+        if (scansSinceCheckpoint >= checkpointCadence) {
           cur = cur.localCheckpoint()
-          foldsSinceCheckpoint = 0
+          scansSinceCheckpoint = 0
         }
       }
     }

@@ -261,9 +261,25 @@ object TextQueries {
   private val bpeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.Bpe.Learned]()
 
-  private def bpeLearned(spark: SparkSession, dir: String): graft.operators.Bpe.Learned =
-    bpeMemo.computeIfAbsent((spark, dir), _ =>
-      graft.operators.Bpe.learn(Tables.documents(spark, dir), "text", steps = 3))
+  private def bpeLearned(spark: SparkSession, dir: String): graft.operators.Bpe.Learned = {
+    val key = (spark, dir)
+    val hit = bpeMemo.get(key)
+    if (hit != null) hit
+    else {
+      val learned = bpeMemo.computeIfAbsent(key, _ =>
+        graft.operators.Bpe.learn(Tables.documents(spark, dir), "text", steps = 3))
+      // evict every entry of this session when it stops — otherwise the
+      // static memo strongly retains dead sessions and their checkpointed
+      // frames for the JVM lifetime (duplicate listeners across dirs are
+      // harmless: removeIf is idempotent)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          bpeMemo.keySet.removeIf(_._1 eq spark)
+      })
+      learned
+    }
+  }
 
   /** Learn the first 3 BPE merge rules from the corpus (tokenizer
     * training; `text_bpe_tokens` is the apply side). */
@@ -319,32 +335,18 @@ object TextQueries {
     "es" -> "('el','la','los','y')",
     "fr" -> "('le','les','et','je')")
 
-  /** One BPE step: pair counts over the vocab (p), deterministic argmax
-    * (m), and the greedy merge fold applied per word (w) — list_reduce
-    * with a string accumulator is bit-identical to the Spark-side
-    * `aggregate` HOF in `Bpe.mergeFoldExpr`. */
-  private def bpeStepCte(k: Int): String =
-    s"""p$k AS (
-       |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
-       |  FROM (
-       |    SELECT cnt, unnest(list_transform(range(len(sym)-1),
-       |             i -> sym[CAST(i+1 AS INT)] || ' ' || sym[CAST(i+2 AS INT)])) AS pair
-       |    FROM (SELECT string_split(s, ' ') AS sym, cnt FROM w${k - 1}))
-       |  GROUP BY pair),
-       |m$k AS (
-       |  SELECT pair, pair_count, replace(pair, ' ', '') AS merged,
-       |         string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
-       |  FROM p$k ORDER BY pair_count DESC, pair LIMIT 1),
-       |w$k AS (
-       |  SELECT w.word, list_reduce(string_split(w.s, ' '), (acc, x) ->
-       |    CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
-       |         THEN CASE WHEN acc = m.a THEN m.merged
-       |              ELSE left(acc, length(acc) - length(m.a) - 1) || ' ' || m.merged END
-       |         ELSE acc || ' ' || x END) AS s, w.cnt
-       |  FROM w${k - 1} w, m$k m)""".stripMargin
-
-  /** Shared CTE chain for both BPE queries: words -> spaced chars -> 3
-    * learn/apply steps. */
+  /** The batched-BPE learn, one scan (steps=3 ≤ batchSize, so the whole
+    * registry learn is a single batch — `Bpe.learn`'s multi-merge path):
+    * pair counts over the vocab (p1), the ranked candidate window
+    * (cand1, LIMIT CandidateMargin×3 = 24 matching the Spark side's
+    * collect), the greedy disjoint selection replayed as a list_reduce
+    * over the ranked list (sel1 — a pair is accepted only if neither of
+    * its symbols was claimed by a higher-ranked acceptance; the
+    * accumulator is the chr(30)-joined accepted list, initialized by
+    * list_reduce to the top-1 pair exactly as the Spark greedy always
+    * accepts it), and the whole batch applied in ONE fold pass (wf) —
+    * first matching rule in step order wins, bit-identical to the
+    * Spark-side multi-rule `aggregate` HOF in `Bpe.mergeFoldExpr`. */
   private def bpeCtes: String =
     s"""words AS (
        |  SELECT w AS word, COUNT(*) AS cnt
@@ -355,24 +357,74 @@ object TextQueries {
        |  SELECT word, array_to_string(list_transform(range(length(word)),
        |           i -> word[CAST(i+1 AS INT)]), ' ') AS s, cnt
        |  FROM words),
-       |${bpeStepCte(1)},
-       |${bpeStepCte(2)},
-       |${bpeStepCte(3)}""".stripMargin
+       |p1 AS (
+       |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+       |  FROM (
+       |    SELECT cnt, unnest(list_transform(range(len(sym)-1),
+       |             i -> sym[CAST(i+1 AS INT)] || ' ' || sym[CAST(i+2 AS INT)])) AS pair
+       |    FROM (SELECT string_split(s, ' ') AS sym, cnt FROM w0))
+       |  GROUP BY pair),
+       |cand1 AS (
+       |  SELECT list(pair ORDER BY pair_count DESC, pair) AS cands
+       |  FROM (SELECT pair, pair_count FROM p1
+       |        ORDER BY pair_count DESC, pair LIMIT 24)),
+       |sel1 AS (
+       |  SELECT string_split(list_reduce(cands, (acc, cand) ->
+       |    CASE WHEN len(string_split(acc, chr(30))) >= 3 THEN acc
+       |         WHEN len(list_filter(string_split(cand, ' '),
+       |                  sy -> list_contains(flatten(list_transform(
+       |                          string_split(acc, chr(30)),
+       |                          pp -> string_split(pp, ' '))), sy))) > 0
+       |           THEN acc
+       |         ELSE acc || chr(30) || cand END), chr(30)) AS accepted
+       |  FROM cand1),
+       |m1 AS (
+       |  SELECT CAST(u.step AS INT) AS step, u.pair,
+       |         replace(u.pair, ' ', '') AS merged, p.pair_count,
+       |         string_split(u.pair, ' ')[1] AS a, string_split(u.pair, ' ')[2] AS b
+       |  FROM (SELECT unnest(accepted) AS pair,
+       |               unnest(range(1, len(accepted) + 1)) AS step FROM sel1) u
+       |  JOIN p1 p ON p.pair = u.pair),
+       |rules AS (
+       |  SELECT max(CASE WHEN step = 1 THEN a END) AS a1,
+       |         max(CASE WHEN step = 1 THEN b END) AS b1,
+       |         max(CASE WHEN step = 1 THEN merged END) AS g1,
+       |         max(CASE WHEN step = 2 THEN a END) AS a2,
+       |         max(CASE WHEN step = 2 THEN b END) AS b2,
+       |         max(CASE WHEN step = 2 THEN merged END) AS g2,
+       |         max(CASE WHEN step = 3 THEN a END) AS a3,
+       |         max(CASE WHEN step = 3 THEN b END) AS b3,
+       |         max(CASE WHEN step = 3 THEN merged END) AS g3
+       |  FROM m1),
+       |wf AS (
+       |  SELECT w.word, list_reduce(string_split(w.s, ' '), (acc, x) ->
+       |    CASE WHEN r.b1 IS NOT NULL AND x = r.b1
+       |              AND (acc = r.a1 OR ends_with(acc, ' ' || r.a1))
+       |         THEN CASE WHEN acc = r.a1 THEN r.g1
+       |              ELSE left(acc, length(acc) - length(r.a1) - 1) || ' ' || r.g1 END
+       |         WHEN r.b2 IS NOT NULL AND x = r.b2
+       |              AND (acc = r.a2 OR ends_with(acc, ' ' || r.a2))
+       |         THEN CASE WHEN acc = r.a2 THEN r.g2
+       |              ELSE left(acc, length(acc) - length(r.a2) - 1) || ' ' || r.g2 END
+       |         WHEN r.b3 IS NOT NULL AND x = r.b3
+       |              AND (acc = r.a3 OR ends_with(acc, ' ' || r.a3))
+       |         THEN CASE WHEN acc = r.a3 THEN r.g3
+       |              ELSE left(acc, length(acc) - length(r.a3) - 1) || ' ' || r.g3 END
+       |         ELSE acc || ' ' || x END) AS s, w.cnt
+       |  FROM w0 w, rules r)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "bpe_learn_merges" ->
       s"""WITH $bpeCtes
-         |SELECT 1 AS step, pair, merged, pair_count FROM m1
-         |UNION ALL SELECT 2, pair, merged, pair_count FROM m2
-         |UNION ALL SELECT 3, pair, merged, pair_count FROM m3
+         |SELECT step, pair, merged, pair_count FROM m1
          |ORDER BY step""".stripMargin,
     "bpe_segment_vocab" ->
       s"""WITH $bpeCtes
-         |SELECT word, s AS segments, cnt FROM w3 ORDER BY word""".stripMargin,
+         |SELECT word, s AS segments, cnt FROM wf ORDER BY word""".stripMargin,
     "bpe_corpus_subwords" ->
       s"""WITH $bpeCtes
          |SELECT subword, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
-         |FROM (SELECT cnt, unnest(string_split(s, ' ')) AS subword FROM w3)
+         |FROM (SELECT cnt, unnest(string_split(s, ' ')) AS subword FROM wf)
          |GROUP BY subword ORDER BY subword""".stripMargin,
     "dataset_split" ->
       """WITH b AS (

@@ -128,6 +128,26 @@ class TextFunctionsSpec extends SparkSpec {
       (3, "aa ab", "aaab", 1L)))
   }
 
+  test("BPE multi-merge batch: disjoint pairs merge in ONE scan; overlapping defer") {
+    // pairs: (a,b)=3, (c,d)=2, (b,x)=1 — (a,b) and (c,d) are symbol-
+    // disjoint so one scan accepts both; (b,x) shares b with the ranked-
+    // higher (a,b) and must wait for the next scan's re-counted pairs
+    val docs = Seq((1L, "ab ab abx cd cd")).toDF("doc_id", "text")
+    val learned = graft.operators.Bpe.learn(docs, "text", steps = 3, batchSize = 8)
+    val m = learned.merges
+    assert(m === Seq(
+      (1, "a b", "ab", 3L),
+      (2, "c d", "cd", 2L),
+      (3, "ab x", "abx", 1L))) // re-counted AFTER batch 1 applied
+    // one fold pass applied the whole first batch: segments reflect both
+    val segs = graft.operators.Bpe.segmentsDf(learned)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(segs("ab") === "ab" && segs("cd") === "cd" && segs("abx") === "abx")
+    // batchSize=1 degenerates to classical sequential BPE, same fixture
+    val seq1 = graft.operators.Bpe.learn(docs, "text", steps = 2, batchSize = 1).merges
+    assert(seq1.map(_._2) === Seq("a b", "c d"))
+  }
+
   test("BPE merge learning: single-char words contribute no pairs but stay counted") {
     val docs = Seq((1L, "x y x y xy")).toDF("doc_id", "text")
     val m = graft.operators.Bpe.learnMerges(docs, "text", steps = 1)
