@@ -1,0 +1,136 @@
+package graft
+
+/** Plan-shape regression harness (VERDICT r4 item 4): walks EVERY
+  * registered query and pins the physical-plan properties that
+  * BENCH_NOTES previously proved by hand, so a future change can't
+  * silently regress them:
+  *
+  *  - no `CartesianProduct` anywhere (the labeled brute-force baselines
+  *    are broadcast nested-loop joins, never a shuffled cartesian);
+  *  - shuffle joins (SortMergeJoin/ShuffledHashJoin) only where the two
+  *    sides are genuinely comparable-size — every dimension join must
+  *    broadcast. Budgets pin today's counts; a new shuffle join in any
+  *    other query fails the suite;
+  *  - broadcast nested-loop joins only in the queries that legitimately
+  *    carry one (cross products over tiny dims, broadcast top-k scoring);
+  *  - `PushedFilters` stays non-empty on the scans that today push their
+  *    predicates into parquet;
+  *  - whole-stage codegen covers the fused custom-Expression kernels
+  *    (asserted on the executed AQE-final plan — planning-time explain
+  *    hides codegen annotation under AQE).
+  *
+  * Budgets are from the round-5 audit at sf0.001 (`graft.PlanAudit`).
+  * If a legitimate change shifts a count, re-run PlanAudit and update
+  * the budget next to a comment explaining why the new shape is right.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  // queries whose two join sides are comparable-size by design: the
+  // full-outer reconciliation flagship (both sides are record streams),
+  // the corpus pipeline's doc-to-doc joins, and IVF's cell-partitioned
+  // probe join
+  private val shuffleJoinBudget = Map(
+    "audit_reconcile" -> 1,
+    "audit_summary" -> 1,
+    "corpus_pipeline_full" -> 3,
+    "sim_topk_ivf" -> 1,
+    "sim_topk_ivf_seeded" -> 1
+  ).withDefaultValue(0)
+
+  // legitimate broadcast nested-loop joins: tiny-dim cross products and
+  // the broadcast-queries top-k scorers (the labeled brute baselines)
+  private val bnljBudget = Map(
+    "cross_join" -> 1,
+    "histogram_values" -> 1,
+    "sim_neardup_exact_check" -> 1,
+    "sim_topk_agg" -> 1,
+    "sim_topk_brute" -> 1,
+    "sim_topk_ivf" -> 2,
+    "sim_topk_ivf_seeded" -> 2,
+    "text_tfidf" -> 1
+  ).withDefaultValue(0)
+
+  // floor of parquet scans with non-empty PushedFilters per query (from
+  // the audit) — a refactor that stops a predicate reaching the scan
+  // drops below the floor and fails
+  private val pushedFloor = Map(
+    "asof_join" -> 1, "audit_reconcile" -> 1, "audit_summary" -> 1,
+    "cohort_retention" -> 2, "cube_agg" -> 2, "curation_report" -> 2,
+    "filter_project" -> 1, "funnel_conversion" -> 2, "join_anti" -> 1,
+    "join_inner" -> 3, "join_left_outer" -> 1, "join_right_outer" -> 1,
+    "join_semi" -> 2, "mm_frame_tasks" -> 1, "part_promo_revenue" -> 2,
+    "pivot_segments" -> 2, "q1_pricing_summary" -> 1, "range_join" -> 1,
+    "rollup_agg" -> 3, "salted_join" -> 2, "session_window" -> 1,
+    "sim_knn_join_lsh" -> 2, "sim_neardup_exact_check" -> 2,
+    "sim_neardup_lsh" -> 2, "sim_topk_agg" -> 2, "sim_topk_brute" -> 2,
+    "sim_topk_ivf" -> 2, "sim_topk_ivf_seeded" -> 2, "sim_topk_lsh" -> 4,
+    "sliding_window" -> 1, "smt_transform" -> 1, "sql_exists_subquery" -> 1,
+    "text_contamination" -> 2, "tumbling_window" -> 1)
+
+  // fused custom-Expression kernels + representative scan/agg shapes that
+  // must stay inside whole-stage codegen
+  private val codegenQueries = Seq(
+    "q1_pricing_summary", "filter_project", "smt_transform", "mask_pii",
+    "text_winnowing", "text_fingerprint", "text_bigrams", "text_quality",
+    "dedup_minhash_pairs", "dedup_simhash_md5_pairs")
+
+  /** Plans (initial physical + formatted explain) for every registered
+    * query, built once and shared by the assertions below. */
+  private lazy val plans: Map[String, (String, String)] = {
+    val formatted = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      n -> (df.queryExecution.executedPlan.toString,
+        df.queryExecution.explainString(formatted))
+    }.toMap
+  }
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("no query plans a CartesianProduct") {
+    val offenders = plans.collect {
+      case (n, (plan, _)) if plan.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian products appeared in: $offenders")
+  }
+
+  test("shuffle joins only where both sides are comparable-size (dims broadcast)") {
+    val over = plans.toSeq.sortBy(_._1).flatMap { case (n, (plan, _)) =>
+      val got = count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin")
+      if (got > shuffleJoinBudget(n)) Some(s"$n: $got > ${shuffleJoinBudget(n)}")
+      else None
+    }
+    assert(over.isEmpty,
+      s"shuffle-join budget exceeded (new non-broadcast join?): $over")
+  }
+
+  test("broadcast nested-loop joins only in the labeled cross/brute queries") {
+    val over = plans.toSeq.sortBy(_._1).flatMap { case (n, (plan, _)) =>
+      val got = count(plan, "BroadcastNestedLoopJoin")
+      if (got > bnljBudget(n)) Some(s"$n: $got > ${bnljBudget(n)}") else None
+    }
+    assert(over.isEmpty, s"unexpected nested-loop join: $over")
+  }
+
+  test("predicates keep reaching the parquet scans (PushedFilters non-empty)") {
+    val pushedRe = """PushedFilters: \[([^\]]*)\]""".r
+    val under = pushedFloor.toSeq.sortBy(_._1).flatMap { case (n, floor) =>
+      val got = pushedRe.findAllMatchIn(plans(n)._2).count(_.group(1).trim.nonEmpty)
+      if (got < floor) Some(s"$n: $got < $floor") else None
+    }
+    assert(under.isEmpty, s"pushdown regressed: $under")
+  }
+
+  test("whole-stage codegen spans the fused kernels (executed AQE-final plans)") {
+    val starRe = """\*\(\d+\)""".r
+    val missing = codegenQueries.flatMap { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.collect() // drive AQE to its final plan; codegen markers appear
+      val plan = df.queryExecution.executedPlan.toString
+      val spans = starRe.findAllIn(plan).toSeq.distinct.size
+      if (spans < 1) Some(s"$n: no codegen span") else None
+    }
+    assert(missing.isEmpty, s"codegen coverage regressed: $missing")
+  }
+}
