@@ -1,0 +1,64 @@
+package graft.avro
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Confluent Schema Registry REST client — the S4 fetch half the
+  * reference performs at startup (`/root/reference/producer/
+  * verifier_ui.py:22-29`: `get_latest_version(f"{topic}-value")`, and the
+  * deserializer's by-id lookup). Schemas are pipeline CONFIG: fetched
+  * once on the driver, then carried into expressions as literal schema
+  * strings ([[AvroExpressions]]) — executors never talk to the registry,
+  * so a 1000-executor job costs the registry exactly one GET, not a
+  * thundering herd.
+  *
+  * Speaks the registry's public REST surface (JDK HttpClient + the
+  * Jackson that ships with Spark — no extra dependency):
+  *   - `GET /subjects/{subject}/versions/latest` -> latest registered
+  *     schema with its global id and version;
+  *   - `GET /schemas/ids/{id}` -> schema string for a wire-format id
+  *     (what a consumer resolves per unknown id).
+  */
+object SchemaRegistry {
+
+  /** A registered schema as the registry returns it. */
+  final case class RegisteredSchema(subject: String, id: Int, version: Int,
+      schemaJson: String)
+
+  private val mapper = new ObjectMapper()
+
+  private def httpGet(url: String, timeout: Duration): String = {
+    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+    val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(
+        s"schema registry GET $url -> HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+    resp.body()
+  }
+
+  /** Latest version of `subject` (conventionally `{topic}-value`). */
+  def fetchLatest(baseUrl: String, subject: String,
+      timeout: Duration = Duration.ofSeconds(10)): RegisteredSchema = {
+    val body = httpGet(s"${baseUrl.stripSuffix("/")}/subjects/$subject/versions/latest", timeout)
+    val node = mapper.readTree(body)
+    require(node.hasNonNull("schema"), s"registry response missing 'schema': ${body.take(200)}")
+    RegisteredSchema(
+      subject = if (node.hasNonNull("subject")) node.get("subject").asText() else subject,
+      id = if (node.hasNonNull("id")) node.get("id").asInt() else -1,
+      version = if (node.hasNonNull("version")) node.get("version").asInt() else -1,
+      schemaJson = node.get("schema").asText())
+  }
+
+  /** Schema string for a global schema id (wire-format byte 1-4). */
+  def fetchById(baseUrl: String, id: Int,
+      timeout: Duration = Duration.ofSeconds(10)): String = {
+    val body = httpGet(s"${baseUrl.stripSuffix("/")}/schemas/ids/$id", timeout)
+    val node = mapper.readTree(body)
+    require(node.hasNonNull("schema"), s"registry response missing 'schema': ${body.take(200)}")
+    node.get("schema").asText()
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.time.Instant
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.avro.{AvroCodec, SchemaRegistry}
+import graft.avro.functions._
+import graft.queries.AvroQueries
+import graft.sources.KafkaReplay
+import graft.streaming.StreamingPipeline
+
+/** S4 closed end to end: a Confluent-shaped registry stub (in-process
+  * JDK HttpServer speaking the public REST surface) feeds
+  * [[SchemaRegistry]]'s driver-side fetch, and the fetched schema drives
+  * the full streaming decode pipeline — registry GET -> `enforceAvro`
+  * over a replayed topic -> decoded rows. */
+class SchemaRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = AvroQueries.userSchemaJson
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Start a Confluent-shaped stub registry; returns (baseUrl, stop). */
+  private def startStub(subject: String, id: Int, version: Int,
+      schemaJson: String): (String, () => Unit) = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type",
+        "application/vnd.schemaregistry.v1+json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    // JSON-escape the schema string exactly as the registry does
+    val schemaField = mapper.writeValueAsString(schemaJson)
+    server.createContext(s"/subjects/$subject/versions/latest",
+      (ex: HttpExchange) => reply(ex, 200,
+        s"""{"subject":"$subject","version":$version,"id":$id,"schema":$schemaField}"""))
+    server.createContext(s"/schemas/ids/$id",
+      (ex: HttpExchange) => reply(ex, 200, s"""{"schema":$schemaField}"""))
+    server.createContext("/",
+      (ex: HttpExchange) => reply(ex, 404, """{"error_code":40401,"message":"not found"}"""))
+    server.start()
+    (s"http://127.0.0.1:${server.getAddress.getPort}", () => server.stop(0))
+  }
+
+  test("fetchLatest and fetchById speak the Confluent REST surface") {
+    val (url, stop) = startStub("users-value", 7, 3, schema)
+    try {
+      val reg = SchemaRegistry.fetchLatest(url, "users-value")
+      assert(reg.subject === "users-value")
+      assert(reg.id === 7)
+      assert(reg.version === 3)
+      // the round-tripped schema parses to the identical Avro schema
+      assert(AvroCodec.parsedSchema(reg.schemaJson) === AvroCodec.parsedSchema(schema))
+      assert(AvroCodec.parsedSchema(SchemaRegistry.fetchById(url, 7)) ===
+        AvroCodec.parsedSchema(schema))
+      intercept[java.io.IOException] { SchemaRegistry.fetchLatest(url, "nope-value") }
+    } finally stop()
+  }
+
+  test("registry-fetched schema drives the streaming decode end to end") {
+    val (url, stop) = startStub("users-value", 7, 1, schema)
+    try {
+      val reg = SchemaRegistry.fetchLatest(url, "users-value")
+
+      // produce a replay topic whose wire bytes carry the registry id
+      val sparkUserType = AvroCodec.sparkStructType(schema)
+      val rows = (0 until 4).map(i => Row(Row(
+        s"id_$i", s"User$i", s"Doe$i", s"user$i@example.com", 20 + i,
+        "secret123", "TRACK_XYZ", Row(s"$i St", "City", "00000"))))
+      val wire = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("user", sparkUserType))))
+        .select(to_avro_confluent(col("user"), reg.schemaJson, schemaId = reg.id).as("b"))
+        .collect().map(_.getAs[Array[Byte]](0))
+      val dir = Files.createTempDirectory("graft_registry_replay").toString
+      val tsMicros = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+      KafkaReplay.append(dir, wire.zipWithIndex.map { case (b, i) =>
+        KafkaReplay.Record(i % 2, s"id_$i".getBytes, b, tsMicros)
+      }.toSeq)
+
+      // stream it through enforceAvro with the FETCHED schema
+      val q = StreamingPipeline.enforceAvro(
+          StreamingPipeline.replayStream(spark, dir), reg.schemaJson)
+        .select($"v.user_id")
+        .writeStream.format("memory").queryName("registry_out")
+        .outputMode("append").trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("registry_out")
+        .as[String].collect().sorted.toSeq
+      assert(got === (0 until 4).map(i => s"id_$i"))
+
+      // and the wire bytes on the topic carry the REGISTRY's schema id —
+      // the by-id lookup a consumer would perform resolves the same schema
+      val wireIds = spark.read.format(KafkaReplay.ShortName)
+        .option("path", dir).load()
+        .select(avro_schema_id($"value").as("sid"))
+        .as[Int].collect().distinct.toSeq
+      assert(wireIds === Seq(reg.id))
+      assert(AvroCodec.parsedSchema(SchemaRegistry.fetchById(url, wireIds.head)) ===
+        AvroCodec.parsedSchema(reg.schemaJson))
+    } finally stop()
+  }
+}
