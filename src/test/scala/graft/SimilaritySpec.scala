@@ -213,4 +213,27 @@ class SimilaritySpec extends SparkSpec {
     assert(autoBig <= 2 * staticSmall,
       s"auto banding should hold per-vector mass ~flat (small=$staticSmall auto=$autoBig)")
   }
+
+  test("synthetic 10x growth: auto banding holds per-vector candidate mass ~flat") {
+    // deterministic md5-derived 64-dim corpus (ScaleTime's generator) at
+    // n=2k and n=20k — the committed receipt behind the BENCH_NOTES
+    // static-vs-auto table, kept green so the scaling law can't regress
+    import org.apache.spark.sql.functions.{col, expr}
+    def synth(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+        |  cast(cast(conv(substr(md5(concat(id, '|', d)), 1, 8), 16, 10) AS BIGINT)
+        |       % 2000000 AS DOUBLE) / 1e6 - 1.0)""".stripMargin)
+        .cast("array<float>").as("embedding"))
+    val (nS, nB) = (2000L, 20000L)
+    val small = synth(nS)
+    val big = synth(nB)
+    val perVecSmall = Similarity.candidatePairCount(small, "vec_id", "embedding",
+      bands = 6, bitsPerBand = Similarity.autoBitsPerBand(nS)).toDouble / nS
+    val perVecBig = Similarity.candidatePairCount(big, "vec_id", "embedding",
+      bands = 6, bitsPerBand = Similarity.autoBitsPerBand(nB)).toDouble / nB
+    // ~flat: 10x corpus growth may not move per-vector mass by more than ~2x
+    assert(perVecBig <= 2.0 * math.max(perVecSmall, 1.0),
+      s"per-vector candidate mass must stay ~flat under autoBitsPerBand " +
+        s"(n=$nS: $perVecSmall/vec -> n=$nB: $perVecBig/vec)")
+  }
 }
