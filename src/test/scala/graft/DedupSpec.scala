@@ -123,6 +123,27 @@ class DedupSpec extends SparkSpec {
     assert(Seq(10L, 11L, 20L, 21L).map(got).distinct === Seq(10L))
   }
 
+  test("connected components: distributed loop == driver union-find on real LSH pairs") {
+    // the size gate picks the union-find at gate scale; force the
+    // distributed min-label loop (driverEdgeLimit=0) and require the
+    // identical closure — keeps the 100 TB path exercised and equivalent
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val distributed = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(local.nonEmpty)
+    assert(local === distributed)
+    // a long chain exercises pointer jumping through the loop too
+    val chain = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val chainGot = Dedup.connectedComponents(chain, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 40L).map(chainGot).distinct === Seq(1L))
+  }
+
   test("winnowing near-dups find the true J>=0.8 pairs on real docs") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val viaWinnowing = Dedup.winnowingNearDups(docs, "doc_id", "text")
