@@ -397,20 +397,159 @@ object KafkaReplay {
       new ReplayMicroBatchStream(path, topic, maxPerTrigger)
   }
 
+  // ---------------------------------------------------------------- sink
+
+  /** Input schema the sink expects — the Kafka producer-record shape
+    * (`format("kafka")` write contract minus topic: the topic is a sink
+    * option here). `timestamp` is optional; absent, the commit stamps 0. */
+  val sinkSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("timestamp", TimestampType)))
+
+  private def epochsFile(dir: File) = new File(dir, "_epochs")
+
+  private def committedEpochs(dir: File): Set[Long] = {
+    val f = epochsFile(dir)
+    if (!f.exists()) Set.empty
+    else scala.io.Source.fromFile(f).getLines().flatMap(_.toLongOption).toSet
+  }
+
+  /** The producer half through the REAL DataSource-V2 streaming-write
+    * contract (`SupportsWrite` + `StreamingWrite`), with a two-phase
+    * commit mirroring a transactional producer:
+    *
+    *  1. every task writes its rows to a task-attempt-unique spool file
+    *     (`.epoch-<e>-task-<t>-<a>.spool`) — retries and speculative
+    *     duplicates never touch the log;
+    *  2. the driver's `commit(epochId, messages)` appends the spooled
+    *     records to the partition logs in (partitionId, row) order with
+    *     broker-style continued offsets, then records the epoch in
+    *     `_epochs` — a REPLAYED epoch (micro-batch retry after a sink
+    *     failure) is detected there and skipped wholesale, giving
+    *     exactly-once log contents;
+    *  3. `abort` deletes the spools.
+    *
+    * Only spool PATHS travel through commit messages — record bytes stay
+    * on the (shared) filesystem, the same locality contract as
+    * [[writeLog]]: in production the producer IS Kafka; this sink exists
+    * so the full stream→topic→stream loop runs under the oracle gate. */
+  final case class SpoolMsg(path: String, partitionId: Int)
+      extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  /** Task-side spool writer (serializable — ships to executors). */
+  final case class SpoolWriterFactory(path: String, keyIdx: Int, valIdx: Int,
+      partIdx: Int, tsIdx: Int)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+        : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+      new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+        private val spool = new File(path,
+          f".epoch-$epochId-task-$partitionId%05d-$taskId.spool")
+        spool.getParentFile.mkdirs()
+        private val out = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(spool, false)))
+        override def write(row: InternalRow): Unit = {
+          out.writeInt(if (row.isNullAt(partIdx)) 0 else row.getInt(partIdx))
+          out.writeLong(if (tsIdx >= 0 && !row.isNullAt(tsIdx)) row.getLong(tsIdx) else 0L)
+          val k = if (row.isNullAt(keyIdx)) null else row.getBinary(keyIdx)
+          if (k == null) out.writeInt(-1) else { out.writeInt(k.length); out.write(k) }
+          val v = if (row.isNullAt(valIdx)) null else row.getBinary(valIdx)
+          if (v == null) out.writeInt(-1) else { out.writeInt(v.length); out.write(v) }
+        }
+        override def commit()
+            : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+          out.close(); SpoolMsg(spool.getPath, partitionId)
+        }
+        override def abort(): Unit = { out.close(); spool.delete(); () }
+        override def close(): Unit = out.close()
+      }
+  }
+
+  final class ReplayStreamingWrite(path: String, inputSchema: StructType)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+    import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      SpoolWriterFactory(path,
+        inputSchema.fieldIndex("key"),
+        inputSchema.fieldIndex("value"),
+        inputSchema.fieldIndex("partition"),
+        inputSchema.fields.indexWhere(_.name == "timestamp"))
+
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val dir = new File(path)
+      dir.mkdirs()
+      val spools = messages.collect { case m: SpoolMsg => m }.sortBy(_.partitionId)
+      if (committedEpochs(dir).contains(epochId)) {
+        spools.foreach(m => new File(m.path).delete()) // replayed epoch: drop
+        return
+      }
+      val records = scala.collection.mutable.ArrayBuffer.empty[Record]
+      spools.foreach { m =>
+        val f = new File(m.path)
+        if (f.exists()) {
+          val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+          try {
+            while (true) {
+              val p = in.readInt()
+              val ts = in.readLong()
+              val kl = in.readInt()
+              val k = if (kl < 0) null else { val b = new Array[Byte](kl); in.readFully(b); b }
+              val vl = in.readInt()
+              val v = if (vl < 0) null else { val b = new Array[Byte](vl); in.readFully(b); b }
+              records += Record(p, k, v, ts)
+            }
+          } catch { case _: EOFException => }
+          finally in.close()
+        }
+      }
+      append(path, records.toSeq)
+      val w = new java.io.FileWriter(epochsFile(dir), true)
+      try w.write(s"$epochId\n") finally w.close()
+      spools.foreach(m => new File(m.path).delete())
+    }
+
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      messages.collect { case m: SpoolMsg => m }
+        .foreach(m => new File(m.path).delete())
+  }
+
   final class ReplayTable(options: CaseInsensitiveStringMap)
-      extends Table with SupportsRead {
+      extends Table with SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
     private val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(s"$ShortName requires option 'path'"))
     private val topic = Option(options.get("topic")).getOrElse("replay")
     override def name(): String = s"$ShortName($path)"
     override def schema(): StructType = KafkaReplay.schema
     override def capabilities(): java.util.Set[TableCapability] =
-      Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+      Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+        TableCapability.STREAMING_WRITE).asJava
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
       new ReplayScan(path, topic,
         Option(o.get("maxOffsetsPerTrigger")).map(_.toLong),
         Option(o.get("startingOffsets")).getOrElse("earliest"),
         Option(o.get("endingOffsets")).getOrElse("latest"))
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder = {
+      val in = info.schema()
+      require(Seq("key", "value", "partition").forall(c => in.fieldNames.contains(c)),
+        s"$ShortName sink needs columns (key binary, value binary, partition int" +
+          s"[, timestamp]); got ${in.fieldNames.mkString(", ")}")
+      new org.apache.spark.sql.connector.write.WriteBuilder {
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.Write {
+            override def toStreaming
+                : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              new ReplayStreamingWrite(path, in)
+          }
+      }
+    }
   }
 }
 

@@ -163,6 +163,68 @@ class KafkaReplaySpec extends SparkSpec {
     assert(back.filter($"user_id" === "id_11").count() === 1)
   }
 
+  test("V2 streaming sink: stream -> topic -> stream, exactly-once epochs, tombstones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val dir = Files.createTempDirectory("graft_replay_sink_v2").toString
+    val ckpt = Files.createTempDirectory("graft_replay_sink_ckpt").toString
+    val mem = MemoryStream[(Int, String, String)] // (partition, key, value|null)
+    def run(): Unit = {
+      val q = mem.toDF().toDF("partition", "k", "v")
+        .select($"k".cast("binary").as("key"),
+          when($"v" === "", lit(null).cast("binary"))
+            .otherwise($"v".cast("binary")).as("value"),
+          $"partition",
+          lit("2024-01-01 00:00:00").cast("timestamp").as("timestamp"))
+        .writeStream.format(KafkaReplay.ShortName)
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData((0, "k0", "v0"), (1, "k1", "v1"), (0, "k2", ""))
+    run()
+    mem.addData((1, "k3", "v3"))
+    run() // second epoch appends, continuing offsets
+    val back = spark.read.format(KafkaReplay.ShortName).option("path", dir).load()
+      .select($"partition", $"offset", $"key".cast("string"),
+        $"value".cast("string"), $"value".isNull)
+      .as[(Int, Long, String, String, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(back.map(r => (r._1, r._2)).toSeq === Seq((0, 0L), (0, 1L), (1, 0L), (1, 1L)))
+    assert(back.filter(_._5).map(_._3).toSeq === Seq("k2")) // tombstone survived
+    assert(back.find(_._3 == "k3").exists(r => r._1 == 1 && r._2 == 1L))
+    // no spool files left behind
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".spool")))
+  }
+
+  test("sink commit is idempotent per epoch: a replayed micro-batch never double-appends") {
+    val dir = Files.createTempDirectory("graft_replay_epoch").toString
+    val w = new KafkaReplay.ReplayStreamingWrite(dir, KafkaReplay.sinkSchema)
+    def spool(name: String, recs: Seq[(Int, Array[Byte])]): KafkaReplay.SpoolMsg = {
+      val f = new java.io.File(dir, name); f.getParentFile.mkdirs()
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      recs.foreach { case (p, v) =>
+        out.writeInt(p); out.writeLong(0L); out.writeInt(-1)
+        out.writeInt(v.length); out.write(v)
+      }
+      out.close()
+      KafkaReplay.SpoolMsg(f.getPath, 0)
+    }
+    w.commit(7L, Array(spool(".epoch-7-task-00000-0.spool",
+      Seq((0, "a".getBytes), (0, "b".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir) ===
+      scala.collection.immutable.SortedMap(0 -> 2L))
+    // the SAME epoch re-commits (sink-side retry after a failure): skipped wholesale
+    w.commit(7L, Array(spool(".epoch-7-task-00000-1.spool",
+      Seq((0, "a".getBytes), (0, "b".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir) ===
+      scala.collection.immutable.SortedMap(0 -> 2L))
+    // a NEW epoch appends
+    w.commit(8L, Array(spool(".epoch-8-task-00000-0.spool", Seq((0, "c".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir) ===
+      scala.collection.immutable.SortedMap(0 -> 3L))
+  }
+
   test("offset json round-trips through deserializeOffset") {
     val o = KafkaReplay.ReplayOffset(
       scala.collection.immutable.SortedMap(0 -> 12L, 1 -> 7L))
