@@ -44,6 +44,7 @@ object AvroFiles {
     case "null"    => CodecFactory.nullCodec()
     case "deflate" => CodecFactory.deflateCodec(6)
     case "snappy"  => CodecFactory.snappyCodec()
+    case "zstandard" => CodecFactory.zstandardCodec(3) // zstd-jni ships with Spark
     case other => throw new IllegalArgumentException(s"unsupported avro codec: $other")
   }
 

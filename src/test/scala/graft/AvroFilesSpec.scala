@@ -63,14 +63,17 @@ class AvroFilesSpec extends SparkSpec {
     assert(AvroFiles.read(spark, dir, schema).count() === 4)
   }
 
-  test("deflate and null codecs read back identically") {
+  test("deflate, zstandard and null codecs read back identically") {
     val df = usersDf(15, 2)
-    val d1 = tmp(); val d2 = tmp()
+    val d1 = tmp(); val d2 = tmp(); val d3 = tmp()
     AvroFiles.write(df, schema, d1, codec = "deflate")
     AvroFiles.write(df, schema, d2, codec = "null")
+    AvroFiles.write(df, schema, d3, codec = "zstandard")
     val a = AvroFiles.read(spark, d1, schema).collect().map(_.toString).sorted.toSeq
     val b = AvroFiles.read(spark, d2, schema).collect().map(_.toString).sorted.toSeq
+    val c = AvroFiles.read(spark, d3, schema).collect().map(_.toString).sorted.toSeq
     assert(a === b)
+    assert(a === c)
   }
 
   test("write replaces stale files from a previous layout") {
