@@ -97,4 +97,32 @@ class EdgeCasesSpec extends SparkSpec {
     val v = df.select(VectorFunctions.cosine($"a", $"b")).head().getDouble(0)
     assert(v === 0.0)
   }
+
+  test("OCF split reader: empty dir reads empty; zero-length files planned away") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_empty").toString
+    assert(graft.avro.AvroFiles.planSplits(spark, dir, 1 << 20).isEmpty)
+    assert(graft.avro.AvroFiles.read(spark, dir,
+      AvroFilesSpec.eventSchemaJson).count() === 0)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "zero.avro"))
+    assert(graft.avro.AvroFiles.planSplits(spark, dir, 1 << 20).isEmpty)
+  }
+
+  test("replay sink rejects an input missing the producer-record columns") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val e = intercept[Exception] {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      mem.addData(1)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sink_bad").toString
+      val q = mem.toDF().writeStream
+        .format(graft.sources.KafkaReplay.ShortName)
+        .option("path", dir)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_sink_bad_ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("sink needs columns")
+      || Option(e.getCause).exists(_.getMessage.contains("sink needs columns")))
+  }
 }
