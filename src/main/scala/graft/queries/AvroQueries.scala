@@ -224,13 +224,68 @@ object AvroQueries {
       .orderBy(col("partition"), col("offset"))
   }
 
+  /** The producer half under the oracle gate: the users fixture streams
+    * through the V2 `graft-kafka-replay` SINK (task spools →
+    * epoch-transactional driver commit), then the batch source scans the
+    * log back and Avro-decodes. Offsets are verified order-free:
+    * per-partition aggregates pin the offset set to exactly {0..n-1}
+    * (count = countDistinct = n, min 0, max n-1 — the commit's
+    * broker-style dense assignment) without depending on intra-epoch
+    * arrival order, which streaming writes do not define. A hash match
+    * proves every record landed exactly once, on its routed partition,
+    * with dense offsets and lossless payload bytes. */
+  def kafkaSinkPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    import spark.implicits._
+    val log = ocfDir(dir, "sink_log")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(log)) // the sink appends; each run produces afresh
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val recs = userStruct(spark, dir).select(
+        (col("user.user_id").cast("long") % 4).cast("int").as("partition"),
+        encode(col("user.user_id"), "UTF-8").as("key"),
+        to_avro_confluent(col("user"), userSchemaJson, SchemaId).as("value"))
+      .as[(Int, Array[Byte], Array[Byte])].collect().toSeq
+    val mem = MemoryStream[(Int, Array[Byte], Array[Byte])]
+    mem.addData(recs: _*)
+    val q = mem.toDF().toDF("partition", "key", "value")
+      .select(col("key"), col("value"), col("partition"),
+        lit(java.sql.Timestamp.from(FixedClock)).as("timestamp"))
+      .writeStream.format(graft.sources.KafkaReplay.ShortName)
+      .option("path", log).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val raw = spark.read.format(graft.sources.KafkaReplay.ShortName)
+      .option("path", log).load()
+      .select(col("partition"), col("offset"),
+        col("key").cast("string").as("key"),
+        from_avro_confluent(col("value"), userSchemaJson).as("u"))
+    val stats = raw.groupBy(col("partition")).agg(
+      count(lit(1)).as("n_in_part"),
+      min(col("offset")).as("off_min"),
+      max(col("offset")).as("off_max"),
+      countDistinct(col("offset")).as("off_distinct"))
+    raw.join(broadcast(stats), "partition")
+      .select(col("partition"), col("key"),
+        col("u.user_id"), col("u.email"), col("u.age"),
+        col("u.address.city").as("city"),
+        col("n_in_part"), col("off_min"), col("off_max"), col("off_distinct"))
+      .orderBy(col("partition"), col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "avro_roundtrip" -> (avroRoundtrip _),
     "avro_pipeline" -> (avroPipeline _),
     "avro_malformed_skip" -> (avroMalformedSkip _),
     "avro_file_roundtrip" -> (avroFileRoundtrip _),
     "avro_file_evolution" -> (avroFileEvolution _),
-    "kafka_replay_pipeline" -> (kafkaReplayPipeline _)
+    "kafka_replay_pipeline" -> (kafkaReplayPipeline _),
+    "kafka_sink_pipeline" -> (kafkaSinkPipeline _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -275,6 +330,18 @@ object AvroQueries {
          |         PARTITION BY CAST(user_id AS BIGINT) % 4
          |         ORDER BY CAST(user_id AS BIGINT)) - 1 AS BIGINT) AS "offset",
          |       user_id AS key, user_id, email, age, city
-         |FROM users ORDER BY partition, "offset"""".stripMargin
+         |FROM users ORDER BY partition, "offset"""".stripMargin,
+    "kafka_sink_pipeline" ->
+      s"""WITH $usersCte,
+         |p AS (
+         |  SELECT user_id, email, age, city,
+         |         CAST(CAST(user_id AS BIGINT) % 4 AS INTEGER) AS partition
+         |  FROM users),
+         |s AS (SELECT partition, COUNT(*) AS n FROM p GROUP BY partition)
+         |SELECT p.partition, p.user_id AS key, p.user_id, p.email, p.age,
+         |       p.city, s.n AS n_in_part, CAST(0 AS BIGINT) AS off_min,
+         |       CAST(s.n - 1 AS BIGINT) AS off_max, s.n AS off_distinct
+         |FROM p JOIN s USING (partition)
+         |ORDER BY p.partition, p.user_id""".stripMargin
   )
 }
