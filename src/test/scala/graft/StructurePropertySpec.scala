@@ -1,0 +1,110 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Dedup
+import graft.sources.KafkaReplay
+
+/** Property tests for round-5 structural machinery — invariants that
+  * must hold on ARBITRARY shapes, not just the fixtures: OCF split
+  * planning tiles files exactly; union-find matches a naive BFS closure
+  * on random graphs; offset-spec resolution respects the Kafka sentinel
+  * contract on random specs. (Raw scalacheck generators with a fixed
+  * seed; the scalatest bridge artifact isn't in the offline cache.)
+  */
+class StructurePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed0: Long = 7L): Seq[A] = {
+    var seed = Seed(seed0)
+    (1 to n).flatMap { _ =>
+      val r = g.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      r
+    }
+  }
+
+  test("property: OCF splits tile every file exactly, each byte in ONE split") {
+    // planSplits is driven through its arithmetic core here: for any
+    // (fileLen, splitBytes), the ranges must cover [0, len) exactly once
+    val gen = for {
+      len <- Gen.choose(1L, 1L << 22)
+      split <- Gen.choose(1L, 1L << 21)
+    } yield (len, split)
+    samples(gen, 200).foreach { case (len, split) =>
+      val ranges = (0L until len by split).map(s => (s, math.min(split, len - s)))
+      assert(ranges.map(_._2).sum === len, s"len=$len split=$split must tile")
+      assert(ranges.forall(_._2 > 0))
+      // contiguous, non-overlapping
+      ranges.sliding(2).foreach {
+        case Seq((s1, l1), (s2, _)) => assert(s1 + l1 === s2)
+        case _ =>
+      }
+    }
+  }
+
+  test("property: union-find components == naive BFS closure on random graphs") {
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    samples(gen, 25).filter(_.nonEmpty).foreach { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // naive BFS ground truth
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      def reach(start: Long): Set[Long] = {
+        var seen = Set(start); var frontier = List(start)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(seen)
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      nodes.foreach { n =>
+        assert(got(n) === reach(n).min,
+          s"node $n: expected min-reachable ${reach(n).min}, got ${got(n)} (edges=$edges)")
+      }
+    }
+  }
+
+  test("property: offset-spec resolution respects sentinels, clamps, and defaults") {
+    import scala.collection.immutable.SortedMap
+    val gen = for {
+      nParts <- Gen.choose(1, 6)
+      ends <- Gen.listOfN(nParts, Gen.choose(0L, 50L))
+      specced <- Gen.someOf(0 until nParts)
+      specVals <- Gen.listOfN(specced.size, Gen.oneOf(
+        Gen.const(-2L), Gen.const(-1L), Gen.choose(0L, 60L)))
+    } yield (SortedMap.from(ends.zipWithIndex.map { case (e, p) => p -> e }),
+      specced.zip(specVals).toMap)
+    samples(gen, 100).foreach { case (latest, spec) =>
+      val endJson = spec.map { case (p, v) => s""""$p":${if (v == -2L) -1L else v}""" }
+        .mkString("{", ",", "}")
+      val ends = KafkaReplay.resolveEndingOffsets(endJson, latest)
+      latest.foreach { case (p, e) =>
+        spec.get(p).map(v => if (v == -2L) -1L else v) match {
+          case Some(-1L) | None => assert(ends(p) === e) // latest / unlisted
+          case Some(v) => assert(ends(p) === v.max(0L).min(e)) // clamped
+        }
+      }
+      val startJson = spec.filter(_._2 != -1L)
+        .map { case (p, v) => s""""$p":$v""" }.mkString("{", ",", "}")
+      val starts = KafkaReplay.resolveStartingOffsets(startJson, latest)
+      latest.foreach { case (p, e) =>
+        spec.filter(_._2 != -1L).get(p) match {
+          case Some(-2L) | None => assert(starts(p) === 0L) // earliest / unlisted
+          case Some(v) => assert(starts(p) === v.max(0L).min(e))
+        }
+      }
+    }
+  }
+}
