@@ -114,10 +114,16 @@ object AvroFiles {
     * bin-packed into task groups of ~`splitBytes`. Driver-side metadata
     * only. Exposed for tests/planning introspection. */
   def planSplits(spark: SparkSession, dir: String,
+      splitBytes: Long): Seq[Seq[OcfSplit]] =
+    planSplits(spark.sparkContext.hadoopConfiguration, dir, splitBytes)
+
+  /** [[planSplits]] against an explicit Hadoop configuration (the DSv2
+    * table path, where no session travels with the scan). */
+  def planSplits(conf: org.apache.hadoop.conf.Configuration, dir: String,
       splitBytes: Long): Seq[Seq[OcfSplit]] = {
     require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
     val dirPath = new Path(dir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = dirPath.getFileSystem(conf)
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(dirPath, true)
     while (it.hasNext) {
@@ -180,68 +186,103 @@ object AvroFiles {
       .parallelize(bins, math.max(1, bins.size))
       .mapPartitions { binIt =>
         binIt.flatMap(_.iterator).flatMap { sp =>
-          val readerSchema = AvroCodec.parsedSchema(readerSchemaJson)
-          val opened: Option[FileReader[GenericRecord]] =
-            try {
-              val in = new FsInput(new Path(sp.path), confAccess())
-              try Some(DataFileReader.openReader(in,
-                new GenericDatumReader[GenericRecord](null, readerSchema)))
-              catch { case scala.util.control.NonFatal(e) => in.close(); throw e }
-            } catch { case scala.util.control.NonFatal(e) =>
-              if (!permissive) throw e
-              // every split of a headerless file fails open; attribute the
-              // skip to the split that owns byte 0 so the file counts once
-              if (sp.start == 0L) corruptHeaderFiles.add(1L)
-              None
-            }
-          opened match {
-            case None => Iterator.empty
-            case Some(r) =>
-              val splitEnd = sp.start + sp.length
-              // seek to the first block at-or-after our range start; a
-              // file mangled badly enough that the seek itself fails is a
-              // truncation in permissive mode
-              val positioned =
-                try { r.sync(sp.start); true }
-                catch { case scala.util.control.NonFatal(e) =>
-                  r.close()
-                  if (!permissive) throw e
-                  truncatedFiles.add(1L); false
-                }
-              if (!positioned) Iterator.empty
-              else new Iterator[InternalRow] {
-                // one-row lookahead: decode happens inside hasNext so a
-                // corrupt tail can end the iteration cleanly instead of
-                // throwing after hasNext already promised an element
-                private var rec: GenericRecord = null
-                private var pending: InternalRow = null
-                private var done = false
-                private def advance(): Unit =
-                  try {
-                    if (r.hasNext && !r.pastSync(splitEnd)) {
-                      rec = r.next(rec)
-                      pending = AvroCodec.avroToRow(rec, readerSchema)
-                    } else { done = true; r.close() }
-                  } catch { case scala.util.control.NonFatal(e) =>
-                    if (!permissive) throw e
-                    truncatedFiles.add(1L)
-                    done = true; r.close()
-                  }
-                def hasNext: Boolean = {
-                  if (pending == null && !done) advance()
-                  pending != null
-                }
-                def next(): InternalRow = {
-                  if (!hasNext) throw new java.util.NoSuchElementException
-                  val out = pending
-                  pending = null
-                  out
-                }
-              }
-          }
+          decodeSplit(sp, confAccess(), readerSchemaJson, permissive,
+            onCorruptHeader = () => corruptHeaderFiles.add(1L),
+            onTruncated = () => truncatedFiles.add(1L))
         }
       }
     (InternalDf.fromInternalRdd(spark, rdd, schema),
       ReadMetrics(corruptHeaderFiles, truncatedFiles))
+  }
+
+  /** Decode one planned split to InternalRows: open, seek to the first
+    * sync marker at-or-after the range start, stream blocks until past
+    * the range end. Shared by the RDD read path and the `graft-avro`
+    * DSv2 table's partition readers. Permissive-mode skips invoke the
+    * callbacks (a corrupt header is attributed only to the split owning
+    * byte 0, so a multi-split file counts once). */
+  private[avro] def decodeSplit(sp: OcfSplit,
+      conf: org.apache.hadoop.conf.Configuration,
+      readerSchemaJson: String, permissive: Boolean,
+      onCorruptHeader: () => Unit, onTruncated: () => Unit): Iterator[InternalRow] = {
+    val readerSchema = AvroCodec.parsedSchema(readerSchemaJson)
+    val opened: Option[FileReader[GenericRecord]] =
+      try {
+        val in = new FsInput(new Path(sp.path), conf)
+        try Some(DataFileReader.openReader(in,
+          new GenericDatumReader[GenericRecord](null, readerSchema)))
+        catch { case scala.util.control.NonFatal(e) => in.close(); throw e }
+      } catch { case scala.util.control.NonFatal(e) =>
+        if (!permissive) throw e
+        if (sp.start == 0L) onCorruptHeader()
+        None
+      }
+    opened match {
+      case None => Iterator.empty
+      case Some(r) =>
+        val splitEnd = sp.start + sp.length
+        // seek to the first block at-or-after our range start; a file
+        // mangled badly enough that the seek itself fails is a
+        // truncation in permissive mode
+        val positioned =
+          try { r.sync(sp.start); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            r.close()
+            if (!permissive) throw e
+            onTruncated(); false
+          }
+        if (!positioned) Iterator.empty
+        else new Iterator[InternalRow] {
+          // one-row lookahead: decode happens inside hasNext so a
+          // corrupt tail can end the iteration cleanly instead of
+          // throwing after hasNext already promised an element
+          private var rec: GenericRecord = null
+          private var pending: InternalRow = null
+          private var done = false
+          private def advance(): Unit =
+            try {
+              if (r.hasNext && !r.pastSync(splitEnd)) {
+                rec = r.next(rec)
+                pending = AvroCodec.avroToRow(rec, readerSchema)
+              } else { done = true; r.close() }
+            } catch { case scala.util.control.NonFatal(e) =>
+              if (!permissive) throw e
+              onTruncated()
+              done = true; r.close()
+            }
+          def hasNext: Boolean = {
+            if (pending == null && !done) advance()
+            pending != null
+          }
+          def next(): InternalRow = {
+            if (!hasNext) throw new java.util.NoSuchElementException
+            val out = pending
+            pending = null
+            out
+          }
+        }
+    }
+  }
+
+  /** Writer schema of the first container under `dir` — the DSv2
+    * table's schema-inference probe (header-only read). */
+  private[avro] def firstWriterSchemaJson(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): Option[String] = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (!fs.exists(dirPath)) return None
+    val it = fs.listFiles(dirPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".avro") && st.getLen > 0) {
+        val in = new FsInput(st.getPath, conf)
+        try {
+          val r = DataFileReader.openReader(in,
+            new GenericDatumReader[GenericRecord]())
+          try return Some(r.getSchema.toString) finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => in.close() }
+      }
+    }
+    None
   }
 }

@@ -182,6 +182,22 @@ object AvroQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The same OCF round trip through the NAMED DSv2 source
+    * (`spark.read.format("graft-avro")`): the reader schema comes from
+    * SCHEMA INFERENCE (the container header's writer schema), so a hash
+    * match additionally proves the header→StructType inference exact. */
+  def avroTableRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val users = userStruct(spark, dir).select(col("user.*"))
+    val out = ocfDir(dir, "table_roundtrip")
+    graft.avro.AvroFiles.write(users, userSchemaJson, out, codec = "deflate")
+    spark.read.format("graft-avro").load(out)
+      .select(col("user_id"), col("first_name"), col("last_name"), col("email"),
+        col("age"), col("raw_password_hash"), col("internal_tracking_code"),
+        col("address.street").as("street"), col("address.city").as("city"),
+        col("address.zip_code").as("zip_code"))
+      .orderBy(col("user_id"))
+  }
+
   /** Files written with the producer schema, read with the evolved
     * reader: dropped fields vanish, `status` takes its default, and the
     * reordered layout is the reader's. */
@@ -283,6 +299,7 @@ object AvroQueries {
     "avro_pipeline" -> (avroPipeline _),
     "avro_malformed_skip" -> (avroMalformedSkip _),
     "avro_file_roundtrip" -> (avroFileRoundtrip _),
+    "avro_table_roundtrip" -> (avroTableRoundtrip _),
     "avro_file_evolution" -> (avroFileEvolution _),
     "kafka_replay_pipeline" -> (kafkaReplayPipeline _),
     "kafka_sink_pipeline" -> (kafkaSinkPipeline _)
@@ -312,6 +329,12 @@ object AvroQueries {
          |       CAST(SUM(age) AS BIGINT) AS sum_age,
          |       COUNT(first_name) AS n_named
          |FROM users WHERE CAST(user_id AS BIGINT) % 13 <> 0""".stripMargin,
+    "avro_table_roundtrip" ->
+      s"""WITH $usersCte
+         |SELECT user_id, first_name, last_name, email, age,
+         |       raw_password_hash, internal_tracking_code, street, city,
+         |       zip_code
+         |FROM users ORDER BY user_id""".stripMargin,
     "avro_file_roundtrip" ->
       s"""WITH $usersCte
          |SELECT user_id, first_name, last_name, email, age,

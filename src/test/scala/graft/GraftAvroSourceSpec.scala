@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.avro.AvroFiles
+import graft.queries.AvroQueries
+
+/** The `graft-avro` named DSv2 source: stock `spark.read.format(...)`
+  * surface over the OCF split reader — schema inference from the writer
+  * header, explicit-schema evolution reads, split parallelism, and
+  * permissive mode, all equal to the [[AvroFiles.read]] function path.
+  */
+class GraftAvroSourceSpec extends SparkSpec {
+
+  private val schema = AvroQueries.userSchemaJson
+  private val schemaV2 = AvroQueries.userV2SchemaJson
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_avro_dsv2").toString
+
+  private def usersDf(n: Int, partitions: Int) = {
+    import org.apache.spark.sql.Row
+    val rows = (0 until n).map { i =>
+      Row(s"id_$i",
+        if (i % 3 == 0) null else s"First$i",
+        s"Last$i", s"u$i@example.com", 20 + i, s"hash$i", s"TRACK_$i",
+        Row(s"$i St", "City", f"$i%05d"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, partitions),
+      graft.avro.AvroCodec.sparkStructType(schema))
+  }
+
+  test("format(graft-avro) infers the writer schema and reads losslessly") {
+    val df = usersDf(20, 3)
+    val dir = tmp()
+    AvroFiles.write(df, schema, dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema === df.schema) // inferred from the container header
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      df.collect().map(_.toString).sorted.toSeq)
+    // equal to the function-surface read
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      AvroFiles.read(spark, dir, schema).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("avroSchema option drives the schema-evolution read") {
+    val dir = tmp()
+    AvroFiles.write(usersDf(10, 2), schema, dir)
+    val evolved = spark.read.format("graft-avro")
+      .option("avroSchema", schemaV2).load(dir)
+    assert(evolved.schema.fieldNames.toSeq === Seq(
+      "user_id", "email", "age", "first_name", "last_name", "status", "address"))
+    assert(evolved.count() === 10)
+    assert(evolved.select("status").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("active"))
+  }
+
+  test("splitBytes option fans one container across multiple input partitions") {
+    val dir = tmp()
+    AvroFiles.write(usersDf(4000, 1), schema, dir, codec = "null",
+      syncIntervalBytes = 1024)
+    val len = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head.length()
+    val back = spark.read.format("graft-avro")
+      .option("splitBytes", (len / 8 + 1).toString).load(dir)
+    assert(back.rdd.getNumPartitions >= 4, "expected split fan-out")
+    assert(back.count() === 4000)
+    assert(back.select("user_id").distinct().count() === 4000)
+  }
+
+  test("permissive option skips garbage containers; strict fails") {
+    val dir = tmp()
+    AvroFiles.write(usersDf(10, 1), schema, dir, codec = "null")
+    Files.write(java.nio.file.Paths.get(dir, "garbage.avro"), "not avro".getBytes)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-avro").load(dir).count()
+    }
+    assert(spark.read.format("graft-avro")
+      .option("permissive", "true").load(dir).count() === 10)
+  }
+
+  test("empty/absent paths fail with a clear message unless a schema is given") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").load(tmp())
+    }
+    assert(e.getMessage.contains("avroSchema"))
+    // explicit schema on an empty dir: valid, empty result
+    assert(spark.read.format("graft-avro")
+      .option("avroSchema", schema).load(tmp()).count() === 0)
+  }
+}
