@@ -38,13 +38,41 @@ object AvroTable {
 
   final case class OcfBin(splits: Seq[AvroFiles.OcfSplit]) extends InputPartition
 
+  /** Project the reader schema to `required`'s top-level fields, in
+    * `required`'s order — Avro schema resolution then SKIPS every other
+    * field during decode (no UTF-8 materialization, no nested-record
+    * construction for pruned columns), which is the column-pruning
+    * behavior a columnar scan gives for free, at the best a row format
+    * can do. */
+  private[avro] def projectSchemaJson(fullJson: String,
+      required: StructType): String = {
+    val full = AvroCodec.parsedSchema(fullJson)
+    val byName = full.getFields.asScala.map(f => f.name() -> f).toMap
+    val fields = required.fields.toSeq.map { rf =>
+      val f = byName.getOrElse(rf.name, throw new IllegalArgumentException(
+        s"$ShortName: required column ${rf.name} not in reader schema"))
+      new org.apache.avro.Schema.Field(f.name(), f.schema(), f.doc(),
+        f.defaultVal())
+    }
+    org.apache.avro.Schema.createRecord(full.getName, full.getDoc,
+      full.getNamespace, false, fields.asJava).toString
+  }
+
   final class OcfScan(path: String, readerSchemaJson: String,
       splitBytes: Long, permissive: Boolean)
-      extends Scan with ScanBuilder with Batch {
+      extends Scan with ScanBuilder with Batch
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    private var projectedJson: String = readerSchemaJson
+
+    override def pruneColumns(required: StructType): Unit =
+      projectedJson = projectSchemaJson(readerSchemaJson, required)
+
     override def build(): Scan = this
     override def readSchema(): StructType =
-      AvroCodec.sparkStructType(readerSchemaJson)
-    override def description(): String = s"$ShortName path=$path"
+      AvroCodec.sparkStructType(projectedJson)
+    override def description(): String =
+      s"$ShortName path=$path ReadSchema: " +
+        readSchema().fieldNames.mkString("[", ",", "]")
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       AvroFiles.planSplits(
@@ -54,7 +82,7 @@ object AvroTable {
       OcfReaderFactory(
         new SerializableConfiguration(
           SparkSession.active.sparkContext.hadoopConfiguration),
-        readerSchemaJson, permissive)
+        projectedJson, permissive)
   }
 
   final case class OcfReaderFactory(conf: SerializableConfiguration,

@@ -69,6 +69,23 @@ class GraftAvroSourceSpec extends SparkSpec {
     assert(back.select("user_id").distinct().count() === 4000)
   }
 
+  test("column pruning reaches the scan: only required fields decode") {
+    val dir = tmp()
+    AvroFiles.write(usersDf(30, 2), schema, dir)
+    val df = spark.read.format("graft-avro").load(dir)
+      .select("user_id", "age")
+    // the V2 pushdown pruned the scan itself, not just a projection above it
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("graft-avro")).get
+    assert(scanLine.contains("ReadSchema: [user_id,age]"),
+      s"scan must carry the pruned schema: $scanLine")
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.length === 30)
+    assert(rows.forall { case (id, age) => id.startsWith("id_") && age >= 20 })
+    // degenerate prune: count(*) decodes zero fields but counts every record
+    assert(spark.read.format("graft-avro").load(dir).count() === 30)
+  }
+
   test("permissive option skips garbage containers; strict fails") {
     val dir = tmp()
     AvroFiles.write(usersDf(10, 1), schema, dir, codec = "null")
