@@ -93,6 +93,44 @@ object AvroCodec {
   def sparkStructType(schemaJson: String): StructType =
     sparkType(parsedSchema(schemaJson)).asInstanceOf[StructType]
 
+  /** Spark DataType -> Avro schema, the inverse of [[sparkType]] —
+    * the derived-schema path for the `graft-avro` writer when a caller
+    * hands a DataFrame without an explicit avroSchema. Nullability maps
+    * to `["null", T]` unions; nested struct fields get record names
+    * derived from their field path (Avro requires unique record names). */
+  def avroType(dt: DataType, nullable: Boolean, recName: String,
+      namespace: String): Schema = {
+    val base = dt match {
+      case StructType(fields) =>
+        Schema.createRecord(recName, null, namespace, false,
+          fields.toSeq.map { f =>
+            new Schema.Field(f.name,
+              avroType(f.dataType, f.nullable, recName + "_" + f.name, namespace),
+              null,
+              if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+          }.asJava)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case ArrayType(el, containsNull) =>
+        Schema.createArray(avroType(el, containsNull, recName + "_item", namespace))
+      case MapType(StringType, v, valueContainsNull) =>
+        Schema.createMap(avroType(v, valueContainsNull, recName + "_value", namespace))
+      case t => throw new UnsupportedOperationException(
+        s"cannot derive an avro schema for spark type ${t.simpleString}")
+    }
+    if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
+  }
+
+  /** Derive a record schema JSON for a whole DataFrame schema. */
+  def avroSchemaJson(st: StructType, name: String = "Record",
+      namespace: String = "graft"): String =
+    avroType(st, nullable = false, name, namespace).toString
+
   // ---- per-thread runtime state ----------------------------------------
 
   private final class ThreadState {

@@ -102,17 +102,122 @@ object AvroTable {
     }
   }
 
+  // ---------------------------------------------------------------- write
+
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+
+  final case class OcfPartMsg(tmpPath: String, finalName: String, rows: Long)
+      extends WriterCommitMessage
+
+  /** Task-side part writer: one container per non-empty task, streamed
+    * to a temp name and renamed into place by the driver commit. */
+  final case class OcfWriterFactory(path: String, schemaJson: String,
+      codec: String, conf: SerializableConfiguration)
+      extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      new DataWriter[InternalRow] {
+        private val finalName = f"part-$partitionId%05d-$taskId.avro"
+        private val tmp = new org.apache.hadoop.fs.Path(path,
+          s"_tmp-$finalName")
+        private var writer: org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord] = _
+        private val schema = AvroCodec.parsedSchema(schemaJson)
+        private var n = 0L
+        private def ensureOpen(): Unit = if (writer == null) {
+          val fs = tmp.getFileSystem(conf.value)
+          writer = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+          writer.setCodec(codec match {
+            case "null" => org.apache.avro.file.CodecFactory.nullCodec()
+            case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
+            case "zstandard" => org.apache.avro.file.CodecFactory.zstandardCodec(3)
+            case _ => org.apache.avro.file.CodecFactory.deflateCodec(6)
+          })
+          writer.create(schema, fs.create(tmp, true))
+        }
+        override def write(row: InternalRow): Unit = {
+          ensureOpen()
+          writer.append(AvroCodec.rowToAvro(row, schema))
+          n += 1
+        }
+        override def commit(): WriterCommitMessage = {
+          if (writer != null) writer.close()
+          OcfPartMsg(tmp.toString, finalName, n)
+        }
+        override def abort(): Unit = {
+          if (writer != null) writer.close()
+          tmp.getFileSystem(conf.value).delete(tmp, false); ()
+        }
+        override def close(): Unit = if (writer != null) writer.close()
+      }
+  }
+
+  /** Driver commit: optionally truncate (overwrite mode), then rename
+    * every non-empty part into place — tasks never mutate the visible
+    * layout, so failed/speculative attempts leave only temp files that
+    * commit/abort clean up. */
+  final class OcfBatchWrite(path: String, schemaJson: String, codec: String,
+      truncate: Boolean) extends BatchWrite {
+    private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      OcfWriterFactory(path, schemaJson, codec, new SerializableConfiguration(conf))
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      if (truncate) {
+        val it = fs.listFiles(dir, true)
+        val stale = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".avro")
+              && !st.getPath.getName.startsWith("_tmp-"))
+            stale += st.getPath
+        }
+        stale.foreach(fs.delete(_, false))
+      }
+      messages.collect { case m: OcfPartMsg => m }.foreach { m =>
+        val tmp = new org.apache.hadoop.fs.Path(m.tmpPath)
+        if (m.rows > 0L) fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, m.finalName))
+        else fs.delete(tmp, false) // empty task: no zero-record container
+      }
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      messages.collect { case m: OcfPartMsg => m }
+        .foreach(m => fs.delete(new org.apache.hadoop.fs.Path(m.tmpPath), false))
+    }
+  }
+
   final class OcfTable(path: String, readerSchemaJson: String)
-      extends Table with SupportsRead {
+      extends Table with SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
     override def name(): String = s"$ShortName($path)"
     override def schema(): StructType = AvroCodec.sparkStructType(readerSchemaJson)
     override def capabilities(): java.util.Set[TableCapability] =
-      Set(TableCapability.BATCH_READ).asJava
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
       new OcfScan(path, readerSchemaJson,
         Option(o.get("splitBytes")).map(_.toLong)
           .getOrElse(AvroFiles.DefaultSplitBytes),
         Option(o.get("permissive")).exists(_.toBoolean))
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+        private var doTruncate = false
+        override def truncate(): WriteBuilder = { doTruncate = true; this }
+        override def build(): Write = new Write {
+          override def toBatch: BatchWrite = {
+            val json = Option(info.options.get("avroSchema"))
+              .getOrElse(AvroCodec.avroSchemaJson(info.schema(), "Record", "graft"))
+            new OcfBatchWrite(
+              Option(info.options.get("path")).getOrElse(path),
+              json,
+              Option(info.options.get("codec")).getOrElse("deflate"),
+              doTruncate)
+          }
+        }
+      }
   }
 
   private[avro] def resolveSchemaJson(options: CaseInsensitiveStringMap): String = {
@@ -129,14 +234,20 @@ object AvroTable {
 /** Registered as `graft-avro` via META-INF/services. */
 class GraftAvroProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = AvroTable.ShortName
+  // writes (and user-supplied .schema(...)) hand their own schema to
+  // getTable instead of forcing header inference on a possibly-empty dir
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     AvroCodec.sparkStructType(AvroTable.resolveSchemaJson(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new AvroTable.OcfTable(
-      Option(opts.get("path")).getOrElse(
-        throw new IllegalArgumentException(s"${AvroTable.ShortName} requires option 'path'")),
-      AvroTable.resolveSchemaJson(opts))
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException(s"${AvroTable.ShortName} requires option 'path'"))
+    val json = Option(opts.get("avroSchema"))
+      .orElse(AvroFiles.firstWriterSchemaJson(
+        SparkSession.active.sparkContext.hadoopConfiguration, path))
+      .getOrElse(AvroCodec.avroSchemaJson(schema, "Record", "graft"))
+    new AvroTable.OcfTable(path, json)
   }
 }

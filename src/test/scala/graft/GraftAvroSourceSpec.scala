@@ -97,6 +97,40 @@ class GraftAvroSourceSpec extends SparkSpec {
       .option("permissive", "true").load(dir).count() === 10)
   }
 
+  test("V2 batch write: save/overwrite/append round-trip with a derived schema") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq((1L, "a", Some(10)), (2L, "b", None), (3L, "c", Some(30)))
+      .toDF("id", "name", "score")
+    // no avroSchema option: the writer derives one from the DataFrame
+    df.write.format("graft-avro").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+      .as[(Long, String, Option[Int])].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1L, "a", Some(10)), (2L, "b", None), (3L, "c", Some(30))))
+    // append adds; overwrite replaces
+    Seq((4L, "d", Some(40))).toDF("id", "name", "score")
+      .write.format("graft-avro").mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() === 4)
+    Seq((9L, "z", Some(90))).toDF("id", "name", "score")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val after = spark.read.format("graft-avro").load(dir)
+      .as[(Long, String, Option[Int])].collect().toSeq
+    assert(after === Seq((9L, "z", Some(90))))
+    // no temp debris
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp-")))
+  }
+
+  test("V2 write interoperates with the function surface and nested structs") {
+    val dir = tmp()
+    val df = usersDf(25, 3)
+    df.write.format("graft-avro").mode("overwrite")
+      .option("avroSchema", schema).option("codec", "null").save(dir)
+    // readable by AvroFiles.read under the SAME wire schema
+    val viaFn = AvroFiles.read(spark, dir, schema)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaFn === df.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("empty/absent paths fail with a clear message unless a schema is given") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-avro").load(tmp())
