@@ -198,6 +198,24 @@ object AvroQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The WRITE half of the named DSv2 source under the gate:
+    * `df.write.format("graft-avro")` (temp-container + rename-on-commit)
+    * produces the archive, the named source reads it back — a hash
+    * match proves the V2 writer's commit protocol loses and duplicates
+    * nothing and the derived wire schema round-trips every field. */
+  def avroTableWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val users = userStruct(spark, dir).select(col("user.*"))
+    val out = ocfDir(dir, "table_write")
+    users.write.format("graft-avro").mode("overwrite")
+      .option("avroSchema", userSchemaJson).save(out)
+    spark.read.format("graft-avro").load(out)
+      .select(col("user_id"), col("first_name"), col("last_name"), col("email"),
+        col("age"), col("raw_password_hash"), col("internal_tracking_code"),
+        col("address.street").as("street"), col("address.city").as("city"),
+        col("address.zip_code").as("zip_code"))
+      .orderBy(col("user_id"))
+  }
+
   /** Files written with the producer schema, read with the evolved
     * reader: dropped fields vanish, `status` takes its default, and the
     * reordered layout is the reader's. */
@@ -300,6 +318,7 @@ object AvroQueries {
     "avro_malformed_skip" -> (avroMalformedSkip _),
     "avro_file_roundtrip" -> (avroFileRoundtrip _),
     "avro_table_roundtrip" -> (avroTableRoundtrip _),
+    "avro_table_write_roundtrip" -> (avroTableWriteRoundtrip _),
     "avro_file_evolution" -> (avroFileEvolution _),
     "kafka_replay_pipeline" -> (kafkaReplayPipeline _),
     "kafka_sink_pipeline" -> (kafkaSinkPipeline _)
@@ -329,6 +348,12 @@ object AvroQueries {
          |       CAST(SUM(age) AS BIGINT) AS sum_age,
          |       COUNT(first_name) AS n_named
          |FROM users WHERE CAST(user_id AS BIGINT) % 13 <> 0""".stripMargin,
+    "avro_table_write_roundtrip" ->
+      s"""WITH $usersCte
+         |SELECT user_id, first_name, last_name, email, age,
+         |       raw_password_hash, internal_tracking_code, street, city,
+         |       zip_code
+         |FROM users ORDER BY user_id""".stripMargin,
     "avro_table_roundtrip" ->
       s"""WITH $usersCte
          |SELECT user_id, first_name, last_name, email, age,
