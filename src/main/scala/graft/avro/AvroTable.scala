@@ -188,6 +188,87 @@ object AvroTable {
     }
   }
 
+  /** Streaming half of the writer: per-epoch `batch=<epoch>/` subdirs
+    * (the micro-batch archival layout [[graft.streaming.StreamingPipeline.avroSink]]
+    * established), same spool + rename-on-commit discipline as the batch
+    * writer, plus an `_epochs` ledger so a REPLAYED epoch (restart after
+    * a sink-side failure) is dropped wholesale — exactly-once object
+    * contents without coordination beyond the driver. */
+  final class OcfStreamingWrite(path: String, schemaJson: String, codec: String)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+    private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+      val batchFactory =
+        OcfWriterFactory(path, schemaJson, codec, new SerializableConfiguration(conf))
+      new StreamingDataWriterFactory {
+        override def createWriter(partitionId: Int, taskId: Long,
+            epochId: Long): DataWriter[InternalRow] =
+          // reuse the batch spool writer; the epoch lands in the part name
+          // so concurrent epochs (continuous retries) never collide
+          batchFactory.createWriter(partitionId, taskId) match {
+            case w => new DataWriter[InternalRow] {
+              override def write(r: InternalRow): Unit = w.write(r)
+              override def commit(): WriterCommitMessage = w.commit() match {
+                case OcfPartMsg(tmp, name, n) =>
+                  OcfPartMsg(tmp, s"epoch-$epochId-$name", n)
+                case m => m
+              }
+              override def abort(): Unit = w.abort()
+              override def close(): Unit = w.close()
+            }
+          }
+      }
+    }
+
+    private def epochsPath = new org.apache.hadoop.fs.Path(path, "_epochs")
+
+    private def committedEpochs(fs: org.apache.hadoop.fs.FileSystem): Set[Long] =
+      if (!fs.exists(epochsPath)) Set.empty
+      else {
+        val in = fs.open(epochsPath)
+        try scala.io.Source.fromInputStream(in).getLines()
+          .flatMap(_.toLongOption).toSet
+        finally in.close()
+      }
+
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      val parts = messages.collect { case m: OcfPartMsg => m }
+      if (committedEpochs(fs).contains(epochId)) {
+        parts.foreach(m =>
+          fs.delete(new org.apache.hadoop.fs.Path(m.tmpPath), false))
+        return
+      }
+      val epochDir = new org.apache.hadoop.fs.Path(dir, s"batch=$epochId")
+      fs.mkdirs(epochDir)
+      parts.foreach { m =>
+        val tmp = new org.apache.hadoop.fs.Path(m.tmpPath)
+        if (m.rows > 0L)
+          fs.rename(tmp, new org.apache.hadoop.fs.Path(epochDir,
+            m.finalName.stripPrefix(s"epoch-$epochId-")))
+        else fs.delete(tmp, false)
+      }
+      val prior = committedEpochs(fs)
+      val out = fs.create(epochsPath, true)
+      try out.write((prior + epochId).toSeq.sorted.mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      messages.collect { case m: OcfPartMsg => m }
+        .foreach(m => fs.delete(new org.apache.hadoop.fs.Path(m.tmpPath), false))
+    }
+  }
+
   final class OcfTable(path: String, readerSchemaJson: String)
       extends Table with SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -195,7 +276,7 @@ object AvroTable {
     override def schema(): StructType = AvroCodec.sparkStructType(readerSchemaJson)
     override def capabilities(): java.util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE).asJava
+        TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
       new OcfScan(path, readerSchemaJson,
         Option(o.get("splitBytes")).map(_.toLong)
@@ -207,15 +288,15 @@ object AvroTable {
         private var doTruncate = false
         override def truncate(): WriteBuilder = { doTruncate = true; this }
         override def build(): Write = new Write {
-          override def toBatch: BatchWrite = {
-            val json = Option(info.options.get("avroSchema"))
-              .getOrElse(AvroCodec.avroSchemaJson(info.schema(), "Record", "graft"))
-            new OcfBatchWrite(
-              Option(info.options.get("path")).getOrElse(path),
-              json,
-              Option(info.options.get("codec")).getOrElse("deflate"),
-              doTruncate)
-          }
+          private def json = Option(info.options.get("avroSchema"))
+            .getOrElse(AvroCodec.avroSchemaJson(info.schema(), "Record", "graft"))
+          private def target = Option(info.options.get("path")).getOrElse(path)
+          private def codec = Option(info.options.get("codec")).getOrElse("deflate")
+          override def toBatch: BatchWrite =
+            new OcfBatchWrite(target, json, codec, doTruncate)
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new OcfStreamingWrite(target, json, codec)
         }
       }
   }
