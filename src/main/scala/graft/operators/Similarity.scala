@@ -255,4 +255,77 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("t.id").as("neighbor_id"), col("t.score").as("sim"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with k-means, then pruning
+    * near-duplicate pairs WITHIN each cluster only — the cross-cluster
+    * blindness is the approximation that makes 100 TB tractable: the
+    * pairwise term drops from O(n²) to Σ_c O(n_c²) ≈ O(n²/k), and k
+    * grows with the corpus so per-cell work stays bounded. The cell
+    * self-join shuffles ids+vectors once by cell; no global pairwise
+    * state ever exists.
+    *
+    * Keep rule (deterministic): a vector is dropped iff some LOWER-id
+    * vector in the same cell has cosine ≥ threshold with it — the
+    * greedy keep-first sweep, engine-neutral because sims are rounded
+    * to 9 dp before comparison. Returns only the dropped rows, each
+    * with its strongest earlier duplicate: (id, cell, dup_of, sim)
+    * where dup_of is the max-sim (tie → lowest-id) lower-id neighbor.
+    *
+    * Clustering = [[Ivf.buildLloydFlat]] (md5-seeded init + exact
+    * integer-quantized Lloyd rounds), so a SQL oracle rebuilds
+    * bit-identical cells and the whole path sits under the hash gate. */
+  def semDedupDropped(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, threshold: Double): DataFrame = {
+    val (_, assigned) = Ivf.buildLloydFlat(corpus, idCol, vecCol, nCells, iters)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val hits = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", sim(col("vec_a"), col("vec_b"), fused = true))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy(col("id_b")).orderBy(col("sim").desc, col("id_a"))
+    hits
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("id_b").as(idCol), col("cell"),
+        col("id_a").as("dup_of"), col("sim"))
+  }
+
+  /** Johnson–Lindenstrauss random projection with a Rademacher (±1)
+    * matrix: proj_j(v) = (Σ_i sign(j,i)·v_i) / √outDims, the standard
+    * distance-preserving sketch (Achlioptas 2003) that shrinks a
+    * 100 TB float corpus outDims/dims× before any ANN machinery runs.
+    * sign(j,i) = +1 iff the first hex char of md5("rp|j|i") has odd
+    * ASCII — the same engine-neutral parity family as the LSH
+    * hyperplanes, so an external SQL engine rebuilds the identical
+    * matrix. Components are quantized to integers (round(x·1e6)) and
+    * summed as longs — exact and order-independent — with one double
+    * division at the end, so results are bit-identical across engines.
+    * The matrix is a plan-time literal (outDims×dims ints); the
+    * projection itself is one codegen'd pass over the vector — no
+    * shuffle, no UDF. */
+  def randomProjection(
+      df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, outDims: Int): DataFrame = {
+    val mdigest = java.security.MessageDigest.getInstance("MD5")
+    def signOf(j: Int, i: Int): Long = {
+      val b0 = mdigest.digest(s"rp|$j|$i".getBytes("UTF-8"))(0)
+      val firstHex = "0123456789abcdef".charAt((b0 >> 4) & 0xf)
+      if (firstHex.toInt % 2 == 1) 1L else -1L
+    }
+    val quantized = df.select(col(idCol),
+      transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long")).as("__q"))
+    val scale = math.sqrt(outDims.toDouble)
+    val projCols = (0 until outDims).map { j =>
+      val signs = typedLit((0 until dims).map(i => signOf(j, i)))
+      round(
+        aggregate(zip_with(col("__q"), signs, (x, s) => x * s),
+          lit(0L), (acc, v) => acc + v).cast("double") / 1e6 / scale, 9)
+    }
+    quantized
+      .select(col(idCol), posexplode(array(projCols: _*)).as(Seq("pos", "val")))
+      .select(col(idCol), col("pos").cast("int").as("pos"), col("val"))
+  }
 }

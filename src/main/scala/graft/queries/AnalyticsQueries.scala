@@ -56,6 +56,53 @@ object AnalyticsQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(100)
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how much its hashed
+    * bigram distribution looks like a target domain (here lang='en')
+    * relative to the raw corpus — weight(d) = Σ over d's bigram
+    * occurrences of ln(p_target(bucket)/p_raw(bucket)), add-one
+    * smoothed over B=256 md5 buckets. The scale shape: bucket counts
+    * are one map-combined agg over ids-only rows; the 256-row
+    * log-ratio table broadcasts back onto the occurrence stream, so
+    * the corpus is scanned twice and nothing vector-sized shuffles.
+    * Per-bucket log-ratios are quantized to integer micro-units and
+    * per-doc sums are exact long arithmetic (order-independent), so
+    * the weights are engine-neutral. */
+  def textImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val occ = docs
+      .select(col("doc_id"), col("lang"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .withColumn("h", md5(concat(col("bg"), lit("|graftdsir"))))
+      .select(col("doc_id"), col("lang"),
+        ((ascii(substring(col("h"), 1, 1)) * 256 +
+          ascii(substring(col("h"), 2, 1))) % 256).as("b"))
+    val raw = occ.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = occ.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = occ.agg(count(lit(1)).as("nr"),
+      count(when(col("lang") === "en", 1)).as("nt"))
+    val logRatio = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(((col("ct") + 1) * (col("nr") + 256)).cast("double") /
+          ((col("cr") + 1) * (col("nt") + 256)).cast("double")) * 1e6)
+          .cast("long").as("lr_q"))
+    val perDoc = occ.join(broadcast(logRatio), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_q")).as("wq"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("wq"), lit(0L)).cast("double") / 1e6, 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distribution windows: ntile buckets + percent_rank + cume_dist per
     * priority, totally ordered by a unique key so ranks are exact
     * integers in both engines. */
@@ -286,6 +333,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
     "text_bigrams" -> (textBigrams _),
+    "text_importance_weights" -> (textImportanceWeights _),
     "window_ntile" -> (windowNtile _),
     "window_ignore_nulls" -> (windowIgnoreNulls _),
     "agg_corr_stats" -> (aggCorrStats _),
@@ -304,6 +352,36 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_importance_weights" ->
+      """WITH occ AS (
+        |  SELECT doc_id, lang,
+        |         unnest(CASE WHEN len(w) >= 2
+        |                THEN list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])
+        |                ELSE [] END) AS bg
+        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |ob AS (
+        |  SELECT doc_id, lang,
+        |         (ascii(substr(md5(bg || '|graftdsir'), 1, 1)) * 256 +
+        |          ascii(substr(md5(bg || '|graftdsir'), 2, 1))) % 256 AS b
+        |  FROM occ),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM ob GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM ob WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT COUNT(*) AS nr,
+        |               COUNT(*) FILTER (WHERE lang = 'en') AS nt FROM ob),
+        |lr AS (
+        |  SELECT raw.b,
+        |         CAST(round(ln(CAST((COALESCE(tgt.ct, 0) + 1) * (tot.nr + 256) AS DOUBLE) /
+        |                       CAST((raw.cr + 1) * (tot.nt + 256) AS DOUBLE)) * 1e6) AS BIGINT) AS lr_q
+        |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot),
+        |pd AS (
+        |  SELECT ob.doc_id, COUNT(*) AS n_bigrams, SUM(lr.lr_q) AS wq
+        |  FROM ob JOIN lr ON lr.b = ob.b GROUP BY ob.doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |       round(CAST(COALESCE(pd.wq, 0) AS DOUBLE) / 1e6, 6) AS weight
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

@@ -137,7 +137,30 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup over the Lloyd-IVF cells (nCells=16, 2 exact iterations —
+    * the same engine-neutral clustering as `sim_topk_ivf`): drops every
+    * vector with cosine ≥ 0.4 to a lower-id vector in its cell,
+    * reporting the strongest earlier duplicate. The intra-cell-only
+    * pairwise term is the SemDeDup approximation that keeps 100 TB
+    * tractable (O(n²/k) with k growing with the corpus). */
+  def simSemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupDropped(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      nCells = 16, iters = 2, threshold = 0.4)
+      .orderBy(col("vec_id"))
+
+  /** Rademacher random projection 64→16 dims (Johnson–Lindenstrauss):
+    * the sketch that shrinks vector storage 4× before ANN. md5-parity
+    * signs + exact integer sums make every projected component
+    * bit-identical across engines; the gate compares the exploded
+    * (vec_id, pos, val) rows. */
+  def embRandomProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dims = 64, outDims = 16)
+      .orderBy(col("vec_id"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semdedup" -> (simSemDedup _),
+    "emb_random_projection" -> (embRandomProjection _),
     "sim_knn_join_lsh" -> (simKnnJoin _),
     "sim_neardup_lsh" -> (simNearDupLsh _),
     "sim_neardup_clusters" -> (simNearDupClusters _),
@@ -168,6 +191,49 @@ object SimilarityQueries {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // SemDeDup: the sim_topk_ivf Lloyd CTEs rebuild bit-identical cells;
+    // within-cell a<b pairs at cosine >= 0.4, each dropped id keeps its
+    // max-sim (tie -> lowest-id) earlier duplicate.
+    "sim_semdedup" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+        |         vec AS centroid
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),""".stripMargin +
+        lloydIterCtes(2) + s"""
+        |af AS (
+        |  SELECT vec_id, vec, cell FROM (
+        |    SELECT e.vec_id, e.vec, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             ${lloydD2("e.vec", "c.centroid")}, c.cell) AS r
+        |    FROM e CROSS JOIN c2 c) t WHERE r = 1),
+        |hits AS (
+        |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_cosine_similarity(a.vec, b.vec), 9) AS sim
+        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.vec, b.vec), 9) >= 0.4),
+        |ranked AS (
+        |  SELECT id_b AS vec_id, cell, id_a AS dup_of, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a) AS r
+        |  FROM hits)
+        |SELECT vec_id, cell, dup_of, sim FROM ranked WHERE r = 1
+        |ORDER BY vec_id""".stripMargin),
+    // Rademacher projection: md5('rp|j|i') parity signs, integer-exact
+    // component sums, one double division by 1e6*sqrt(16).
+    "emb_random_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |s AS (
+        |  SELECT j, [CASE WHEN ascii(substr(md5('rp|' || j::VARCHAR || '|' || i::VARCHAR), 1, 1)) % 2 = 1
+        |                  THEN 1 ELSE -1 END FOR i IN range(64)] AS sgn
+        |  FROM range(16) t(j)),
+        |p AS (
+        |  SELECT e.vec_id, s.j AS pos,
+        |         list_sum(list_transform(range(64),
+        |           i -> CAST(round(e.vec[i+1] * 1e6) AS BIGINT) * sgn[i+1])) AS acc
+        |  FROM e CROSS JOIN s)
+        |SELECT vec_id, CAST(pos AS INT) AS pos,
+        |       round(CAST(acc AS DOUBLE) / 1e6 / 4.0, 9) AS val
+        |FROM p ORDER BY vec_id, pos""".stripMargin,
     "sim_topk_brute" -> topkOracle,
     "sim_topk_agg" -> topkOracle,
     "sim_neardup_exact_check" ->

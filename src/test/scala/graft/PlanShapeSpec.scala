@@ -34,7 +34,12 @@ class PlanShapeSpec extends SparkSpec {
     "audit_summary" -> 1,
     "corpus_pipeline_full" -> 3,
     "sim_topk_ivf" -> 1,
-    "sim_topk_ivf_seeded" -> 1
+    "sim_topk_ivf_seeded" -> 1,
+    // SemDeDup's within-cell self-join: both sides ARE the corpus,
+    // repartitioned by cell — the O(n²/k) intra-cluster sweep
+    "sim_semdedup" -> 1,
+    // docs ⋈ per-doc weights: both sides corpus-sized by design
+    "text_importance_weights" -> 1
   ).withDefaultValue(0)
 
   // legitimate broadcast nested-loop joins: tiny-dim cross products and
@@ -47,7 +52,11 @@ class PlanShapeSpec extends SparkSpec {
     "sim_topk_brute" -> 1,
     "sim_topk_ivf" -> 2,
     "sim_topk_ivf_seeded" -> 2,
-    "text_tfidf" -> 1
+    "text_tfidf" -> 1,
+    // Lloyd assign passes: corpus × broadcast 16-row centroid table
+    "sim_semdedup" -> 2,
+    // corpus × broadcast 1-row totals (same shape as text_tfidf's N join)
+    "text_importance_weights" -> 1
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from

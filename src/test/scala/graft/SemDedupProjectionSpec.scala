@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Similarity}
+import graft.queries.AnalyticsQueries
+import graft.sources.Tables
+
+/** Round-5 additions: SemDeDup semantic dedup, Johnson–Lindenstrauss
+  * Rademacher projection, DSIR importance weights. The DuckDB oracles
+  * are the cross-engine proof; these specs pin the semantic invariants
+  * the oracles can't express (greedy keep rule, matrix determinism,
+  * discriminative direction of the weights).
+  */
+class SemDedupProjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semDedup: dropped rows keep-first invariants and exact dropped set") {
+    val emb = Tables.embeddings(spark, sf)
+    val dropped = Similarity.semDedupDropped(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2, threshold = 0.4)
+      .select($"vec_id", $"cell", $"dup_of", $"sim")
+      .as[(Long, Int, Long, Double)].collect()
+
+    // every dropped row names a LOWER-id duplicate at/above threshold
+    assert(dropped.forall { case (id, _, dupOf, s) => dupOf < id && s >= 0.4 })
+
+    // independent recompute of the dropped SET: within-cell brute pairs
+    val (_, assigned) = Ivf.buildLloydFlat(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2)
+    val a = assigned.select($"cell", $"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = assigned.select($"cell", $"vec_id".as("id_b"), $"embedding".as("vb"))
+    val expectDropped = a.join(b, Seq("cell"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("s", round(graft.functions.VectorFunctions.cosine($"va", $"vb"), 9))
+      .filter($"s" >= 0.4)
+      .select($"id_b").distinct().as[Long].collect().toSet
+    assert(dropped.map(_._1).toSet === expectDropped)
+    assert(dropped.nonEmpty, "fixture should produce at least one semantic dup")
+  }
+
+  test("semDedup: dup_of is the max-sim (tie lowest-id) earlier neighbor") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.semDedupDropped(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2, threshold = 0.4)
+    // exactly one row per dropped id
+    val perId = out.groupBy($"vec_id").count().filter($"count" > 1).count()
+    assert(perId === 0)
+  }
+
+  test("randomProjection: basis vectors reproduce the md5 sign matrix") {
+    val dims = 64
+    val basis = (0 until dims).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => if (d == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(basis, "vec_id", "embedding", dims, 16)
+      .as[(Long, Int, Double)].collect()
+    // e_i projected onto row j is sign(j,i)/sqrt(16) = ±0.25 exactly
+    assert(proj.forall { case (_, _, v) => v == 0.25 || v == -0.25 })
+    // reproduce a handful of signs with an independent md5 computation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expectedSign(j: Int, i: Int): Double = {
+      val b0 = md.digest(s"rp|$j|$i".getBytes("UTF-8"))(0)
+      val c = "0123456789abcdef".charAt((b0 >> 4) & 0xf)
+      if (c.toInt % 2 == 1) 0.25 else -0.25
+    }
+    val byKey = proj.map { case (i, j, v) => ((j, i.toInt), v) }.toMap
+    for (j <- 0 until 16; i <- Seq(0, 7, 31, 63))
+      assert(byKey((j, i)) === expectedSign(j, i), s"sign mismatch at j=$j i=$i")
+  }
+
+  test("randomProjection: linear in the input and norm-preserving on average") {
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val p1 = Similarity.randomProjection(emb, "vec_id", "embedding", 64, 16)
+    val doubled = emb.select($"vec_id",
+      transform($"embedding", x => x * 2.0f).as("embedding"))
+    val p2 = Similarity.randomProjection(doubled, "vec_id", "embedding", 64, 16)
+    val joined = p1.withColumnRenamed("val", "v1")
+      .join(p2.withColumnRenamed("val", "v2"), Seq("vec_id", "pos"))
+      .select(abs($"v2" - $"v1" * 2).as("d")).agg(max($"d")).as[Double].first()
+    // quantization to 1e-6 units bounds the doubling error
+    assert(joined < 1e-5, s"projection not linear: max dev $joined")
+
+    // JL sanity: mean squared norm is preserved in expectation
+    val orig = emb.select(graft.functions.VectorFunctions.normSq($"embedding").as("n2"))
+      .agg(avg($"n2")).as[Double].first()
+    val projected = p1.groupBy($"vec_id").agg(sum($"val" * $"val").as("n2"))
+      .agg(avg($"n2")).as[Double].first()
+    assert(projected > orig * 0.5 && projected < orig * 2.0,
+      s"JL norm preservation out of range: $orig vs $projected")
+  }
+
+  test("importance weights: en documents score above the non-en mean") {
+    val w = AnalyticsQueries.textImportanceWeights(spark, sf)
+    val en = w.filter($"lang" === "en").agg(avg($"weight")).as[Double].first()
+    val rest = w.filter($"lang" =!= "en").agg(avg($"weight")).as[Double].first()
+    assert(en > rest,
+      s"DSIR weights should rank the target domain higher: en=$en rest=$rest")
+    // every document is scored exactly once
+    val docs = Tables.documents(spark, sf).count()
+    assert(w.count() === docs)
+    assert(w.groupBy($"doc_id").count().filter($"count" > 1).count() === 0)
+  }
+}
