@@ -274,11 +274,33 @@ object Similarity {
     *
     * Clustering = [[Ivf.buildLloydFlat]] (md5-seeded init + exact
     * integer-quantized Lloyd rounds), so a SQL oracle rebuilds
-    * bit-identical cells and the whole path sits under the hash gate. */
+    * bit-identical cells and the whole path sits under the hash gate.
+    *
+    * `maxIntraCellPairs`: the same loud envelope as the LSH banding
+    * guard — a STATIC nCells re-run on a grown corpus silently goes
+    * quadratic (pair mass ≈ n²/k for balanced cells), so callers with a
+    * fixed-cell constraint (the oracle queries) declare a budget and
+    * the operator counts Σ C(n_c, 2) in an ids-only pass before any
+    * vector pair materializes, failing with the [[autoNCells]]
+    * suggestion when exceeded. Production callers should size
+    * `nCells = autoNCells(n)` instead and skip the guard. */
   def semDedupDropped(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int, threshold: Double): DataFrame = {
+      nCells: Int, iters: Int, threshold: Double,
+      maxIntraCellPairs: Option[Long] = None): DataFrame = {
     val (_, assigned) = Ivf.buildLloydFlat(corpus, idCol, vecCol, nCells, iters)
+    maxIntraCellPairs.foreach { budget =>
+      val total = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).first().getLong(0)
+      if (total > budget) {
+        val n = corpus.count()
+        throw new IllegalStateException(
+          s"SemDeDup intra-cell pair budget exceeded: $nCells cells over $n " +
+            s"vectors enumerate $total within-cell pairs > budget $budget. " +
+            s"Raise nCells to ~${autoNCells(n)} (Similarity.autoNCells) " +
+            "or raise the budget.")
+      }
+    }
     val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     val hits = a.join(b, Seq("cell"))
@@ -292,6 +314,14 @@ object Similarity {
       .select(col("id_b").as(idCol), col("cell"),
         col("id_a").as("dup_of"), col("sim"))
   }
+
+  /** Cell count that keeps expected intra-cell pair mass linear in the
+    * corpus: balanced cells of ~targetCell vectors give Σ C(n_c, 2) ≈
+    * n·targetCell/2, so k = n/targetCell grows with the corpus and
+    * SemDeDup's per-cell quadratic term stays bounded — the same
+    * scaling law as [[autoBitsPerBand]] for the LSH banding. */
+  def autoNCells(corpusSize: Long, targetCell: Int = 1024): Int =
+    math.max(2, math.ceil(corpusSize.toDouble / targetCell).toInt)
 
   /** Johnson–Lindenstrauss random projection with a Rademacher (±1)
     * matrix: proj_j(v) = (Σ_i sign(j,i)·v_i) / √outDims, the standard

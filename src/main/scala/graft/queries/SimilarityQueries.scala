@@ -142,10 +142,18 @@ object SimilarityQueries {
     * vector with cosine ≥ 0.4 to a lower-id vector in its cell,
     * reporting the strongest earlier duplicate. The intra-cell-only
     * pairwise term is the SemDeDup approximation that keeps 100 TB
-    * tractable (O(n²/k) with k growing with the corpus). */
+    * tractable (O(n²/k) with k growing with the corpus).
+    *
+    * Static-nCells envelope (the oracle CTE fixes k=16, so the query
+    * declares a budget like the LSH bandings do): measured intra-cell
+    * pair mass is 7.7k at sf0.01 (n=500) and 125k at sf0.1 (n=2000) —
+    * ~n²/32, so a ~8× corpus trips the 2M budget and fails LOUDLY with
+    * the autoNCells suggestion instead of silently going quadratic.
+    * Production callers size nCells = autoNCells(n) and skip the guard. */
   def simSemDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.semDedupDropped(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      nCells = 16, iters = 2, threshold = 0.4)
+      nCells = 16, iters = 2, threshold = 0.4,
+      maxIntraCellPairs = Some(2000000L))
       .orderBy(col("vec_id"))
 
   /** Rademacher random projection 64→16 dims (Johnson–Lindenstrauss):

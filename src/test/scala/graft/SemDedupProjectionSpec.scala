@@ -48,6 +48,31 @@ class SemDedupProjectionSpec extends SparkSpec {
     assert(perId === 0)
   }
 
+  test("semDedup: intra-cell pair budget fails loudly with the autoNCells hint") {
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalStateException] {
+      Similarity.semDedupDropped(emb, "vec_id", "embedding",
+        nCells = 4, iters = 1, threshold = 0.4,
+        maxIntraCellPairs = Some(10L)).count()
+    }
+    assert(e.getMessage.contains("autoNCells"))
+    assert(e.getMessage.contains("budget"))
+    // within budget: runs fine
+    val ok = Similarity.semDedupDropped(emb, "vec_id", "embedding",
+      nCells = 4, iters = 1, threshold = 0.4,
+      maxIntraCellPairs = Some(100000L)).count()
+    assert(ok >= 0)
+  }
+
+  test("autoNCells keeps expected per-cell size at the target") {
+    assert(Similarity.autoNCells(1024L * 1000, targetCell = 1024) === 1000)
+    assert(Similarity.autoNCells(100, targetCell = 1024) === 2)
+    // pair mass under autoNCells is ~n*targetCell/2: linear in n
+    val n = 1L << 30
+    val k = Similarity.autoNCells(n)
+    assert(k.toLong * 1024 >= n && (k - 1).toLong * 1024 < n + 1024)
+  }
+
   test("randomProjection: basis vectors reproduce the md5 sign matrix") {
     val dims = 64
     val basis = (0 until dims).map { i =>
