@@ -80,13 +80,15 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("lang"),
         ((ascii(substring(col("h"), 1, 1)) * 256 +
           ascii(substring(col("h"), 2, 1))) % 256).as("b"))
-    val raw = occ.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = occ.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = occ.agg(count(lit(1)).as("nr"),
-      count(when(col("lang") === "en", 1)).as("nt"))
-    val logRatio = raw.join(tgt, Seq("b"), "left")
-      .na.fill(0L, Seq("ct"))
+    // ONE map-combined pass over the occurrence stream yields both the
+    // raw and target bucket counts; the totals derive from the 256-row
+    // count table, not another corpus scan — so the exploded stream is
+    // computed exactly twice (counts pass + per-doc weighting pass).
+    val counts = occ.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val logRatio = counts
       .crossJoin(broadcast(totals))
       .select(col("b"),
         round(log(((col("ct") + 1) * (col("nr") + 256)).cast("double") /
