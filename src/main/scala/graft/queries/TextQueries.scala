@@ -157,6 +157,93 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Execute the training mix: the plan→apply half of `sourceMixPlan`.
+    * Every document draws a deterministic md5 uniform (the first 4 hex
+    * nibbles of md5(doc_id || "|graftmix") as a 16-bit integer — stable
+    * across runs, engines, and partitionings, like `datasetSplit`) and
+    * survives iff u/65536 < its source's sampling rate. The ~20-row
+    * rate table broadcasts onto the document scan, so applying the mix
+    * to 100 TB is one filter pass + one per-source agg — no global
+    * shuffle of documents. Output is the per-source reconciliation:
+    * planned rate vs achieved kept fraction and surviving characters. */
+  def sourceMixApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(50.0))
+      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("rate",
+        round(least(lit(1.0), col("share") * col("total") / col("n_docs")), 9))
+      .select(col("source"), col("n_docs"), col("rate"))
+    val h = md5(concat(col("doc_id").cast("string"), lit("|graftmix")))
+    def nib(p: Int) = {
+      val a = ascii(substring(h, p, 1))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    val u16 = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    docs.select(col("doc_id"), col("source"), col("n_chars"), u16.as("u16"))
+      .join(broadcast(rates), "source")
+      .withColumn("kept", col("u16").cast("double") / 65536.0 < col("rate"))
+      .groupBy(col("source"), col("n_docs"), col("rate"))
+      .agg(
+        count(when(col("kept"), 1)).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("n_chars"))), lit(0L)).as("kept_chars"))
+      .select(col("source"), col("n_docs"), col("rate"), col("n_kept"),
+        col("kept_chars"),
+        round(col("n_kept").cast("double") / col("n_docs"), 9).as("kept_frac"))
+      .orderBy(col("source"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019,
+    * arXiv:1911.00359): score each document under a char-trigram LM
+    * with add-V smoothing — logprob/char = mean over trigram positions
+    * of ln((C(abc)+1)/(C(ab)+V)) — and split the corpus into
+    * head/middle/tail thirds by score, the classic quality gate before
+    * training. LM counts are one map-combined agg over trigram
+    * occurrences (vocabulary-sized result); per-trigram log-probs are
+    * quantized to integer micro-units in the LM table so per-doc sums
+    * are exact long arithmetic, then the vocabulary-sized LM broadcasts
+    * back onto the occurrence stream. The final thirds come from a
+    * percent_rank over the slim (doc_id, score) projection; at corpus
+    * scale the cutoffs would come from approxQuantile over the same
+    * projection instead of a global sort — the LM and scoring passes
+    * are unchanged. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tri = docs.select(col("doc_id"),
+      explode(when(length(col("text")) >= 3,
+        expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))
+        .otherwise(array().cast("array<string>"))).as("tri"))
+    // LM: trigram counts, context counts (= Σ trigram counts per 2-char
+    // prefix), smoothing vocabulary V = distinct continuation chars
+    val cnt3 = tri.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+      .withColumn("ctx", substring(col("tri"), 1, 2))
+    val cnt2 = cnt3.groupBy(col("ctx")).agg(sum(col("c3")).as("c2"))
+    val vocab = cnt3.select(substring(col("tri"), 3, 1).as("ch")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val lm = cnt3.join(cnt2, "ctx")
+      .crossJoin(broadcast(vocab))
+      .select(col("tri"),
+        round(log((col("c3") + 1).cast("double") / (col("c2") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("lp_q"))
+    val scored = tri.join(broadcast(lm), "tri")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("lp_q")).as("lp_sum"))
+      .select(col("doc_id"), col("n_tri"),
+        round(col("lp_sum").cast("double") / col("n_tri") / 1e6, 6).as("logprob_char"))
+    val pr = percent_rank().over(
+      Window.orderBy(col("logprob_char").desc, col("doc_id")))
+    scored
+      .withColumn("pr", pr)
+      .select(col("doc_id"), col("n_tri"), col("logprob_char"),
+        when(col("pr") < 1.0 / 3.0, lit("head"))
+          .when(col("pr") < 2.0 / 3.0, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII detection scan: email/phone hit counts. The fixture plants a
     * deterministic contact line on every 41st doc so the counts are
     * non-trivial; patterns are dialect-neutral (Java regex == RE2 on
@@ -308,6 +395,8 @@ object TextQueries {
     "text_contamination" -> (contamination _),
     "text_repetition" -> (repetition _),
     "source_mix_plan" -> (sourceMixPlan _),
+    "source_mix_apply" -> (sourceMixApply _),
+    "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_pii_scan" -> (piiScan _),
     "text_stem_counts" -> (stemCounts _),
     "text_winnowing" -> (winnowing _),
@@ -319,6 +408,11 @@ object TextQueries {
     "text_chunks" -> (chunks _),
     "text_pack_bins" -> (packBins _)
   )
+
+  /** SQL hex-nibble value of a single md5 hex char (0-9a-f → 0-15) —
+    * mirrors the `nib` expression in [[sourceMixApply]]. */
+  private def hexNibble(expr: String): String =
+    s"(CASE WHEN ascii($expr) >= 97 THEN ascii($expr) - 87 ELSE ascii($expr) - 48 END)"
 
   // Shared SQL fragments (DuckDB): tokens / shingles mirror
   // TextFunctions.tokens/shingles exactly.
@@ -520,6 +614,63 @@ object TextQueries {
         |       round(CAST(1 AS DOUBLE)
         |             - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 9) AS rep_ratio
         |FROM bg ORDER BY doc_id""".stripMargin,
+    "source_mix_apply" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, n_docs,
+        |         round(least(CAST(1 AS DOUBLE),
+        |               (CAST(substr(source, 4) AS INT) % 4 + 1) / CAST(50 AS DOUBLE)
+        |                 * SUM(n_docs) OVER () / n_docs), 9) AS rate
+        |  FROM c),
+        |u AS (
+        |  SELECT doc_id, source, n_chars,
+        |         md5(CAST(doc_id AS VARCHAR) || '|graftmix') AS h
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ((${hexNibble("substr(h, 1, 1)")} * 16
+        |           + ${hexNibble("substr(h, 2, 1)")}) * 16
+        |           + ${hexNibble("substr(h, 3, 1)")}) * 16
+        |           + ${hexNibble("substr(h, 4, 1)")} AS u16
+        |  FROM u),
+        |j AS (
+        |  SELECT n.source, r.n_docs, r.rate, n.n_chars,
+        |         CAST(n.u16 AS DOUBLE) / 65536.0 < r.rate AS kept
+        |  FROM n JOIN r ON r.source = n.source)
+        |SELECT source, n_docs, rate,
+        |       COUNT(*) FILTER (WHERE kept) AS n_kept,
+        |       COALESCE(CAST(SUM(n_chars) FILTER (WHERE kept) AS BIGINT), 0) AS kept_chars,
+        |       round(CAST(COUNT(*) FILTER (WHERE kept) AS DOUBLE) / n_docs, 9) AS kept_frac
+        |FROM j GROUP BY source, n_docs, rate ORDER BY source""".stripMargin,
+    "text_perplexity_buckets" ->
+      """WITH trs AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN length(text) >= 3
+        |                THEN list_transform(range(length(text)-2),
+        |                       i -> substr(text, CAST(i + 1 AS INT), 3))
+        |                ELSE [] END) AS tri
+        |  FROM documents),
+        |c3 AS (SELECT tri, COUNT(*) AS c3, substr(tri, 1, 2) AS ctx
+        |       FROM trs GROUP BY tri),
+        |c2 AS (SELECT ctx, SUM(c3) AS c2 FROM c3 GROUP BY ctx),
+        |v AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS v FROM c3),
+        |lm AS (
+        |  SELECT c3.tri,
+        |         CAST(round(ln(CAST(c3.c3 + 1 AS DOUBLE) / CAST(c2.c2 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+        |  FROM c3 JOIN c2 USING (ctx) CROSS JOIN v),
+        |sc AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tri,
+        |         round(CAST(SUM(lm.lp_q) AS DOUBLE) / COUNT(*) / 1e6, 6) AS logprob_char
+        |  FROM trs t JOIN lm ON lm.tri = t.tri GROUP BY t.doc_id),
+        |pr AS (
+        |  SELECT doc_id, n_tri, logprob_char,
+        |         PERCENT_RANK() OVER (ORDER BY logprob_char DESC, doc_id) AS p
+        |  FROM sc)
+        |SELECT doc_id, n_tri, logprob_char,
+        |       CASE WHEN p < 1.0/3.0 THEN 'head'
+        |            WHEN p < 2.0/3.0 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM pr ORDER BY doc_id""".stripMargin,
     "source_mix_plan" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
         |s AS (

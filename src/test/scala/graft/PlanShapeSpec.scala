@@ -56,7 +56,9 @@ class PlanShapeSpec extends SparkSpec {
     // Lloyd assign passes: corpus × broadcast 16-row centroid table
     "sim_semdedup" -> 2,
     // corpus × broadcast 1-row totals (same shape as text_tfidf's N join)
-    "text_importance_weights" -> 1
+    "text_importance_weights" -> 1,
+    // LM × broadcast 1-row smoothing-vocabulary count
+    "text_perplexity_buckets" -> 1
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from

@@ -115,6 +115,40 @@ class SemDedupProjectionSpec extends SparkSpec {
       s"JL norm preservation out of range: $orig vs $projected")
   }
 
+  test("source mix apply: reconciles with the plan and stays in bounds") {
+    val plan = graft.queries.TextQueries.sourceMixPlan(spark, sf)
+      .select($"source", $"rate".as("plan_rate"))
+    val applied = graft.queries.TextQueries.sourceMixApply(spark, sf)
+    // the apply pass derives the SAME rates the plan published
+    val drift = applied.join(plan, "source")
+      .filter($"rate" =!= $"plan_rate").count()
+    assert(drift === 0)
+    val rows = applied.select($"n_docs", $"n_kept", $"kept_frac")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (n, k, f) => k >= 0 && k <= n && f >= 0.0 && f <= 1.0 })
+    // md5 sampling is deterministic: two runs agree exactly
+    val again = graft.queries.TextQueries.sourceMixApply(spark, sf)
+    assert(applied.exceptAll(again).count() === 0)
+  }
+
+  test("perplexity buckets: thirds split, negative log-probs, head above tail") {
+    val b = graft.queries.TextQueries.perplexityBuckets(spark, sf)
+    val n = b.count()
+    assert(n === Tables.documents(spark, sf).count())
+    val byBucket = b.groupBy($"bucket").count()
+      .as[(String, Long)].collect().toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // percent_rank thirds: each bucket holds n/3 ± 1
+    byBucket.values.foreach(c => assert(math.abs(c - n / 3.0) <= 1.0))
+    // smoothed char-LM probabilities are < 1 ⇒ log-probs strictly negative
+    assert(b.filter($"logprob_char" >= 0).count() === 0)
+    val headMean = b.filter($"bucket" === "head").agg(avg($"logprob_char"))
+      .as[Double].first()
+    val tailMean = b.filter($"bucket" === "tail").agg(avg($"logprob_char"))
+      .as[Double].first()
+    assert(headMean > tailMean)
+  }
+
   test("importance weights: en documents score above the non-en mean") {
     val w = AnalyticsQueries.textImportanceWeights(spark, sf)
     val en = w.filter($"lang" === "en").agg(avg($"weight")).as[Double].first()
