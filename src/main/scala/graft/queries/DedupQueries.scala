@@ -17,6 +17,28 @@ object DedupQueries {
     Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("survivor_id"))
 
+  /** Incremental (cross-run) dedup: the daily-crawl shape — a new batch
+    * (source='src0' stands in for today's crawl) is checked against the
+    * fingerprint index of everything already ingested. The historical
+    * side collapses to one map-combined fingerprint agg (at 100 TB this
+    * is the persisted index table, bucketed by fp so the probe join is
+    * co-located and reshuffles nothing); the batch side left-joins it
+    * to learn which documents are genuinely new. Nothing text-sized
+    * crosses the join — fingerprints only. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val batch = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), fp.as("fp"))
+    val hist = docs.filter(col("source") =!= "src0")
+      .groupBy(fp.as("fp")).agg(count(lit(1)).as("n_hist_copies"))
+    batch.join(hist, Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hist_copies"), lit(0L)).as("n_hist_copies"),
+        col("n_hist_copies").isNull.cast("int").as("is_new"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
       k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
@@ -118,6 +140,7 @@ object DedupQueries {
     "prep_pipeline" -> (prepPipeline _),
     "corpus_pipeline_full" -> (corpusPipelineFull _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -220,6 +243,20 @@ object DedupQueries {
       """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
         |       MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY survivor_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |hist AS (
+        |  SELECT fp, COUNT(*) AS n_hist_copies FROM f
+        |  WHERE source <> 'src0' GROUP BY fp),
+        |batch AS (SELECT doc_id, fp FROM f WHERE source = 'src0')
+        |SELECT b.doc_id,
+        |       COALESCE(h.n_hist_copies, 0) AS n_hist_copies,
+        |       CAST(h.n_hist_copies IS NULL AS INT) AS is_new
+        |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
+        |ORDER BY b.doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH $shingleCte,
          |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),

@@ -195,6 +195,24 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Deterministic training-order shuffle: the corpus permuted by
+    * md5(doc_id || "|graftshuffle") — the order a data loader streams
+    * training shards in, stable across runs, engines, and
+    * partitionings. At scale the permutation is Spark's
+    * range-partitioned distributed sort on the slim (key, id) pair; the
+    * gate pins the HEAD of the permutation through
+    * TakeOrderedAndProject (no global row_number ever materializes —
+    * positions are assigned on the bounded 100-row result). */
+  def corpusShuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"),
+      md5(concat(col("doc_id").cast("string"), lit("|graftshuffle"))).as("k"))
+    keyed.orderBy(col("k"), col("doc_id")).limit(100)
+      .withColumn("pos", row_number().over(Window.orderBy(col("k"), col("doc_id"))))
+      .select(col("pos"), col("doc_id"), col("n_chars"))
+      .orderBy(col("pos"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2019,
     * arXiv:1911.00359): score each document under a char-trigram LM
     * with add-V smoothing — logprob/char = mean over trigram positions
@@ -396,6 +414,7 @@ object TextQueries {
     "text_repetition" -> (repetition _),
     "source_mix_plan" -> (sourceMixPlan _),
     "source_mix_apply" -> (sourceMixApply _),
+    "corpus_shuffle_order" -> (corpusShuffleOrder _),
     "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_pii_scan" -> (piiScan _),
     "text_stem_counts" -> (stemCounts _),
@@ -642,6 +661,15 @@ object TextQueries {
         |       COALESCE(CAST(SUM(n_chars) FILTER (WHERE kept) AS BIGINT), 0) AS kept_chars,
         |       round(CAST(COUNT(*) FILTER (WHERE kept) AS DOUBLE) / n_docs, 9) AS kept_frac
         |FROM j GROUP BY source, n_docs, rate ORDER BY source""".stripMargin,
+    "corpus_shuffle_order" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |         md5(CAST(doc_id AS VARCHAR) || '|graftshuffle') AS k
+        |  FROM documents),
+        |h AS (SELECT doc_id, n_chars, k FROM k ORDER BY k, doc_id LIMIT 100)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS INT) AS pos,
+        |       doc_id, n_chars
+        |FROM h ORDER BY pos""".stripMargin,
     "text_perplexity_buckets" ->
       """WITH trs AS (
         |  SELECT doc_id,

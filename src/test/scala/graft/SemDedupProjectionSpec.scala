@@ -149,6 +149,37 @@ class SemDedupProjectionSpec extends SparkSpec {
     assert(headMean > tailMean)
   }
 
+  test("incremental dedup: is_new agrees with a set-intersection recompute") {
+    val out = graft.queries.DedupQueries.dedupIncremental(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val fpOf = graft.functions.TextFunctions.fingerprint($"text")
+    val histFps = docs.filter($"source" =!= "src0")
+      .select(fpOf.as("fp")).distinct().as[String].collect().toSet
+    val batch = docs.filter($"source" === "src0")
+      .select($"doc_id", fpOf.as("fp")).as[(Long, String)].collect().toMap
+    val flags = out.select($"doc_id", $"is_new").as[(Long, Int)].collect()
+    assert(flags.nonEmpty)
+    flags.foreach { case (id, isNew) =>
+      assert((isNew == 1) === !histFps.contains(batch(id)),
+        s"doc $id: is_new=$isNew disagrees with set recompute")
+    }
+  }
+
+  test("shuffle order: a stable md5 permutation head with dense positions") {
+    val a = graft.queries.TextQueries.corpusShuffleOrder(spark, sf)
+      .as[(Int, Long, Long)].collect()
+    assert(a.map(_._1).toSeq === (1 to a.length))
+    assert(a.map(_._2).distinct.length === a.length)
+    // matches an independent driver-side sort of the full corpus
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(s"$id|graftshuffle".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val expected = Tables.documents(spark, sf).select($"doc_id").as[Long]
+      .collect().sortBy(id => (key(id), id)).take(a.length)
+    assert(a.map(_._2).toSeq === expected.toSeq)
+  }
+
   test("importance weights: en documents score above the non-en mean") {
     val w = AnalyticsQueries.textImportanceWeights(spark, sf)
     val en = w.filter($"lang" === "en").agg(avg($"weight")).as[Double].first()
