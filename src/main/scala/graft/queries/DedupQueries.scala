@@ -39,6 +39,40 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The STREAMING half of [[dedupIncremental]]: the new batch arrives
+    * as a micro-batch stream (file source, AvailableNow) and probes the
+    * SAME static historical fingerprint index through a stream-static
+    * left join — Spark's stateless streaming join (the static side is
+    * re-planned per micro-batch, no state store grows). Same output,
+    * same DuckDB oracle as the batch query, so stream==batch
+    * equivalence for the crawl-ingest flow sits under the hash gate. */
+  def dedupIncrementalStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val batch = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), fp.as("fp"))
+    val hist = Tables.documents(spark, dir).filter(col("source") =!= "src0")
+      .groupBy(fp.as("fp")).agg(count(lit(1)).as("n_hist_copies"))
+    val joined = batch.join(hist, Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hist_copies"), lit(0L)).as("n_hist_copies"),
+        col("n_hist_copies").isNull.cast("int").as("is_new"))
+    val name = "dedup_inc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("doc_id"))
+  }
+
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
       k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
@@ -141,11 +175,28 @@ object DedupQueries {
     "corpus_pipeline_full" -> (corpusPipelineFull _),
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_streamed" -> (dedupIncrementalStreamed _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_simhash_md5_pairs" -> (dedupSimhashMd5Pairs _)
   )
+
+  /** Batch and streamed incremental dedup produce the same relation. */
+  private val incrementalOracle =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |         md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |hist AS (
+      |  SELECT fp, COUNT(*) AS n_hist_copies FROM f
+      |  WHERE source <> 'src0' GROUP BY fp),
+      |batch AS (SELECT doc_id, fp FROM f WHERE source = 'src0')
+      |SELECT b.doc_id,
+      |       COALESCE(h.n_hist_copies, 0) AS n_hist_copies,
+      |       CAST(h.n_hist_copies IS NULL AS INT) AS is_new
+      |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
+      |ORDER BY b.doc_id""".stripMargin
 
   /** Shared shingle CTE: distinct word 3-shingles, mirroring
     * TextFunctions.shingles(text, 3). */
@@ -243,20 +294,9 @@ object DedupQueries {
       """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
         |       MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY survivor_id""".stripMargin,
-    "dedup_incremental" ->
-      """WITH f AS (
-        |  SELECT doc_id, source,
-        |         md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
-        |  FROM documents),
-        |hist AS (
-        |  SELECT fp, COUNT(*) AS n_hist_copies FROM f
-        |  WHERE source <> 'src0' GROUP BY fp),
-        |batch AS (SELECT doc_id, fp FROM f WHERE source = 'src0')
-        |SELECT b.doc_id,
-        |       COALESCE(h.n_hist_copies, 0) AS n_hist_copies,
-        |       CAST(h.n_hist_copies IS NULL AS INT) AS is_new
-        |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
-        |ORDER BY b.doc_id""".stripMargin,
+    "dedup_incremental" -> incrementalOracle,
+    // stream-static join produces the identical relation — same oracle
+    "dedup_incremental_streamed" -> incrementalOracle,
     "dedup_minhash_pairs" ->
       s"""WITH $shingleCte,
          |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),

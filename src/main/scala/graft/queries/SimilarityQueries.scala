@@ -166,7 +166,38 @@ object SimilarityQueries {
       dims = 64, outDims = 16)
       .orderBy(col("vec_id"), col("pos"))
 
+  /** Corpus cartography: join the document metadata onto the Lloyd-IVF
+    * embedding cells and summarize each cell — size, mean length,
+    * language spread, dominant language — the cluster-map view a
+    * curation team reads before deciding what to keep. One
+    * corpus-sized equi-join (docs ⋈ cell assignments on id) and two
+    * cell-keyed aggs; the output is nCells rows regardless of corpus
+    * size. */
+  def corpusClusterMap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val (_, assigned) = graft.operators.Ivf.buildLloydFlat(
+      emb, "vec_id", "embedding", nCells = 16, iters = 2)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val joined = docs.join(
+      assigned.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
+    val domLang = joined.groupBy(col("cell"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("n").desc, col("lang"))))
+      .filter(col("__r") === 1)
+      .select(col("cell"), col("lang").as("top_lang"), col("n").as("top_lang_docs"))
+    joined.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("mean_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(domLang, "cell")
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_cluster_map" -> (corpusClusterMap _),
     "sim_semdedup" -> (simSemDedup _),
     "emb_random_projection" -> (embRandomProjection _),
     "sim_knn_join_lsh" -> (simKnnJoin _),
@@ -199,6 +230,36 @@ object SimilarityQueries {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Corpus cartography: Lloyd cells + document metadata rollup.
+    "corpus_cluster_map" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+        |         vec AS centroid
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),""".stripMargin +
+        lloydIterCtes(2) + s"""
+        |af AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             ${lloydD2("e.vec", "c.centroid")}, c.cell) AS r
+        |    FROM e CROSS JOIN c2 c) t WHERE r = 1),
+        |j AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, a.cell
+        |  FROM documents d JOIN af a ON a.vec_id = d.doc_id),
+        |pl AS (SELECT cell, lang, COUNT(*) AS n FROM j GROUP BY cell, lang),
+        |dl AS (
+        |  SELECT cell, lang AS top_lang, n AS top_lang_docs FROM (
+        |    SELECT cell, lang, n,
+        |           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, lang) AS r
+        |    FROM pl) t WHERE r = 1),
+        |g AS (
+        |  SELECT cell, COUNT(*) AS n_docs,
+        |         round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+        |         COUNT(DISTINCT lang) AS n_langs
+        |  FROM j GROUP BY cell)
+        |SELECT g.cell, g.n_docs, g.mean_chars, g.n_langs, dl.top_lang, dl.top_lang_docs
+        |FROM g JOIN dl ON dl.cell = g.cell ORDER BY g.cell""".stripMargin),
     // SemDeDup: the sim_topk_ivf Lloyd CTEs rebuild bit-identical cells;
     // within-cell a<b pairs at cosine >= 0.4, each dropped id keeps its
     // max-sim (tie -> lowest-id) earlier duplicate.

@@ -39,7 +39,9 @@ class PlanShapeSpec extends SparkSpec {
     // repartitioned by cell — the O(n²/k) intra-cluster sweep
     "sim_semdedup" -> 1,
     // docs ⋈ per-doc weights: both sides corpus-sized by design
-    "text_importance_weights" -> 1
+    "text_importance_weights" -> 1,
+    // docs ⋈ cell assignments: both sides corpus-sized by design
+    "corpus_cluster_map" -> 1
   ).withDefaultValue(0)
 
   // legitimate broadcast nested-loop joins: tiny-dim cross products and
@@ -58,7 +60,9 @@ class PlanShapeSpec extends SparkSpec {
     // corpus × broadcast 1-row totals (same shape as text_tfidf's N join)
     "text_importance_weights" -> 1,
     // LM × broadcast 1-row smoothing-vocabulary count
-    "text_perplexity_buckets" -> 1
+    "text_perplexity_buckets" -> 1,
+    // Lloyd assign passes: corpus × broadcast 16-row centroid table
+    "corpus_cluster_map" -> 2
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from

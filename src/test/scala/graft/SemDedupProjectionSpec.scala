@@ -165,6 +165,28 @@ class SemDedupProjectionSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: stream-static join equals the batch relation") {
+    val batch = graft.queries.DedupQueries.dedupIncremental(spark, sf)
+    val streamed = graft.queries.DedupQueries.dedupIncrementalStreamed(spark, sf)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.count() === streamed.count())
+  }
+
+  test("cluster map: cells partition the corpus and dominate consistently") {
+    val m = graft.queries.SimilarityQueries.corpusClusterMap(spark, sf)
+      .select($"cell", $"n_docs", $"n_langs", $"top_lang_docs")
+      .as[(Int, Long, Long, Long)].collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(m.map(_._2).sum === total, "cells must partition every document")
+    m.foreach { case (cell, nDocs, nLangs, topDocs) =>
+      assert(topDocs >= 1 && topDocs <= nDocs, s"cell $cell dominance out of range")
+      assert(nLangs >= 1 && nLangs <= nDocs)
+      // the dominant language must cover at least its equal share
+      assert(topDocs * nLangs >= nDocs, s"cell $cell: top lang below equal share")
+    }
+  }
+
   test("shuffle order: a stable md5 permutation head with dense positions") {
     val a = graft.queries.TextQueries.corpusShuffleOrder(spark, sf)
       .as[(Int, Long, Long)].collect()
