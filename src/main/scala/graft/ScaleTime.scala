@@ -68,6 +68,44 @@ object ScaleTime {
             .write.format("noop").mode("overwrite").save()
         }
       }
+
+    // C) SemDeDup scaling: static nCells=16 intra-cell pair mass vs the
+    //    autoNCells sizing — the semantic-dedup quadratic-vs-linear
+    //    receipt (mirrors probe A for the LSH banding). Cells come from
+    //    the cheap seeded quantizer (same assignment machinery; Lloyd
+    //    iterations don't change the mass profile, only cell quality).
+    Seq(2000L, 20000L, 200000L).foreach { n =>
+      val emb = synth(n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      def pairMass(cells: Int): Long =
+        graft.operators.Ivf.buildSeededFlat(emb, "vec_id", "embedding", cells)._2
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+          .first().getLong(0)
+      val static16 = pairMass(16)
+      val autoK = Similarity.autoNCells(n)
+      val auto = pairMass(autoK)
+      println(f"[scaletime] semdedup n=$n static16=$static16 " +
+        f"(${static16.toDouble / n}%.1f/vec) autoK=$autoK auto=$auto " +
+        f"(${auto.toDouble / n}%.1f/vec)")
+      emb.unpersist()
+    }
+
+    // D) Perplexity-LM boundedness: distinct char-trigram vocabulary vs
+    //    corpus size across the real 100× spread — the receipt that the
+    //    LM broadcast in text_perplexity_buckets stays charset³-bounded
+    //    while the corpus grows.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val tri = docs.select(explode(
+          when(length(col("text")) >= 3,
+            expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))
+            .otherwise(array().cast("array<string>"))).as("tri"))
+        val occ = tri.count()
+        val vocab = tri.distinct().count()
+        println(s"[scaletime] perplexity_lm $dir occurrences=$occ trigram_vocab=$vocab")
+      }
     spark.stop()
   }
 }

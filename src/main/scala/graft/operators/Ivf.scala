@@ -70,6 +70,17 @@ object Ivf {
     searchWithCentroids(centroidsDf(index.assigned.sparkSession, index.model),
       index.assigned, queries, idCol, vecCol, k, nProbe)
 
+  /** Search against prebuilt (centroids, assignments) — the reuse entry
+    * point: an index built once (or memoized per session) serves any
+    * number of probe calls, mirroring how a persisted 100 TB IVF index
+    * is probed without rebuilding (see [[writeIndex]]/[[searchIndexed]]
+    * for the on-disk variant). */
+  def searchFlat(
+      cents: DataFrame, assigned: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame =
+    searchWithCentroids(cents, assigned, queries, idCol, vecCol, k, nProbe)
+
   private def searchWithCentroids(
       cents: DataFrame, assigned: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,

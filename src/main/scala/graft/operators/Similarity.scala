@@ -289,11 +289,22 @@ object Similarity {
       nCells: Int, iters: Int, threshold: Double,
       maxIntraCellPairs: Option[Long] = None): DataFrame = {
     val (_, assigned) = Ivf.buildLloydFlat(corpus, idCol, vecCol, nCells, iters)
+    semDedupFromCells(assigned, idCol, vecCol, nCells, threshold, maxIntraCellPairs)
+  }
+
+  /** The sweep half of [[semDedupDropped]] over prebuilt cell
+    * assignments — lets a session reuse one clustering across SemDeDup,
+    * IVF search, and cluster-map queries instead of re-running Lloyd
+    * per query (at 100 TB the assignments ARE the persisted index). */
+  def semDedupFromCells(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double,
+      maxIntraCellPairs: Option[Long] = None): DataFrame = {
     maxIntraCellPairs.foreach { budget =>
       val total = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).first().getLong(0)
       if (total > budget) {
-        val n = corpus.count()
+        val n = assigned.count()
         throw new IllegalStateException(
           s"SemDeDup intra-cell pair budget exceeded: $nCells cells over $n " +
             s"vectors enumerate $total within-cell pairs > budget $budget. " +

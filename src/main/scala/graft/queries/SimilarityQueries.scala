@@ -17,6 +17,35 @@ object SimilarityQueries {
   private def queriesSubset(df: DataFrame): DataFrame =
     df.filter(col("vec_id") % 50 === 0)
 
+  /** One Lloyd-IVF clustering (nCells=16, 2 exact iterations) per
+    * (session, corpus dir), shared by `sim_topk_ivf`, `sim_semdedup`,
+    * and `corpus_cluster_map` — the in-session analog of probing ONE
+    * persisted index instead of rebuilding it per query (the bpeMemo
+    * pattern; localCheckpoint pins the materialized assignments, and a
+    * listener evicts the session's entries when it stops so dead
+    * sessions aren't retained). */
+  private val lloydMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def lloydCells(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = (spark, dir)
+    val hit = lloydMemo.get(key)
+    if (hit != null) hit
+    else {
+      val built = lloydMemo.computeIfAbsent(key, _ => {
+        val (cents, assigned) = graft.operators.Ivf.buildLloydFlat(
+          Tables.embeddings(spark, dir), "vec_id", "embedding", nCells = 16, iters = 2)
+        (cents.localCheckpoint(), assigned.localCheckpoint())
+      })
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          lloydMemo.keySet.removeIf(_._1 eq spark)
+      })
+      built
+    }
+  }
+
   def simTopKBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(emb, queriesSubset(emb), "vec_id", "embedding", k = 10)
@@ -53,8 +82,9 @@ object SimilarityQueries {
     * for recall). */
   def simTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    graft.operators.Ivf.lloydTopK(emb, queriesSubset(emb), "vec_id", "embedding",
-      k = 10, nCells = 16, nProbe = 4)
+    val (cents, assigned) = lloydCells(spark, dir)
+    graft.operators.Ivf.searchFlat(cents, assigned, queriesSubset(emb),
+      "vec_id", "embedding", k = 10, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -151,8 +181,8 @@ object SimilarityQueries {
     * the autoNCells suggestion instead of silently going quadratic.
     * Production callers size nCells = autoNCells(n) and skip the guard. */
   def simSemDedup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semDedupDropped(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      nCells = 16, iters = 2, threshold = 0.4,
+    Similarity.semDedupFromCells(lloydCells(spark, dir)._2, "vec_id", "embedding",
+      nCells = 16, threshold = 0.4,
       maxIntraCellPairs = Some(2000000L))
       .orderBy(col("vec_id"))
 
@@ -175,9 +205,7 @@ object SimilarityQueries {
     * size. */
   def corpusClusterMap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(spark, dir)
-    val (_, assigned) = graft.operators.Ivf.buildLloydFlat(
-      emb, "vec_id", "embedding", nCells = 16, iters = 2)
+    val assigned = lloydCells(spark, dir)._2
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val joined = docs.join(

@@ -230,13 +230,20 @@ object TextQueries {
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val tri = docs.select(col("doc_id"),
+    // collapse the occurrence stream to per-doc trigram counts FIRST —
+    // the natural materialized intermediate of a two-phase LM build (at
+    // 100 TB this table is written once and feeds both phases); the
+    // persist makes the reuse explicit instead of re-exploding the
+    // corpus for the scoring pass
+    val triCnt = docs.select(col("doc_id"),
       explode(when(length(col("text")) >= 3,
         expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))
         .otherwise(array().cast("array<string>"))).as("tri"))
+      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // LM: trigram counts, context counts (= Σ trigram counts per 2-char
     // prefix), smoothing vocabulary V = distinct continuation chars
-    val cnt3 = tri.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+    val cnt3 = triCnt.groupBy(col("tri")).agg(sum(col("cnt")).as("c3"))
       .withColumn("ctx", substring(col("tri"), 1, 2))
     val cnt2 = cnt3.groupBy(col("ctx")).agg(sum(col("c3")).as("c2"))
     val vocab = cnt3.select(substring(col("tri"), 3, 1).as("ch")).distinct()
@@ -246,9 +253,9 @@ object TextQueries {
       .select(col("tri"),
         round(log((col("c3") + 1).cast("double") / (col("c2") + col("v")).cast("double")) * 1e6)
           .cast("long").as("lp_q"))
-    val scored = tri.join(broadcast(lm), "tri")
+    val scored = triCnt.join(broadcast(lm), "tri")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"), sum(col("lp_q")).as("lp_sum"))
+      .agg(sum(col("cnt")).as("n_tri"), sum(col("cnt") * col("lp_q")).as("lp_sum"))
       .select(col("doc_id"), col("n_tri"),
         round(col("lp_sum").cast("double") / col("n_tri") / 1e6, 6).as("logprob_char"))
     val pr = percent_rank().over(

@@ -78,7 +78,10 @@ class PlanShapeSpec extends SparkSpec {
     "rollup_agg" -> 3, "salted_join" -> 2, "session_window" -> 1,
     "sim_knn_join_lsh" -> 2, "sim_neardup_exact_check" -> 2,
     "sim_neardup_lsh" -> 2, "sim_topk_agg" -> 2, "sim_topk_brute" -> 2,
-    "sim_topk_ivf" -> 2, "sim_topk_ivf_seeded" -> 2, "sim_topk_lsh" -> 4,
+    // sim_topk_ivf dropped 2 → 1: the corpus side now comes from the
+    // memoized localCheckpoint'd Lloyd assignments (no parquet rescan);
+    // only the query-subset scan keeps its pushed predicate
+    "sim_topk_ivf" -> 1, "sim_topk_ivf_seeded" -> 2, "sim_topk_lsh" -> 4,
     "sliding_window" -> 1, "smt_transform" -> 1, "sql_exists_subquery" -> 1,
     "text_contamination" -> 2, "tumbling_window" -> 1)
 
