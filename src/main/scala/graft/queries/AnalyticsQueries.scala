@@ -353,37 +353,43 @@ object AnalyticsQueries {
     "cross_join" -> (crossJoinRegions _)
   )
 
+  /** DSIR importance-weight CTE chain (ends in `pd`: doc_id →
+    * n_bigrams, wq micro-units) — shared with the curation-decisions
+    * composition oracle in TextQueries. */
+  private[queries] val importanceCtes =
+    """occ AS (
+      |  SELECT doc_id, lang,
+      |         unnest(CASE WHEN len(w) >= 2
+      |                THEN list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])
+      |                ELSE [] END) AS bg
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents)),
+      |ob AS (
+      |  SELECT doc_id, lang,
+      |         (ascii(substr(md5(bg || '|graftdsir'), 1, 1)) * 256 +
+      |          ascii(substr(md5(bg || '|graftdsir'), 2, 1))) % 256 AS b
+      |  FROM occ),
+      |raw AS (SELECT b, COUNT(*) AS cr FROM ob GROUP BY b),
+      |tgt AS (SELECT b, COUNT(*) AS ct FROM ob WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT COUNT(*) AS nr,
+      |               COUNT(*) FILTER (WHERE lang = 'en') AS nt FROM ob),
+      |lr AS (
+      |  SELECT raw.b,
+      |         CAST(round(ln(CAST((COALESCE(tgt.ct, 0) + 1) * (tot.nr + 256) AS DOUBLE) /
+      |                       CAST((raw.cr + 1) * (tot.nt + 256) AS DOUBLE)) * 1e6) AS BIGINT) AS lr_q
+      |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot),
+      |pd AS (
+      |  SELECT ob.doc_id, COUNT(*) AS n_bigrams, SUM(lr.lr_q) AS wq
+      |  FROM ob JOIN lr ON lr.b = ob.b GROUP BY ob.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_importance_weights" ->
-      """WITH occ AS (
-        |  SELECT doc_id, lang,
-        |         unnest(CASE WHEN len(w) >= 2
-        |                THEN list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])
-        |                ELSE [] END) AS bg
-        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
-        |        FROM documents)),
-        |ob AS (
-        |  SELECT doc_id, lang,
-        |         (ascii(substr(md5(bg || '|graftdsir'), 1, 1)) * 256 +
-        |          ascii(substr(md5(bg || '|graftdsir'), 2, 1))) % 256 AS b
-        |  FROM occ),
-        |raw AS (SELECT b, COUNT(*) AS cr FROM ob GROUP BY b),
-        |tgt AS (SELECT b, COUNT(*) AS ct FROM ob WHERE lang = 'en' GROUP BY b),
-        |tot AS (SELECT COUNT(*) AS nr,
-        |               COUNT(*) FILTER (WHERE lang = 'en') AS nt FROM ob),
-        |lr AS (
-        |  SELECT raw.b,
-        |         CAST(round(ln(CAST((COALESCE(tgt.ct, 0) + 1) * (tot.nr + 256) AS DOUBLE) /
-        |                       CAST((raw.cr + 1) * (tot.nt + 256) AS DOUBLE)) * 1e6) AS BIGINT) AS lr_q
-        |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot),
-        |pd AS (
-        |  SELECT ob.doc_id, COUNT(*) AS n_bigrams, SUM(lr.lr_q) AS wq
-        |  FROM ob JOIN lr ON lr.b = ob.b GROUP BY ob.doc_id)
-        |SELECT d.doc_id, d.lang,
+      (s"WITH $importanceCtes\n" +
+        """SELECT d.doc_id, d.lang,
         |       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
         |       round(CAST(COALESCE(pd.wq, 0) AS DOUBLE) / 1e6, 6) AS weight
         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

@@ -166,23 +166,33 @@ object TextQueries {
     * to 100 TB is one filter pass + one per-source agg — no global
     * shuffle of documents. Output is the per-source reconciliation:
     * planned rate vs achieved kept fraction and surviving characters. */
-  def sourceMixApply(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-source (source, n_docs, rate) table — shared by
+    * [[sourceMixApply]] and [[curationDecisions]]. */
+  private def mixRates(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("share",
         (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(50.0))
       .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
       .withColumn("rate",
         round(least(lit(1.0), col("share") * col("total") / col("n_docs")), 9))
       .select(col("source"), col("n_docs"), col("rate"))
+  }
+
+  /** 16-bit md5 uniform draw per document (first 4 hex nibbles). */
+  private def mixU16: org.apache.spark.sql.Column = {
     val h = md5(concat(col("doc_id").cast("string"), lit("|graftmix")))
     def nib(p: Int) = {
       val a = ascii(substring(h, p, 1))
       when(a >= 97, a - 87).otherwise(a - 48)
     }
-    val u16 = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
-    docs.select(col("doc_id"), col("source"), col("n_chars"), u16.as("u16"))
+    ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+  }
+
+  def sourceMixApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rates = mixRates(docs)
+    docs.select(col("doc_id"), col("source"), col("n_chars"), mixU16.as("u16"))
       .join(broadcast(rates), "source")
       .withColumn("kept", col("u16").cast("double") / 65536.0 < col("rate"))
       .groupBy(col("source"), col("n_docs"), col("rate"))
@@ -193,6 +203,60 @@ object TextQueries {
         col("kept_chars"),
         round(col("n_kept").cast("double") / col("n_docs"), 9).as("kept_frac"))
       .orderBy(col("source"))
+  }
+
+  /** THE curation capstone: one keep/drop decision per document,
+    * composing the round's quality signals — exact-dup survivorship
+    * (fingerprint window), CCNet perplexity bucket, DSIR target-domain
+    * affinity, and the training-mix sampling draw — with a
+    * deterministic first-failing drop reason. This is the artifact a
+    * curation run actually ships: the decision table a data loader
+    * filters against. Each signal keeps its own scale shape (documented
+    * on its operator); the composition is four corpus-keyed equi-joins
+    * on doc_id, which at 100 TB co-locate when the signal tables share
+    * the doc_id partitioning they were written with. */
+  def curationDecisions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val fpw = Window.partitionBy(col("fp"))
+    val survivors = docs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("is_survivor", col("doc_id") === min(col("doc_id")).over(fpw))
+      .select(col("doc_id"), col("is_survivor"))
+    val ppl = perplexityBuckets(spark, dir)
+      .select(col("doc_id"), col("bucket").as("ppl_bucket"))
+    // "on domain" = importance weight at/above the corpus mean — the
+    // relative cut DSIR actually uses (an absolute 0 threshold keeps
+    // almost nothing: shared buckets pull every sum negative). The
+    // comparison is exact: weight has 6 decimals, so decimal sums and
+    // the cross-multiplied mean test are engine-identical.
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val impRaw = AnalyticsQueries.textImportanceWeights(spark, dir)
+      .select(col("doc_id"), col("weight").as("imp_weight"))
+    val impTot = impRaw.agg(
+      sum(col("imp_weight").cast(dec)).as("sum_w"), count(lit(1)).as("n_tot"))
+    val imp = impRaw.crossJoin(broadcast(impTot))
+      .select(col("doc_id"), col("imp_weight"),
+        (col("imp_weight").cast(dec) * col("n_tot") >= col("sum_w")).as("on_domain"))
+    val mix = docs.select(col("doc_id"), col("source"), mixU16.as("u16"))
+      .join(broadcast(mixRates(docs).select(col("source"), col("rate"))), "source")
+      .select(col("doc_id"),
+        (col("u16").cast("double") / 65536.0 < col("rate")).as("mix_kept"))
+    docs.select(col("doc_id"))
+      .join(survivors, "doc_id")
+      .join(ppl, "doc_id")
+      .join(imp, "doc_id")
+      .join(mix, "doc_id")
+      .select(col("doc_id"), col("is_survivor"), col("ppl_bucket"),
+        col("imp_weight"), col("mix_kept"),
+        (col("is_survivor") && col("ppl_bucket") =!= "tail" &&
+          col("on_domain") && col("mix_kept")).as("keep"),
+        when(!col("is_survivor"), lit("duplicate"))
+          .when(col("ppl_bucket") === "tail", lit("perplexity_tail"))
+          .when(!col("on_domain"), lit("off_domain"))
+          .when(!col("mix_kept"), lit("mix_sampled_out"))
+          .otherwise(lit("kept")).as("drop_reason"))
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic training-order shuffle: the corpus permuted by
@@ -422,6 +486,7 @@ object TextQueries {
     "source_mix_plan" -> (sourceMixPlan _),
     "source_mix_apply" -> (sourceMixApply _),
     "corpus_shuffle_order" -> (corpusShuffleOrder _),
+    "curation_decisions" -> (curationDecisions _),
     "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_pii_scan" -> (piiScan _),
     "text_stem_counts" -> (stemCounts _),
@@ -439,6 +504,60 @@ object TextQueries {
     * mirrors the `nib` expression in [[sourceMixApply]]. */
   private def hexNibble(expr: String): String =
     s"(CASE WHEN ascii($expr) >= 97 THEN ascii($expr) - 87 ELSE ascii($expr) - 48 END)"
+
+  /** Char-trigram LM CTE chain (ends in `pr`: doc_id → n_tri,
+    * logprob_char, percent-rank p) — shared by the perplexity-buckets
+    * oracle and the curation-decisions composition. */
+  private val perplexityCtes =
+    """trs AS (
+      |  SELECT doc_id,
+      |         unnest(CASE WHEN length(text) >= 3
+      |                THEN list_transform(range(length(text)-2),
+      |                       i -> substr(text, CAST(i + 1 AS INT), 3))
+      |                ELSE [] END) AS tri
+      |  FROM documents),
+      |c3 AS (SELECT tri, COUNT(*) AS c3, substr(tri, 1, 2) AS ctx
+      |       FROM trs GROUP BY tri),
+      |c2 AS (SELECT ctx, SUM(c3) AS c2 FROM c3 GROUP BY ctx),
+      |v AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS v FROM c3),
+      |lm AS (
+      |  SELECT c3.tri,
+      |         CAST(round(ln(CAST(c3.c3 + 1 AS DOUBLE) / CAST(c2.c2 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+      |  FROM c3 JOIN c2 USING (ctx) CROSS JOIN v),
+      |sc AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_tri,
+      |         round(CAST(SUM(lm.lp_q) AS DOUBLE) / COUNT(*) / 1e6, 6) AS logprob_char
+      |  FROM trs t JOIN lm ON lm.tri = t.tri GROUP BY t.doc_id),
+      |pr AS (
+      |  SELECT doc_id, n_tri, logprob_char,
+      |         PERCENT_RANK() OVER (ORDER BY logprob_char DESC, doc_id) AS p
+      |  FROM sc)""".stripMargin
+
+  /** Per-doc mix-sampling CTE chain (ends in `mw`: doc_id → mix_kept) —
+    * the per-document half of the `source_mix_apply` oracle, shared by
+    * the curation-decisions composition. */
+  private def mixKeptCtes: String =
+    s"""mc AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |mrr AS (
+      |  SELECT source,
+      |         round(least(CAST(1 AS DOUBLE),
+      |               (CAST(substr(source, 4) AS INT) % 4 + 1) / CAST(50 AS DOUBLE)
+      |                 * SUM(n_docs) OVER () / n_docs), 9) AS rate
+      |  FROM mc),
+      |mu AS (
+      |  SELECT doc_id, source,
+      |         md5(CAST(doc_id AS VARCHAR) || '|graftmix') AS h
+      |  FROM documents),
+      |mn AS (
+      |  SELECT doc_id, source,
+      |         ((${hexNibble("substr(h, 1, 1)")} * 16
+      |           + ${hexNibble("substr(h, 2, 1)")}) * 16
+      |           + ${hexNibble("substr(h, 3, 1)")}) * 16
+      |           + ${hexNibble("substr(h, 4, 1)")} AS u16
+      |  FROM mu),
+      |mw AS (
+      |  SELECT mn.doc_id, CAST(mn.u16 AS DOUBLE) / 65536.0 < mrr.rate AS mix_kept
+      |  FROM mn JOIN mrr ON mrr.source = mn.source)""".stripMargin
 
   // Shared SQL fragments (DuckDB): tokens / shingles mirror
   // TextFunctions.tokens/shingles exactly.
@@ -668,6 +787,51 @@ object TextQueries {
         |       COALESCE(CAST(SUM(n_chars) FILTER (WHERE kept) AS BIGINT), 0) AS kept_chars,
         |       round(CAST(COUNT(*) FILTER (WHERE kept) AS DOUBLE) / n_docs, 9) AS kept_frac
         |FROM j GROUP BY source, n_docs, rate ORDER BY source""".stripMargin,
+    // Composition of the importance / perplexity / mix CTE chains plus
+    // the fingerprint-survivor window — one decision row per document.
+    "curation_decisions" ->
+      (s"WITH ${AnalyticsQueries.importanceCtes},\n$perplexityCtes,\n$mixKeptCtes,\n" +
+        """fps AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |surv AS (
+        |  SELECT doc_id,
+        |         doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_survivor
+        |  FROM fps),
+        |impw0 AS (
+        |  SELECT d.doc_id,
+        |         round(CAST(COALESCE(pd.wq, 0) AS DOUBLE) / 1e6, 6) AS imp_weight
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+        |impt AS (
+        |  SELECT SUM(CAST(imp_weight AS DECIMAL(18,6))) AS sum_w,
+        |         COUNT(*) AS n_tot
+        |  FROM impw0),
+        |impw AS (
+        |  SELECT doc_id, imp_weight,
+        |         CAST(imp_weight AS DECIMAL(18,6)) * n_tot >= sum_w AS on_domain
+        |  FROM impw0 CROSS JOIN impt),
+        |pplb AS (
+        |  SELECT doc_id,
+        |         CASE WHEN p < 1.0/3.0 THEN 'head'
+        |              WHEN p < 2.0/3.0 THEN 'middle'
+        |              ELSE 'tail' END AS ppl_bucket
+        |  FROM pr)
+        |SELECT d.doc_id, surv.is_survivor, pplb.ppl_bucket, impw.imp_weight,
+        |       mw.mix_kept,
+        |       (surv.is_survivor AND pplb.ppl_bucket <> 'tail'
+        |        AND impw.on_domain AND mw.mix_kept) AS keep,
+        |       CASE WHEN NOT surv.is_survivor THEN 'duplicate'
+        |            WHEN pplb.ppl_bucket = 'tail' THEN 'perplexity_tail'
+        |            WHEN NOT impw.on_domain THEN 'off_domain'
+        |            WHEN NOT mw.mix_kept THEN 'mix_sampled_out'
+        |            ELSE 'kept' END AS drop_reason
+        |FROM documents d
+        |JOIN surv ON surv.doc_id = d.doc_id
+        |JOIN pplb ON pplb.doc_id = d.doc_id
+        |JOIN impw ON impw.doc_id = d.doc_id
+        |JOIN mw ON mw.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     "corpus_shuffle_order" ->
       """WITH k AS (
         |  SELECT doc_id, n_chars,
@@ -678,34 +842,12 @@ object TextQueries {
         |       doc_id, n_chars
         |FROM h ORDER BY pos""".stripMargin,
     "text_perplexity_buckets" ->
-      """WITH trs AS (
-        |  SELECT doc_id,
-        |         unnest(CASE WHEN length(text) >= 3
-        |                THEN list_transform(range(length(text)-2),
-        |                       i -> substr(text, CAST(i + 1 AS INT), 3))
-        |                ELSE [] END) AS tri
-        |  FROM documents),
-        |c3 AS (SELECT tri, COUNT(*) AS c3, substr(tri, 1, 2) AS ctx
-        |       FROM trs GROUP BY tri),
-        |c2 AS (SELECT ctx, SUM(c3) AS c2 FROM c3 GROUP BY ctx),
-        |v AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS v FROM c3),
-        |lm AS (
-        |  SELECT c3.tri,
-        |         CAST(round(ln(CAST(c3.c3 + 1 AS DOUBLE) / CAST(c2.c2 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
-        |  FROM c3 JOIN c2 USING (ctx) CROSS JOIN v),
-        |sc AS (
-        |  SELECT t.doc_id, COUNT(*) AS n_tri,
-        |         round(CAST(SUM(lm.lp_q) AS DOUBLE) / COUNT(*) / 1e6, 6) AS logprob_char
-        |  FROM trs t JOIN lm ON lm.tri = t.tri GROUP BY t.doc_id),
-        |pr AS (
-        |  SELECT doc_id, n_tri, logprob_char,
-        |         PERCENT_RANK() OVER (ORDER BY logprob_char DESC, doc_id) AS p
-        |  FROM sc)
-        |SELECT doc_id, n_tri, logprob_char,
+      (s"WITH $perplexityCtes\n" +
+        """SELECT doc_id, n_tri, logprob_char,
         |       CASE WHEN p < 1.0/3.0 THEN 'head'
         |            WHEN p < 2.0/3.0 THEN 'middle'
         |            ELSE 'tail' END AS bucket
-        |FROM pr ORDER BY doc_id""".stripMargin,
+        |FROM pr ORDER BY doc_id""".stripMargin),
     "source_mix_plan" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
         |s AS (

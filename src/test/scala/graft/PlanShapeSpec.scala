@@ -41,7 +41,11 @@ class PlanShapeSpec extends SparkSpec {
     // docs ⋈ per-doc weights: both sides corpus-sized by design
     "text_importance_weights" -> 1,
     // docs ⋈ cell assignments: both sides corpus-sized by design
-    "corpus_cluster_map" -> 1
+    "corpus_cluster_map" -> 1,
+    // the capstone composes 4 corpus-keyed signal tables on doc_id
+    // (survivors, perplexity, importance, mix) — all corpus-sized; at
+    // scale they co-locate on the shared doc_id partitioning
+    "curation_decisions" -> 4
   ).withDefaultValue(0)
 
   // legitimate broadcast nested-loop joins: tiny-dim cross products and
@@ -62,7 +66,11 @@ class PlanShapeSpec extends SparkSpec {
     // LM × broadcast 1-row smoothing-vocabulary count
     "text_perplexity_buckets" -> 1,
     // Lloyd assign passes: corpus × broadcast 16-row centroid table
-    "corpus_cluster_map" -> 2
+    "corpus_cluster_map" -> 2,
+    // 1-row broadcasts inside the composed signals: DSIR totals,
+    // decimal-mean totals, LM smoothing vocabulary, plus the final
+    // corpus × 1-row mean join
+    "curation_decisions" -> 4
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from

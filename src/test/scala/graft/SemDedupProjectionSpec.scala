@@ -202,6 +202,24 @@ class SemDedupProjectionSpec extends SparkSpec {
     assert(a.map(_._2).toSeq === expected.toSeq)
   }
 
+  test("curation decisions: keep flag is exactly the conjunction of its signals") {
+    val d = graft.queries.TextQueries.curationDecisions(spark, sf)
+      .select($"doc_id", $"is_survivor", $"ppl_bucket", $"mix_kept",
+        $"keep", $"drop_reason")
+      .as[(Long, Boolean, String, Boolean, Boolean, String)].collect()
+    assert(d.length === Tables.documents(spark, sf).count())
+    d.foreach { case (id, surv, ppl, mix, keep, reason) =>
+      if (keep) assert(reason === "kept", s"doc $id kept but reason=$reason")
+      else assert(reason !== "kept", s"doc $id dropped but reason=kept")
+      // first-failing priority: a non-survivor always reads 'duplicate'
+      if (!surv) assert(reason === "duplicate")
+      else if (ppl == "tail") assert(reason === "perplexity_tail")
+      if (reason == "mix_sampled_out") assert(!mix && surv && ppl != "tail")
+    }
+    // the pipeline keeps SOMETHING and drops something at fixture scale
+    assert(d.exists(_._5) && d.exists(!_._5))
+  }
+
   test("importance weights: en documents score above the non-en mean") {
     val w = AnalyticsQueries.textImportanceWeights(spark, sf)
     val en = w.filter($"lang" === "en").agg(avg($"weight")).as[Double].first()
