@@ -68,7 +68,14 @@ object AnalyticsQueries {
     * Per-bucket log-ratios are quantized to integer micro-units and
     * per-doc sums are exact long arithmetic (order-independent), so
     * the weights are engine-neutral. */
-  def textImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized via [[SignalMemo]]: consumed standalone and by the
+    * `curation_decisions` capstone — computed once per (session, dir). */
+  def textImportanceWeights(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "importance_weights")(
+      textImportanceWeightsBuild(spark, dir))
+      .orderBy(col("doc_id"))
+
+  private def textImportanceWeightsBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val occ = docs
       .select(col("doc_id"), col("lang"), split(trim(col("text")), "\\s+").as("w"))
@@ -102,7 +109,6 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(coalesce(col("wq"), lit(0L)).cast("double") / 1e6, 6).as("weight"))
-      .orderBy(col("doc_id"))
   }
 
   /** Distribution windows: ntile buckets + percent_rank + cume_dist per

@@ -291,7 +291,15 @@ object TextQueries {
     * scale the cutoffs would come from approxQuantile over the same
     * projection instead of a global sort — the LM and scoring passes
     * are unchanged. */
-  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized via [[SignalMemo]]: the standalone query and the
+    * `curation_decisions` capstone both consume this signal table; a
+    * 100 TB run materializes it once, so the session does too. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "perplexity_buckets")(
+      perplexityBucketsBuild(spark, dir))
+      .orderBy(col("doc_id"))
+
+  private def perplexityBucketsBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     // collapse the occurrence stream to per-doc trigram counts FIRST —
@@ -330,7 +338,6 @@ object TextQueries {
         when(col("pr") < 1.0 / 3.0, lit("head"))
           .when(col("pr") < 2.0 / 3.0, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-      .orderBy(col("doc_id"))
   }
 
   /** PII detection scan: email/phone hit counts. The fixture plants a
