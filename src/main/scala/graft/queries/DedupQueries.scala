@@ -73,6 +73,58 @@ object DedupQueries {
     spark.table(name).orderBy(col("doc_id"))
   }
 
+  /** First 4 md5 hex nibbles of a string column as a 16-bit int — the
+    * engine-neutral uniform hash shared with TextQueries' mix draw. */
+  private def u16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(c)
+    def nib(p: Int) = {
+      val a = ascii(substring(h, p, 1))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+  }
+
+  /** Bloom-filter membership screen (Bloom 1970) over the historical
+    * shingle set — the compact-index complement of [[dedupIncremental]]:
+    * instead of joining the crawl against the full n-gram index, the
+    * history's distinct word-3-shingles fold into an m=65536-bit / k=4
+    * Bloom filter, materialized as the DISTINCT set-bit positions
+    * (≤ m rows regardless of corpus size, broadcast to every probe
+    * task). A shingle's k positions are u16(md5(shingle || '#' || i)),
+    * so both engines rebuild the filter bit-identically. Each new-batch
+    * (source='src0') shingle is maybe-seen iff all 4 bits are set; the
+    * exact semi-join rides along so the oracle certifies BOTH Bloom
+    * laws on this corpus: no false negatives (n_maybe ≥ n_exact per
+    * doc) and a real false-positive mass (the fixture m deliberately
+    * runs at ~0.62 load ⇒ ~14% fp). At 100 TB the bit set IS the
+    * persisted index — an 8 KiB-order broadcast (m sized to the
+    * corpus) replacing a billions-row n-gram table; the verification
+    * join is dropped in production. */
+  def dedupBloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.documents(spark, dir)
+    def bitPositions(c: org.apache.spark.sql.Column) =
+      array((0 until 4).map(i => u16(concat(c, lit(s"#$i")))): _*)
+    val hist = docs.filter(col("source") =!= "src0")
+      .select(explode(shingles(col("text"), 3)).as("s")).distinct()
+    val bits = hist.select(explode(bitPositions(col("s"))).as("bit")).distinct()
+      .withColumn("hit", lit(1))
+    val batch = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+    batch
+      .select(col("doc_id"), col("s"),
+        explode(bitPositions(col("s"))).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy(col("doc_id"), col("s"))
+      .agg((count(col("hit")) === 4).cast("int").as("maybe"))
+      .join(broadcast(hist.withColumn("exact", lit(1))), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("maybe")).as("n_maybe_hist"),
+        coalesce(sum(col("exact")), lit(0L)).as("n_exact_hist"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
       k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
@@ -176,6 +228,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_streamed" -> (dedupIncrementalStreamed _),
+    "dedup_bloom_probe" -> (dedupBloomProbe _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -297,6 +350,46 @@ object DedupQueries {
     "dedup_incremental" -> incrementalOracle,
     // stream-static join produces the identical relation — same oracle
     "dedup_incremental_streamed" -> incrementalOracle,
+    "dedup_bloom_probe" -> {
+      def nib(p: Int) =
+        s"(CASE WHEN ascii(substr(h, $p, 1)) >= 97 THEN ascii(substr(h, $p, 1)) - 87" +
+          s" ELSE ascii(substr(h, $p, 1)) - 48 END)"
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, source,
+         |         unnest(list_distinct(list_transform(range(len(w)-2),
+         |                  i -> array_to_string(w[i+1:i+3], ' ')))) AS s
+         |  FROM t WHERE len(w) >= 3),
+         |hist AS (SELECT DISTINCT s FROM sh WHERE source <> 'src0'),
+         |pos AS (
+         |  SELECT s, md5(s || '#' || CAST(i AS VARCHAR)) AS h
+         |  FROM hist, range(4) r(i)),
+         |bits AS (
+         |  SELECT DISTINCT
+         |         ((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)} AS bit
+         |  FROM pos),
+         |bp AS (
+         |  SELECT doc_id, s, md5(s || '#' || CAST(i AS VARCHAR)) AS h
+         |  FROM sh, range(4) r(i) WHERE source = 'src0'),
+         |bpb AS (
+         |  SELECT doc_id, s,
+         |         ((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)} AS bit
+         |  FROM bp),
+         |probe AS (
+         |  SELECT p.doc_id, p.s,
+         |         CASE WHEN COUNT(b.bit) = 4 THEN 1 ELSE 0 END AS maybe
+         |  FROM bpb p LEFT JOIN bits b ON p.bit = b.bit
+         |  GROUP BY p.doc_id, p.s)
+         |SELECT pr.doc_id,
+         |       COUNT(*) AS n_shingles,
+         |       CAST(SUM(pr.maybe) AS BIGINT) AS n_maybe_hist,
+         |       CAST(SUM(CASE WHEN hf.s IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_exact_hist
+         |FROM probe pr LEFT JOIN hist hf ON hf.s = pr.s
+         |GROUP BY pr.doc_id
+         |ORDER BY pr.doc_id""".stripMargin
+    },
     "dedup_minhash_pairs" ->
       s"""WITH $shingleCte,
          |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),

@@ -122,6 +122,85 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al.,
+    * arXiv:2112.11446 §A1.1): per-document hard rules — word-count
+    * bounds, mean-word-length bounds, top-unigram mass cap, stop-word
+    * floor — each surfaced as a signal column plus the conjunctive
+    * `keep` flag with the first failing rule named. Every flag is
+    * decided in exact integer arithmetic (`7·n ≤ 2·sumLen` instead of
+    * `3.5 ≤ sumLen/n`) so the decision is engine-portable; the rounded
+    * doubles are display-only. Shape: explode → per-(doc, word) partial
+    * agg → per-doc agg, the one-shuffle occurrence-stream plan that
+    * stays O(doc) for arbitrarily long documents (no per-doc
+    * `transform × filter` quadratics), so the filter streams over
+    * 100 TB like tf-idf does. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
+    wc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_words"),
+        max(col("n")).as("top_word_n"),
+        sum(col("n") * length(col("t"))).as("sum_wlen"),
+        coalesce(sum(when(col("t").isin("the", "a", "and", "of"), col("n"))),
+          lit(0L)).as("n_stop"))
+      .withColumn("mean_wlen",
+        round(col("sum_wlen").cast("double") / col("n_words"), 9))
+      .withColumn("top_word_frac",
+        round(col("top_word_n").cast("double") / col("n_words"), 9))
+      .withColumn("ok_words",
+        (col("n_words") >= 20 && col("n_words") <= 90).cast("int"))
+      .withColumn("ok_wlen",
+        (col("sum_wlen") * 2 >= col("n_words") * 7 &&
+          col("sum_wlen") * 2 <= col("n_words") * 9).cast("int"))
+      .withColumn("ok_top",
+        (col("top_word_n") * 100 <= col("n_words") * 9).cast("int"))
+      .withColumn("ok_stop", (col("n_stop") >= 3).cast("int"))
+      .withColumn("keep",
+        (col("ok_words") === 1 && col("ok_wlen") === 1 &&
+          col("ok_top") === 1 && col("ok_stop") === 1).cast("int"))
+      .withColumn("drop_reason",
+        when(col("ok_words") === 0, "word_count")
+          .when(col("ok_wlen") === 0, "mean_word_length")
+          .when(col("ok_top") === 0, "top_word_mass")
+          .when(col("ok_stop") === 0, "stop_words")
+          .otherwise(lit(null).cast("string")))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("top_word_frac"), col("n_stop"), col("keep"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hashed-feature linear classifier inference (the fastText shape,
+    * Joulin et al. arXiv:1607.01759): every token hashes into one of
+    * 256 weight buckets, the model is the bucket→weight table, and a
+    * document's score is the sum of its occurrences' weights. The
+    * fixture model is md5-derived (weight = u16(md5('w|'||bucket)) −
+    * 32768, an exact integer in [-32768, 32767]) so both engines
+    * rebuild it bit-identically; a real run loads trained weights into
+    * the same broadcast dim. Shape: occurrence stream → per-(doc,
+    * bucket) partial agg (shrinks the stream to ≤256 rows/doc BEFORE
+    * the join) → broadcast weights join → per-doc sum. This is model
+    * inference as a broadcast hash join — at 100 TB a 10⁶-bucket
+    * model is still a few MB broadcast, and the corpus never
+    * shuffles anything wider than (doc_id, bucket, count). */
+  def classifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val weights = spark.range(256).toDF("bucket")
+      .select(col("bucket").cast("int").as("bucket"),
+        (u16Of(concat(lit("w|"), col("bucket").cast("string"))) - 32768)
+          .cast("long").as("w"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("bucket", u16Of(concat(col("t"), lit("|qcls"))) % 256)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("w")).as("score"))
+      .withColumn("label", (col("score") > 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition quality signal: share of duplicated
     * bigrams per doc. One scan-side pass, no shuffle but the sort. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
@@ -179,15 +258,20 @@ object TextQueries {
       .select(col("source"), col("n_docs"), col("rate"))
   }
 
-  /** 16-bit md5 uniform draw per document (first 4 hex nibbles). */
-  private def mixU16: org.apache.spark.sql.Column = {
-    val h = md5(concat(col("doc_id").cast("string"), lit("|graftmix")))
+  /** First 4 md5 hex nibbles of an arbitrary string column as a 16-bit
+    * int — the engine-neutral uniform hash. */
+  private def u16Of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(c)
     def nib(p: Int) = {
       val a = ascii(substring(h, p, 1))
       when(a >= 97, a - 87).otherwise(a - 48)
     }
     ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
   }
+
+  /** 16-bit md5 uniform draw per document (first 4 hex nibbles). */
+  private def mixU16: org.apache.spark.sql.Column =
+    u16Of(concat(col("doc_id").cast("string"), lit("|graftmix")))
 
   def sourceMixApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -490,6 +574,8 @@ object TextQueries {
     "curation_report" -> (curationReport _),
     "text_contamination" -> (contamination _),
     "text_repetition" -> (repetition _),
+    "text_gopher_rules" -> (gopherQuality _),
+    "text_classifier_score" -> (classifierScore _),
     "source_mix_plan" -> (sourceMixPlan _),
     "source_mix_apply" -> (sourceMixApply _),
     "corpus_shuffle_order" -> (corpusShuffleOrder _),
@@ -766,6 +852,57 @@ object TextQueries {
         |       round(CAST(1 AS DOUBLE)
         |             - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 9) AS rep_ratio
         |FROM bg ORDER BY doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |wc AS (SELECT doc_id, t, COUNT(*) AS n FROM tok GROUP BY doc_id, t),
+        |sig AS (
+        |  SELECT doc_id,
+        |         SUM(n) AS n_words,
+        |         MAX(n) AS top_word_n,
+        |         SUM(n * length(t)) AS sum_wlen,
+        |         SUM(CASE WHEN t IN ('the','a','and','of') THEN n ELSE 0 END) AS n_stop
+        |  FROM wc GROUP BY doc_id),
+        |fl AS (
+        |  SELECT doc_id, n_words, top_word_n, sum_wlen, n_stop,
+        |         CASE WHEN n_words BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS ok_words,
+        |         CASE WHEN sum_wlen * 2 >= n_words * 7
+        |               AND sum_wlen * 2 <= n_words * 9 THEN 1 ELSE 0 END AS ok_wlen,
+        |         CASE WHEN top_word_n * 100 <= n_words * 9 THEN 1 ELSE 0 END AS ok_top,
+        |         CASE WHEN n_stop >= 3 THEN 1 ELSE 0 END AS ok_stop
+        |  FROM sig)
+        |SELECT doc_id,
+        |       CAST(n_words AS BIGINT) AS n_words,
+        |       round(CAST(sum_wlen AS DOUBLE) / n_words, 9) AS mean_wlen,
+        |       round(CAST(top_word_n AS DOUBLE) / n_words, 9) AS top_word_frac,
+        |       CAST(n_stop AS BIGINT) AS n_stop,
+        |       CASE WHEN ok_words = 1 AND ok_wlen = 1 AND ok_top = 1
+        |             AND ok_stop = 1 THEN 1 ELSE 0 END AS keep,
+        |       CASE WHEN ok_words = 0 THEN 'word_count'
+        |            WHEN ok_wlen = 0 THEN 'mean_word_length'
+        |            WHEN ok_top = 0 THEN 'top_word_mass'
+        |            WHEN ok_stop = 0 THEN 'stop_words'
+        |            ELSE NULL END AS drop_reason
+        |FROM fl ORDER BY doc_id""".stripMargin,
+    "text_classifier_score" -> {
+      def u16 = s"((${hexNibble("substr(h, 1, 1)")} * 16 + ${hexNibble("substr(h, 2, 1)")}) * 16 + " +
+        s"${hexNibble("substr(h, 3, 1)")}) * 16 + ${hexNibble("substr(h, 4, 1)")}"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |hb AS (SELECT doc_id, md5(t || '|qcls') AS h FROM tok),
+         |occ AS (SELECT doc_id, ($u16) % 256 AS bucket FROM hb),
+         |oc AS (SELECT doc_id, bucket, COUNT(*) AS n FROM occ GROUP BY doc_id, bucket),
+         |wh AS (SELECT i, md5('w|' || CAST(i AS VARCHAR)) AS h FROM range(256) r(i)),
+         |wt AS (SELECT CAST(i AS INT) AS bucket, ($u16) - 32768 AS w FROM wh)
+         |SELECT o.doc_id,
+         |       CAST(SUM(o.n) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(o.n * w.w) AS BIGINT) AS score,
+         |       CASE WHEN SUM(o.n * w.w) > 0 THEN 1 ELSE 0 END AS label
+         |FROM oc o JOIN wt w USING (bucket)
+         |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+    },
     "source_mix_apply" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
         |r AS (
