@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the vector-compression
+  * companion to the IVF coarse quantizer in [[Ivf]]: a d-dim vector is
+  * split into `m` sub-blocks and each block is replaced by the id of
+  * its nearest sub-codebook centroid, so a 64-dim float vector (256 B)
+  * becomes m=8 4-bit codes (4 B, a 64× shrink) while
+  * asymmetric-distance search (ADC) ranks the corpus from codes alone.
+  *
+  * Engine-neutral by construction, following the [[Ivf]] conventions:
+  *  - sub-codebooks start from a seeded sample (the k vectors with the
+  *    lexicographically smallest md5(id) donate their sub-vectors) and
+  *    are refined by `iters` true Lloyd rounds whose centroid means
+  *    are EXACT — components are integer-quantized (round(x·1e6) as
+  *    long), summed exactly, and re-quantized once per round
+  *    (round(sum/n) as long) — so a SQL oracle rebuilds bit-identical
+  *    codebooks;
+  *  - every distance is an exact integer sum over quantized
+  *    components — no cross-row float accumulation anywhere, so ADC
+  *    sums (a per-candidate SUM over m looked-up rows) cannot drift
+  *    with aggregation order.
+  *
+  * Scale shape: the codebook is m·k rows (128 here) and broadcast;
+  * encoding is one scan with a per-(vector, block) argmin against it;
+  * ADC search broadcasts the (query, block, code) lookup table onto
+  * the codes table and never moves a raw vector. The exact rerank
+  * then touches only the per-query shortlist — at 100 TB the codes
+  * table is ~1/64th the corpus, ADC is the only full pass, and the
+  * rerank reads a constant number of raw vectors per query. */
+object Pq {
+
+  /** Integer-quantized sub-vector: components `start..start+len-1`
+    * (0-based) of `vec`, each round(x·1e6) as long. */
+  private def qslice(vec: Column, start: Int, len: Int): Column =
+    transform(slice(vec, start + 1, len),
+      x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Exact integer squared L2 between two quantized vectors. */
+  private def qd2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Per-vector per-block quantized sub-vectors: (id, blk, qv). */
+  private def subVectors(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    emb.select(col(idCol).as("id"),
+        posexplode(array((0 until m).map(b =>
+          qslice(col(vecCol), b * subDim, subDim)): _*)).as(Seq("blk", "qv")))
+      .select(col("id"), col("blk").cast("int").as("blk"), col("qv"))
+  }
+
+  /** Argmin code per (id, blk) against a broadcast codebook; ties to
+    * the lowest code. Carries qv and the winning qd2. */
+  private def assign(vb: DataFrame, cb: DataFrame): DataFrame = {
+    val rank = Window.partitionBy(col("id"), col("blk"))
+      .orderBy(col("qd2"), col("code"))
+    vb.join(broadcast(cb), Seq("blk"))
+      .withColumn("qd2", qd2(col("qv"), col("qc")))
+      .withColumn("r", row_number().over(rank)).filter(col("r") === 1)
+      .select(col("id"), col("blk"), col("code"), col("qv"), col("qd2"))
+  }
+
+  /** The m·k-row sub-codebook (blk, code, qc): seeded from the k
+    * corpus vectors with the smallest md5(id), then `iters` exact
+    * Lloyd rounds (assign → integer-exact mean → re-quantize; empty
+    * codes keep their previous centroid). */
+  def codebook(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal blocks")
+    val subDim = dim / m
+    val order = Window.orderBy(col("h"), col("sid"))
+    val seeds = emb
+      .select(col(idCol).as("sid"), col(vecCol).as("v"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("sid")).limit(k)
+      .withColumn("code", (row_number().over(order) - 1).cast("int"))
+    var cb = seeds.select(col("code"),
+        posexplode(array((0 until m).map(b =>
+          qslice(col("v"), b * subDim, subDim)): _*)).as(Seq("blk", "qc")))
+      .select(col("blk").cast("int").as("blk"), col("code"), col("qc"))
+    val vb = subVectors(emb, idCol, vecCol, dim, m)
+    for (_ <- 1 to iters) {
+      val means = assign(vb, cb)
+        .select(col("blk"), col("code"), posexplode(col("qv")).as(Seq("pos", "qx")))
+        .groupBy(col("blk"), col("code"), col("pos"))
+        .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("blk"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          t => round(t.getField("s").cast("double") / t.getField("n")).cast("long"))
+          .as("newqc"))
+      cb = cb.join(means, Seq("blk", "code"), "left")
+        .select(col("blk"), col("code"),
+          coalesce(col("newqc"), col("qc")).as("qc"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Codes table: one row per vector — (id, codes array of m ints,
+    * qerr = Σ per-block quantization d2). One scan over the corpus. */
+  def encode(emb: DataFrame, cb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int): DataFrame =
+    assign(subVectors(emb, idCol, vecCol, dim, m), cb)
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("blk"), col("code")))),
+          s => s.getField("code")).as("codes"),
+        sum(col("qd2")).as("qerr"))
+
+  /** ADC shortlist + exact rerank: each query's (blk, code) →
+    * sub-distance lookup table joins the codes table (raw vectors
+    * never move); the `shortlist` best ADC candidates then rerank by
+    * the exact integer d2 over the full vector. */
+  def adcTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int, topK: Int,
+      shortlist: Int, iters: Int = 1): DataFrame = {
+    val subDim = dim / m
+    val cb = codebook(emb, idCol, vecCol, dim, m, k, iters)
+    val codes = encode(emb, cb, idCol, vecCol, dim, m)
+      .select(col("id"), posexplode(col("codes")).as(Seq("blk", "code")))
+      .select(col("id"), col("blk").cast("int").as("blk"), col("code"))
+    val lut = subVectors(queries, idCol, vecCol, dim, m)
+      .withColumnRenamed("id", "query_id")
+      .join(broadcast(cb), Seq("blk"))
+      .select(col("query_id"), col("blk"), col("code"),
+        qd2(col("qv"), col("qc")).as("qd2"))
+    val adcRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val short = codes.join(broadcast(lut), Seq("blk", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("qd2")).as("adc"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("r", row_number().over(adcRank))
+      .filter(col("r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qfull = quantized(queries, idCol, vecCol).withColumnsRenamed(
+      Map("id" -> "query_id", "qfull" -> "qq"))
+    val nfull = quantized(emb, idCol, vecCol).withColumnsRenamed(
+      Map("id" -> "neighbor_id", "qfull" -> "qn"))
+    val exactRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2"), col("neighbor_id"))
+    short
+      .join(nfull, Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .withColumn("qd2", qd2(col("qq"), col("qn")))
+      .withColumn("rank", row_number().over(exactRank))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qd2"))
+  }
+
+  /** (id, qfull): the full integer-quantized vector. */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
+        .as("qfull"))
+}
