@@ -63,7 +63,7 @@ object Pq {
     vb.join(broadcast(cb), Seq("blk"))
       .withColumn("qd2", qd2(col("qv"), col("qc")))
       .withColumn("r", row_number().over(rank)).filter(col("r") === 1)
-      .select(col("id"), col("blk"), col("code"), col("qv"), col("qd2"))
+      .drop("qc", "r")
   }
 
   /** The m·k-row sub-codebook (blk, code, qc): seeded from the k
@@ -103,16 +103,24 @@ object Pq {
     cb
   }
 
-  /** Codes table: one row per vector — (id, codes array of m ints,
-    * qerr = Σ per-block quantization d2). One scan over the corpus. */
+  /** Codes table: one row per vector — (id, [carry...], codes array of
+    * m ints, qerr = Σ per-block quantization d2). One scan over the
+    * corpus; `carry` columns (constant per id, e.g. the IVF cell) ride
+    * through so no corpus-corpus join is needed to re-attach them. */
   def encode(emb: DataFrame, cb: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int): DataFrame =
-    assign(subVectors(emb, idCol, vecCol, dim, m), cb)
-      .groupBy(col("id"))
+      dim: Int, m: Int, carry: Seq[String] = Nil): DataFrame = {
+    val subDim = dim / m
+    val vb = emb.select((col(idCol).as("id") +: carry.map(col)) :+
+        posexplode(array((0 until m).map(b =>
+          qslice(col(vecCol), b * subDim, subDim)): _*)).as(Seq("blk", "qv")): _*)
+      .withColumn("blk", col("blk").cast("int"))
+    assign(vb, cb)
+      .groupBy(col("id") +: carry.map(col): _*)
       .agg(
         transform(array_sort(collect_list(struct(col("blk"), col("code")))),
           s => s.getField("code")).as("codes"),
         sum(col("qd2")).as("qerr"))
+  }
 
   /** ADC shortlist + exact rerank: each query's (blk, code) →
     * sub-distance lookup table joins the codes table (raw vectors
@@ -146,7 +154,7 @@ object Pq {
       Map("id" -> "neighbor_id", "qfull" -> "qn"))
     val exactRank = Window.partitionBy(col("query_id"))
       .orderBy(col("qd2"), col("neighbor_id"))
-    short
+    broadcast(short)
       .join(nfull, Seq("neighbor_id"))
       .join(broadcast(qfull), Seq("query_id"))
       .withColumn("qd2", qd2(col("qq"), col("qn")))
@@ -160,4 +168,81 @@ object Pq {
     df.select(col(idCol).as("id"),
       transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
         .as("qfull"))
+
+  /** Double squared-L2 as an ordered fold — the [[Ivf]] probe metric. */
+  private def dist2(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b,
+      (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** Residual vector v − centroid(cell) as doubles. */
+  private def residual(vec: Column, centroid: Column): Column =
+    zip_with(vec, centroid, (x, c) => x.cast("double") - c)
+
+  /** IVF-PQ (the IVFADC layout of Jégou et al. §IV): the coarse
+    * quantizer's cells prune the corpus, and within a cell vectors are
+    * PQ-encoded as RESIDUALS from their centroid — the residual
+    * codebook spends its 4 bits on the within-cell spread instead of
+    * the corpus spread, which is why real systems encode residuals.
+    * Search probes the `nProbe` nearest cells, builds a per-(query,
+    * probed cell) residual lookup table, ADC-ranks the probed cells'
+    * codes, and exact-reranks the shortlist.
+    *
+    * Scale shape: everything the raw-PQ path broadcasts stays
+    * broadcast (codebook m·k rows; LUT |Q|·nProbe·m·k rows); the cell
+    * column rides through encoding (`carry`), so the codes table is
+    * born cell-partitioned — exactly how the persisted index would be
+    * laid out — and candidate generation touches only probed
+    * partitions. No corpus-corpus join anywhere. */
+  def ivfPqTopK(cents: DataFrame, assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int,
+      topK: Int, shortlist: Int, nProbe: Int, iters: Int = 1): DataFrame = {
+    val subDim = dim / m
+    val res = assigned.join(broadcast(cents), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        residual(col(vecCol), col("centroid")).as("rvec"))
+    val cb = codebook(res, idCol, "rvec", dim, m, k, iters)
+    val codes = encode(res, cb, idCol, "rvec", dim, m, carry = Seq("cell"))
+      .select(col("id"), col("cell"), posexplode(col("codes")).as(Seq("blk", "code")))
+      .select(col("id"), col("cell"), col("blk").cast("int").as("blk"), col("code"))
+    val probeRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cell"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("qvec"), col("centroid")))
+      .withColumn("r", row_number().over(probeRank)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        residual(col("qvec"), col("centroid")).as("rvec"))
+    val lut = probed
+      .select(col("query_id"), col("cell"),
+        posexplode(array((0 until m).map(b =>
+          qslice(col("rvec"), b * subDim, subDim)): _*)).as(Seq("blk", "qv")))
+      .select(col("query_id"), col("cell"), col("blk").cast("int").as("blk"), col("qv"))
+      .join(broadcast(cb), Seq("blk"))
+      .select(col("query_id"), col("cell"), col("blk"), col("code"),
+        qd2(col("qv"), col("qc")).as("qd2"))
+    val adcRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val short = codes.join(broadcast(lut), Seq("cell", "blk", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("qd2")).as("adc"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("r", row_number().over(adcRank))
+      .filter(col("r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qfull = quantized(queries, idCol, vecCol).withColumnsRenamed(
+      Map("id" -> "query_id", "qfull" -> "qq"))
+    val nfull = quantized(assigned, idCol, vecCol).withColumnsRenamed(
+      Map("id" -> "neighbor_id", "qfull" -> "qn"))
+    val exactRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2"), col("neighbor_id"))
+    broadcast(short)
+      .join(nfull, Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .withColumn("qd2", qd2(col("qq"), col("qn")))
+      .withColumn("rank", row_number().over(exactRank))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qd2"))
+  }
 }

@@ -126,6 +126,20 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ (IVFADC): the memoized Lloyd cells prune the corpus, PQ
+    * codes over RESIDUALS rank within the 4 probed cells, and the
+    * 50-candidate shortlist reranks exactly. The codes table is born
+    * cell-partitioned (the `carry` column), which is the persisted
+    * 100 TB index layout. */
+  def simTopKIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (cents, assigned) = lloydCells(spark, dir)
+    graft.operators.Pq.ivfPqTopK(cents, assigned, queriesSubset(emb),
+      "vec_id", "embedding", dim = 64, m = 8, k = 16,
+      topK = 10, shortlist = 50, nProbe = 4, iters = 1)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** kNN self-join over md5-plane LSH buckets — oracle rebuilds the
     * 8×4-bit buckets, enumerates both pair orientations, reranks. */
   def simKnnJoin(spark: SparkSession, dir: String): DataFrame =
@@ -267,6 +281,7 @@ object SimilarityQueries {
     "sim_topk_ivf_seeded" -> (simTopKIvfSeeded _),
     "emb_pq_codes" -> (embPqCodes _),
     "sim_topk_pq" -> (simTopKPq _),
+    "sim_topk_ivfpq" -> (simTopKIvfPq _),
     "emb_quantize" -> (embQuantize _)
   )
 
@@ -514,6 +529,67 @@ object SimilarityQueries {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qd2, neighbor_id) AS rank
         |  FROM rr) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // IVF-PQ: Lloyd cells (the sim_topk_ivf CTEs), residual-quantized
+    // vectors feed the shared PQ train/encode scaffolding, probed-cell
+    // ADC via the per-(query, cell) LUT, exact rerank of the shortlist.
+    "sim_topk_ivfpq" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(vec, x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM e),
+        |c0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+        |         vec AS centroid
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),""".stripMargin +
+        lloydIterCtes(2) + s"""
+        |af AS (
+        |  SELECT vec_id, vec, cell FROM (
+        |    SELECT e.vec_id, e.vec, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             ${lloydD2("e.vec", "c.centroid")}, c.cell) AS r
+        |    FROM e CROSS JOIN c2 c) t WHERE r = 1),
+        |rq AS (
+        |  SELECT a.vec_id, a.cell,
+        |         list_transform(range(64),
+        |           i -> CAST(round((a.vec[i+1] - c.centroid[i+1]) * 1e6) AS BIGINT)) AS qv
+        |  FROM af a JOIN c2 c ON c.cell = a.cell),
+        |${pqTrainCtes("rq")},
+        |probed AS (
+        |  SELECT query_id, cell, qrv FROM (
+        |    SELECT p.vec_id AS query_id, c.cell,
+        |           list_transform(range(64),
+        |             i -> CAST(round((p.vec[i+1] - c.centroid[i+1]) * 1e6) AS BIGINT)) AS qrv,
+        |           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+        |             ${lloydD2("p.vec", "c.centroid")}, c.cell) AS r
+        |    FROM e p CROSS JOIN c2 c WHERE p.vec_id % 50 = 0) t WHERE r <= 4),
+        |qb AS (
+        |  SELECT query_id, cell, CAST(b.blk AS INT) AS blk,
+        |         qrv[b.blk*8+1 : b.blk*8+8] AS qv
+        |  FROM probed, range(8) b(blk)),
+        |lut AS (
+        |  SELECT qb.query_id, qb.cell, qb.blk, c.code, ${pqD2("qb.qv", "c.qc")} AS qd2
+        |  FROM qb JOIN cb c ON c.blk = qb.blk),
+        |shortl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS r
+        |    FROM (
+        |      SELECT l.query_id, a.vec_id AS neighbor_id, SUM(l.qd2) AS adc
+        |      FROM asgn a
+        |      JOIN af f ON f.vec_id = a.vec_id
+        |      JOIN lut l ON l.cell = f.cell AND l.blk = a.blk AND l.code = a.code
+        |      WHERE a.vec_id <> l.query_id
+        |      GROUP BY l.query_id, a.vec_id) c) t WHERE r <= 50),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         CAST(list_sum(list_transform(range(64),
+        |           i -> (qq.qv[i+1]-qn.qv[i+1])*(qq.qv[i+1]-qn.qv[i+1]))) AS BIGINT) AS qd2
+        |  FROM shortl s
+        |  JOIN q qq ON qq.vec_id = s.query_id
+        |  JOIN q qn ON qn.vec_id = s.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, qd2 FROM (
+        |  SELECT query_id, neighbor_id, qd2,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qd2, neighbor_id) AS rank
+        |  FROM rr) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     "sim_neardup_clusters" ->
       s"""WITH RECURSIVE ${lshBandsCte(planes = 18, bitsPerBand = 3)},
         |cands AS (
@@ -582,19 +658,18 @@ object SimilarityQueries {
   private def pqD2(v: String, c: String): String =
     s"list_sum(list_transform(range(8), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1])))"
 
-  /** Shared PQ oracle scaffolding mirroring `Pq.codebook`/`Pq.encode`:
-    * integer-quantized vectors, the 16 smallest-md5 seeds donating 8
-    * sub-codebooks of 8 dims, ONE exact Lloyd round (integer sums,
-    * round(s/n) re-quantization, empty codes keep their seed), then
-    * the per-(vector, block) argmin with ties to the lowest code.
-    * Ends in `cb` (blk, code, qc) + `asgn` (vec_id, blk, code, qd2). */
-  private def pqCtes =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-      |q AS (SELECT vec_id, list_transform(vec, x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM e),
-      |seeds AS (
+  /** PQ train/encode oracle scaffolding over any `src` relation with
+    * (vec_id, qv: BIGINT[64]) — mirrors `Pq.codebook`/`Pq.encode`: the
+    * 16 smallest-md5 seeds donate 8 sub-codebooks of 8 dims, ONE exact
+    * Lloyd round (integer sums, round(s/n) re-quantization, empty
+    * codes keep their seed), then the per-(vector, block) argmin with
+    * ties to the lowest code. Produces `cb` (blk, code, qc) + `asgn`
+    * (vec_id, blk, code, qd2). */
+  private def pqTrainCtes(src: String) =
+    s"""seeds AS (
       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code,
       |         qv
-      |  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |  FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
       |cb0 AS (
       |  SELECT CAST(b.blk AS INT) AS blk, s.code,
       |         s.qv[b.blk*8+1 : b.blk*8+8] AS qc
@@ -602,7 +677,7 @@ object SimilarityQueries {
       |vb AS (
       |  SELECT t.vec_id, CAST(b.blk AS INT) AS blk,
       |         t.qv[b.blk*8+1 : b.blk*8+8] AS qv
-      |  FROM q t, range(8) b(blk)),
+      |  FROM $src t, range(8) b(blk)),
       |d0 AS (
       |  SELECT v.vec_id, v.blk, v.qv, c.code, ${pqD2("v.qv", "c.qc")} AS qd2
       |  FROM vb v JOIN cb0 c ON c.blk = v.blk),
@@ -630,6 +705,12 @@ object SimilarityQueries {
       |    SELECT vec_id, blk, code, qd2,
       |           ROW_NUMBER() OVER (PARTITION BY vec_id, blk ORDER BY qd2, code) AS r
       |    FROM d1) t WHERE r = 1)""".stripMargin
+
+  /** Raw-vector PQ: quantized embeddings feed [[pqTrainCtes]]. */
+  private def pqCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(vec, x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM e),
+      |${pqTrainCtes("q")}""".stripMargin
 
   private def lloydD2(v: String, c: String): String =
     s"list_sum(list_transform(range(64), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1])))"

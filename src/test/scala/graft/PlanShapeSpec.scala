@@ -67,6 +67,8 @@ class PlanShapeSpec extends SparkSpec {
     "text_perplexity_buckets" -> 1,
     // Lloyd assign passes: corpus × broadcast 16-row centroid table
     "corpus_cluster_map" -> 2,
+    // IVF-PQ cell probe: queries × broadcast 16-row centroid table
+    "sim_topk_ivfpq" -> 1,
     // 1-row broadcasts inside the composed signals: DSIR totals,
     // decimal-mean totals, LM smoothing vocabulary, plus the final
     // corpus × 1-row mean join
