@@ -145,6 +145,13 @@ object Ivf {
       .select(col("cell"), col("centroid"))
   }
 
+  /** Public assignment entry (index-maintenance flows + the
+    * stream==batch equivalence spec): every `corpus` vector joins its
+    * argmin-d2 cell from `cents`, ties to the lowest cell id. */
+  def assignWithCells(cents: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assignTo(corpus, cents, idCol, vecCol)
+
   def buildSeededFlat(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int): (DataFrame, DataFrame) = {

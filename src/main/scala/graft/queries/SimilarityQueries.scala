@@ -27,6 +27,11 @@ object SimilarityQueries {
   private val lloydMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
+  /** Test hook: the memoized cells, so specs can compare stream and
+    * batch assignment against the identical centroid table. */
+  private[graft] def lloydCellsForTest(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    lloydCells(spark, dir)
+
   private def lloydCells(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val key = (spark, dir)
     val hit = lloydMemo.get(key)
@@ -238,6 +243,48 @@ object SimilarityQueries {
       dims = 64, outDims = 16)
       .orderBy(col("vec_id"), col("pos"))
 
+  /** Streaming index maintenance: newly arriving vectors (every 5th
+    * vec_id stands in for the fresh crawl batch) are assigned to the
+    * EXISTING memoized Lloyd cells inside a micro-batch stream — how
+    * the persisted IVF index stays current without rebuilding. The
+    * stream stays stateless: the 16 centroids are collected once
+    * (bounded — nCells rows, the `Ivf` probe-list class of collect)
+    * and folded into the plan as literals, so assignment is a pure
+    * per-row map (d2 per cell → array_min → first-match cell, ties to
+    * the lowest cell id), no state store, no stream-side shuffle. Same
+    * argmin semantics as the batch `Ivf.assignTo`, so the DuckDB
+    * oracle is the batch assignment restricted to the new ids. */
+  def simAssignStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (cents, _) = lloydCells(spark, dir)
+    val centRows = cents.orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val centLits = array(centRows.map { case (_, c) =>
+      array(c.map(lit): _*)
+    }: _*)
+    val d2s = transform(centLits, cvec =>
+      aggregate(zip_with(col("embedding"), cvec,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val assigned = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 5 === 0)
+      .withColumn("d2s", d2s)
+      .select(col("vec_id"),
+        (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int").as("cell"),
+        round(array_min(col("d2s")), 9).as("d2"))
+    val name = "sim_assign_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = assigned.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("vec_id"))
+  }
+
   /** Corpus cartography: join the document metadata onto the Lloyd-IVF
     * embedding cells and summarize each cell — size, mean length,
     * language spread, dominant language — the cluster-map view a
@@ -282,6 +329,7 @@ object SimilarityQueries {
     "emb_pq_codes" -> (embPqCodes _),
     "sim_topk_pq" -> (simTopKPq _),
     "sim_topk_ivfpq" -> (simTopKIvfPq _),
+    "sim_assign_streamed" -> (simAssignStreamed _),
     "emb_quantize" -> (embQuantize _)
   )
 
@@ -529,6 +577,22 @@ object SimilarityQueries {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qd2, neighbor_id) AS rank
         |  FROM rr) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Streaming assignment == batch argmin over the same Lloyd cells,
+    // restricted to the new-batch ids.
+    "sim_assign_streamed" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+        |         vec AS centroid
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),""".stripMargin +
+        lloydIterCtes(2) + s"""
+        |sel AS (
+        |  SELECT vec_id, cell, d2 FROM (
+        |    SELECT e.vec_id, c.cell, ${lloydD2("e.vec", "c.centroid")} AS d2,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             ${lloydD2("e.vec", "c.centroid")}, c.cell) AS r
+        |    FROM e CROSS JOIN c2 c WHERE e.vec_id % 5 = 0) t WHERE r = 1)
+        |SELECT vec_id, cell, round(d2, 9) AS d2 FROM sel ORDER BY vec_id""".stripMargin),
     // IVF-PQ: Lloyd cells (the sim_topk_ivf CTEs), residual-quantized
     // vectors feed the shared PQ train/encode scaffolding, probed-cell
     // ADC via the per-(query, cell) LUT, exact rerank of the shortlist.

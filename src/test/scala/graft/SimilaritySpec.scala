@@ -236,4 +236,19 @@ class SimilaritySpec extends SparkSpec {
       s"per-vector candidate mass must stay ~flat under autoBitsPerBand " +
         s"(n=$nS: $perVecSmall/vec -> n=$nB: $perVecBig/vec)")
   }
+
+  test("streaming cell assignment equals the batch argmin over the same cells") {
+    import org.apache.spark.sql.functions.col
+    val streamed = graft.queries.SimilarityQueries.simAssignStreamed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // batch truth: the SAME memoized Lloyd cells drive Ivf's assignTo
+    // (via the registered IVF query machinery), restricted to new ids
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0)
+    val batch = graft.operators.Ivf.assignWithCells(
+        graft.queries.SimilarityQueries.lloydCellsForTest(spark, sf)._1,
+        emb, "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toMap
+    assert(streamed === batch, "stream and batch assignments diverged")
+  }
 }
