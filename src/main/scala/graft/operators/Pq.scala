@@ -128,9 +128,17 @@ object Pq {
     * the exact integer d2 over the full vector. */
   def adcTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int, k: Int, topK: Int,
-      shortlist: Int, iters: Int = 1): DataFrame = {
+      shortlist: Int, iters: Int = 1): DataFrame =
+    adcTopKWith(codebook(emb, idCol, vecCol, dim, m, k, iters),
+      emb, queries, idCol, vecCol, dim, m, topK, shortlist)
+
+  /** [[adcTopK]] against a prebuilt (e.g. memoized/persisted)
+    * codebook — the production shape, where the codebook is trained
+    * once and every query wave reuses it. */
+  def adcTopKWith(cb: DataFrame, emb: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, topK: Int,
+      shortlist: Int): DataFrame = {
     val subDim = dim / m
-    val cb = codebook(emb, idCol, vecCol, dim, m, k, iters)
     val codes = encode(emb, cb, idCol, vecCol, dim, m)
       .select(col("id"), posexplode(col("codes")).as(Seq("blk", "code")))
       .select(col("id"), col("blk").cast("int").as("blk"), col("code"))

@@ -108,10 +108,17 @@ object SimilarityQueries {
     * error. Sub-codebooks are seeded then refined by one exact Lloyd
     * round; all-integer distances ([[graft.operators.Pq]]) keep the
     * whole train+encode under the hash gate. */
+  /** One trained raw-vector PQ codebook per (session, dir) — the
+    * in-session analog of training the codebook once and persisting
+    * it; `emb_pq_codes` and `sim_topk_pq` both read it. */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "pq_codebook")(
+      graft.operators.Pq.codebook(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 1))
+
   def embPqCodes(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cb = graft.operators.Pq.codebook(emb, "vec_id", "embedding",
-      dim = 64, m = 8, k = 16, iters = 1)
+    val cb = pqCodebook(spark, dir)
     graft.operators.Pq.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 8)
       .select(col("id").as("vec_id") +:
         (0 until 8).map(i => col("codes")(i).as(s"code$i")) :+
@@ -126,8 +133,9 @@ object SimilarityQueries {
     * ≈ 0.79 vs brute on this corpus, measured in PqSpec. */
   def simTopKPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    graft.operators.Pq.adcTopK(emb, queriesSubset(emb), "vec_id", "embedding",
-      dim = 64, m = 8, k = 16, topK = 10, shortlist = 100, iters = 1)
+    graft.operators.Pq.adcTopKWith(pqCodebook(spark, dir), emb,
+      queriesSubset(emb), "vec_id", "embedding",
+      dim = 64, m = 8, topK = 10, shortlist = 100)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -191,8 +191,11 @@ object TextQueries {
           .cast("long").as("w"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      // count distinct (doc, token) BEFORE hashing: one md5 per distinct
+      // token per doc instead of per occurrence — Zipf makes this the
+      // bulk of the hash work at corpus scale
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
       .withColumn("bucket", u16Of(concat(col("t"), lit("|qcls"))) % 256)
-      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tokens"),
