@@ -12,12 +12,14 @@ object Queries {
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
       AnalyticsQueries.queries ++ FunctionQueries.queries ++
-      TemporalQueries.queries ++ AvroQueries.queries
+      TemporalQueries.queries ++ AvroQueries.queries ++
+      RetrievalQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
       AnalyticsQueries.oracles ++ FunctionQueries.oracles ++
-      TemporalQueries.oracles ++ AvroQueries.oracles
+      TemporalQueries.oracles ++ AvroQueries.oracles ++
+      RetrievalQueries.oracles
 }

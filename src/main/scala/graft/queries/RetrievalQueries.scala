@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Ranked-retrieval queries over `documents`/`embeddings` — the mining
+  * half of a curation stack (hard-negative mining, dedup-by-retrieval,
+  * contamination lookup): Okapi BM25 lexical ranking and
+  * reciprocal-rank fusion of the lexical and vector arms.
+  *
+  * Engine-exact by the house rules: the only risky double primitive
+  * (ln) follows the perplexity-LM idiom — each per-(query, doc, term)
+  * BM25 contribution is quantized to micro-units
+  * (round(idf·w·1e6) as long) BEFORE the cross-row sum, so scores are
+  * exact integers; RRF contributions are round(1e9/(60+rank))
+  * integers. Scale shape: query terms join the (doc, term, tf)
+  * occurrence index — the posting-list probe — so only matching
+  * postings move; doc-length and df sides are corpus-keyed or
+  * broadcast; nothing document-sized crosses a shuffle.
+  */
+object RetrievalQueries {
+
+  /** BM25 (k1=1.2, b=0.75) top-`k` docs per query. `isQuery` splits
+    * the corpus into the query set and the searched set. Scores are
+    * exact integer micro-units. */
+  private[graft] def bm25TopK(docs: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val corpus = docs.filter(!isQuery)
+    val queries = docs.filter(isQuery)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(tokens(col("text")))).as("t"))
+    val occ = corpus.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfT = occ.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    queries.join(occ, Seq("t"))
+      .join(broadcast(dfT), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("w",
+        col("tf") * 2.2 / (col("tf") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))))
+      .withColumn("c_q", round(col("idf") * col("w") * 1e6).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_q")).as("score_q"))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_q"))
+  }
+
+  /** Lexical retrieval: benchmark docs (every 37th, the contamination
+    * split) query the rest of the corpus. */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.documents(spark, dir), col("doc_id") % 37 === 0, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Hybrid retrieval: BM25 and brute-cosine arms over the SAME
+    * query/corpus split (every 50th id queries the rest; vec_id ==
+    * doc_id in the fixtures), fused by reciprocal-rank fusion
+    * (Cormack et al. 2009): score = Σ round(1e9/(60+rank)) over both
+    * 20-deep arms — integer-exact, so ties and order survive any
+    * aggregation order. The vector arm is the labeled brute baseline;
+    * swapping in `sim_topk_ivfpq` is the at-scale configuration. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lex = bm25TopK(docs, col("doc_id") % 50 === 0, k = 20)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("nvec"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val vrank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    val vec = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine(col("qvec"), col("nvec")), 9))
+      .withColumn("rank", row_number().over(vrank))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("id"), col("rank"))
+    val rrfRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("id"))
+    lex.unionByName(vec)
+      .withColumn("c", round(lit(1e9) / (col("rank") + 60)).cast("long"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("rrf"), count(lit(1)).as("n_arms"))
+      .withColumn("rank", row_number().over(rrfRank))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("id"), col("rrf"),
+        col("n_arms").cast("int").as("n_arms"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> ((s, d) => bm25(s, d)),
+    "search_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)
+      .orderBy(col("query_id"), col("rank")))
+  )
+
+  /** Shared BM25 oracle chain over a query/corpus split; ends in
+    * `sc` (query_id, doc_id, score_q). */
+  private def bm25Ctes(queryPred: String): String =
+    s"""tokc AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      |  FROM documents WHERE NOT ($queryPred)),
+      |occ AS (SELECT doc_id, t, COUNT(*) AS tf FROM tokc GROUP BY doc_id, t),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM occ GROUP BY doc_id),
+      |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |dfT AS (SELECT t, COUNT(*) AS df FROM occ GROUP BY t),
+      |qt AS (
+      |  SELECT doc_id AS query_id,
+      |         unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+      |  FROM documents WHERE $queryPred),
+      |contrib AS (
+      |  SELECT q.query_id, o.doc_id,
+      |         CAST(round(
+      |           ln((st.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+      |           * (o.tf * 2.2 / (o.tf + 1.2 * (0.25 + 0.75 * d.dl / (st.sum_dl / st.n_docs))))
+      |           * 1e6) AS BIGINT) AS c_q
+      |  FROM qt q
+      |  JOIN occ o ON o.t = q.t
+      |  JOIN dfT f ON f.t = q.t
+      |  JOIN dl d ON d.doc_id = o.doc_id, st),
+      |sc AS (
+      |  SELECT query_id, doc_id, CAST(SUM(c_q) AS BIGINT) AS score_q
+      |  FROM contrib GROUP BY query_id, doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH ${bm25Ctes("doc_id % 37 = 0")}
+        |SELECT query_id, rank, doc_id, score_q FROM (
+        |  SELECT query_id, doc_id, score_q,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY score_q DESC, doc_id) AS rank
+        |  FROM sc) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "search_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes("doc_id % 50 = 0")},
+        |lex AS (
+        |  SELECT query_id, doc_id AS id, rank FROM (
+        |    SELECT query_id, doc_id, score_q,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY score_q DESC, doc_id) AS rank
+        |    FROM sc) t WHERE rank <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |vsc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |         round(list_cosine_similarity(q.vec, c.vec), 9) AS sim
+        |  FROM e q JOIN e c ON c.vec_id % 50 <> 0
+        |  WHERE q.vec_id % 50 = 0),
+        |vec AS (
+        |  SELECT query_id, id, rank FROM (
+        |    SELECT query_id, id, sim,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY sim DESC, id) AS rank
+        |    FROM vsc) t WHERE rank <= 20),
+        |arms AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+        |fused AS (
+        |  SELECT query_id, id,
+        |         CAST(SUM(CAST(round(1e9 / (rank + 60)) AS BIGINT)) AS BIGINT) AS rrf,
+        |         CAST(COUNT(*) AS INT) AS n_arms
+        |  FROM arms GROUP BY query_id, id)
+        |SELECT query_id, rank, id, rrf, n_arms FROM (
+        |  SELECT query_id, id, rrf, n_arms,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY rrf DESC, id) AS rank
+        |  FROM fused) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -69,6 +69,10 @@ class PlanShapeSpec extends SparkSpec {
     "corpus_cluster_map" -> 2,
     // IVF-PQ cell probe: queries × broadcast 16-row centroid table
     "sim_topk_ivfpq" -> 1,
+    // corpus × broadcast 1-row (n_docs, sum_dl) BM25 stats
+    "text_bm25_topk" -> 1,
+    // the BM25 stats broadcast + the labeled brute-cosine vector arm
+    "search_hybrid_rrf" -> 2,
     // 1-row broadcasts inside the composed signals: DSIR totals,
     // decimal-mean totals, LM smoothing vocabulary, plus the final
     // corpus × 1-row mean join
