@@ -98,10 +98,56 @@ object RetrievalQueries {
         col("n_arms").cast("int").as("n_arms"))
   }
 
+  /** Contrastive training-pair mining (the DPR/SimCSE data recipe):
+    * per anchor, the positive is its nearest neighbor by cosine and
+    * the hard negatives are BM25-retrieved docs that are lexically
+    * close but NOT semantically near (cosine < 0.35 — the
+    * false-friend band that makes negatives hard). Composes the BM25
+    * posting probe with the vector arm; the candidate set leaving the
+    * retrieval stage is |anchors|·20 ids, so the embedding fetch for
+    * the similarity filter is a tiny semi-join, never a corpus scan. */
+  def trainingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpusV = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("nvec"))
+    val simCol = round(
+      graft.functions.VectorFunctions.cosine(col("qvec"), col("nvec")), 9)
+    val posRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    val pos = corpusV.crossJoin(broadcast(anchors))
+      .withColumn("sim", simCol)
+      .withColumn("r", row_number().over(posRank)).filter(col("r") === 1)
+      .select(col("query_id"), col("id").as("pos_id"))
+    val negRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank"), col("id"))
+    // the retrieval stage leaves |anchors|·20 ids — broadcast that side
+    // so the embedding fetch is a map-side probe of the corpus, not a
+    // corpus shuffle
+    val negs = broadcast(bm25TopK(docs, col("doc_id") % 50 === 0, k = 20)
+        .select(col("query_id"), col("doc_id").as("id"),
+          col("rank"), col("score_q")))
+      .join(corpusV, Seq("id"))
+      .join(broadcast(anchors), Seq("query_id"))
+      .withColumn("sim", simCol)
+      .filter(col("sim") < 0.35)
+      .withColumn("neg_rank", row_number().over(negRank))
+      .filter(col("neg_rank") <= 5)
+      .select(col("query_id"), col("neg_rank"), col("id").as("neg_id"),
+        col("score_q").as("neg_bm25_q"), col("sim").as("neg_sim"))
+    negs.join(broadcast(pos), Seq("query_id"))
+      .select(col("query_id"), col("pos_id"), col("neg_rank"),
+        col("neg_id"), col("neg_bm25_q"), col("neg_sim"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> ((s, d) => bm25(s, d)),
     "search_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)
-      .orderBy(col("query_id"), col("rank")))
+      .orderBy(col("query_id"), col("rank"))),
+    "training_pairs_mined" -> (trainingPairs _)
   )
 
   /** Shared BM25 oracle chain over a query/corpus split; ends in
@@ -172,6 +218,37 @@ object RetrievalQueries {
         |         ROW_NUMBER() OVER (PARTITION BY query_id
         |                            ORDER BY rrf DESC, id) AS rank
         |  FROM fused) t
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "training_pairs_mined" ->
+      s"""WITH ${bm25Ctes("doc_id % 50 = 0")},
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |anch AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id % 50 = 0),
+        |corp AS (SELECT vec_id AS id, vec AS nvec FROM e WHERE vec_id % 50 <> 0),
+        |pos AS (
+        |  SELECT query_id, id AS pos_id FROM (
+        |    SELECT a.query_id, c.id,
+        |           ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+        |             round(list_cosine_similarity(a.qvec, c.nvec), 9) DESC, c.id) AS r
+        |    FROM anch a CROSS JOIN corp c) t WHERE r = 1),
+        |lex AS (
+        |  SELECT query_id, doc_id AS id, score_q, rank FROM (
+        |    SELECT query_id, doc_id, score_q,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY score_q DESC, doc_id) AS rank
+        |    FROM sc) t WHERE rank <= 20),
+        |cand AS (
+        |  SELECT l.query_id, l.id, l.rank, l.score_q,
+        |         round(list_cosine_similarity(a.qvec, c.nvec), 9) AS sim
+        |  FROM lex l
+        |  JOIN corp c ON c.id = l.id
+        |  JOIN anch a ON a.query_id = l.query_id),
+        |negs AS (
+        |  SELECT query_id, id AS neg_id, score_q AS neg_bm25_q, sim AS neg_sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank, id) AS neg_rank
+        |  FROM cand WHERE sim < 0.35)
+        |SELECT n.query_id, p.pos_id, n.neg_rank, n.neg_id, n.neg_bm25_q, n.neg_sim
+        |FROM negs n JOIN pos p ON p.query_id = n.query_id
+        |WHERE n.neg_rank <= 5
+        |ORDER BY n.query_id, n.neg_rank""".stripMargin
   )
 }

@@ -73,6 +73,8 @@ class PlanShapeSpec extends SparkSpec {
     "text_bm25_topk" -> 1,
     // the BM25 stats broadcast + the labeled brute-cosine vector arm
     "search_hybrid_rrf" -> 2,
+    // BM25 stats broadcast + the positive arm's brute-cosine scan
+    "training_pairs_mined" -> 2,
     // 1-row broadcasts inside the composed signals: DSIR totals,
     // decimal-mean totals, LM smoothing vocabulary, plus the final
     // corpus × 1-row mean join

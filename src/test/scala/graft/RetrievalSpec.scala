@@ -76,4 +76,21 @@ class RetrievalSpec extends SparkSpec {
        out.exists(r => vec.contains((r.getAs[Long]("query_id"), r.getAs[Long]("id"))))),
       "fusion must draw on both arms")
   }
+
+  test("mined training pairs: negatives are lexically close but semantically far") {
+    val rows = RetrievalQueries.trainingPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val posIds = rs.map(_.getAs[Long]("pos_id")).toSet
+      assert(posIds.size === 1, s"anchor $q must have exactly one positive")
+      val negIds = rs.map(_.getAs[Long]("neg_id"))
+      assert(negIds.distinct.length === negIds.length, s"anchor $q repeated a negative")
+      assert(!negIds.contains(posIds.head),
+        s"anchor $q: the positive leaked into the negatives")
+      assert(rs.map(_.getAs[Int]("neg_rank")).sorted.toSeq === (1 to rs.length),
+        s"anchor $q: negative ranks not contiguous")
+      rs.foreach(r => assert(r.getAs[Double]("neg_sim") < 0.35,
+        s"anchor $q: negative above the semantic-dup band"))
+    }
+  }
 }
