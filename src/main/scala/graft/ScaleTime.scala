@@ -91,6 +91,43 @@ object ScaleTime {
       emb.unpersist()
     }
 
+    // E) PQ scaling: codebook train (1 Lloyd round) + full encode wall
+    //    time and mean distortion across 100× synthetic growth — the
+    //    encode-is-one-scan receipt, plus evidence the sampled+refined
+    //    codebook's quality doesn't degrade as the corpus grows.
+    Seq(2000L, 20000L, 200000L).foreach { n =>
+      val emb = synth(n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val codes = time(s"pq_train_encode n=$n") {
+        val cb = graft.operators.Pq.codebook(emb, "vec_id", "embedding",
+          dim = 64, m = 8, k = 16, iters = 1)
+        val c = graft.operators.Pq.encode(emb, cb, "vec_id", "embedding",
+          dim = 64, m = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
+      }
+      val meanErr = codes.agg(avg(col("qerr"))).first().getDouble(0)
+      println(f"[scaletime] pq n=$n mean_qerr=$meanErr%.3e")
+      codes.unpersist(); emb.unpersist()
+    }
+
+    // F) BM25 index profile across the real 100× spread: postings grow
+    //    with the corpus, but the term dictionary (the broadcast df
+    //    side) and max df stay vocabulary-bounded — the receipt that
+    //    the posting probe's broadcast sides don't grow with data.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val occ = docs.filter(col("doc_id") % 37 =!= 0)
+          .select(col("doc_id"), explode(
+            graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        val postings = occ.count()
+        val vocab = occ.select(col("t")).distinct().count()
+        println(s"[scaletime] bm25 $dir postings=$postings term_dict=$vocab")
+      }
+
     // D) Perplexity-LM boundedness: distinct char-trigram vocabulary vs
     //    corpus size across the real 100× spread — the receipt that the
     //    LM broadcast in text_perplexity_buckets stays charset³-bounded
