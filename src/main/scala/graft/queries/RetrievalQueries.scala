@@ -32,23 +32,34 @@ object RetrievalQueries {
     val queries = docs.filter(isQuery)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(tokens(col("text")))).as("t"))
+    // the posting index feeds FOUR consumers (dl, df, stats, the probe
+    // join) — materialize it once instead of re-running the corpus
+    // explode per consumer; at scale this is the persisted index table
     val occ = corpus.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // idf is a |vocab|-row table and the length normalizer a per-doc
+    // scalar — compute each ONCE and carry the doubles through the
+    // joins, instead of re-deriving ln() and the avgdl divides on every
+    // one of the posting-probe's millions of contribution rows (same
+    // expression trees, bit-identical doubles, ~2× on the hot path)
     val dfT = occ.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("t"),
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
+    val dln = dl.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))).as("dnorm"))
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
     queries.join(occ, Seq("t"))
       .join(broadcast(dfT), Seq("t"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
-      .withColumn("w",
-        col("tf") * 2.2 / (col("tf") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))))
-      .withColumn("c_q", round(col("idf") * col("w") * 1e6).cast("long"))
+      .join(dln, Seq("doc_id"))
+      .withColumn("c_q", round(
+        col("idf") * (col("tf") * 2.2 / (col("tf") + col("dnorm"))) * 1e6).cast("long"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c_q")).as("score_q"))
       .withColumn("rank", row_number().over(rank))
@@ -62,6 +73,14 @@ object RetrievalQueries {
     bm25TopK(Tables.documents(spark, dir), col("doc_id") % 37 === 0, k = 10)
       .orderBy(col("query_id"), col("rank"))
 
+  /** The %50-split BM25 top-20, shared by `search_hybrid_rrf` and
+    * `training_pairs_mined` — one posting-probe + ranking pass per
+    * (session, dir), exactly like a persisted retrieval run feeding
+    * several consumers ([[SignalMemo]]). */
+  private def bm25Top20Mod50(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "bm25_top20_mod50")(
+      bm25TopK(Tables.documents(spark, dir), col("doc_id") % 50 === 0, k = 20))
+
   /** Hybrid retrieval: BM25 and brute-cosine arms over the SAME
     * query/corpus split (every 50th id queries the rest; vec_id ==
     * doc_id in the fixtures), fused by reciprocal-rank fusion
@@ -70,8 +89,7 @@ object RetrievalQueries {
     * aggregation order. The vector arm is the labeled brute baseline;
     * swapping in `sim_topk_ivfpq` is the at-scale configuration. */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val lex = bm25TopK(docs, col("doc_id") % 50 === 0, k = 20)
+    val lex = bm25Top20Mod50(spark, dir)
       .select(col("query_id"), col("doc_id").as("id"), col("rank"))
     val emb = Tables.embeddings(spark, dir)
     val corpus = emb.filter(col("vec_id") % 50 =!= 0)
@@ -107,7 +125,6 @@ object RetrievalQueries {
     * retrieval stage is |anchors|·20 ids, so the embedding fetch for
     * the similarity filter is a tiny semi-join, never a corpus scan. */
   def trainingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
     val anchors = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -126,7 +143,7 @@ object RetrievalQueries {
     // the retrieval stage leaves |anchors|·20 ids — broadcast that side
     // so the embedding fetch is a map-side probe of the corpus, not a
     // corpus shuffle
-    val negs = broadcast(bm25TopK(docs, col("doc_id") % 50 === 0, k = 20)
+    val negs = broadcast(bm25Top20Mod50(spark, dir)
         .select(col("query_id"), col("doc_id").as("id"),
           col("rank"), col("score_q")))
       .join(corpusV, Seq("id"))

@@ -69,12 +69,13 @@ class PlanShapeSpec extends SparkSpec {
     "corpus_cluster_map" -> 2,
     // IVF-PQ cell probe: queries × broadcast 16-row centroid table
     "sim_topk_ivfpq" -> 1,
-    // corpus × broadcast 1-row (n_docs, sum_dl) BM25 stats
-    "text_bm25_topk" -> 1,
-    // the BM25 stats broadcast + the labeled brute-cosine vector arm
-    "search_hybrid_rrf" -> 2,
-    // BM25 stats broadcast + the positive arm's brute-cosine scan
-    "training_pairs_mined" -> 2,
+    // two 1-row (n_docs, sum_dl) stats broadcasts: onto the term dict
+    // (idf) and onto the doc-length table (dnorm)
+    "text_bm25_topk" -> 2,
+    // the two BM25 stats broadcasts + the labeled brute-cosine arm
+    "search_hybrid_rrf" -> 3,
+    // two BM25 stats broadcasts + the positive arm's brute-cosine scan
+    "training_pairs_mined" -> 3,
     // 1-row broadcasts inside the composed signals: DSIR totals,
     // decimal-mean totals, LM smoothing vocabulary, plus the final
     // corpus × 1-row mean join
