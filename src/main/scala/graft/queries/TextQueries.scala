@@ -204,6 +204,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic augmentation: token dropout at p≈0.1, the text-side
+    * analog of the mix sampling draw — each position keeps/drops by an
+    * md5 u16 draw keyed (doc_id, position), so the augmented corpus is
+    * reproducible run-to-run and engine-to-engine (no RNG state). Pure
+    * per-row map — no explode, no shuffle: list HOFs build the keep
+    * mask and the surviving-token string in place, so augmentation
+    * streams over 100 TB at scan speed. */
+  def augmentDropout(spark: SparkSession, dir: String): DataFrame = {
+    val keepMask = transform(
+      sequence(lit(0), size(col("w")) - 1),
+      i => (u16Of(concat(col("doc_id").cast("string"), lit("|"),
+        i.cast("string"), lit("|aug"))) >= 6554).cast("int"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("keep", keepMask)
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        expr("size(filter(keep, k -> k = 0))").as("n_dropped"),
+        array_join(expr(
+          "transform(filter(sequence(0, size(w)-1), i -> element_at(keep, i+1) = 1)," +
+            " i -> element_at(w, i+1))"), " ").as("aug_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition quality signal: share of duplicated
     * bigrams per doc. One scan-side pass, no shuffle but the sort. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
@@ -579,6 +603,7 @@ object TextQueries {
     "text_repetition" -> (repetition _),
     "text_gopher_rules" -> (gopherQuality _),
     "text_classifier_score" -> (classifierScore _),
+    "text_augment_dropout" -> (augmentDropout _),
     "source_mix_plan" -> (sourceMixPlan _),
     "source_mix_apply" -> (sourceMixApply _),
     "corpus_shuffle_order" -> (corpusShuffleOrder _),
@@ -888,6 +913,28 @@ object TextQueries {
         |            WHEN ok_stop = 0 THEN 'stop_words'
         |            ELSE NULL END AS drop_reason
         |FROM fl ORDER BY doc_id""".stripMargin,
+    "text_augment_dropout" -> {
+      def u16aug = {
+        def nib(p: Int) =
+          hexNibble(s"substr(md5(doc_id || '|' || i || '|aug'), $p, 1)")
+        s"((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}"
+      }
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, w,
+         |         list_transform(range(len(w)), i ->
+         |           CASE WHEN $u16aug >= 6554 THEN 1 ELSE 0 END) AS keep
+         |  FROM t)
+         |SELECT doc_id,
+         |       CAST(len(w) AS INT) AS n_tokens,
+         |       CAST(len(list_filter(keep, x -> x = 0)) AS INT) AS n_dropped,
+         |       array_to_string(list_transform(
+         |         list_filter(range(len(w)), i -> keep[CAST(i AS INT) + 1] = 1),
+         |         i -> w[CAST(i AS INT) + 1]), ' ') AS aug_text
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
     "text_classifier_score" -> {
       def u16 = s"((${hexNibble("substr(h, 1, 1)")} * 16 + ${hexNibble("substr(h, 2, 1)")}) * 16 + " +
         s"${hexNibble("substr(h, 3, 1)")}) * 16 + ${hexNibble("substr(h, 4, 1)")}"

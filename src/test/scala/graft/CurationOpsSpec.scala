@@ -60,6 +60,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("augment dropout: ~10% drop rate, kept text is an ordered subsequence") {
+    val rows = graft.queries.TextQueries.augmentDropout(spark, sf).collect()
+    val total = rows.map(_.getAs[Int]("n_tokens").toLong).sum
+    val dropped = rows.map(_.getAs[Int]("n_dropped").toLong).sum
+    val rate = dropped.toDouble / total
+    assert(rate > 0.05 && rate < 0.15, s"corpus drop rate $rate far from p=0.1")
+    // kept tokens must be an ordered subsequence of the original
+    val orig = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val kept = r.getAs[String]("aug_text").split("\\s+").filter(_.nonEmpty)
+      val src = orig(docId).trim.split("\\s+")
+      var j = 0
+      kept.foreach { t =>
+        while (j < src.length && src(j) != t) j += 1
+        assert(j < src.length, s"doc $docId: '$t' breaks subsequence order")
+        j += 1
+      }
+      assert(kept.length === r.getAs[Int]("n_tokens") - r.getAs[Int]("n_dropped"))
+    }
+  }
+
   test("bloom screen: no false negatives, real false-positive mass, m-bounded bits") {
     val rows = graft.queries.DedupQueries.dedupBloomProbe(spark, sf).collect()
     assert(rows.nonEmpty)
