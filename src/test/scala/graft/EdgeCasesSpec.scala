@@ -34,6 +34,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.nearDupPairsLsh(emptyVecs, "vec_id", "embedding", 0.5).count() === 0)
   }
 
+  test("PQ on a corpus smaller than k still trains and encodes every vector") {
+    import graft.operators.Pq
+    // 3 vectors, k=16 codebook: the seed LIMIT returns what exists;
+    // every vector must still get m codes (no empty-codebook crash)
+    val tiny = Seq(
+      (1L, Array.fill(64)(0.1f)), (2L, Array.fill(64)(-0.2f)),
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f))
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.codebook(tiny, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val codes = Pq.encode(tiny, cb, "vec_id", "embedding", dim = 64, m = 8).collect()
+    assert(codes.length === 3)
+    codes.foreach(r => assert(r.getAs[Seq[Int]]("codes").length === 8))
+    // PQ on an empty corpus: empty codebook and empty codes, no throw
+    assert(Pq.codebook(emptyVecs, "vec_id", "embedding", 64, 8, 16).count() === 0)
+  }
+
+  test("BM25 with no shared query terms returns empty, not errors") {
+    import graft.queries.RetrievalQueries
+    val docs = Seq(
+      (0L, "alpha beta gamma"), // the query — shares no term with corpus
+      (1L, "delta epsilon zeta"), (2L, "eta theta iota")
+    ).toDF("doc_id", "text")
+    assert(RetrievalQueries.bm25TopK(docs, col("doc_id") === 0, k = 5).count() === 0)
+    // and an empty corpus side (everything is a query)
+    assert(RetrievalQueries.bm25TopK(docs, lit(true), k = 5).count() === 0)
+  }
+
   test("as-of join with an empty right side keeps all left rows unmatched") {
     val left = Seq((1L, 10L, 1L), (2L, 20L, 1L)).toDF("event_id", "tsv", "user_id")
       .select(col("event_id"), timestamp_micros(col("tsv")).as("ts"), col("user_id"))
