@@ -212,10 +212,13 @@ object TextQueries {
     * mask and the surviving-token string in place, so augmentation
     * streams over 100 TB at scan speed. */
   def augmentDropout(spark: SparkSession, dir: String): DataFrame = {
+    // same u16 value as u16Of, via one conv() builtin instead of four
+    // interpreted nibble CASEs — HOF lambdas don't codegen, so per-token
+    // expression weight is the whole cost of this scan
     val keepMask = transform(
       sequence(lit(0), size(col("w")) - 1),
-      i => (u16Of(concat(col("doc_id").cast("string"), lit("|"),
-        i.cast("string"), lit("|aug"))) >= 6554).cast("int"))
+      i => (conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+        i.cast("string"), lit("|aug"))), 1, 4), 16, 10).cast("int") >= 6554).cast("int"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .withColumn("keep", keepMask)
