@@ -107,4 +107,52 @@ class StructurePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: PQ self-query ADC distance equals the vector's own qerr") {
+    // for ANY corpus, querying a vector against its own code through
+    // the ADC lookup table must reproduce exactly its quantization
+    // error — the identity that pins LUT and encode to the same metric
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pq
+    val gen = Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+    val vecs = samples(gen, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Pq.codebook(df, "vec_id", "embedding", dim = 64, m = 8, k = 8, iters = 1)
+    val enc = Pq.encode(df, cb, "vec_id", "embedding", dim = 64, m = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[scala.collection.Seq[Int]]("codes"), r.getAs[Long]("qerr"))).toMap
+    val subDim = 8
+    val cbRows = cb.collect().map(r =>
+      (r.getAs[Int]("blk"), r.getAs[Int]("code")) -> r.getAs[scala.collection.Seq[Long]]("qc")).toMap
+    vecs.foreach { case (id, v) =>
+      val (codes, qerr) = enc(id)
+      val self = (0 until 8).map { b =>
+        val qv = v.slice(b * subDim, (b + 1) * subDim)
+          .map(x => math.round(x.toDouble * 1e6))
+        val qc = cbRows((b, codes(b)))
+        qv.zip(qc).map { case (a, c) => (a - c) * (a - c) }.sum
+      }.sum
+      assert(self === qerr, s"vec $id: self-ADC $self != qerr $qerr")
+    }
+  }
+
+  test("property: the Bloom bit-set never misses an inserted shingle") {
+    // insert arbitrary strings, probe the SAME strings: all 4 bit
+    // positions must be present — the no-false-negative law on
+    // arbitrary inputs, independent of the fixture corpus
+    import org.apache.spark.sql.functions._
+    val gen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(24))
+    val items = samples(gen, 150).distinct
+    val df = items.map(Tuple1(_)).toDF("s")
+    def positions(c: org.apache.spark.sql.Column) =
+      array((0 until 4).map(i =>
+        conv(substring(md5(concat(c, lit(s"#$i"))), 1, 4), 16, 10).cast("int")): _*)
+    val bits = df.select(explode(positions(col("s"))).as("bit"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val missing = df.select(col("s"), positions(col("s")).as("p")).collect()
+      .filter(r => !r.getAs[scala.collection.Seq[Int]]("p").forall(bits.contains))
+    assert(missing.isEmpty,
+      s"false negatives on inserted items: ${missing.take(3).mkString(",")}")
+  }
 }
