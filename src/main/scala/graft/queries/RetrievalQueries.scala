@@ -160,11 +160,45 @@ object RetrievalQueries {
       .orderBy(col("query_id"), col("neg_rank"))
   }
 
+  /** Streaming index maintenance for the lexical side: the new crawl
+    * batch (source='src0') emits its posting rows (doc_id, term, tf,
+    * dl) inside a micro-batch stream — how the BM25 posting index
+    * stays current without a rebuild, the retrieval counterpart of
+    * `sim_assign_streamed`. The stream stays STATELESS: tf and dl are
+    * per-document facts, computed with list HOFs inside the row (no
+    * cross-row aggregation, no watermark, no state store); the
+    * downstream index merge is an idempotent partition overwrite keyed
+    * by doc_id. */
+  def bm25PostingsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val postings = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("source") === "src0")
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"), col("w"),
+        explode(expr("array_distinct(w)")).as("t"))
+      .select(col("doc_id"), col("t"),
+        expr("size(filter(w, x -> x = t))").as("tf"),
+        size(col("w")).as("dl"))
+    val name = "bm25_post_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = postings.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("doc_id"), col("t"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> ((s, d) => bm25(s, d)),
     "search_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)
       .orderBy(col("query_id"), col("rank"))),
-    "training_pairs_mined" -> (trainingPairs _)
+    "training_pairs_mined" -> (trainingPairs _),
+    "bm25_postings_streamed" -> (bm25PostingsStreamed _)
   )
 
   /** Shared BM25 oracle chain over a query/corpus split; ends in
@@ -266,6 +300,17 @@ object RetrievalQueries {
         |SELECT n.query_id, p.pos_id, n.neg_rank, n.neg_id, n.neg_bm25_q, n.neg_sim
         |FROM negs n JOIN pos p ON p.query_id = n.query_id
         |WHERE n.neg_rank <= 5
-        |ORDER BY n.query_id, n.neg_rank""".stripMargin
+        |ORDER BY n.query_id, n.neg_rank""".stripMargin,
+    // stream == batch: the stateless per-row posting emission must equal
+    // the batch GROUP BY over the same split
+    "bm25_postings_streamed" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE source = 'src0'),
+        |x AS (SELECT doc_id, unnest(list_distinct(w)) AS t, w FROM t0)
+        |SELECT doc_id, t,
+        |       CAST(len(list_filter(w, y -> y = t)) AS INT) AS tf,
+        |       CAST(len(w) AS INT) AS dl
+        |FROM x ORDER BY doc_id, t""".stripMargin
   )
 }
