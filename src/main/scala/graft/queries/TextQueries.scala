@@ -391,6 +391,28 @@ object TextQueries {
       .orderBy(col("pos"))
   }
 
+  /** Curriculum training order (easy→hard): documents stream in
+    * perplexity-bucket phases — head (most LM-predictable) first, then
+    * middle, then tail — with a deterministic md5 shuffle WITHIN each
+    * phase, composing the memoized perplexity signal with the
+    * shuffle-order machinery. Same scale shape as
+    * [[corpusShuffleOrder]]: a distributed range sort whose emitted
+    * head is a TakeOrderedAndProject (no global row_number over the
+    * corpus); the registered query emits the first 100 positions. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = perplexityBuckets(spark, dir)
+      .select(col("doc_id"), col("bucket"), col("logprob_char"),
+        when(col("bucket") === "head", 0)
+          .when(col("bucket") === "middle", 1).otherwise(2).as("phase"),
+        md5(concat(col("doc_id").cast("string"), lit("|graftcurr"))).as("k"))
+    keyed.orderBy(col("phase"), col("k"), col("doc_id")).limit(100)
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("phase"), col("k"), col("doc_id"))))
+      .select(col("pos"), col("doc_id"), col("bucket"), col("logprob_char"))
+      .orderBy(col("pos"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2019,
     * arXiv:1911.00359): score each document under a char-trigram LM
     * with add-V smoothing — logprob/char = mean over trigram positions
@@ -610,6 +632,7 @@ object TextQueries {
     "source_mix_plan" -> (sourceMixPlan _),
     "source_mix_apply" -> (sourceMixApply _),
     "corpus_shuffle_order" -> (corpusShuffleOrder _),
+    "curriculum_order" -> (curriculumOrder _),
     "curation_decisions" -> (curationDecisions _),
     "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_pii_scan" -> (piiScan _),
@@ -1045,6 +1068,22 @@ object TextQueries {
         |            WHEN p < 2.0/3.0 THEN 'middle'
         |            ELSE 'tail' END AS bucket
         |FROM pr ORDER BY doc_id""".stripMargin),
+    "curriculum_order" ->
+      (s"WITH $perplexityCtes,\n" +
+        """b AS (
+        |  SELECT doc_id, logprob_char,
+        |         CASE WHEN p < 1.0/3.0 THEN 'head'
+        |              WHEN p < 2.0/3.0 THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |  FROM pr),
+        |kk AS (
+        |  SELECT doc_id, bucket, logprob_char,
+        |         CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END AS phase,
+        |         md5(CAST(doc_id AS VARCHAR) || '|graftcurr') AS k
+        |  FROM b)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY phase, k, doc_id) AS INT) AS pos,
+        |       doc_id, bucket, logprob_char
+        |FROM kk ORDER BY phase, k, doc_id LIMIT 100""".stripMargin),
     "source_mix_plan" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
         |s AS (

@@ -84,6 +84,20 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("curriculum order: phases never regress (all head before middle before tail)") {
+    val rows = graft.queries.TextQueries.curriculumOrder(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("pos")).toSeq === (1 to rows.length))
+    val phases = rows.map(_.getAs[String]("bucket") match {
+      case "head" => 0; case "middle" => 1; case "tail" => 2
+    })
+    phases.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "curriculum phase regressed")
+      case _ =>
+    }
+    // the emitted head must actually begin with the easy phase
+    assert(phases.head === 0)
+  }
+
   test("bloom screen: no false negatives, real false-positive mass, m-bounded bits") {
     val rows = graft.queries.DedupQueries.dedupBloomProbe(spark, sf).collect()
     assert(rows.nonEmpty)
