@@ -50,6 +50,13 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // The driver's stdout capture keeps only the TAIL of long lines, so
+    // the full map above has been clipped three rounds running. Emit a
+    // compact headline as the FINAL line — small enough to always
+    // survive the tail capture, parseable on its own.
+    val n = results.count(_._2 >= 0)
+    val perQ = if (n > 0) total / n else 0.0
+    println(f"""{"total":$total%.3f,"n":$n,"s_per_query":$perQ%.4f,"sf":"$sfDir"}""")
     // The stdout line has been tail-truncated by log capture two rounds
     // running, losing the per-query map. Persist the complete artifact to a
     // repo file as the lossless source of truth (overridable for dev runs).

@@ -19,6 +19,20 @@ object TextFunctions {
   /** Whitespace tokenization (the BPE-ish regex variant is `tokensBpe`). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** First 4 md5 hex nibbles of a string column as a 16-bit int — THE
+    * engine-neutral uniform hash (DuckDB oracles rebuild it from the
+    * same md5 hex). Single home for the nibble decoding; every uniform
+    * draw (mix sampling, Bloom bit positions, classifier weights) goes
+    * through here so the two engines can never drift. */
+  def u16(c: Column): Column = {
+    val h = md5(c)
+    def nib(p: Int) = {
+      val a = ascii(substring(h, p, 1))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** A BPE-ish pre-tokenizer: splits out word pieces, numbers, and

@@ -134,7 +134,15 @@ object Pq {
 
   /** [[adcTopK]] against a prebuilt (e.g. memoized/persisted)
     * codebook — the production shape, where the codebook is trained
-    * once and every query wave reuses it. */
+    * once and every query wave reuses it.
+    *
+    * Shared-id-space assumption (also [[ivfPqTopK]]): candidates where
+    * `neighbor_id == query_id` are unconditionally dropped, treating
+    * queries as drawn from the corpus id space (self-match exclusion —
+    * the fixture/benchmark convention). With an EXTERNAL query table
+    * whose ids can collide with corpus ids, disjoint the id spaces
+    * first (e.g. negate or offset query ids) or a true neighbor at a
+    * colliding id is silently excluded. */
   def adcTopKWith(cb: DataFrame, emb: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, m: Int, topK: Int,
       shortlist: Int): DataFrame = {

@@ -73,16 +73,10 @@ object DedupQueries {
     spark.table(name).orderBy(col("doc_id"))
   }
 
-  /** First 4 md5 hex nibbles of a string column as a 16-bit int — the
-    * engine-neutral uniform hash shared with TextQueries' mix draw. */
-  private def u16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val h = md5(c)
-    def nib(p: Int) = {
-      val a = ascii(substring(h, p, 1))
-      when(a >= 97, a - 87).otherwise(a - 48)
-    }
-    ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
-  }
+  /** The engine-neutral 16-bit md5 uniform hash, shared with
+    * TextQueries' mix draw (single home: [[graft.functions.TextFunctions.u16]]). */
+  private def u16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.u16(c)
 
   /** Bloom-filter membership screen (Bloom 1970) over the historical
     * shingle set — the compact-index complement of [[dedupIncremental]]:

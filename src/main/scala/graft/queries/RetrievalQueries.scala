@@ -24,35 +24,58 @@ import graft.sources.Tables
   */
 object RetrievalQueries {
 
-  /** BM25 (k1=1.2, b=0.75) top-`k` docs per query. `isQuery` splits
-    * the corpus into the query set and the searched set. Scores are
-    * exact integer micro-units. */
-  private[graft] def bm25TopK(docs: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val corpus = docs.filter(!isQuery)
-    val queries = docs.filter(isQuery)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(tokens(col("text")))).as("t"))
-    // the posting index feeds FOUR consumers (dl, df, stats, the probe
-    // join) — materialize it once instead of re-running the corpus
-    // explode per consumer; at scale this is the persisted index table
-    val occ = corpus.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val dl = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    // idf is a |vocab|-row table and the length normalizer a per-doc
-    // scalar — compute each ONCE and carry the doubles through the
-    // joins, instead of re-deriving ln() and the avgdl divides on every
-    // one of the posting-probe's millions of contribution rows (same
-    // expression trees, bit-identical doubles, ~2× on the hot path)
-    val dfT = occ.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .select(col("t"),
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
-    val dln = dl.crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (lit(1.2) * (lit(0.25) +
-          lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))).as("dnorm"))
+  /** The corpus-wide occurrence index (doc_id, t, tf) — built ONCE per
+    * (session, dir) over the FULL corpus and shared by every retrieval
+    * query ([[SignalMemo]]); at 100 TB this is the persisted posting
+    * table ([[writePostingIndex]] is the on-disk form). Query splits
+    * exclude their own docs at PROBE time (a pushed filter on the
+    * index), not at build time — exactly how a production index works:
+    * the index contains everything, a contamination/benchmark probe
+    * just excludes its own documents from the candidates. */
+  private[graft] def occIndex(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "bm25_occ")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf")))
+
+  /** Per-document token length (doc_id, dl) off the shared index. */
+  private[graft] def dlIndex(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "bm25_dl")(
+      occIndex(spark, dir).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+
+  /** idf is a |vocab|-row table and the length normalizer a per-doc
+    * scalar — compute each ONCE and carry the doubles through the
+    * probe joins, instead of re-deriving ln() and the avgdl divides on
+    * every one of the posting-probe's millions of contribution rows
+    * (same expression trees, bit-identical doubles, ~2× hot-path). */
+  private[graft] def idfIndex(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "bm25_idf") {
+      val dl = dlIndex(spark, dir)
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      occIndex(spark, dir).groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("t"),
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
+    }
+
+  private[graft] def dnormIndex(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "bm25_dnorm") {
+      val dl = dlIndex(spark, dir)
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      dl.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))).as("dnorm"))
+    }
+
+  /** BM25 (k1=1.2, b=0.75) top-`k` docs per query against prebuilt
+    * index tables — the probe is index-shaped: query terms join the
+    * posting lists (only matching postings move), idf broadcasts,
+    * dnorm equi-joins on doc_id. Scores are exact integer micro-units
+    * (round(idf·w·1e6) BEFORE the cross-row sum — see the object doc). */
+  private[graft] def bm25Probe(
+      queries: DataFrame, occ: DataFrame, dfT: DataFrame, dln: DataFrame,
+      k: Int): DataFrame = {
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
     queries.join(occ, Seq("t"))
@@ -67,10 +90,24 @@ object RetrievalQueries {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_q"))
   }
 
+  /** Top-`k` for the every-`mod`th query split over the SHARED index:
+    * query docs are excluded from candidates by a pushed filter on the
+    * index's doc_id (probe-time exclusion — the index itself is
+    * split-agnostic and built once for all splits). */
+  private[graft] def bm25TopK(spark: SparkSession, dir: String, mod: Int, k: Int): DataFrame = {
+    val queries = Tables.documents(spark, dir)
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(tokens(col("text")))).as("t"))
+    bm25Probe(queries,
+      occIndex(spark, dir).filter(col("doc_id") % mod =!= 0),
+      idfIndex(spark, dir), dnormIndex(spark, dir), k)
+  }
+
   /** Lexical retrieval: benchmark docs (every 37th, the contamination
     * split) query the rest of the corpus. */
   def bm25(spark: SparkSession, dir: String): DataFrame =
-    bm25TopK(Tables.documents(spark, dir), col("doc_id") % 37 === 0, k = 10)
+    bm25TopK(spark, dir, mod = 37, k = 10)
       .orderBy(col("query_id"), col("rank"))
 
   /** The %50-split BM25 top-20, shared by `search_hybrid_rrf` and
@@ -79,7 +116,7 @@ object RetrievalQueries {
     * several consumers ([[SignalMemo]]). */
   private def bm25Top20Mod50(spark: SparkSession, dir: String): DataFrame =
     SignalMemo.cached(spark, dir, "bm25_top20_mod50")(
-      bm25TopK(Tables.documents(spark, dir), col("doc_id") % 50 === 0, k = 20))
+      bm25TopK(spark, dir, mod = 50, k = 20))
 
   /** Hybrid retrieval: BM25 and brute-cosine arms over the SAME
     * query/corpus split (every 50th id queries the rest; vec_id ==
@@ -175,15 +212,30 @@ object RetrievalQueries {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
+    // per-token counts in ONE pass per row (sort + run-length over the
+    // sorted array), not one filter scan per distinct token — the latter
+    // is O(distinct_tokens × doc_length) per document, quadratic for
+    // long documents and at odds with scan-speed index maintenance
+    val ws = array_sort(col("w"))
+    val starts = filter(sequence(lit(0), size(ws) - 1),
+      i => i === 0 || element_at(ws, i + 1) =!= element_at(ws, i))
+    val nexts = concat(
+      slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+      array(size(col("w"))))
+    val runs = when(size(col("starts")) >= 1, zip_with(col("starts"), nexts,
+      (s, e) => struct(element_at(ws, s + 1).as("t"), (e - s).as("tf"))))
+      .otherwise(array().cast("array<struct<t:string,tf:int>>"))
     val postings = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .filter(col("source") === "src0")
       .withColumn("w", tokens(col("text")))
-      .select(col("doc_id"), col("w"),
-        explode(expr("array_distinct(w)")).as("t"))
-      .select(col("doc_id"), col("t"),
-        expr("size(filter(w, x -> x = t))").as("tf"),
-        size(col("w")).as("dl"))
+      // tokens() never yields an empty array (split of a trimmed string
+      // has ≥1 element), but guard the sequence like shinglesHof does
+      .withColumn("starts",
+        when(size(col("w")) >= 1, starts).otherwise(array().cast("array<int>")))
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(runs).as("r"))
+      .select(col("doc_id"), col("r.t").as("t"), col("r.tf").as("tf"), col("dl"))
     val name = "bm25_post_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = postings.writeStream.format("memory").queryName(name)
       .outputMode("append")
@@ -201,12 +253,14 @@ object RetrievalQueries {
     "bm25_postings_streamed" -> (bm25PostingsStreamed _)
   )
 
-  /** Shared BM25 oracle chain over a query/corpus split; ends in
+  /** Shared BM25 oracle chain: the index CTEs (occ/dl/st/dfT) cover the
+    * FULL corpus — mirroring the shared session index — and the probe
+    * excludes the every-`mod`th query docs from candidates; ends in
     * `sc` (query_id, doc_id, score_q). */
-  private def bm25Ctes(queryPred: String): String =
+  private def bm25Ctes(mod: Int): String =
     s"""tokc AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
-      |  FROM documents WHERE NOT ($queryPred)),
+      |  FROM documents),
       |occ AS (SELECT doc_id, t, COUNT(*) AS tf FROM tokc GROUP BY doc_id, t),
       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM occ GROUP BY doc_id),
       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
@@ -214,7 +268,7 @@ object RetrievalQueries {
       |qt AS (
       |  SELECT doc_id AS query_id,
       |         unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
-      |  FROM documents WHERE $queryPred),
+      |  FROM documents WHERE doc_id % $mod = 0),
       |contrib AS (
       |  SELECT q.query_id, o.doc_id,
       |         CAST(round(
@@ -224,14 +278,15 @@ object RetrievalQueries {
       |  FROM qt q
       |  JOIN occ o ON o.t = q.t
       |  JOIN dfT f ON f.t = q.t
-      |  JOIN dl d ON d.doc_id = o.doc_id, st),
+      |  JOIN dl d ON d.doc_id = o.doc_id, st
+      |  WHERE o.doc_id % $mod <> 0),
       |sc AS (
       |  SELECT query_id, doc_id, CAST(SUM(c_q) AS BIGINT) AS score_q
       |  FROM contrib GROUP BY query_id, doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_bm25_topk" ->
-      s"""WITH ${bm25Ctes("doc_id % 37 = 0")}
+      s"""WITH ${bm25Ctes(37)}
         |SELECT query_id, rank, doc_id, score_q FROM (
         |  SELECT query_id, doc_id, score_q,
         |         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -239,7 +294,7 @@ object RetrievalQueries {
         |  FROM sc) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "search_hybrid_rrf" ->
-      s"""WITH ${bm25Ctes("doc_id % 50 = 0")},
+      s"""WITH ${bm25Ctes(50)},
         |lex AS (
         |  SELECT query_id, doc_id AS id, rank FROM (
         |    SELECT query_id, doc_id, score_q,
@@ -271,7 +326,7 @@ object RetrievalQueries {
         |  FROM fused) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "training_pairs_mined" ->
-      s"""WITH ${bm25Ctes("doc_id % 50 = 0")},
+      s"""WITH ${bm25Ctes(50)},
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |anch AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id % 50 = 0),
         |corp AS (SELECT vec_id AS id, vec AS nvec FROM e WHERE vec_id % 50 <> 0),

@@ -23,13 +23,19 @@ object SignalMemo {
     val hit = memo.get(key)
     if (hit != null) hit
     else {
-      val built = memo.computeIfAbsent(key, _ => build.localCheckpoint())
+      // build OUTSIDE the map op: signal builders nest (the bm25 probe
+      // memo builds on the occ-index memo), and a nested
+      // computeIfAbsent on the same ConcurrentHashMap throws
+      // "Recursive update". A racing duplicate build is benign (both
+      // are deterministic; putIfAbsent keeps the first).
+      val built = build.localCheckpoint()
+      val prev = memo.putIfAbsent(key, built)
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
           memo.keySet.removeIf(_._1 eq spark)
       })
-      built
+      if (prev != null) prev else built
     }
   }
 }

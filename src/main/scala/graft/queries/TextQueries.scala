@@ -215,19 +215,24 @@ object TextQueries {
     // same u16 value as u16Of, via one conv() builtin instead of four
     // interpreted nibble CASEs — HOF lambdas don't codegen, so per-token
     // expression weight is the whole cost of this scan
-    val keepMask = transform(
+    // guard like shinglesHof: sequence(0, n-1) flips descending when
+    // n = 0, and element_at on the empty mask would then throw — safe
+    // today only because tokens() never yields an empty array, but the
+    // guard costs one codegen branch
+    val keepMask = when(size(col("w")) >= 1, transform(
       sequence(lit(0), size(col("w")) - 1),
       i => (conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
-        i.cast("string"), lit("|aug"))), 1, 4), 16, 10).cast("int") >= 6554).cast("int"))
+        i.cast("string"), lit("|aug"))), 1, 4), 16, 10).cast("int") >= 6554).cast("int")))
+      .otherwise(array().cast("array<int>"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .withColumn("keep", keepMask)
       .select(col("doc_id"),
         size(col("w")).as("n_tokens"),
         expr("size(filter(keep, k -> k = 0))").as("n_dropped"),
-        array_join(expr(
+        when(size(col("w")) >= 1, array_join(expr(
           "transform(filter(sequence(0, size(w)-1), i -> element_at(keep, i+1) = 1)," +
-            " i -> element_at(w, i+1))"), " ").as("aug_text"))
+            " i -> element_at(w, i+1))"), " ")).otherwise(lit("")).as("aug_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -288,16 +293,10 @@ object TextQueries {
       .select(col("source"), col("n_docs"), col("rate"))
   }
 
-  /** First 4 md5 hex nibbles of an arbitrary string column as a 16-bit
-    * int — the engine-neutral uniform hash. */
-  private def u16Of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val h = md5(c)
-    def nib(p: Int) = {
-      val a = ascii(substring(h, p, 1))
-      when(a >= 97, a - 87).otherwise(a - 48)
-    }
-    ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
-  }
+  /** The engine-neutral 16-bit md5 uniform hash (single home:
+    * [[graft.functions.TextFunctions.u16]]). */
+  private def u16Of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.u16(c)
 
   /** 16-bit md5 uniform draw per document (first 4 hex nibbles). */
   private def mixU16: org.apache.spark.sql.Column =
