@@ -32,41 +32,48 @@ object RetrievalQueries {
     * index), not at build time — exactly how a production index works:
     * the index contains everything, a contamination/benchmark probe
     * just excludes its own documents from the candidates. */
-  private[graft] def occIndex(spark: SparkSession, dir: String): DataFrame =
-    SignalMemo.cached(spark, dir, "bm25_occ")(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf")))
+  private[graft] def occOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
 
-  /** Per-document token length (doc_id, dl) off the shared index. */
-  private[graft] def dlIndex(spark: SparkSession, dir: String): DataFrame =
-    SignalMemo.cached(spark, dir, "bm25_dl")(
-      occIndex(spark, dir).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+  private[graft] def dlOf(occ: DataFrame): DataFrame =
+    occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
 
   /** idf is a |vocab|-row table and the length normalizer a per-doc
     * scalar — compute each ONCE and carry the doubles through the
     * probe joins, instead of re-deriving ln() and the avgdl divides on
     * every one of the posting-probe's millions of contribution rows
     * (same expression trees, bit-identical doubles, ~2× hot-path). */
+  private[graft] def idfOf(occ: DataFrame, dl: DataFrame): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    occ.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("t"),
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
+  }
+
+  private[graft] def dnormOf(dl: DataFrame): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    dl.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))).as("dnorm"))
+  }
+
+  private[graft] def occIndex(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "bm25_occ")(
+      occOf(Tables.documents(spark, dir)))
+
+  /** Per-document token length (doc_id, dl) off the shared index. */
+  private[graft] def dlIndex(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "bm25_dl")(dlOf(occIndex(spark, dir)))
+
   private[graft] def idfIndex(spark: SparkSession, dir: String): DataFrame =
-    SignalMemo.cached(spark, dir, "bm25_idf") {
-      val dl = dlIndex(spark, dir)
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      occIndex(spark, dir).groupBy(col("t")).agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .select(col("t"),
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
-    }
+    SignalMemo.cached(spark, dir, "bm25_idf")(
+      idfOf(occIndex(spark, dir), dlIndex(spark, dir)))
 
   private[graft] def dnormIndex(spark: SparkSession, dir: String): DataFrame =
-    SignalMemo.cached(spark, dir, "bm25_dnorm") {
-      val dl = dlIndex(spark, dir)
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      dl.crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          (lit(1.2) * (lit(0.25) +
-            lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))).as("dnorm"))
-    }
+    SignalMemo.cached(spark, dir, "bm25_dnorm")(dnormOf(dlIndex(spark, dir)))
 
   /** BM25 (k1=1.2, b=0.75) top-`k` docs per query against prebuilt
     * index tables — the probe is index-shaped: query terms join the
@@ -104,6 +111,18 @@ object RetrievalQueries {
       idfIndex(spark, dir), dnormIndex(spark, dir), k)
   }
 
+  /** [[bm25TopK]] over an arbitrary documents frame with an inline
+    * (unmemoized) index — spec/test entry point; same semantics: index
+    * stats over the FULL frame, query docs excluded at probe time. */
+  private[graft] def bm25TopKOf(docs: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val occ = occOf(docs).localCheckpoint()
+    val dl = dlOf(occ)
+    val queries = docs.filter(isQuery)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(tokens(col("text")))).as("t"))
+    bm25Probe(queries, occ.filter(!isQuery), idfOf(occ, dl), dnormOf(dl), k)
+  }
+
   /** Lexical retrieval: benchmark docs (every 37th, the contamination
     * split) query the rest of the corpus. */
   def bm25(spark: SparkSession, dir: String): DataFrame =
@@ -118,16 +137,30 @@ object RetrievalQueries {
     SignalMemo.cached(spark, dir, "bm25_top20_mod50")(
       bm25TopK(spark, dir, mod = 50, k = 20))
 
-  /** Hybrid retrieval: BM25 and brute-cosine arms over the SAME
-    * query/corpus split (every 50th id queries the rest; vec_id ==
-    * doc_id in the fixtures), fused by reciprocal-rank fusion
-    * (Cormack et al. 2009): score = Σ round(1e9/(60+rank)) over both
-    * 20-deep arms — integer-exact, so ties and order survive any
-    * aggregation order. The vector arm is the labeled brute baseline;
-    * swapping in `sim_topk_ivfpq` is the at-scale configuration. */
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val lex = bm25Top20Mod50(spark, dir)
-      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+  /** The ANN vector arm for the %50 split: IVF-PQ top-20 per query —
+    * memoized Lloyd cells prune the corpus (trained on the full set,
+    * like the shared lexical index), residual-PQ ADC shortlists within
+    * the 4 probed cells, exact integer rerank — ONE ANN pass per
+    * (session, dir) shared by `search_hybrid_rrf` and
+    * `training_pairs_mined`. This is the at-scale configuration: the
+    * per-query work is nProbe/nCells of the codes table, never a
+    * corpus scan. The brute-cosine arm ([[bruteVecTop20]]) survives
+    * only as the recall-floor baseline in RetrievalSpec. */
+  private[graft] def ivfPqTop20Mod50(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "ivfpq_top20_mod50") {
+      val emb = Tables.embeddings(spark, dir)
+      val (cents, assigned) = SimilarityQueries.lloydCells(spark, dir)
+      graft.operators.Pq.ivfPqTopK(cents,
+        assigned.filter(col("vec_id") % 50 =!= 0),
+        emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", dim = 64, m = 8, k = 16,
+        topK = 20, shortlist = 50, nProbe = 4, iters = 1)
+    }
+
+  /** The brute-force cosine top-20 over the same split — the recall
+    * floor the ANN arm is measured against (RetrievalSpec); NOT a
+    * registered configuration: O(|corpus|·|queries|) dies at 100 TB. */
+  private[graft] def bruteVecTop20(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val corpus = emb.filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id").as("id"), col("embedding").as("nvec"))
@@ -135,12 +168,27 @@ object RetrievalQueries {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val vrank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
-    val vec = corpus.crossJoin(broadcast(queries))
+    corpus.crossJoin(broadcast(queries))
       .withColumn("sim",
         round(graft.functions.VectorFunctions.cosine(col("qvec"), col("nvec")), 9))
       .withColumn("rank", row_number().over(vrank))
       .filter(col("rank") <= 20)
       .select(col("query_id"), col("id"), col("rank"))
+  }
+
+  /** Hybrid retrieval: BM25 and IVF-PQ ANN arms over the SAME
+    * query/corpus split (every 50th id queries the rest; vec_id ==
+    * doc_id in the fixtures), fused by reciprocal-rank fusion
+    * (Cormack et al. 2009): score = Σ round(1e9/(60+rank)) over both
+    * 20-deep arms — integer-exact, so ties and order survive any
+    * aggregation order. Both arms are the at-scale configurations:
+    * the lexical arm probes the shared posting index, the vector arm
+    * probes the IVF-PQ index ([[ivfPqTop20Mod50]]). */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Top20Mod50(spark, dir)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val vec = ivfPqTop20Mod50(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
     val rrfRank = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("id"))
     lex.unionByName(vec)
@@ -154,13 +202,14 @@ object RetrievalQueries {
   }
 
   /** Contrastive training-pair mining (the DPR/SimCSE data recipe):
-    * per anchor, the positive is its nearest neighbor by cosine and
-    * the hard negatives are BM25-retrieved docs that are lexically
+    * per anchor, the positive is its nearest neighbor from the IVF-PQ
+    * arm (rank-1 of the shared ANN pass — exact-reranked integer L2)
+    * and the hard negatives are BM25-retrieved docs that are lexically
     * close but NOT semantically near (cosine < 0.35 — the
-    * false-friend band that makes negatives hard). Composes the BM25
-    * posting probe with the vector arm; the candidate set leaving the
-    * retrieval stage is |anchors|·20 ids, so the embedding fetch for
-    * the similarity filter is a tiny semi-join, never a corpus scan. */
+    * false-friend band that makes negatives hard). Composes the two
+    * shared index probes; the candidate set leaving the retrieval
+    * stage is |anchors|·20 ids, so the embedding fetch for the
+    * similarity filter is a tiny semi-join, never a corpus scan. */
   def trainingPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val anchors = emb.filter(col("vec_id") % 50 === 0)
@@ -169,12 +218,8 @@ object RetrievalQueries {
       .select(col("vec_id").as("id"), col("embedding").as("nvec"))
     val simCol = round(
       graft.functions.VectorFunctions.cosine(col("qvec"), col("nvec")), 9)
-    val posRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("id"))
-    val pos = corpusV.crossJoin(broadcast(anchors))
-      .withColumn("sim", simCol)
-      .withColumn("r", row_number().over(posRank)).filter(col("r") === 1)
-      .select(col("query_id"), col("id").as("pos_id"))
+    val pos = ivfPqTop20Mod50(spark, dir).filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
     val negRank = Window.partitionBy(col("query_id"))
       .orderBy(col("rank"), col("id"))
     // the retrieval stage leaves |anchors|·20 ids — broadcast that side
@@ -293,6 +338,8 @@ object RetrievalQueries {
         |                            ORDER BY score_q DESC, doc_id) AS rank
         |  FROM sc) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the vector arm replays the full IVF-PQ chain (ivfPqCtes) with the
+    // corpus restricted to the searched split at probe time
     "search_hybrid_rrf" ->
       s"""WITH ${bm25Ctes(50)},
         |lex AS (
@@ -301,18 +348,13 @@ object RetrievalQueries {
         |           ROW_NUMBER() OVER (PARTITION BY query_id
         |                              ORDER BY score_q DESC, doc_id) AS rank
         |    FROM sc) t WHERE rank <= 20),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |vsc AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
-        |         round(list_cosine_similarity(q.vec, c.vec), 9) AS sim
-        |  FROM e q JOIN e c ON c.vec_id % 50 <> 0
-        |  WHERE q.vec_id % 50 = 0),
+        |${SimilarityQueries.ivfPqCtes(corpusWhere = "WHERE a.vec_id % 50 <> 0")},
         |vec AS (
-        |  SELECT query_id, id, rank FROM (
-        |    SELECT query_id, id, sim,
+        |  SELECT query_id, neighbor_id AS id, rank FROM (
+        |    SELECT query_id, neighbor_id,
         |           ROW_NUMBER() OVER (PARTITION BY query_id
-        |                              ORDER BY sim DESC, id) AS rank
-        |    FROM vsc) t WHERE rank <= 20),
+        |                              ORDER BY qd2, neighbor_id) AS rank
+        |    FROM rr) t WHERE rank <= 20),
         |arms AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
         |fused AS (
         |  SELECT query_id, id,
@@ -325,17 +367,19 @@ object RetrievalQueries {
         |                            ORDER BY rrf DESC, id) AS rank
         |  FROM fused) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the positive comes from the same IVF-PQ rank-1 the hybrid's
+    // vector arm uses (rr replayed by ivfPqCtes, corpus split-restricted)
     "training_pairs_mined" ->
       s"""WITH ${bm25Ctes(50)},
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |${SimilarityQueries.ivfPqCtes(corpusWhere = "WHERE a.vec_id % 50 <> 0")},
         |anch AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id % 50 = 0),
         |corp AS (SELECT vec_id AS id, vec AS nvec FROM e WHERE vec_id % 50 <> 0),
         |pos AS (
-        |  SELECT query_id, id AS pos_id FROM (
-        |    SELECT a.query_id, c.id,
-        |           ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
-        |             round(list_cosine_similarity(a.qvec, c.nvec), 9) DESC, c.id) AS r
-        |    FROM anch a CROSS JOIN corp c) t WHERE r = 1),
+        |  SELECT query_id, neighbor_id AS pos_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY qd2, neighbor_id) AS r
+        |    FROM rr) t WHERE r = 1),
         |lex AS (
         |  SELECT query_id, doc_id AS id, score_q, rank FROM (
         |    SELECT query_id, doc_id, score_q,

@@ -32,7 +32,7 @@ object SimilarityQueries {
   private[graft] def lloydCellsForTest(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     lloydCells(spark, dir)
 
-  private def lloydCells(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[queries] def lloydCells(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val key = (spark, dir)
     val hit = lloydMemo.get(key)
     if (hit != null) hit
@@ -605,58 +605,7 @@ object SimilarityQueries {
     // vectors feed the shared PQ train/encode scaffolding, probed-cell
     // ADC via the per-(query, cell) LUT, exact rerank of the shortlist.
     "sim_topk_ivfpq" ->
-      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |q AS (SELECT vec_id, list_transform(vec, x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM e),
-        |c0 AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
-        |         vec AS centroid
-        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),""".stripMargin +
-        lloydIterCtes(2) + s"""
-        |af AS (
-        |  SELECT vec_id, vec, cell FROM (
-        |    SELECT e.vec_id, e.vec, c.cell,
-        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        |             ${lloydD2("e.vec", "c.centroid")}, c.cell) AS r
-        |    FROM e CROSS JOIN c2 c) t WHERE r = 1),
-        |rq AS (
-        |  SELECT a.vec_id, a.cell,
-        |         list_transform(range(64),
-        |           i -> CAST(round((a.vec[i+1] - c.centroid[i+1]) * 1e6) AS BIGINT)) AS qv
-        |  FROM af a JOIN c2 c ON c.cell = a.cell),
-        |${pqTrainCtes("rq")},
-        |probed AS (
-        |  SELECT query_id, cell, qrv FROM (
-        |    SELECT p.vec_id AS query_id, c.cell,
-        |           list_transform(range(64),
-        |             i -> CAST(round((p.vec[i+1] - c.centroid[i+1]) * 1e6) AS BIGINT)) AS qrv,
-        |           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
-        |             ${lloydD2("p.vec", "c.centroid")}, c.cell) AS r
-        |    FROM e p CROSS JOIN c2 c WHERE p.vec_id % 50 = 0) t WHERE r <= 4),
-        |qb AS (
-        |  SELECT query_id, cell, CAST(b.blk AS INT) AS blk,
-        |         qrv[b.blk*8+1 : b.blk*8+8] AS qv
-        |  FROM probed, range(8) b(blk)),
-        |lut AS (
-        |  SELECT qb.query_id, qb.cell, qb.blk, c.code, ${pqD2("qb.qv", "c.qc")} AS qd2
-        |  FROM qb JOIN cb c ON c.blk = qb.blk),
-        |shortl AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS r
-        |    FROM (
-        |      SELECT l.query_id, a.vec_id AS neighbor_id, SUM(l.qd2) AS adc
-        |      FROM asgn a
-        |      JOIN af f ON f.vec_id = a.vec_id
-        |      JOIN lut l ON l.cell = f.cell AND l.blk = a.blk AND l.code = a.code
-        |      WHERE a.vec_id <> l.query_id
-        |      GROUP BY l.query_id, a.vec_id) c) t WHERE r <= 50),
-        |rr AS (
-        |  SELECT s.query_id, s.neighbor_id,
-        |         CAST(list_sum(list_transform(range(64),
-        |           i -> (qq.qv[i+1]-qn.qv[i+1])*(qq.qv[i+1]-qn.qv[i+1]))) AS BIGINT) AS qd2
-        |  FROM shortl s
-        |  JOIN q qq ON qq.vec_id = s.query_id
-        |  JOIN q qn ON qn.vec_id = s.neighbor_id)
+      (s"""WITH ${ivfPqCtes(corpusWhere = "")}
         |SELECT query_id, rank, neighbor_id, qd2 FROM (
         |  SELECT query_id, neighbor_id, qd2,
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qd2, neighbor_id) AS rank
@@ -777,6 +726,71 @@ object SimilarityQueries {
       |    SELECT vec_id, blk, code, qd2,
       |           ROW_NUMBER() OVER (PARTITION BY vec_id, blk ORDER BY qd2, code) AS r
       |    FROM d1) t WHERE r = 1)""".stripMargin
+
+  /** The full IVF-PQ search oracle chain, shared by `sim_topk_ivfpq`
+    * and the retrieval stack's ANN arm ([[RetrievalQueries]]): Lloyd
+    * cells (2 exact rounds from the md5-seeded init), residual PQ
+    * train/encode over the `corpusWhere`-restricted searchable set,
+    * 4-cell probe, per-(query, cell) residual LUT, ADC shortlist of 50,
+    * exact integer rerank. Ends in `rr` (query_id, neighbor_id, qd2);
+    * queries are the %50 split. `corpusWhere` (e.g.
+    * "WHERE a.vec_id % 50 <> 0") restricts the searchable corpus at
+    * probe time — cells stay trained on the full set, like the shared
+    * session index. */
+  private[queries] def ivfPqCtes(corpusWhere: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(vec, x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM e),
+      |c0 AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+      |         vec AS centroid
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),""".stripMargin +
+      lloydIterCtes(2) + s"""
+      |af AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT e.vec_id, e.vec, c.cell,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |             ${lloydD2("e.vec", "c.centroid")}, c.cell) AS r
+      |    FROM e CROSS JOIN c2 c) t WHERE r = 1),
+      |rq AS (
+      |  SELECT a.vec_id, a.cell,
+      |         list_transform(range(64),
+      |           i -> CAST(round((a.vec[i+1] - c.centroid[i+1]) * 1e6) AS BIGINT)) AS qv
+      |  FROM af a JOIN c2 c ON c.cell = a.cell
+      |  $corpusWhere),
+      |${pqTrainCtes("rq")},
+      |probed AS (
+      |  SELECT query_id, cell, qrv FROM (
+      |    SELECT p.vec_id AS query_id, c.cell,
+      |           list_transform(range(64),
+      |             i -> CAST(round((p.vec[i+1] - c.centroid[i+1]) * 1e6) AS BIGINT)) AS qrv,
+      |           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+      |             ${lloydD2("p.vec", "c.centroid")}, c.cell) AS r
+      |    FROM e p CROSS JOIN c2 c WHERE p.vec_id % 50 = 0) t WHERE r <= 4),
+      |qb AS (
+      |  SELECT query_id, cell, CAST(b.blk AS INT) AS blk,
+      |         qrv[b.blk*8+1 : b.blk*8+8] AS qv
+      |  FROM probed, range(8) b(blk)),
+      |lut AS (
+      |  SELECT qb.query_id, qb.cell, qb.blk, c.code, ${pqD2("qb.qv", "c.qc")} AS qd2
+      |  FROM qb JOIN cb c ON c.blk = qb.blk),
+      |shortl AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS r
+      |    FROM (
+      |      SELECT l.query_id, a.vec_id AS neighbor_id, SUM(l.qd2) AS adc
+      |      FROM asgn a
+      |      JOIN af f ON f.vec_id = a.vec_id
+      |      JOIN lut l ON l.cell = f.cell AND l.blk = a.blk AND l.code = a.code
+      |      WHERE a.vec_id <> l.query_id
+      |      GROUP BY l.query_id, a.vec_id) c) t WHERE r <= 50),
+      |rr AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |         CAST(list_sum(list_transform(range(64),
+      |           i -> (qq.qv[i+1]-qn.qv[i+1])*(qq.qv[i+1]-qn.qv[i+1]))) AS BIGINT) AS qd2
+      |  FROM shortl s
+      |  JOIN q qq ON qq.vec_id = s.query_id
+      |  JOIN q qn ON qn.vec_id = s.neighbor_id)""".stripMargin
 
   /** Raw-vector PQ: quantized embeddings feed [[pqTrainCtes]]. */
   private def pqCtes =

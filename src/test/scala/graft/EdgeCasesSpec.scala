@@ -56,9 +56,9 @@ class EdgeCasesSpec extends SparkSpec {
       (0L, "alpha beta gamma"), // the query — shares no term with corpus
       (1L, "delta epsilon zeta"), (2L, "eta theta iota")
     ).toDF("doc_id", "text")
-    assert(RetrievalQueries.bm25TopK(docs, col("doc_id") === 0, k = 5).count() === 0)
+    assert(RetrievalQueries.bm25TopKOf(docs, col("doc_id") === 0, k = 5).count() === 0)
     // and an empty corpus side (everything is a query)
-    assert(RetrievalQueries.bm25TopK(docs, lit(true), k = 5).count() === 0)
+    assert(RetrievalQueries.bm25TopKOf(docs, lit(true), k = 5).count() === 0)
   }
 
   test("as-of join with an empty right side keeps all left rows unmatched") {
