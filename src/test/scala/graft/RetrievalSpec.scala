@@ -88,6 +88,32 @@ class RetrievalSpec extends SparkSpec {
     assert(mean >= 0.4, s"mean recall@20 $mean under the 0.4 floor")
   }
 
+  test("persisted posting index: bucketed probe is exchange-free on the index side " +
+      "and matches the in-session index") {
+    val table = RetrievalQueries.postingIndexTable(spark, sf)
+    // the probe join alone, broadcast disabled: the postings side must
+    // read its buckets directly — exactly ONE hash exchange (the tiny
+    // query-terms side), zero above the bucketed index scan
+    val queries = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("t"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = queries.join(
+        spark.table(table).filter(col("doc_id") % 37 =!= 0), Seq("t"))
+      val plan = probe.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1,
+        s"expected 1 exchange (query side only), the bucketed index must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // end-to-end: identical relation to the in-session shared index
+    val indexed = RetrievalQueries.bm25Indexed(spark, sf).collect().toSeq
+    val base = RetrievalQueries.bm25(spark, sf).collect().toSeq
+    assert(indexed === base, "persisted-index probe diverged from the shared session index")
+  }
+
   test("mined training pairs: negatives are lexically close but semantically far") {
     val rows = RetrievalQueries.trainingPairs(spark, sf).collect()
     assert(rows.nonEmpty)
