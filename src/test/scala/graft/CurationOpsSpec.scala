@@ -114,6 +114,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(fp.toDouble / negatives < 0.5, "fp rate should stay well under load^k bound noise")
   }
 
+  test("written signal tables: curation_decisions in a second session reuses " +
+      "the first session's files byte-identically") {
+    import graft.queries.SignalMemo
+    val root = java.nio.file.Files.createTempDirectory("graft_signals").toString
+    def signalFiles(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
+        .map(p => p.toString ->
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis, java.nio.file.Files.size(p)))
+        .toMap
+    }
+    // fresh sessions: the suite's shared session already holds warm
+    // in-memory memos for sf, which would mask the disk path
+    val sA = spark.newSession()
+    sA.conf.set(SignalMemo.signalDirKey, root)
+    val first = graft.queries.TextQueries.curationDecisions(sA, sf).collect().toSeq
+    val files = signalFiles()
+    assert(files.nonEmpty, "session A must have written signal tables")
+    val sB = spark.newSession()
+    sB.conf.set(SignalMemo.signalDirKey, root)
+    val second = graft.queries.TextQueries.curationDecisions(sB, sf).collect().toSeq
+    assert(second === first, "second session diverged from the written signals")
+    assert(signalFiles() === files,
+      "second session rewrote signal tables instead of reading them back")
+  }
+
   test("bloom screen: the bit-position space is 16-bit (broadcastable at any corpus size)") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf)
