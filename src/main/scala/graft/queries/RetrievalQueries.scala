@@ -314,16 +314,15 @@ object RetrievalQueries {
     * cross-row aggregation, no watermark, no state store); the
     * downstream index merge is an idempotent partition overwrite keyed
     * by doc_id. */
-  def bm25PostingsStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    // per-token counts in ONE pass per row (sort + run-length over the
-    // sorted array), not one filter scan per distinct token — the latter
-    // is O(distinct_tokens × doc_length) per document, quadratic for
-    // long documents and at odds with scan-speed index maintenance
+  /** Stateless per-row posting emission over a documents frame
+    * (streaming OR batch — the same expressions serve both, which is
+    * what makes the stream==batch oracle possible): (doc_id [,carry…],
+    * t, tf, dl). Per-token counts come from ONE pass per row (sort +
+    * run-length over the sorted token array), not one filter scan per
+    * distinct token — the latter is O(distinct_tokens × doc_length)
+    * per document, quadratic for long documents and at odds with
+    * scan-speed index maintenance. */
+  private[graft] def postingRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val ws = array_sort(col("w"))
     val starts = filter(sequence(lit(0), size(ws) - 1),
       i => i === 0 || element_at(ws, i + 1) =!= element_at(ws, i))
@@ -333,17 +332,32 @@ object RetrievalQueries {
     val runs = when(size(col("starts")) >= 1, zip_with(col("starts"), nexts,
       (s, e) => struct(element_at(ws, s + 1).as("t"), (e - s).as("tf"))))
       .otherwise(array().cast("array<struct<t:string,tf:int>>"))
-    val postings = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      .filter(col("source") === "src0")
+    docs
       .withColumn("w", tokens(col("text")))
       // tokens() never yields an empty array (split of a trimmed string
       // has ≥1 element), but guard the sequence like shinglesHof does
       .withColumn("starts",
         when(size(col("w")) >= 1, starts).otherwise(array().cast("array<int>")))
-      .select(col("doc_id"), size(col("w")).as("dl"),
-        explode(runs).as("r"))
-      .select(col("doc_id"), col("r.t").as("t"), col("r.tf").as("tf"), col("dl"))
+      .select(col("doc_id") +: carry.map(col) :+
+        size(col("w")).as("dl") :+ explode(runs).as("r"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("r.t").as("t") :+ col("r.tf").as("tf") :+ col("dl"): _*)
+  }
+
+  private[graft] def documentsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
+  def bm25PostingsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val postings = postingRows(
+      spark.readStream.schema(documentsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("source") === "src0"))
+      .select(col("doc_id"), col("t"), col("tf"), col("dl"))
     val name = "bm25_post_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = postings.writeStream.format("memory").queryName(name)
       .outputMode("append")
@@ -351,6 +365,34 @@ object RetrievalQueries {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy(col("doc_id"), col("t"))
+  }
+
+  /** The consumer of the streamed postings: merge a crawl batch into a
+    * partitioned on-disk posting index via IDEMPOTENT dynamic partition
+    * overwrite keyed by the batch's partition column (`source` here —
+    * at 100 TB, a crawl/batch id) — re-delivery of a batch rewrites
+    * exactly its own partitions, so at-least-once stream delivery still
+    * yields exactly-once index contents (spec-asserted: running the
+    * stream twice leaves the index equal to the one-shot batch rebuild,
+    * and BM25 scores over the merged index match it). Runs to
+    * completion (AvailableNow). */
+  def mergePostingsStream(spark: SparkSession, dir: String, indexDir: String,
+      checkpoint: String, sourceId: String): Unit = {
+    val fresh = postingRows(
+      spark.readStream.schema(documentsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("source") === sourceId),
+      carry = Seq("source"))
+    val q = fresh.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("source").parquet(indexDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

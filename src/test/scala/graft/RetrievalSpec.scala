@@ -114,6 +114,39 @@ class RetrievalSpec extends SparkSpec {
     assert(indexed === base, "persisted-index probe diverged from the shared session index")
   }
 
+  test("streamed posting maintenance: base index + streamed batch (delivered twice) " +
+      "equals the batch rebuild, scores included") {
+    import graft.sources.Tables
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val idx = tmp("graft_postidx")
+    val docs = Tables.documents(spark, sf)
+    // base index: the historical corpus, partitioned by source
+    RetrievalQueries.postingRows(docs.filter(col("source") =!= "src0"), Seq("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(idx)
+    // stream the fresh crawl batch in TWICE (fresh checkpoints = a full
+    // re-delivery): the dynamic partition overwrite must be idempotent
+    RetrievalQueries.mergePostingsStream(spark, sf, idx, tmp("graft_ck1"), "src0")
+    RetrievalQueries.mergePostingsStream(spark, sf, idx, tmp("graft_ck2"), "src0")
+    val mergedOcc = spark.read.parquet(idx)
+      .select(col("doc_id"), col("t"), col("tf").cast("long").as("tf"))
+    val rebuiltOcc = RetrievalQueries.occOf(docs)
+    assert(mergedOcc.exceptAll(rebuiltOcc).count() === 0 &&
+      rebuiltOcc.exceptAll(mergedOcc).count() === 0,
+      "merged index contents diverged from the batch rebuild")
+    // BM25 scores probed off the merged index == the batch rebuild's
+    val queries = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("t"))
+    val dlM = RetrievalQueries.dlOf(mergedOcc)
+    val merged = RetrievalQueries.bm25Probe(queries,
+        mergedOcc.filter(col("doc_id") % 37 =!= 0),
+        RetrievalQueries.idfOf(mergedOcc, dlM), RetrievalQueries.dnormOf(dlM), k = 10)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val rebuilt = RetrievalQueries.bm25TopKOf(docs, col("doc_id") % 37 === 0, k = 10)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(merged === rebuilt, "scores over the merged index diverged from the batch rebuild")
+  }
+
   test("mined training pairs: negatives are lexically close but semantically far") {
     val rows = RetrievalQueries.trainingPairs(spark, sf).collect()
     assert(rows.nonEmpty)
