@@ -129,15 +129,18 @@ object DedupQueries {
       "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
-  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
-      .orderBy(col("id_a"), col("id_b"))
-
   /** md5-family simhash with maxHamming=3 < bands=4: the banding is
     * exact (pigeonhole) and the hash is engine-neutral, so this variant
     * carries a FULL oracle — the DuckDB side rebuilds each 64-bit
     * signature from md5 hex nibbles and brute-forces the hamming
-    * filter. maxBucket is sized to never bind at oracle scale. */
+    * filter. maxBucket is sized to never bind at oracle scale.
+    *
+    * This row gates the WHOLE simhash family: the xxhash64 fast path
+    * (`Dedup.simhashNearDups` default) is the same banding/rerank
+    * machinery with only the hash swapped — it is not approximate,
+    * just engine-private, so it is pinned by DedupSpec (hamming laws,
+    * fused==HOF bit-equality, repartition determinism) instead of a
+    * weaker rows-only gate entry. */
   def dedupSimhashMd5Pairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
       maxHamming = 3, maxBucket = 1000000, useMd5 = true)
@@ -225,7 +228,6 @@ object DedupQueries {
     "dedup_bloom_probe" -> (dedupBloomProbe _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_simhash_md5_pairs" -> (dedupSimhashMd5Pairs _)
   )
 

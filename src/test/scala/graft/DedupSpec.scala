@@ -113,6 +113,23 @@ class DedupSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("xxhash64 simhash fast path: hamming bound respected, repartition-deterministic " +
+      "(its gate coverage — the hash is engine-private, not approximate)") {
+    val real = graft.sources.Tables.documents(spark, sf)
+    val a = Dedup.simhashNearDups(real, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().sorted.toSeq
+    val b = Dedup.simhashNearDups(real.repartition(7), "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(a === b, "fast-path pairs must not depend on partitioning")
+    // every emitted pair honors the rerank threshold against recomputed sigs
+    val sigs = real.select($"doc_id", Dedup.simhash64(TextFunctions.tokens($"text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    a.foreach { case (ia, ib, h) =>
+      assert(java.lang.Long.bitCount(sigs(ia) ^ sigs(ib)) === h && h <= 8,
+        s"pair ($ia,$ib) violates the hamming contract")
+    }
+  }
+
   test("connected components: chains collapse transitively, islands stay apart") {
     // chain 1-2-3-4 (diameter 3), pair 10-11, pair 20-21 bridged to 10 via 11-20
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
