@@ -18,7 +18,17 @@ object Bucketing {
     * table catalog; plain path writes can't carry bucket metadata). */
   def writeBucketed(
       df: DataFrame, table: String, key: String, buckets: Int,
-      sortCols: Seq[String] = Nil): Unit =
+      sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets tables across JVMs while the
+    // warehouse directory survives — Overwrite then can't drop the
+    // unknown table and CREATE trips over the orphaned location, so
+    // clear both explicitly before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
@@ -26,6 +36,7 @@ object Bucketing {
         (if (sortCols.isEmpty) Seq(key) else sortCols).tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }
