@@ -75,6 +75,19 @@ object RetrievalQueries {
   private[graft] def dnormIndex(spark: SparkSession, dir: String): DataFrame =
     SignalMemo.cached(spark, dir, "bm25_dnorm")(dnormOf(dlIndex(spark, dir)))
 
+  /** The DENORMALIZED session index (doc_id, t, tf, idf, dnorm) — idf
+    * and the length normalizer joined into the posting rows ONCE at
+    * build time, so every probe is a single term join + one score agg
+    * (the per-probe dnorm equi-join was a full shuffle of the
+    * contribution stream — measured ~2× on the big probes). Same rows
+    * [[writePostingIndex]] persists. */
+  private[graft] def postingsIndex(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "bm25_postings")(
+      occIndex(spark, dir)
+        .join(broadcast(idfIndex(spark, dir)), Seq("t"))
+        .join(dnormIndex(spark, dir), Seq("doc_id"))
+        .select(col("doc_id"), col("t"), col("tf"), col("idf"), col("dnorm")))
+
   /** BM25 (k1=1.2, b=0.75) top-`k` docs per query against prebuilt
     * index tables — the probe is index-shaped: query terms join the
     * posting lists (only matching postings move), idf broadcasts,
@@ -82,12 +95,17 @@ object RetrievalQueries {
     * (round(idf·w·1e6) BEFORE the cross-row sum — see the object doc). */
   private[graft] def bm25Probe(
       queries: DataFrame, occ: DataFrame, dfT: DataFrame, dln: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    bm25ProbeDenorm(queries,
+      occ.join(broadcast(dfT), Seq("t")).join(dln, Seq("doc_id")), k)
+
+  /** The probe over DENORMALIZED postings (doc_id, t, tf, idf, dnorm):
+    * one term join, one score agg — nothing else moves. */
+  private[graft] def bm25ProbeDenorm(
+      queries: DataFrame, postings: DataFrame, k: Int): DataFrame = {
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
-    queries.join(occ, Seq("t"))
-      .join(broadcast(dfT), Seq("t"))
-      .join(dln, Seq("doc_id"))
+    queries.join(postings, Seq("t"))
       .withColumn("c_q", round(
         col("idf") * (col("tf") * 2.2 / (col("tf") + col("dnorm"))) * 1e6).cast("long"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -106,9 +124,8 @@ object RetrievalQueries {
       .filter(col("doc_id") % mod === 0)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(tokens(col("text")))).as("t"))
-    bm25Probe(queries,
-      occIndex(spark, dir).filter(col("doc_id") % mod =!= 0),
-      idfIndex(spark, dir), dnormIndex(spark, dir), k)
+    bm25ProbeDenorm(queries,
+      postingsIndex(spark, dir).filter(col("doc_id") % mod =!= 0), k)
   }
 
   /** [[bm25TopK]] over an arbitrary documents frame with an inline
@@ -134,32 +151,17 @@ object RetrievalQueries {
     * is the bucketed-by-term index table every query wave reads;
     * bucket count scales with corpus size. */
   def writePostingIndex(spark: SparkSession, dir: String, table: String,
-      buckets: Int = 8): Unit = {
-    val postings = occIndex(spark, dir)
-      .join(broadcast(idfIndex(spark, dir)), Seq("t"))
-      .join(dnormIndex(spark, dir), Seq("doc_id"))
-      .select(col("doc_id"), col("t"), col("tf"), col("idf"), col("dnorm"))
-    graft.sources.Bucketing.writeBucketed(postings, table, "t", buckets,
-      sortCols = Seq("t", "doc_id"))
-  }
+      buckets: Int = 8): Unit =
+    graft.sources.Bucketing.writeBucketed(postingsIndex(spark, dir), table,
+      "t", buckets, sortCols = Seq("t", "doc_id"))
 
   /** Probe a persisted posting index: query terms join the bucketed
     * postings on `t` (exchange-free on the index side — spec-asserted),
     * candidates outside `corpusPred` drop via a pushed filter, scores
     * are the same integer micro-units as [[bm25Probe]]. */
   def bm25TopKIndexed(spark: SparkSession, table: String, queries: DataFrame,
-      corpusPred: Column, k: Int): DataFrame = {
-    val rank = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_q").desc, col("doc_id"))
-    queries.join(spark.table(table).filter(corpusPred), Seq("t"))
-      .withColumn("c_q", round(
-        col("idf") * (col("tf") * 2.2 / (col("tf") + col("dnorm"))) * 1e6).cast("long"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("c_q")).as("score_q"))
-      .withColumn("rank", row_number().over(rank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score_q"))
-  }
+      corpusPred: Column, k: Int): DataFrame =
+    bm25ProbeDenorm(queries, spark.table(table).filter(corpusPred), k)
 
   /** One bucketed index table per (session, dir) — the write happens
     * once (SignalMemo side-effect guard) and every probe reads it. */
