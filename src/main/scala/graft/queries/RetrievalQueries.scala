@@ -164,7 +164,12 @@ object RetrievalQueries {
     bm25ProbeDenorm(queries, spark.table(table).filter(corpusPred), k)
 
   /** One bucketed index table per (session, dir) — the write happens
-    * once (SignalMemo side-effect guard) and every probe reads it. */
+    * once (SignalMemo side-effect guard) and every probe reads it.
+    * Cross-RUN persistence needs a persistent metastore (bucket
+    * metadata lives in the catalog, not the files): with this image's
+    * in-memory catalog each JVM rebuilds the table; against a real
+    * Hive/Glue catalog the same code writes once and every later run
+    * probes the existing table. */
   private[graft] def postingIndexTable(spark: SparkSession, dir: String): String = {
     val table = "graft_postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     SignalMemo.cached(spark, dir, "bm25_index_written") {
