@@ -114,6 +114,23 @@ class RetrievalSpec extends SparkSpec {
     assert(indexed === base, "persisted-index probe diverged from the shared session index")
   }
 
+  test("postingRows: sorted run-length tf counts match brute counts, dl is total length") {
+    val docs = Seq(
+      (1L, "b a b b"),
+      (2L, "x"),
+      (3L, "  c   c  "),
+      (4L, "z y z y z")
+    ).toDF("doc_id", "text")
+    val rows = RetrievalQueries.postingRows(docs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("t")) ->
+        (r.getAs[Int]("tf"), r.getAs[Int]("dl"))).toMap
+    assert(rows === Map(
+      (1L, "a") -> (1, 4), (1L, "b") -> (3, 4),
+      (2L, "x") -> (1, 1),
+      (3L, "c") -> (2, 2),
+      (4L, "y") -> (2, 5), (4L, "z") -> (3, 5)))
+  }
+
   test("streamed posting maintenance: base index + streamed batch (delivered twice) " +
       "equals the batch rebuild, scores included") {
     import graft.sources.Tables
