@@ -210,17 +210,45 @@ object Pq {
     * born cell-partitioned — exactly how the persisted index would be
     * laid out — and candidate generation touches only probed
     * partitions. No corpus-corpus join anywhere. */
-  def ivfPqTopK(cents: DataFrame, assigned: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, dim: Int, m: Int, k: Int,
-      topK: Int, shortlist: Int, nProbe: Int, iters: Int = 1): DataFrame = {
-    val subDim = dim / m
-    val res = assigned.join(broadcast(cents), Seq("cell"))
+  /** Build the IVF-PQ index over the WHOLE assigned corpus: the
+    * residual sub-codebook plus the exploded codes table (id, cell,
+    * blk, code). Build once (memoize/persist), probe many times —
+    * query-set exclusions belong at SEARCH time ([[ivfPqSearchWith]]'s
+    * `corpusPred`), exactly like the shared lexical posting index. */
+  /** Residual vectors (id, cell, rvec) for an assigned corpus — the
+    * IVF-PQ training/encoding input. */
+  def residuals(cents: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assigned.join(broadcast(cents), Seq("cell"))
       .select(col(idCol), col("cell"),
         residual(col(vecCol), col("centroid")).as("rvec"))
-    val cb = codebook(res, idCol, "rvec", dim, m, k, iters)
-    val codes = encode(res, cb, idCol, "rvec", dim, m, carry = Seq("cell"))
+
+  /** The exploded codes table (id, cell, blk, code) for `res` under
+    * `cb` — the searchable half of the index. */
+  def explodedCodes(res: DataFrame, cb: DataFrame, idCol: String,
+      dim: Int, m: Int): DataFrame =
+    encode(res, cb, idCol, "rvec", dim, m, carry = Seq("cell"))
       .select(col("id"), col("cell"), posexplode(col("codes")).as(Seq("blk", "code")))
       .select(col("id"), col("cell"), col("blk").cast("int").as("blk"), col("code"))
+
+  def ivfPqIndex(cents: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int,
+      iters: Int = 1): (DataFrame, DataFrame) = {
+    val res = residuals(cents, assigned, idCol, vecCol)
+    val cb = codebook(res, idCol, "rvec", dim, m, k, iters)
+    (cb, explodedCodes(res, cb, idCol, dim, m))
+  }
+
+  /** Search a prebuilt IVF-PQ index. `corpusPred` (over `neighbor_id`)
+    * restricts the searchable corpus at probe time — candidates
+    * outside it never enter the shortlist; `rerankCorpus` supplies the
+    * raw vectors for the exact rerank (pass the same restriction). */
+  def ivfPqSearchWith(cents: DataFrame, cb: DataFrame, codes: DataFrame,
+      rerankCorpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int,
+      topK: Int, shortlist: Int, nProbe: Int,
+      corpusPred: Column = lit(true)): DataFrame = {
+    val subDim = dim / m
     val probeRank = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("cell"))
     val probed = queries
@@ -244,12 +272,13 @@ object Pq {
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("qd2")).as("adc"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(corpusPred)
       .withColumn("r", row_number().over(adcRank))
       .filter(col("r") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
     val qfull = quantized(queries, idCol, vecCol).withColumnsRenamed(
       Map("id" -> "query_id", "qfull" -> "qq"))
-    val nfull = quantized(assigned, idCol, vecCol).withColumnsRenamed(
+    val nfull = quantized(rerankCorpus, idCol, vecCol).withColumnsRenamed(
       Map("id" -> "neighbor_id", "qfull" -> "qn"))
     val exactRank = Window.partitionBy(col("query_id"))
       .orderBy(col("qd2"), col("neighbor_id"))
@@ -260,5 +289,13 @@ object Pq {
       .withColumn("rank", row_number().over(exactRank))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("qd2"))
+  }
+
+  def ivfPqTopK(cents: DataFrame, assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int,
+      topK: Int, shortlist: Int, nProbe: Int, iters: Int = 1): DataFrame = {
+    val (cb, codes) = ivfPqIndex(cents, assigned, idCol, vecCol, dim, m, k, iters)
+    ivfPqSearchWith(cents, cb, codes, assigned, queries,
+      idCol, vecCol, dim, m, topK, shortlist, nProbe)
   }
 }

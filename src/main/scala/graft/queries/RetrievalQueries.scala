@@ -220,11 +220,13 @@ object RetrievalQueries {
     SignalMemo.cached(spark, dir, "ivfpq_top20_mod50") {
       val emb = Tables.embeddings(spark, dir)
       val (cents, assigned) = SimilarityQueries.lloydCells(spark, dir)
-      graft.operators.Pq.ivfPqTopK(cents,
+      val (cb, codes) = SimilarityQueries.ivfPqSharedIndex(spark, dir)
+      graft.operators.Pq.ivfPqSearchWith(cents, cb, codes,
         assigned.filter(col("vec_id") % 50 =!= 0),
         emb.filter(col("vec_id") % 50 === 0),
-        "vec_id", "embedding", dim = 64, m = 8, k = 16,
-        topK = 20, shortlist = 50, nProbe = 4, iters = 1)
+        "vec_id", "embedding", dim = 64, m = 8,
+        topK = 20, shortlist = 50, nProbe = 4,
+        corpusPred = col("neighbor_id") % 50 =!= 0)
     }
 
   /** The brute-force cosine top-20 over the same split — the recall
@@ -467,7 +469,7 @@ object RetrievalQueries {
         |           ROW_NUMBER() OVER (PARTITION BY query_id
         |                              ORDER BY score_q DESC, doc_id) AS rank
         |    FROM sc) t WHERE rank <= 20),
-        |${SimilarityQueries.ivfPqCtes(corpusWhere = "WHERE a.vec_id % 50 <> 0")},
+        |${SimilarityQueries.ivfPqCtes(shortlistPred = " AND a.vec_id % 50 <> 0")},
         |vec AS (
         |  SELECT query_id, neighbor_id AS id, rank FROM (
         |    SELECT query_id, neighbor_id,
@@ -490,7 +492,7 @@ object RetrievalQueries {
     // vector arm uses (rr replayed by ivfPqCtes, corpus split-restricted)
     "training_pairs_mined" ->
       s"""WITH ${bm25Ctes(50)},
-        |${SimilarityQueries.ivfPqCtes(corpusWhere = "WHERE a.vec_id % 50 <> 0")},
+        |${SimilarityQueries.ivfPqCtes(shortlistPred = " AND a.vec_id % 50 <> 0")},
         |anch AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id % 50 = 0),
         |corp AS (SELECT vec_id AS id, vec AS nvec FROM e WHERE vec_id % 50 <> 0),
         |pos AS (

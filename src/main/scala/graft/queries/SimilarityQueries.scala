@@ -139,6 +139,22 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ONE full-corpus IVF-PQ index per (session, dir) — residual
+    * codebook + exploded codes over the memoized Lloyd cells, shared
+    * by `sim_topk_ivfpq` and the retrieval stack's ANN arm
+    * ([[RetrievalQueries]]); query splits exclude their docs at probe
+    * time (`ivfPqSearchWith`'s corpusPred), the same
+    * build-once/probe-many shape as the lexical posting index. */
+  private[queries] def ivfPqSharedIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (cents, assigned) = lloydCells(spark, dir)
+    val res = graft.operators.Pq.residuals(cents, assigned, "vec_id", "embedding")
+    val cb = SignalMemo.cached(spark, dir, "ivfpq_codebook")(
+      graft.operators.Pq.codebook(res, "vec_id", "rvec", dim = 64, m = 8, k = 16, iters = 1))
+    val codes = SignalMemo.cached(spark, dir, "ivfpq_codes")(
+      graft.operators.Pq.explodedCodes(res, cb, "vec_id", dim = 64, m = 8))
+    (cb, codes)
+  }
+
   /** IVF-PQ (IVFADC): the memoized Lloyd cells prune the corpus, PQ
     * codes over RESIDUALS rank within the 4 probed cells, and the
     * 50-candidate shortlist reranks exactly. The codes table is born
@@ -147,9 +163,10 @@ object SimilarityQueries {
   def simTopKIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val (cents, assigned) = lloydCells(spark, dir)
-    graft.operators.Pq.ivfPqTopK(cents, assigned, queriesSubset(emb),
-      "vec_id", "embedding", dim = 64, m = 8, k = 16,
-      topK = 10, shortlist = 50, nProbe = 4, iters = 1)
+    val (cb, codes) = ivfPqSharedIndex(spark, dir)
+    graft.operators.Pq.ivfPqSearchWith(cents, cb, codes, assigned,
+      queriesSubset(emb), "vec_id", "embedding", dim = 64, m = 8,
+      topK = 10, shortlist = 50, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -605,7 +622,7 @@ object SimilarityQueries {
     // vectors feed the shared PQ train/encode scaffolding, probed-cell
     // ADC via the per-(query, cell) LUT, exact rerank of the shortlist.
     "sim_topk_ivfpq" ->
-      (s"""WITH ${ivfPqCtes(corpusWhere = "")}
+      (s"""WITH ${ivfPqCtes(shortlistPred = "")}
         |SELECT query_id, rank, neighbor_id, qd2 FROM (
         |  SELECT query_id, neighbor_id, qd2,
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qd2, neighbor_id) AS rank
@@ -730,14 +747,14 @@ object SimilarityQueries {
   /** The full IVF-PQ search oracle chain, shared by `sim_topk_ivfpq`
     * and the retrieval stack's ANN arm ([[RetrievalQueries]]): Lloyd
     * cells (2 exact rounds from the md5-seeded init), residual PQ
-    * train/encode over the `corpusWhere`-restricted searchable set,
-    * 4-cell probe, per-(query, cell) residual LUT, ADC shortlist of 50,
-    * exact integer rerank. Ends in `rr` (query_id, neighbor_id, qd2);
-    * queries are the %50 split. `corpusWhere` (e.g.
-    * "WHERE a.vec_id % 50 <> 0") restricts the searchable corpus at
-    * probe time — cells stay trained on the full set, like the shared
-    * session index. */
-  private[queries] def ivfPqCtes(corpusWhere: String): String =
+    * train/encode over the FULL corpus (the index is split-agnostic,
+    * built once — mirroring [[ivfPqSharedIndex]]), 4-cell probe,
+    * per-(query, cell) residual LUT, ADC shortlist of 50, exact
+    * integer rerank. Ends in `rr` (query_id, neighbor_id, qd2);
+    * queries are the %50 split. `shortlistPred` (e.g.
+    * " AND a.vec_id % 50 <> 0") restricts the searchable corpus at
+    * PROBE time — candidates outside it never enter the shortlist. */
+  private[queries] def ivfPqCtes(shortlistPred: String): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
       |q AS (SELECT vec_id, list_transform(vec, x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM e),
       |c0 AS (
@@ -755,8 +772,7 @@ object SimilarityQueries {
       |  SELECT a.vec_id, a.cell,
       |         list_transform(range(64),
       |           i -> CAST(round((a.vec[i+1] - c.centroid[i+1]) * 1e6) AS BIGINT)) AS qv
-      |  FROM af a JOIN c2 c ON c.cell = a.cell
-      |  $corpusWhere),
+      |  FROM af a JOIN c2 c ON c.cell = a.cell),
       |${pqTrainCtes("rq")},
       |probed AS (
       |  SELECT query_id, cell, qrv FROM (
@@ -782,7 +798,7 @@ object SimilarityQueries {
       |      FROM asgn a
       |      JOIN af f ON f.vec_id = a.vec_id
       |      JOIN lut l ON l.cell = f.cell AND l.blk = a.blk AND l.code = a.code
-      |      WHERE a.vec_id <> l.query_id
+      |      WHERE a.vec_id <> l.query_id$shortlistPred
       |      GROUP BY l.query_id, a.vec_id) c) t WHERE r <= 50),
       |rr AS (
       |  SELECT s.query_id, s.neighbor_id,
