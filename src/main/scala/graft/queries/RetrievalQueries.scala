@@ -100,20 +100,24 @@ object RetrievalQueries {
       occ.join(broadcast(dfT), Seq("t")).join(dln, Seq("doc_id")), k)
 
   /** The probe over DENORMALIZED postings (doc_id, t, tf, idf, dnorm):
-    * one term join, one score agg — nothing else moves. */
+    * one term join, one score agg, then the map-side [[TopKByScore]]
+    * heap for the ranking — only k-sized buffers per query cross the
+    * final shuffle, where the window formulation moved EVERY scored
+    * candidate (micro-unit long scores are exact in the heap's double:
+    * ≪ 2^53; same (score desc, id asc) total order as the oracle). */
   private[graft] def bm25ProbeDenorm(
-      queries: DataFrame, postings: DataFrame, k: Int): DataFrame = {
-    val rank = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_q").desc, col("doc_id"))
+      queries: DataFrame, postings: DataFrame, k: Int): DataFrame =
     queries.join(postings, Seq("t"))
       .withColumn("c_q", round(
         col("idf") * (col("tf") * 2.2 / (col("tf") + col("dnorm"))) * 1e6).cast("long"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c_q")).as("score_q"))
-      .withColumn("rank", row_number().over(rank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score_q"))
-  }
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topk(
+        col("score_q").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").cast("long").as("score_q"))
 
   /** Top-`k` for the every-`mod`th query split over the SHARED index:
     * query docs are excluded from candidates by a pushed filter on the
