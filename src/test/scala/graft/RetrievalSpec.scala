@@ -131,6 +131,23 @@ class RetrievalSpec extends SparkSpec {
       (4L, "y") -> (2, 5), (4L, "z") -> (3, 5)))
   }
 
+  test("postingRows == brute per-token counting on 200 random docs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "bb", "ccc", "d", "e", "ff", "g")
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split("\\s+").toSeq
+      toks.groupBy(identity).map { case (t, xs) => (id, t) -> (xs.size, toks.size) }
+    }.toMap
+    val got = RetrievalQueries.postingRows(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("t")) ->
+        (r.getAs[Int]("tf"), r.getAs[Int]("dl"))).toMap
+    assert(got === expected)
+  }
+
   test("streamed posting maintenance: base index + streamed batch (delivered twice) " +
       "equals the batch rebuild, scores included") {
     import graft.sources.Tables
