@@ -380,6 +380,35 @@ object RetrievalQueries {
     spark.table(name).orderBy(col("doc_id"), col("t"))
   }
 
+  /** Retrieve-and-rerank (the classic two-stage pipeline: cheap lexical
+    * recall, expensive semantic precision): the shared %50 BM25 top-20
+    * supplies candidates, and ONLY those |queries|·20 ids fetch their
+    * embeddings for the cosine rerank — the dense model never scores
+    * the corpus, which is the property that makes two-stage retrieval
+    * the 100 TB default. Both stages are shared session passes
+    * ([[bm25Top20Mod50]]); the rerank is a broadcast-candidates
+    * semi-join, never a corpus shuffle. */
+  def bm25Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpusV = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("nvec"))
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    broadcast(bm25Top20Mod50(spark, dir)
+        .select(col("query_id"), col("doc_id").as("id"), col("score_q")))
+      .join(corpusV, Seq("id"))
+      .join(broadcast(anchors), Seq("query_id"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine(col("qvec"), col("nvec")), 9))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("id"), col("sim"),
+        col("score_q").as("bm25_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The consumer of the streamed postings: merge a crawl batch into a
     * partitioned on-disk posting index via IDEMPOTENT dynamic partition
     * overwrite keyed by the batch's partition column (`source` here —
@@ -413,6 +442,7 @@ object RetrievalQueries {
     "text_bm25_indexed" -> (bm25Indexed _),
     "search_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)
       .orderBy(col("query_id"), col("rank"))),
+    "search_bm25_rerank" -> (bm25Rerank _),
     "training_pairs_mined" -> (trainingPairs _),
     "bm25_postings_streamed" -> (bm25PostingsStreamed _)
   )
@@ -463,6 +493,30 @@ object RetrievalQueries {
     // precomputed into the posting rows changes nothing numerically:
     // identical expression trees, bit-identical doubles)
     "text_bm25_indexed" -> bm25Mod37Oracle,
+    // two-stage retrieve-and-rerank: lexical top-20 candidates, cosine
+    // rerank of exactly those ids
+    "search_bm25_rerank" ->
+      s"""WITH ${bm25Ctes(50)},
+        |lex AS (
+        |  SELECT query_id, doc_id AS id, score_q, rank FROM (
+        |    SELECT query_id, doc_id, score_q,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY score_q DESC, doc_id) AS rank
+        |    FROM sc) t WHERE rank <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |rr AS (
+        |  SELECT l.query_id, l.id,
+        |         round(list_cosine_similarity(a.vec, c.vec), 9) AS sim,
+        |         l.score_q AS bm25_q
+        |  FROM lex l
+        |  JOIN e c ON c.vec_id = l.id
+        |  JOIN e a ON a.vec_id = l.query_id)
+        |SELECT query_id, rank, id, sim, bm25_q FROM (
+        |  SELECT query_id, id, sim, bm25_q,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, id) AS rank
+        |  FROM rr) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // the vector arm replays the full IVF-PQ chain (ivfPqCtes) with the
     // corpus restricted to the searched split at probe time
     "search_hybrid_rrf" ->

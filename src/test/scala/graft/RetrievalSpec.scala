@@ -181,6 +181,27 @@ class RetrievalSpec extends SparkSpec {
     assert(merged === rebuilt, "scores over the merged index diverged from the batch rebuild")
   }
 
+  test("retrieve-and-rerank: output ids come from the lexical candidates, " +
+      "reordered by cosine") {
+    val cands = RetrievalQueries.bm25TopKOf(
+        graft.sources.Tables.documents(spark, sf), col("doc_id") % 50 === 0, k = 20)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val out = RetrievalQueries.bm25Rerank(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rs.length),
+        s"query $q: ranks not contiguous")
+      rs.foreach { r =>
+        assert(cands(q).contains(r.getAs[Long]("id")),
+          s"query $q: reranked id outside the lexical candidate set")
+      }
+      // reranked order is by sim desc (id tiebreak), not by bm25
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims === sims.sorted.reverse, s"query $q: not ordered by cosine")
+    }
+  }
+
   test("mined training pairs: negatives are lexically close but semantically far") {
     val rows = RetrievalQueries.trainingPairs(spark, sf).collect()
     assert(rows.nonEmpty)
