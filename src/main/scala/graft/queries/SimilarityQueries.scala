@@ -19,37 +19,26 @@ object SimilarityQueries {
 
   /** One Lloyd-IVF clustering (nCells=16, 2 exact iterations) per
     * (session, corpus dir), shared by `sim_topk_ivf`, `sim_semdedup`,
-    * and `corpus_cluster_map` — the in-session analog of probing ONE
-    * persisted index instead of rebuilding it per query (the bpeMemo
-    * pattern; localCheckpoint pins the materialized assignments, and a
-    * listener evicts the session's entries when it stops so dead
-    * sessions aren't retained). */
-  private val lloydMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    * `corpus_cluster_map`, and the IVF-PQ index — routed through
+    * [[SignalMemo]] like every other signal, so the cells and the
+    * corpus assignment become WRITTEN tables too when
+    * `spark.graft.signalDir` is set (the persisted-index layout). The
+    * assignment is rebuilt from the cached cents via the same argmin
+    * (`Ivf.assignWithCells` ≡ `buildLloydFlat._2`). */
+  private[queries] def lloydCells(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = SignalMemo.cached(spark, dir, "lloyd_cents")(
+      graft.operators.Ivf.buildLloydFlat(
+        emb, "vec_id", "embedding", nCells = 16, iters = 2)._1)
+    val assigned = SignalMemo.cached(spark, dir, "lloyd_assigned")(
+      graft.operators.Ivf.assignWithCells(cents, emb, "vec_id", "embedding"))
+    (cents, assigned)
+  }
 
   /** Test hook: the memoized cells, so specs can compare stream and
     * batch assignment against the identical centroid table. */
   private[graft] def lloydCellsForTest(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     lloydCells(spark, dir)
-
-  private[queries] def lloydCells(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val key = (spark, dir)
-    val hit = lloydMemo.get(key)
-    if (hit != null) hit
-    else {
-      val built = lloydMemo.computeIfAbsent(key, _ => {
-        val (cents, assigned) = graft.operators.Ivf.buildLloydFlat(
-          Tables.embeddings(spark, dir), "vec_id", "embedding", nCells = 16, iters = 2)
-        (cents.localCheckpoint(), assigned.localCheckpoint())
-      })
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          lloydMemo.keySet.removeIf(_._1 eq spark)
-      })
-      built
-    }
-  }
 
   def simTopKBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
