@@ -167,19 +167,19 @@ object RetrievalQueries {
       corpusPred: Column, k: Int): DataFrame =
     bm25ProbeDenorm(queries, spark.table(table).filter(corpusPred), k)
 
-  /** One bucketed index table per (session, dir) — the write happens
-    * once (SignalMemo side-effect guard) and every probe reads it.
-    * Cross-RUN persistence needs a persistent metastore (bucket
-    * metadata lives in the catalog, not the files): with this image's
-    * in-memory catalog each JVM rebuilds the table; against a real
-    * Hive/Glue catalog the same code writes once and every later run
-    * probes the existing table. */
+  /** One bucketed index table per (catalog, dir) — the guard is the
+    * CATALOG itself (`tableExists`), not a session memo or an on-disk
+    * marker: sessions created via `newSession()` share the catalog and
+    * must not re-drop a table a sibling is reading, and a marker that
+    * outlives the in-memory catalog would skip a write the new JVM
+    * actually needs. Cross-RUN persistence needs a persistent
+    * metastore (bucket metadata lives in the catalog, not the files):
+    * with this image's in-memory catalog each JVM rebuilds the table;
+    * against a real Hive/Glue catalog `tableExists` is durable and the
+    * same code writes once ever. */
   private[graft] def postingIndexTable(spark: SparkSession, dir: String): String = {
-    val table = "graft_postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    SignalMemo.cached(spark, dir, "bm25_index_written") {
-      writePostingIndex(spark, dir, table)
-      spark.range(1).toDF("written")
-    }
+    val table = "graft_postings_" + SignalMemo.slug(dir)
+    if (!spark.catalog.tableExists(table)) writePostingIndex(spark, dir, table)
     table
   }
 
@@ -336,7 +336,11 @@ object RetrievalQueries {
     * per document, quadratic for long documents and at odds with
     * scan-speed index maintenance. */
   private[graft] def postingRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val ws = array_sort(col("w"))
+    // ws is materialized as its OWN projection attribute: an inline
+    // array_sort expression referenced from the lambdas below would be
+    // re-evaluated per lambda invocation (no CSE inside interpreted
+    // HOF bodies) — one sort per token instead of one per row
+    val ws = col("ws")
     val starts = filter(sequence(lit(0), size(ws) - 1),
       i => i === 0 || element_at(ws, i + 1) =!= element_at(ws, i))
     val nexts = concat(
@@ -347,6 +351,7 @@ object RetrievalQueries {
       .otherwise(array().cast("array<struct<t:string,tf:int>>"))
     docs
       .withColumn("w", tokens(col("text")))
+      .withColumn("ws", array_sort(col("w")))
       // tokens() never yields an empty array (split of a trimmed string
       // has ≥1 element), but guard the sequence like shinglesHof does
       .withColumn("starts",
@@ -419,15 +424,35 @@ object RetrievalQueries {
     * and BM25 scores over the merged index match it). Runs to
     * completion (AvailableNow). */
   def mergePostingsStream(spark: SparkSession, dir: String, indexDir: String,
-      checkpoint: String, sourceId: String): Unit = {
+      checkpoint: String, sourceId: String,
+      glob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val fresh = postingRows(
-      spark.readStream.schema(documentsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .filter(col("source") === sourceId),
+      reader.parquet(dir).filter(col("source") === sourceId),
       carry = Seq("source"))
     val q = fresh.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("overwrite")
+        // doc-keyed UPSERT of this micro-batch into the source
+        // partition: re-delivered docs replace their old rows, and
+        // rows of OTHER docs already in the partition survive — so a
+        // source split across micro-batches (maxFilesPerTrigger)
+        // accumulates instead of each batch clobbering the partition,
+        // and whole-run re-delivery stays exactly-once per doc
+        val sp = batch.sparkSession
+        val part = new org.apache.hadoop.fs.Path(indexDir, s"source=$sourceId")
+        val fs = part.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(part)) {
+            sp.read.parquet(indexDir).filter(col("source") === sourceId)
+              .join(batch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+              .unionByName(batch)
+              // materialize before overwriting the files being read
+              .localCheckpoint()
+          } else batch
+        merged.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("source").parquet(indexDir)
       }

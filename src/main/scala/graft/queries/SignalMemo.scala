@@ -32,7 +32,14 @@ object SignalMemo {
   private def signalRoot(spark: SparkSession): Option[String] =
     spark.conf.getOption(signalDirKey).filter(_.nonEmpty)
 
-  private def slug(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
+  /** Filesystem-safe name for a corpus dir. The readable replaceAll is
+    * not injective ("/a/sf0.1" and "/a/sf0_1" collide), so a short md5
+    * of the original string disambiguates — two distinct dirs can
+    * never share signal paths. */
+  private[queries] def slug(s: String): String =
+    s.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
 
   /** Write a signal table to disk — repartitioned on `keyCol` when
     * present so consumers joining on it co-locate (the layout the
@@ -44,13 +51,25 @@ object SignalMemo {
 
   /** Read the signal table at `path` if present, else build + write +
     * read back — consumers ALWAYS see the on-disk bytes, so a second
-    * session/run reuses the first run's signals byte-identically. */
+    * session/run reuses the first run's signals byte-identically.
+    * "Present" means COMMITTED: the `_SUCCESS` marker (written last by
+    * the committer) gates the read, so a run killed mid-write leaves a
+    * directory that the next run rebuilds instead of trusting partial
+    * part files. Concurrent first builds from separate processes are
+    * out of scope (a real deployment serializes signal builds through
+    * its scheduler); within a process the memo serializes per key. */
   def readOrBuild(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) write(build, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) write(build, path)
     spark.read.parquet(path)
   }
+
+  /** One eviction listener per session (not per cache miss — a session
+    * touches a dozen signals and the bus delivers every event to every
+    * listener for the application lifetime). */
+  private val evictionRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   def cached(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
@@ -70,11 +89,15 @@ object SignalMemo {
         case None => build.localCheckpoint()
       }
       val prev = memo.putIfAbsent(key, built)
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          memo.keySet.removeIf(_._1 eq spark)
-      })
+      if (evictionRegistered.add(spark)) {
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            memo.keySet.removeIf(_._1 eq spark)
+            evictionRegistered.remove(spark)
+          }
+        })
+      }
       if (prev != null) prev else built
     }
   }

@@ -202,6 +202,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("streamed posting maintenance: a source split across micro-batches " +
+      "accumulates (doc-keyed upsert, not partition clobber)") {
+    import graft.sources.Tables
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // two single-file parquets of the src0 docs -> maxFilesPerTrigger=1
+    // forces TWO micro-batches over one source partition
+    val flat = tmp("graft_split_docs")
+    val src0 = Tables.documents(spark, sf).filter(col("source") === "src0")
+    Seq(0, 1).foreach { half =>
+      val stage = tmp(s"graft_half$half")
+      src0.filter(col("doc_id") % 2 === half).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(flat, s"docs$half.parquet"))
+    }
+    val idx = tmp("graft_postidx_split")
+    RetrievalQueries.mergePostingsStream(spark, flat, idx, tmp("graft_cks"), "src0",
+      glob = "docs*.parquet", maxFilesPerTrigger = Some(1))
+    val merged = spark.read.parquet(idx)
+      .select(col("doc_id"), col("t"), col("tf").cast("long").as("tf"))
+    val expected = RetrievalQueries.occOf(src0)
+    assert(merged.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(merged).count() === 0,
+      "a micro-batch clobbered its predecessor's docs in the same partition")
+  }
+
   test("mined training pairs: negatives are lexically close but semantically far") {
     val rows = RetrievalQueries.trainingPairs(spark, sf).collect()
     assert(rows.nonEmpty)
