@@ -9,9 +9,20 @@ import org.apache.spark.sql.functions._
   * (100× corpus spread), with index BUILD time and PROBE time
   * measured separately. The claim under test: probes reuse the built
   * index, and probe cost grows with the matched posting mass (~linear
-  * in corpus), never with a rebuild. Results in BENCH_NOTES.md. */
+  * in corpus), never with a rebuild. Results in BENCH_NOTES.md.
+  *
+  * Usage: `runMain graft.RetrievalTime <sfDir> [<sfDir> ...]` (or set
+  * SPARK_GRAFT_SF_DIRS to a comma-separated list) — the corpus dirs
+  * are arguments like Bench's, never baked-in machine paths. */
 object RetrievalTime {
   def main(args: Array[String]): Unit = {
+    val dirs: Seq[String] =
+      if (args.nonEmpty) args.toSeq
+      else sys.env.get("SPARK_GRAFT_SF_DIRS").map(_.split(",").toSeq).getOrElse {
+        System.err.println(
+          "usage: RetrievalTime <sfDir> [<sfDir> ...]  (or SPARK_GRAFT_SF_DIRS=d1,d2)")
+        sys.exit(2)
+      }
     val spark = graft.sources.GraftSession.local(32)
     import graft.queries.RetrievalQueries
     import graft.functions.TextFunctions.tokens
@@ -20,8 +31,7 @@ object RetrievalTime {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
-      .foreach { dir =>
+    dirs.foreach { dir =>
         val docs = graft.sources.Tables.documents(spark, dir)
         val n = docs.count()
         val build = time {

@@ -53,7 +53,8 @@ object Multimodal {
         ((col("doc_id") % 10) * 1000 + 500).cast("int").as("duration_ms"),
         lit("stub").as("format")).as("meta"))
 
-  /** ??? — external-codec formats (JPEG-XL, video, …) would go here.
+  /** Codec seam: a real deployment swaps this body for the external
+    * decoder (JPEG-XL, video, …) — signature and batch shape stay.
     * Deterministic fake: 8-dim embedding from chunked byte sums. The
     * accumulator is an exact integer sum with ONE trailing float
     * division — order-independent and engine-neutral, so a SQL oracle

@@ -150,6 +150,12 @@ object Pq {
     val codes = encode(emb, cb, idCol, vecCol, dim, m)
       .select(col("id"), posexplode(col("codes")).as(Seq("blk", "code")))
       .select(col("id"), col("blk").cast("int").as("blk"), col("code"))
+    // the codebook is a fixed m·k-row model — always broadcast; the
+    // query-derived sides (lut, short, qfull below) scale with the
+    // query batch, so they carry NO forced hint: a fixed production
+    // batch broadcasts via size stats / AQE, while a query set that
+    // grows with the corpus (the registered %-splits) degrades to a
+    // shuffle join instead of an unbounded forced broadcast
     val lut = subVectors(queries, idCol, vecCol, dim, m)
       .withColumnRenamed("id", "query_id")
       .join(broadcast(cb), Seq("blk"))
@@ -157,7 +163,7 @@ object Pq {
         qd2(col("qv"), col("qc")).as("qd2"))
     val adcRank = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("neighbor_id"))
-    val short = codes.join(broadcast(lut), Seq("blk", "code"))
+    val short = codes.join(lut, Seq("blk", "code"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("qd2")).as("adc"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -170,9 +176,9 @@ object Pq {
       Map("id" -> "neighbor_id", "qfull" -> "qn"))
     val exactRank = Window.partitionBy(col("query_id"))
       .orderBy(col("qd2"), col("neighbor_id"))
-    broadcast(short)
+    short
       .join(nfull, Seq("neighbor_id"))
-      .join(broadcast(qfull), Seq("query_id"))
+      .join(qfull, Seq("query_id"))
       .withColumn("qd2", qd2(col("qq"), col("qn")))
       .withColumn("rank", row_number().over(exactRank))
       .filter(col("rank") <= topK)
@@ -268,7 +274,12 @@ object Pq {
         qd2(col("qv"), col("qc")).as("qd2"))
     val adcRank = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("neighbor_id"))
-    val short = codes.join(broadcast(lut), Seq("cell", "blk", "code"))
+    // query-derived sides (lut/short/qfull) carry NO forced broadcast
+    // hint — see adcTopKWith: a fixed production batch broadcasts via
+    // size stats / AQE; a corpus-growing query split (the registered
+    // %-splits) degrades to a shuffle join instead of an unbounded
+    // forced broadcast. Model-sized sides (cents, cb) stay hinted.
+    val short = codes.join(lut, Seq("cell", "blk", "code"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("qd2")).as("adc"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -282,9 +293,9 @@ object Pq {
       Map("id" -> "neighbor_id", "qfull" -> "qn"))
     val exactRank = Window.partitionBy(col("query_id"))
       .orderBy(col("qd2"), col("neighbor_id"))
-    broadcast(short)
+    short
       .join(nfull, Seq("neighbor_id"))
-      .join(broadcast(qfull), Seq("query_id"))
+      .join(qfull, Seq("query_id"))
       .withColumn("qd2", qd2(col("qq"), col("qn")))
       .withColumn("rank", row_number().over(exactRank))
       .filter(col("rank") <= topK)

@@ -57,7 +57,8 @@ object SignalMemo {
     * directory that the next run rebuilds instead of trusting partial
     * part files. Concurrent first builds from separate processes are
     * out of scope (a real deployment serializes signal builds through
-    * its scheduler); within a process the memo serializes per key. */
+    * its scheduler); within a process [[cached]] serializes builds per
+    * key, so two threads can never race this check-then-write. */
   def readOrBuild(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,34 +72,48 @@ object SignalMemo {
   private val evictionRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
+  /** One lock object per memo key: builds run OUTSIDE the map op
+    * (signal builders nest — the bm25 probe memo builds on the
+    * occ-index memo, and a nested computeIfAbsent on the same
+    * ConcurrentHashMap throws "Recursive update") but INSIDE the
+    * key's lock, so concurrent first builds of the same signal
+    * serialize — with `spark.graft.signalDir` set two racing threads
+    * would otherwise both pass the `_SUCCESS` check in [[readOrBuild]]
+    * and write the same parquet path concurrently (committer temp-dir
+    * collisions). Nested builds take DISTINCT keys' locks and the
+    * nesting follows the builder dependency DAG (postings → occ → dl),
+    * so lock acquisition is acyclic — no deadlock. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Object]()
+
   def cached(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val key = (spark, dir, name)
     val hit = memo.get(key)
     if (hit != null) hit
-    else {
-      // build OUTSIDE the map op: signal builders nest (the bm25 probe
-      // memo builds on the occ-index memo), and a nested
-      // computeIfAbsent on the same ConcurrentHashMap throws
-      // "Recursive update". A racing duplicate build is benign (both
-      // are deterministic; putIfAbsent keeps the first).
-      val built = signalRoot(spark) match {
-        case Some(root) =>
-          // the written table IS the materialization — no checkpoint
-          readOrBuild(spark, s"$root/${slug(dir)}/$name")(build)
-        case None => build.localCheckpoint()
+    else buildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val won = memo.get(key)
+      if (won != null) won
+      else {
+        val built = signalRoot(spark) match {
+          case Some(root) =>
+            // the written table IS the materialization — no checkpoint
+            readOrBuild(spark, s"$root/${slug(dir)}/$name")(build)
+          case None => build.localCheckpoint()
+        }
+        memo.put(key, built)
+        if (evictionRegistered.add(spark)) {
+          spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              memo.keySet.removeIf(_._1 eq spark)
+              buildLocks.keySet.removeIf(_._1 eq spark)
+              evictionRegistered.remove(spark)
+            }
+          })
+        }
+        built
       }
-      val prev = memo.putIfAbsent(key, built)
-      if (evictionRegistered.add(spark)) {
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            memo.keySet.removeIf(_._1 eq spark)
-            evictionRegistered.remove(spark)
-          }
-        })
-      }
-      if (prev != null) prev else built
     }
   }
 }

@@ -20,6 +20,13 @@ object Bucketing {
       df: DataFrame, table: String, key: String, buckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    // the orphaned-location cleanup below derives the managed location
+    // as <warehouse>/<table> — correct only for unqualified names in
+    // the default database (db.table lives at <warehouse>/<db>.db/…),
+    // so reject qualified names rather than silently cleaning the
+    // wrong path
+    require(!table.contains("."),
+      s"writeBucketed requires an unqualified table name, got '$table'")
     // the in-memory catalog forgets tables across JVMs while the
     // warehouse directory survives — Overwrite then can't drop the
     // unknown table and CREATE trips over the orphaned location, so
