@@ -125,6 +125,44 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** The stateful STATE-STORE streaming operator (SURVEY §2.9 ST4 —
+    * the one row previously covered only by stateless streamed
+    * maintenance): late-data dedup of the events stream with
+    * `dropDuplicatesWithinWatermark` keyed on (user_id, event_type).
+    * The physical plan carries a StreamingDeduplicateWithinWatermark
+    * state store; per-key state expires at event-time + 1h, so state
+    * is bounded by the key cardinality inside the watermark horizon —
+    * the 100 TB-safe configuration (an unbounded dropDuplicates pins
+    * every key forever). Event-time semantics (first arrival wins,
+    * rows older than the watermark dropped as late) are spec-forced in
+    * StreamingSpec with a two-batch MemoryStream; under the oracle
+    * gate the whole table replays as one AvailableNow batch, where the
+    * emitted key set equals batch DISTINCT — only the KEY columns are
+    * emitted, so the result is deterministic no matter which physical
+    * duplicate row wins the state race. stream == batch == oracle. */
+  def dedupLateStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val deduped = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = "dedup_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Hourly OHLC bars per user — the time-series bar aggregation
     * (open/high/low/close + count) with deterministic (ts, event_id)
     * endpoint tiebreaks. The two endpoint windows and the rollup all
@@ -157,6 +195,7 @@ object TemporalQueries {
     "cohort_retention" -> (cohortRetention _),
     "scd2_history" -> (scd2History _),
     "scd2_history_streamed" -> (scd2HistoryStreamed _),
+    "dedup_late_streamed" -> (dedupLateStreamed _),
     "events_ohlc_bars" -> (eventsOhlcBars _)
   )
 
@@ -207,6 +246,11 @@ object TemporalQueries {
         |GROUP BY c.cohort, month_offset ORDER BY cohort, month_offset""".stripMargin,
     "scd2_history" -> scd2OracleSql,
     "scd2_history_streamed" -> scd2OracleSql,
+    // one AvailableNow batch replays the whole table, so the streamed
+    // state-store dedup's emitted key set equals batch DISTINCT
+    "dedup_late_streamed" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "events_ohlc_bars" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bar_ts, ts, event_id, value

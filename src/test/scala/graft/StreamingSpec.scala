@@ -117,6 +117,43 @@ class StreamingSpec extends SparkSpec {
       Scd2Out(2L, 20L, t(1), None, 9.0, is_current = true)))
   }
 
+  test("ST4 dropDuplicatesWithinWatermark: dups suppressed, late rows dropped, state store planned") {
+    // Two-batch event-time scenario for the dedup_late_streamed
+    // operator: batch 1 advances the watermark to 11:00 (max 12:00 −
+    // 1h delay); batch 2 then carries (a) a BRAND-NEW key at 10:30 —
+    // behind the watermark, dropped as late data, (b) a duplicate of
+    // an in-state key within its watermark horizon — suppressed by the
+    // state store, (c) a fresh in-time key — emitted.
+    def t(s: String) = Timestamp.from(Instant.parse(s))
+    val stream = MemoryStream[Ev]
+    val deduped = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_late_spec")
+      .outputMode("append").start()
+    stream.addData(
+      Ev(t("2024-01-01T10:00:00Z"), "a", 1.0, 1L),
+      Ev(t("2024-01-01T12:00:00Z"), "b", 1.0, 2L))
+    q.processAllAvailable()
+    stream.addData(
+      Ev(t("2024-01-01T10:30:00Z"), "c", 1.0, 3L), // late: < watermark 11:00
+      Ev(t("2024-01-01T12:30:00Z"), "b", 9.0, 2L), // dup of live state key
+      Ev(t("2024-01-01T12:30:00Z"), "d", 1.0, 4L)) // fresh, in time
+    q.processAllAvailable()
+    // the executed micro-batch plan must carry the state-store dedup
+    // operator (q.explain prints the last execution's plan)
+    val planOut = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(planOut)) { q.explain() }
+    q.stop()
+    val out = spark.table("dedup_late_spec")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "a"), (2L, "b"), (4L, "d")),
+      "late row must drop, in-watermark duplicate must dedup")
+    assert(planOut.toString.contains("StreamingDeduplicateWithinWatermark"),
+      s"expected a state-store dedup operator in:\n$planOut")
+  }
+
   test("incremental materialized aggregate: versioned folds, snapshot = global agg") {
     val stateDir = Files.createTempDirectory("graft_incr").toString
     val ckpt = Files.createTempDirectory("graft_incr_ck").toString
