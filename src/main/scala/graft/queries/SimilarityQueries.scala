@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -268,25 +268,44 @@ object SimilarityQueries {
     * the lowest cell id), no state store, no stream-side shuffle. Same
     * argmin semantics as the batch `Ivf.assignTo`, so the DuckDB
     * oracle is the batch assignment restricted to the new ids. */
-  def simAssignStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val (cents, _) = lloydCells(spark, dir)
+  /** The per-cell squared distances of `embedding` to the (bounded,
+    * ≤ nCells-row) centroid table, folded into the plan as LITERAL
+    * arrays — assignment becomes a pure per-row map usable inside a
+    * stateless stream (no state store, no stream-side shuffle). */
+  private def centroidD2s(cents: DataFrame): Column = {
     val centRows = cents.orderBy(col("cell")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     val centLits = array(centRows.map { case (_, c) =>
       array(c.map(lit): _*)
     }: _*)
-    val d2s = transform(centLits, cvec =>
+    transform(centLits, cvec =>
       aggregate(zip_with(col("embedding"), cvec,
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
         lit(0.0), (acc, v) => acc + v))
-    val schema = StructType(Seq(
+  }
+
+  private[queries] def embeddingsStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
       StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
-    val assigned = spark.readStream.schema(schema)
+  }
+
+  /** The streaming "fresh crawl batch" of embeddings (every `mod`th
+    * vec_id) with its argmin-d2 cell — the stateless assignment used by
+    * both the registered emission query and the index merge. Same
+    * argmin semantics as the batch `Ivf.assignTo` (ties to the lowest
+    * cell id — array_position returns the FIRST minimal index). */
+  private def assignedStream(spark: SparkSession, dir: String, mod: Int): DataFrame = {
+    val (cents, _) = lloydCells(spark, dir)
+    spark.readStream.schema(embeddingsStreamSchema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      .filter(col("vec_id") % 5 === 0)
-      .withColumn("d2s", d2s)
+      .filter(col("vec_id") % mod === 0)
+      .withColumn("d2s", centroidD2s(cents))
+  }
+
+  def simAssignStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = assignedStream(spark, dir, mod = 5)
       .select(col("vec_id"),
         (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int").as("cell"),
         round(array_min(col("d2s")), 9).as("d2"))
@@ -297,6 +316,58 @@ object SimilarityQueries {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy(col("vec_id"))
+  }
+
+  /** The consumer of the streamed assignments — the vector-side
+    * counterpart of `RetrievalQueries.mergePostingsStream`: merge a
+    * fresh embedding batch into the PERSISTED cell-partitioned IVF
+    * index (`Ivf.writeIndex` layout: `cell=<c>/` directories pruned at
+    * probe time) via an id-keyed upsert. Unlike the lexical side —
+    * where a crawl batch owns its whole `source=` partition — a vector
+    * batch scatters across cells, so the upsert reads ONLY the touched
+    * cells (bounded: ≤ nCells, the same probe-list class of driver
+    * value as `Ivf.searchIndexed`), anti-joins out re-delivered
+    * vec_ids, unions the batch, and dynamically overwrites exactly
+    * those cell partitions. Re-delivery of a batch rewrites its own
+    * rows to identical contents — at-least-once stream delivery,
+    * exactly-once index contents (spec-asserted: stream-merged index
+    * == batch-rebuilt index, probe results equal). */
+  def mergeAssignmentsStream(spark: SparkSession, dir: String, indexDir: String,
+      checkpoint: String, mod: Int = 5): Unit = {
+    val fresh = assignedStream(spark, dir, mod)
+      .select(col("vec_id"), col("embedding"),
+        (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int").as("cell"))
+    val q = fresh.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.localCheckpoint()
+        val touched = b.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          val root = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(root)) {
+              // only the touched cells are read and rewritten; rows of
+              // OTHER ids in those cells survive the anti-join, so a
+              // batch split across triggers accumulates instead of
+              // clobbering, and whole-run re-delivery is idempotent
+              sp.read.parquet(indexDir)
+                .filter(col("cell").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
+                .join(b.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+                .unionByName(b)
+                // materialize before overwriting the files being read
+                .localCheckpoint()
+            } else b
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell").parquet(indexDir)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Corpus cartography: join the document metadata onto the Lloyd-IVF

@@ -251,4 +251,47 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toMap
     assert(streamed === batch, "stream and batch assignments diverged")
   }
+
+  test("streamed IVF merge: stream-merged index == batch rebuild, probes equal, idempotent") {
+    // the vector-side counterpart of the postings merge spec: a base
+    // index over the existing corpus, a streamed fresh batch merged in
+    // via the cell-partitioned id-keyed upsert, and the result must be
+    // indistinguishable — contents AND ANN probe results — from
+    // rebuilding the whole index in batch; re-delivering the stream
+    // must change nothing (at-least-once delivery, exactly-once index)
+    import org.apache.spark.sql.functions.col
+    val Q = graft.queries.SimilarityQueries
+    val (cents, _) = Q.lloydCellsForTest(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_merge")
+    val indexDir = s"$root/idx"
+    graft.operators.Ivf.assignWithCells(
+        cents, emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    Q.mergeAssignmentsStream(spark, sf, indexDir, s"$root/ck1", mod = 5)
+
+    val rebuilt = graft.operators.Ivf.assignWithCells(cents, emb, "vec_id", "embedding")
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      df.select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
+        .collect().toSeq.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell")))
+    val want = cellsOf(rebuilt)
+    assert(cellsOf(spark.read.parquet(indexDir)) === want,
+      "stream-merged index contents must equal the batch rebuild")
+
+    // re-delivery: a fresh checkpoint replays the whole batch
+    Q.mergeAssignmentsStream(spark, sf, indexDir, s"$root/ck2", mod = 5)
+    assert(cellsOf(spark.read.parquet(indexDir)) === want,
+      "re-delivered stream must leave the index unchanged")
+
+    // probe equality over the merged on-disk index vs the rebuild
+    def probe(index: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      graft.operators.Ivf.searchFlat(cents, index,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 10, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(probe(spark.read.parquet(indexDir)) === probe(rebuilt),
+      "ANN results over the stream-merged index must equal the batch-rebuilt index")
+  }
 }
