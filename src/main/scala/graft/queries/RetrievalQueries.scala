@@ -184,8 +184,14 @@ object RetrievalQueries {
     * warehouse files under the other's in-flight write. */
   private val indexTableLock = new Object
 
+  /** The catalog name of `dir`'s posting index — exposed so tooling
+    * (PostingIndexCli) can ask `tableExists` WITHOUT triggering the
+    * build that [[postingIndexTable]] performs on a miss. */
+  private[graft] def postingIndexTableName(dir: String): String =
+    "graft_postings_" + SignalMemo.slug(dir)
+
   private[graft] def postingIndexTable(spark: SparkSession, dir: String): String = {
-    val table = "graft_postings_" + SignalMemo.slug(dir)
+    val table = postingIndexTableName(dir)
     indexTableLock.synchronized {
       if (!spark.catalog.tableExists(table)) writePostingIndex(spark, dir, table)
     }

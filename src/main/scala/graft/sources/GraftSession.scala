@@ -32,4 +32,31 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** DURABLE-catalog local session: the Hive catalog backed by an
+    * embedded Derby metastore at a caller-fixed path, so table
+    * metadata — including BUCKET specs, which live only in the
+    * catalog, never in the data files — survives process restarts.
+    * A second JVM pointed at the same (warehouseDir, metastoreDir)
+    * sees `tableExists` = true and probes the first JVM's bucketed
+    * files with no rebuild and no Exchange above the bucketed scan
+    * (receipt: PostingIndexCrossJvmSpec drives two real JVMs through
+    * [[graft.tools.PostingIndexCli]]). Embedded Derby is
+    * single-process — sequential JVMs share it; concurrent writers
+    * need a server-grade metastore (Hive service/Glue), where the
+    * SAME calling code applies unchanged. */
+  def localDurable(cpus: Int, warehouseDir: String, metastoreDir: String): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .config("spark.sql.warehouse.dir", warehouseDir)
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$metastoreDir;create=true")
+      // embedded-metastore first-run bootstrap: let datanucleus create
+      // the schema instead of requiring a pre-provisioned database
+      .config("spark.hadoop.datanucleus.schema.autoCreateAll", "true")
+      .config("spark.hadoop.hive.metastore.schema.verification", "false")
+      .enableHiveSupport()
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 }
