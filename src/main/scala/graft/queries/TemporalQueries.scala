@@ -163,6 +163,63 @@ object TemporalQueries {
     spark.table(name).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** ST4 CUSTOM keyed state under the oracle gate: gap sessionization
+    * via `flatMapGroupsWithState` + event-time timeout
+    * ([[graft.streaming.StreamingPipeline.gapSessions]]) — the second
+    * state-store API the row names, registered beside
+    * `dedup_late_streamed`'s `dropDuplicatesWithinWatermark`. The
+    * events table replays as an AvailableNow stream; per-user state
+    * holds gap-disjoint compressed session intervals; a session emits
+    * exactly when the watermark passes `last + gap`. A one-row
+    * far-future sentinel (the `tumbling_window_streamed` trick) pushes
+    * the final watermark so every real session's timeout fires; the
+    * sentinel's own key is filtered out. The streamed per-session rows
+    * then aggregate (batch, post-sink) to per-user (n_sessions,
+    * n_events) — the exact shape and oracle of the batch
+    * `session_window` query: stream == batch == external engine.
+    * Cross-batch merge/bridge semantics and late-row drops are
+    * spec-forced in StreamingSpec with a three-batch MemoryStream. */
+  def sessionFmgsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val sentinelUs = // 2100-01-01, far beyond any testdata event
+      java.time.Instant.parse("2100-01-01T00:00:00Z").getEpochSecond * 1000000L
+    val sentinelDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_session_sentinel_v1")
+    if (!java.nio.file.Files.exists(sentinelDir.resolve("_SUCCESS"))) {
+      Seq((-1L, sentinelUs * 1000L, -1L, "__sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(sentinelDir.toString)
+    }
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val sentinel = spark.readStream.schema(schema).parquet(sentinelDir.toString)
+    val sessions = graft.streaming.StreamingPipeline.gapSessions(
+      events.union(sentinel)
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          expr("ts div 1000").as("ts_us"))
+        .withWatermark("ts", "1 hour")
+        .as[graft.streaming.SessEvent],
+      gapUs = 30L * 60L * 1000000L)
+    val name = "session_fmgs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Hourly OHLC bars per user — the time-series bar aggregation
     * (open/high/low/close + count) with deterministic (ts, event_id)
     * endpoint tiebreaks. The two endpoint windows and the rollup all
@@ -196,6 +253,7 @@ object TemporalQueries {
     "scd2_history" -> (scd2History _),
     "scd2_history_streamed" -> (scd2HistoryStreamed _),
     "dedup_late_streamed" -> (dedupLateStreamed _),
+    "session_fmgs_streamed" -> (sessionFmgsStreamed _),
     "events_ohlc_bars" -> (eventsOhlcBars _)
   )
 
@@ -251,6 +309,21 @@ object TemporalQueries {
     "dedup_late_streamed" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // the batch session_window oracle verbatim (gaps-and-islands):
+    // one AvailableNow pass hands each key its full sorted history, so
+    // the state-store sessionization must reproduce it exactly
+    "session_fmgs_streamed" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |marks AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM gaps)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM marks GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_ohlc_bars" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bar_ts, ts, event_id, value

@@ -17,6 +17,19 @@ case class Scd2Out(user_id: Long, event_id: Long,
 case class LshBandRow(id: Long, band: Int, bh: String)
 case class LshBucketState(ids: List[Long], saturated: Boolean)
 case class LshPair(id_a: Long, id_b: Long)
+/** Sessionization input: `ts` (timestamp) carries the watermark; all
+  * session arithmetic runs on `ts_us` (exact event micros — Timestamp
+  * round-trips through the encoder at millis precision). */
+case class SessEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, ts_us: Long)
+/** One open session interval: [start_us, last_us] with its event count.
+  * The raw events are NOT retained — consecutive in-session events are
+  * < gap apart by construction, so a compressed interval is enough to
+  * answer "does this row extend the session" exactly. */
+case class SessAcc(start_us: Long, last_us: Long, n: Long)
+case class SessState(sessions: List[SessAcc])
+case class SessionOut(user_id: Long, session_start_us: Long,
+    session_last_us: Long, n_events: Long)
 
 /** Structured-Streaming rendering of the reference pipeline
   * (SURVEY.md §3.2): Kafka topic → per-record SMT → partitioned JSON
@@ -443,4 +456,64 @@ object StreamingPipeline {
       df: DataFrame, keyCols: Seq[String], tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** ST4 custom keyed state: gap sessionization through
+    * `flatMapGroupsWithState` with EVENT-TIME timeout — the state-store
+    * twin of the batch `session_window` query, exact under in-horizon
+    * out-of-order arrival (where a naive last-event fold drifts).
+    *
+    * State per user is a list of gap-disjoint compressed intervals
+    * `[start, last] × n` — bounded by the in-horizon session count, not
+    * the event count. Each batch folds the new rows in by interval
+    * merge: rows and existing sessions sort by start and coalesce while
+    * `next.start - prev.last < gap` (a row landing INSIDE a session is
+    * within gap of its neighbors by construction, and a row BRIDGING
+    * two sessions merges them — the semantics Spark's own streaming
+    * `session_window` state implements). A session is emitted exactly
+    * when the watermark passes `last + gap`: any surviving row is
+    * either late (dropped against the watermark, mirroring
+    * `dropDuplicatesWithinWatermark`) or ≥ gap away (a new session), so
+    * no emission can ever need retraction. The event-time timeout
+    * re-invokes each key when the watermark passes its earliest
+    * closable session, so idle keys' state drains without new input
+    * and emission needs no sentinel rows of its own. */
+  def gapSessions(
+      events: org.apache.spark.sql.Dataset[SessEvent],
+      gapUs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+          // late rows (older than the watermark) cannot extend any
+          // closable session without breaking append-mode emissions —
+          // drop them, exactly as the engine's stateful ops do
+          val fresh = rows.filter(_.ts_us >= wmUs)
+            .map(e => SessAcc(e.ts_us, e.ts_us, 1L)).toList
+          val merged = (prior ++ fresh).sortBy(s => (s.start_us, s.last_us))
+            .foldLeft(List.empty[SessAcc]) {
+              case (prev :: tail, cur) if cur.start_us - prev.last_us < gapUs =>
+                SessAcc(prev.start_us,
+                  math.max(prev.last_us, cur.last_us), prev.n + cur.n) :: tail
+              case (acc, cur) => cur :: acc
+            }.reverse
+          val (closed, open) = merged.partition(_.last_us + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessState(open))
+            // wake this key when its earliest session becomes closable;
+            // ceil to ms and clamp past the current watermark (the API
+            // rejects timeouts at or before it)
+            val nextUs = open.map(_.last_us + gapUs).min
+            state.setTimeoutTimestamp(math.max(wmMs + 1L, (nextUs + 999L) / 1000L))
+          }
+          closed.iterator.map(s =>
+            SessionOut(uid, s.start_us, s.last_us, s.n))
+      }
+  }
 }

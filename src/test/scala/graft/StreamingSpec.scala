@@ -154,6 +154,58 @@ class StreamingSpec extends SparkSpec {
       s"expected a state-store dedup operator in:\n$planOut")
   }
 
+  test("ST4 flatMapGroupsWithState sessionization: cross-batch merge, bridge, late-drop, state store") {
+    import graft.streaming.{SessEvent, SessionOut}
+    val gapUs = 30L * 60L * 1000000L
+    // base offset: the engine's late filter is `ts <= watermark`, and
+    // the initial watermark is 0 — an event at exactly epoch 0 would
+    // sit ON the boundary and be dropped before the function runs
+    val baseMin = 1440L
+    def ev(uid: Long, eid: Long, min: Long): SessEvent = {
+      val us = (baseMin + min) * 60L * 1000000L
+      SessEvent(uid, eid, new Timestamp(us / 1000L), us)
+    }
+    def startMin(s: SessionOut): Long = s.session_start_us / 60000000L - baseMin
+    def lastMin(s: SessionOut): Long = s.session_last_us / 60000000L - baseMin
+    val stream = MemoryStream[SessEvent]
+    // delay longer than the fixture's span so batch 1 leaves the
+    // watermark at 0 — only the batch-2 pusher row advances it
+    val sessions = StreamingPipeline.gapSessions(
+      stream.toDS().withWatermark("ts", "600 minutes"), gapUs)
+    val q = sessions.writeStream.format("memory").queryName("sess_fmgs_spec")
+      .outputMode("append").start()
+    def rows(): Seq[SessionOut] =
+      spark.table("sess_fmgs_spec").as[SessionOut].collect().toSeq
+    // batch 1: u1 opens a session (0,10); u2 a singleton; u3 TWO
+    // sessions 50 min apart (stay separate: 50 >= 30)
+    stream.addData(ev(1, 1, 0), ev(1, 2, 10), ev(2, 3, 0),
+      ev(3, 7, 100), ev(3, 8, 150))
+    q.processAllAvailable() // watermark stays 0 (150 - 600 < 0)
+    // batch 2: u1@20 extends the b1 session ACROSS the batch boundary;
+    // u1@120 opens a second session; u3@125 BRIDGES the two b1
+    // sessions (25 min to each side); u99@900 pushes the watermark to
+    // 300 so every real session's event-time timeout fires
+    stream.addData(ev(1, 4, 20), ev(1, 5, 120), ev(3, 9, 125), ev(99, 6, 900))
+    q.processAllAvailable()
+    val planOut = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(planOut)) { q.explain() }
+    val afterB2 = rows()
+    // u1: [0,20]×3 (cross-batch merge) and [120,120]×1; u2: [0,0]×1;
+    // u3: ONE bridged session [100,150]×3; u99 still open (930 > 300)
+    assert(afterB2.map(s => (s.user_id, startMin(s), lastMin(s), s.n_events)).toSet ===
+      Set((1L, 0L, 20L, 3L), (1L, 120L, 120L, 1L), (2L, 0L, 0L, 1L),
+        (3L, 100L, 150L, 3L)),
+      s"unexpected session set: $afterB2")
+    // batch 3: a late u1 row far behind the watermark must be dropped,
+    // never resurrecting a closed session or opening a stale one
+    stream.addData(ev(1, 10, 5))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows().size === afterB2.size, "late row must not emit a session")
+    assert(planOut.toString.contains("FlatMapGroupsWithState"),
+      s"expected a FlatMapGroupsWithState state store in:\n$planOut")
+  }
+
   test("incremental materialized aggregate: versioned folds, snapshot = global agg") {
     val stateDir = Files.createTempDirectory("graft_incr").toString
     val ckpt = Files.createTempDirectory("graft_incr_ck").toString
