@@ -198,6 +198,18 @@ object RetrievalQueries {
     table
   }
 
+  /** Force the SESSION index builds (the memoized denormalized posting
+    * index and the shared IVF-PQ index, which pulls the Lloyd coarse
+    * quantizer with it) so their one-off cost lands where a deployment
+    * pays it — at ingest, not inside the first query that happens to
+    * probe them. Bench calls this in its untimed prep region and
+    * reports the cost as `prep.session_index_build_s`. */
+  private[graft] def warmSessionIndexes(spark: SparkSession, dir: String): Unit = {
+    postingsIndex(spark, dir)
+    SimilarityQueries.ivfPqSharedIndex(spark, dir)
+    ()
+  }
+
   /** The %37 contamination split probed against the PERSISTED bucketed
     * index — same relation as `text_bm25_topk` (one shared oracle
     * semantics), proving the on-disk index path end to end under the
