@@ -101,7 +101,10 @@ object Bench {
       "tumbling_window" -> 0.513273244, "window_rank" -> 0.564407618)
     val resultMap = results.toMap
     val calibration: String =
-      if (!sfDir.contains("sf0.1")) """{"reference":"r6@sf0.1","applicable":false}"""
+      if (new java.io.File(sfDir.stripSuffix("/")).getName != "sf0.1")
+        // exact basename match: a substring test would rate sf0.15 or
+        // sf0.1_v2 against the wrong-scale reference as applicable
+        """{"reference":"r6@sf0.1","applicable":false}"""
       else {
         val ratios = canaryRefR6.toSeq.sorted.flatMap { case (k, ref) =>
           resultMap.get(k).filter(_ > 0).map(v => k -> v / ref)

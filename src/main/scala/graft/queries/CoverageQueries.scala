@@ -21,6 +21,34 @@ import graft.sources.Tables
   */
 object CoverageQueries {
 
+  /** Write-once parquet fixture at a FIXED path (the far-future
+    * sentinel streams): threads serialize on the JVM lock, and
+    * processes race safely because the write lands in a unique temp
+    * sibling first and reaches the final path via atomic rename — the
+    * old in-place `mode("overwrite")` let a second process delete the
+    * directory under the first's in-flight commit. The loser of the
+    * rename race discards its temp copy (both copies are identical by
+    * construction). */
+  private val fixtureLock = new Object
+  private[queries] def ensureFixture(dir: java.nio.file.Path)(
+      write: String => Unit): Unit = fixtureLock.synchronized {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      val tmp = dir.resolveSibling(
+        dir.getFileName.toString + ".tmp." + java.util.UUID.randomUUID().toString)
+      write(tmp.toString)
+      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.DirectoryNotEmptyException
+            | _: java.nio.file.AccessDeniedException =>
+          // another process committed first; its fixture is identical
+          import scala.jdk.CollectionConverters._
+          Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   // ---- scans / filter / project -----------------------------------------
 
   /** S12 + T2/T5 batch shape: pushed filter + pruned projection. */
@@ -342,10 +370,7 @@ object CoverageQueries {
     import org.apache.spark.sql.types._
     // explicit source schema (streaming reads can't infer): ts arrives as
     // raw TIMESTAMP(NANOS) int64 under the session's nanosAsLong flag
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = Tables.eventsStreamSchema
     val sentinelType = "__sentinel__"
     val sentinelNanos = // 2100-01-01, far beyond any testdata event
       java.time.Instant.parse("2100-01-01T00:00:00Z").getEpochSecond * 1000000000L
@@ -354,10 +379,10 @@ object CoverageQueries {
     val sentinelDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_window_sentinel_v1")
     import spark.implicits._
-    if (!java.nio.file.Files.exists(sentinelDir.resolve("_SUCCESS"))) {
+    ensureFixture(sentinelDir) { tmp =>
       Seq((-1L, sentinelNanos, -1L, sentinelType, 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(sentinelDir.toString)
+        .write.mode("overwrite").parquet(tmp)
     }
     // the streaming file source wants a directory; glob-filter the one
     // table file out of the sf dir

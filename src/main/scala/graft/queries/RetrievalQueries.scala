@@ -207,6 +207,10 @@ object RetrievalQueries {
   private[graft] def warmSessionIndexes(spark: SparkSession, dir: String): Unit = {
     postingsIndex(spark, dir)
     SimilarityQueries.ivfPqSharedIndex(spark, dir)
+    // the raw-vector PQ codebook is the same class of one-off train
+    // (emb_pq_codes / sim_topk_pq both read it) — without this line the
+    // first of them silently pays the build inside its timed region
+    SimilarityQueries.pqCodebook(spark, dir)
     ()
   }
 
@@ -214,13 +218,22 @@ object RetrievalQueries {
     * index — same relation as `text_bm25_topk` (one shared oracle
     * semantics), proving the on-disk index path end to end under the
     * hash gate. */
-  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
-    val table = postingIndexTable(spark, dir)
-    val queries = Tables.documents(spark, dir)
+  /** The %37 split's query side and corpus-exclusion predicate, shared
+    * by [[bm25Indexed]] and the cross-JVM receipt tooling
+    * (PostingIndexCli) — a hand-rolled copy in the tool would keep
+    * certifying an old probe shape if the registered split changed. */
+  private[graft] def bm25IndexedQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .filter(col("doc_id") % 37 === 0)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(tokens(col("text")))).as("t"))
-    bm25TopKIndexed(spark, table, queries, col("doc_id") % 37 =!= 0, k = 10)
+  private[graft] def bm25IndexedCorpusPred: org.apache.spark.sql.Column =
+    col("doc_id") % 37 =!= 0
+
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val table = postingIndexTable(spark, dir)
+    bm25TopKIndexed(spark, table, bm25IndexedQueries(spark, dir),
+      bm25IndexedCorpusPred, k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 

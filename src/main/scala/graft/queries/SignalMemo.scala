@@ -58,7 +58,9 @@ object SignalMemo {
     * part files. Concurrent first builds from separate processes are
     * out of scope (a real deployment serializes signal builds through
     * its scheduler); within a process [[cached]] serializes builds per
-    * key, so two threads can never race this check-then-write. */
+    * on-disk signal path — across sessions sharing a signalDir, not
+    * just per session — so two threads can never race this
+    * check-then-write. */
   def readOrBuild(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,16 +84,26 @@ object SignalMemo {
     * and write the same parquet path concurrently (committer temp-dir
     * collisions). Nested builds take DISTINCT keys' locks and the
     * nesting follows the builder dependency DAG (postings → occ → dl),
-    * so lock acquisition is acyclic — no deadlock. */
+    * so lock acquisition is acyclic — no deadlock.
+    *
+    * The lock's first component is the SIGNAL ROOT when one is
+    * configured (falling back to the session): two sessions in one JVM
+    * sharing `spark.graft.signalDir` build the same on-disk path, so
+    * per-session locks would let them race the `_SUCCESS`
+    * check-then-write in [[readOrBuild]] exactly as two threads of one
+    * session would. Root-keyed lock entries are tiny and stay for the
+    * JVM's lifetime; session-keyed ones evict with the session. */
   private val buildLocks =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Object]()
+    new java.util.concurrent.ConcurrentHashMap[(AnyRef, String, String), Object]()
 
   def cached(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val key = (spark, dir, name)
     val hit = memo.get(key)
     if (hit != null) hit
-    else buildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+    else buildLocks.computeIfAbsent(
+        (signalRoot(spark).getOrElse(spark): AnyRef, dir, name),
+        _ => new Object).synchronized {
       val won = memo.get(key)
       if (won != null) won
       else {

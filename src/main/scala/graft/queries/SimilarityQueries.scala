@@ -100,7 +100,7 @@ object SimilarityQueries {
   /** One trained raw-vector PQ codebook per (session, dir) — the
     * in-session analog of training the codebook once and persisting
     * it; `emb_pq_codes` and `sim_topk_pq` both read it. */
-  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def pqCodebook(spark: SparkSession, dir: String): DataFrame =
     SignalMemo.cached(spark, dir, "pq_codebook")(
       graft.operators.Pq.codebook(Tables.embeddings(spark, dir),
         "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 1))

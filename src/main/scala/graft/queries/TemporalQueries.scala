@@ -98,10 +98,7 @@ object TemporalQueries {
   def scd2HistoryStreamed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import spark.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = Tables.eventsStreamSchema
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -142,10 +139,7 @@ object TemporalQueries {
     * duplicate row wins the state race. stream == batch == oracle. */
   def dedupLateStreamed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = Tables.eventsStreamSchema
     val deduped = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -182,18 +176,15 @@ object TemporalQueries {
   def sessionFmgsStreamed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import spark.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = Tables.eventsStreamSchema
     val sentinelUs = // 2100-01-01, far beyond any testdata event
       java.time.Instant.parse("2100-01-01T00:00:00Z").getEpochSecond * 1000000L
     val sentinelDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_session_sentinel_v1")
-    if (!java.nio.file.Files.exists(sentinelDir.resolve("_SUCCESS"))) {
+    CoverageQueries.ensureFixture(sentinelDir) { tmp =>
       Seq((-1L, sentinelUs * 1000L, -1L, "__sentinel__", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(sentinelDir.toString)
+        .write.mode("overwrite").parquet(tmp)
     }
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")

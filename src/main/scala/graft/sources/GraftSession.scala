@@ -46,6 +46,15 @@ object GraftSession {
     * need a server-grade metastore (Hive service/Glue), where the
     * SAME calling code applies unchanged. */
   def localDurable(cpus: Int, warehouseDir: String, metastoreDir: String): SparkSession = {
+    // warehouse dir, metastore URL, and catalog implementation are
+    // STATIC confs: getOrCreate silently ignores them when a session
+    // already lives in this JVM, which would hand back the in-memory
+    // catalog and quietly void the durability contract — fail loudly
+    // instead of returning a session that can't keep the promise
+    require(
+      SparkSession.getActiveSession.isEmpty && SparkSession.getDefaultSession.isEmpty,
+      "localDurable requires a fresh JVM: a SparkSession already exists and " +
+        "its catalog/warehouse static confs cannot be changed after the fact")
     val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",

@@ -46,6 +46,20 @@ object Tables {
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+  /** Explicit schema for STREAMING reads of events.parquet (streaming
+    * sources can't infer): `ts` arrives as the raw TIMESTAMP(NANOS)
+    * int64 under the session's nanosAsLong flag. One definition for
+    * every streamed-events query — a column change updated in one
+    * inline copy but not another would silently read stale columns as
+    * null under the explicit-schema path. */
+  val eventsStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

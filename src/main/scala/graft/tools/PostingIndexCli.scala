@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
 import graft.queries.RetrievalQueries
 import graft.sources.GraftSession
 
@@ -35,16 +33,14 @@ object PostingIndexCli {
           val rows = RetrievalQueries.bm25Indexed(spark, sfDir).count()
           // the probe join alone with broadcast disabled: the bucketed
           // index side must reach the join without an Exchange; the
-          // exploded query-terms side legitimately shuffles once
-          // (the RetrievalSpec plan assertion, replayed cross-JVM)
-          val queries = graft.sources.Tables.documents(spark, sfDir)
-            .filter(col("doc_id") % 37 === 0)
-            .select(col("doc_id").as("query_id"),
-              explode(array_distinct(
-                graft.functions.TextFunctions.tokens(col("text")))).as("t"))
+          // exploded query-terms side legitimately shuffles once (the
+          // RetrievalSpec plan assertion, replayed cross-JVM). Query
+          // side and split predicate come from the registered query's
+          // own builders, so this receipt tracks the real probe shape.
+          val queries = RetrievalQueries.bm25IndexedQueries(spark, sfDir)
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           val probe = queries.join(
-            spark.table(table).filter(col("doc_id") % 37 =!= 0), Seq("t"))
+            spark.table(table).filter(RetrievalQueries.bm25IndexedCorpusPred), Seq("t"))
           val exchanges = "Exchange hashpartitioning".r
             .findAllIn(probe.queryExecution.executedPlan.toString).size
           println(s"[xjvm] existed=$existed rows=$rows indexExchanges=${exchanges - 1}")
