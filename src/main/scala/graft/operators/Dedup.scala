@@ -66,6 +66,57 @@ object Dedup {
         round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
   }
 
+  /** Sliding-window exact substring dedup (Lee et al. 2022,
+    * arXiv:2107.06499 — the ExactSubstr pass at k-token granularity
+    * rather than a suffix array): every POSITIONAL k-gram — unlike
+    * [[passageDedup]]'s disjoint tiles, so a copy straddling a tile
+    * boundary is still caught — whose hash occurs ≥ `minOcc` times
+    * corpus-wide marks its [pos, pos+k) token span; per doc the marked
+    * spans merge by interval union (gaps-and-islands: both window
+    * passes share ONE doc-keyed partitioning) into maximal duplicated
+    * spans. Adjacent-but-disjoint spans stay separate (merge on
+    * overlap only).
+    *
+    * Scale: the gram pass is scan-side and emits (doc_id, pos, hash)
+    * ids only — text never shuffles; the ≥ minOcc filter is one
+    * map-combined hash agg; the span algebra is per-doc. A boilerplate
+    * gram shared by millions of docs grows one hash partition
+    * linearly in its occurrences, never pairwise. */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minOcc: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol))
+    val occ = docs.select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+    val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOcc).select(col("h"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = occ.join(dupH, Seq("h"))
+      .withColumn("prev_max_end", max(col("pos") + lit(k)).over(wPrev))
+      .withColumn("new_span",
+        when(col("prev_max_end").isNull || col("pos") >= col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(wRun))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg((max(col("pos") + lit(k)) - min(col("pos"))).as("span_len"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).cast("long").as("dup_tokens"))
+    docs.select(col("doc_id"), size(toks).cast("long").as("total_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("total_tokens").cast("double"), 6).as("dup_ratio"))
+  }
+
   /** MinHash signature as an array column: sig(i) = min over shingles of
     * hash(i, shingle). Fused custom expression — one pass over the
     * shingle array updating all perm minimums (the HOF reference

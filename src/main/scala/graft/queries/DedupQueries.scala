@@ -216,7 +216,16 @@ object DedupQueries {
       passageTokens = 10)
       .orderBy(col("doc_id"))
 
+  /** Sliding-window exact substring dedup over the corpus
+    * ([[Dedup.substringSpans]] — the Lee et al. 2022 ExactSubstr pass
+    * at 8-token granularity; catches the boundary-straddling copies
+    * `dedup_passages`' disjoint tiles miss). */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_passages" -> (dedupPassages _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
@@ -266,6 +275,38 @@ object DedupQueries {
       |len(list_filter(w, t -> t IN ('le','les','et','je'))) AS c_fr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |         md5(array_to_string(w[CAST(u.i+1 AS INT):CAST(u.i+8 AS INT)], ' ')) AS h
+        |  FROM t, UNNEST(range(0, greatest(len(w) - 8 + 1, 0))) AS u(i)),
+        |c AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (h)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |         MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |         SUM(CASE WHEN prev_max_end IS NULL OR pos >= prev_max_end
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM m),
+        |sp AS (
+        |  SELECT doc_id, span_id, MAX(pos + 8) - MIN(pos) AS span_len
+        |  FROM s GROUP BY doc_id, span_id),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans, SUM(span_len) AS dup_tokens
+        |  FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS total_tokens,
+        |       CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       round(CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE)
+        |             / CAST(len(t.w) AS DOUBLE), 6) AS dup_ratio
+        |FROM t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "dedup_passages" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

@@ -24,6 +24,41 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L) === 1L)
   }
 
+  test("substring spans: straddling copies caught, islands merge, disjoint spans separate") {
+    def words(prefix: String, n: Int): Seq[String] = (0 until n).map(prefix + _)
+    val fixture = Seq(
+      // scenario A: doc 2 copies doc 1's tokens a10..a19 — a 10-token
+      // run that straddles any 10-token tile boundary (passageDedup's
+      // blind spot); expected maximal span [10,20) in doc 1, [5,15) in 2
+      1L -> words("a", 30).mkString(" "),
+      2L -> (words("b", 5) ++ words("a", 20).drop(10) ++ words("bb", 5)).mkString(" "),
+      // scenario B: full-copy pair — every gram duplicated, ratio 1.0
+      3L -> words("c", 12).mkString(" "),
+      4L -> words("c", 12).mkString(" "),
+      // scenario C: unique doc with grams; short doc below k
+      5L -> words("d", 9).mkString(" "),
+      6L -> words("e", 5).mkString(" "),
+      // scenario D: two SEPARATE shared blocks per doc → two islands
+      7L -> (words("f", 8) ++ words("x", 3) ++ words("g", 8)).mkString(" "),
+      8L -> (words("f", 8) ++ words("y", 3) ++ words("g", 8)).mkString(" ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(fixture, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_ratio"))))
+      .toMap
+    assert(out(1L) === ((30L, 1L, 10L, 0.333333)), s"doc1: ${out(1L)}")
+    assert(out(2L) === ((20L, 1L, 10L, 0.5)), s"doc2: ${out(2L)}")
+    assert(out(3L) === ((12L, 1L, 12L, 1.0)), s"doc3: ${out(3L)}")
+    assert(out(4L) === ((12L, 1L, 12L, 1.0)), s"doc4: ${out(4L)}")
+    assert(out(5L) === ((9L, 0L, 0L, 0.0)), s"doc5: ${out(5L)}")
+    assert(out(6L) === ((5L, 0L, 0L, 0.0)), s"doc6: ${out(6L)}")
+    assert(out(7L) === ((19L, 2L, 16L, 0.842105)), s"doc7: ${out(7L)}")
+    assert(out(8L) === ((19L, 2L, 16L, 0.842105)), s"doc8: ${out(8L)}")
+  }
+
   test("passage dedup: corpus-wide and within-doc repeats flagged, tail passage kept") {
     val d = Seq(
       (1L, "a b c d e f g h"), // passages: "a b c d", "e f g h"

@@ -196,6 +196,11 @@ class StreamingSpec extends SparkSpec {
       Set((1L, 0L, 20L, 3L), (1L, 120L, 120L, 1L), (2L, 0L, 0L, 1L),
         (3L, 100L, 150L, 3L)),
       s"unexpected session set: $afterB2")
+    // bounded state: every closable session drained on timeout, so
+    // only u99's open session (one key) may remain in the store
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    assert(stateRows <= 1, s"state should hold only u99's key, found $stateRows rows")
     // batch 3: a late u1 row far behind the watermark must be dropped,
     // never resurrecting a closed session or opening a stale one
     stream.addData(ev(1, 10, 5))
