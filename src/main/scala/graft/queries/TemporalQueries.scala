@@ -211,6 +211,40 @@ object TemporalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The stream-STREAM interval join under the oracle gate (SURVEY
+    * §2.9 — previously spec-only): purchases matched to the same
+    * user's signups within 7 days before them, through
+    * [[graft.streaming.StreamingPipeline.streamIntervalJoin]] —
+    * watermarks on BOTH sides plus the time-range predicate bound the
+    * join state (without them a stream-stream join buffers every row
+    * forever, the 100 TB failure mode). Under the gate both sides
+    * replay as AvailableNow streams and every match emits in-batch;
+    * the DuckDB oracle is the equivalent batch range join:
+    * stream == batch == external engine. */
+  def streamIntervalJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
+    def src = spark.readStream.schema(Tables.eventsStreamSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_event_id"), col("ts").as("s_ts"))
+    val joined = graft.streaming.StreamingPipeline.streamIntervalJoin(
+      purchases, signups, key = "user_id", leftTs = "p_ts", rightTs = "s_ts",
+      delay = "1 hour", horizon = "7 days")
+      .select(col("l.user_id").as("user_id"), col("p_event_id"),
+        col("s_event_id"), col("p_ts"), col("s_ts"))
+    val name = "ssjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .orderBy(col("user_id"), col("p_event_id"), col("s_event_id"))
+  }
+
   /** Hourly OHLC bars per user — the time-series bar aggregation
     * (open/high/low/close + count) with deterministic (ts, event_id)
     * endpoint tiebreaks. The two endpoint windows and the rollup all
@@ -245,6 +279,7 @@ object TemporalQueries {
     "scd2_history_streamed" -> (scd2HistoryStreamed _),
     "dedup_late_streamed" -> (dedupLateStreamed _),
     "session_fmgs_streamed" -> (sessionFmgsStreamed _),
+    "stream_interval_join_streamed" -> (streamIntervalJoinStreamed _),
     "events_ohlc_bars" -> (eventsOhlcBars _)
   )
 
@@ -315,6 +350,16 @@ object TemporalQueries {
         |  FROM gaps)
         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM marks GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the equivalent batch range join: the streamed inner interval join
+    // emits exactly the matches, so one AvailableNow replay == batch
+    "stream_interval_join_streamed" ->
+      """SELECT l.user_id, l.event_id AS p_event_id, r.event_id AS s_event_id,
+        |       l.ts AS p_ts, r.ts AS s_ts
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 7 DAY
+        |WHERE l.event_type = 'purchase' AND r.event_type = 'signup'
+        |ORDER BY l.user_id, p_event_id, s_event_id""".stripMargin,
     "events_ohlc_bars" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bar_ts, ts, event_id, value
