@@ -91,7 +91,12 @@ object Dedup {
           i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
       .otherwise(array().cast("array<string>"))
     val docs = df.select(col(idCol).as("doc_id"), col(textCol))
+    // the gram pass (tokenize + per-position md5) dominates the cost
+    // and feeds BOTH the ≥minOcc aggregate and the join probe — persist
+    // it so the corpus is hashed once, not twice (Bench's
+    // clearCache-between-queries drops it afterwards)
     val occ = docs.select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+      .persist()
     val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minOcc).select(col("h"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

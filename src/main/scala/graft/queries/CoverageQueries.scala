@@ -34,17 +34,24 @@ object CoverageQueries {
       write: String => Unit): Unit = fixtureLock.synchronized {
     import java.nio.file.{Files, StandardCopyOption}
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      import scala.jdk.CollectionConverters._
+      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       val tmp = dir.resolveSibling(
         dir.getFileName.toString + ".tmp." + java.util.UUID.randomUUID().toString)
       write(tmp.toString)
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException
-            | _: java.nio.file.DirectoryNotEmptyException
-            | _: java.nio.file.AccessDeniedException =>
-          // another process committed first; its fixture is identical
-          import scala.jdk.CollectionConverters._
-          Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+            | _: java.nio.file.DirectoryNotEmptyException =>
+          if (Files.exists(dir.resolve("_SUCCESS"))) rmTree(tmp) // lost the race; identical copy
+          else {
+            // the blocker is a PARTIAL dir (e.g. a crashed legacy
+            // in-place write, which self-repaired and this path must
+            // too): replace it with the committed tmp copy
+            rmTree(dir)
+            Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+          }
       }
     }
   }
@@ -367,7 +374,6 @@ object CoverageQueries {
     * only the sentinel's own window (one row) is left in state. The
     * sentinel's window is filtered from the output. */
   def tumblingWindowStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     // explicit source schema (streaming reads can't infer): ts arrives as
     // raw TIMESTAMP(NANOS) int64 under the session's nanosAsLong flag
     val schema = Tables.eventsStreamSchema

@@ -102,7 +102,12 @@ object SignalMemo {
     val hit = memo.get(key)
     if (hit != null) hit
     else buildLocks.computeIfAbsent(
-        (signalRoot(spark).getOrElse(spark): AnyRef, dir, name),
+        // normalize the root so "/tmp/sig" and "/tmp/sig/" (or a
+        // relative spelling) take the SAME lock — unequal strings for
+        // one physical dir would reopen the cross-session write race
+        (signalRoot(spark)
+          .map(r => java.nio.file.Paths.get(r).toAbsolutePath.normalize.toString)
+          .getOrElse(spark): AnyRef, dir, name),
         _ => new Object).synchronized {
       val won = memo.get(key)
       if (won != null) won

@@ -96,7 +96,6 @@ object TemporalQueries {
     * over its optimistic open twin — must hash-match the same oracle as
     * the batch `scd2_history`. stream == batch == external engine. */
   def scd2HistoryStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import spark.implicits._
     val schema = Tables.eventsStreamSchema
     val events = spark.readStream.schema(schema)
@@ -138,7 +137,6 @@ object TemporalQueries {
     * emitted, so the result is deterministic no matter which physical
     * duplicate row wins the state race. stream == batch == oracle. */
   def dedupLateStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     val schema = Tables.eventsStreamSchema
     val deduped = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -174,7 +172,6 @@ object TemporalQueries {
     * Cross-batch merge/bridge semantics and late-row drops are
     * spec-forced in StreamingSpec with a three-batch MemoryStream. */
   def sessionFmgsStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import spark.implicits._
     val schema = Tables.eventsStreamSchema
     val sentinelUs = // 2100-01-01, far beyond any testdata event

@@ -51,10 +51,14 @@ object GraftSession {
     // already lives in this JVM, which would hand back the in-memory
     // catalog and quietly void the durability contract — fail loudly
     // instead of returning a session that can't keep the promise
+    // stopped sessions stay in the thread-local/default holders, so
+    // filter them out — only a LIVE session makes getOrCreate ignore
+    // the static confs
     require(
-      SparkSession.getActiveSession.isEmpty && SparkSession.getDefaultSession.isEmpty,
-      "localDurable requires a fresh JVM: a SparkSession already exists and " +
-        "its catalog/warehouse static confs cannot be changed after the fact")
+      SparkSession.getActiveSession.filterNot(_.sparkContext.isStopped).isEmpty &&
+        SparkSession.getDefaultSession.filterNot(_.sparkContext.isStopped).isEmpty,
+      "localDurable requires a fresh JVM: a live SparkSession already exists " +
+        "and its catalog/warehouse static confs cannot be changed after the fact")
     val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
