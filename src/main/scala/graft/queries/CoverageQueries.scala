@@ -30,7 +30,7 @@ object CoverageQueries {
     * rename race discards its temp copy (both copies are identical by
     * construction). */
   private val fixtureLock = new Object
-  private[queries] def ensureFixture(dir: java.nio.file.Path)(
+  private[graft] def ensureFixture(dir: java.nio.file.Path)(
       write: String => Unit): Unit = fixtureLock.synchronized {
     import java.nio.file.{Files, StandardCopyOption}
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
@@ -42,8 +42,10 @@ object CoverageQueries {
       write(tmp.toString)
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException
-            | _: java.nio.file.DirectoryNotEmptyException =>
+        // the common parent: Linux rename(2) onto a non-empty dir
+        // surfaces as a raw FileSystemException (ENOTEMPTY), not the
+        // typed DirectoryNotEmptyException
+        case _: java.nio.file.FileSystemException =>
           if (Files.exists(dir.resolve("_SUCCESS"))) rmTree(tmp) // lost the race; identical copy
           else {
             // the blocker is a PARTIAL dir (e.g. a crashed legacy

@@ -152,4 +152,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(e.getMessage.contains("sink needs columns")
       || Option(e.getCause).exists(_.getMessage.contains("sink needs columns")))
   }
+
+  test("ensureFixture: self-repairs a partial fixture dir and is idempotent once committed") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_fixture_spec")
+    val dir = root.resolve("fixture_v1")
+    // a crashed legacy write: part file present, NO _SUCCESS marker
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    graft.queries.CoverageQueries.ensureFixture(dir) { tmp =>
+      Seq((1L, "ok")).toDF("id", "v").write.mode("overwrite").parquet(tmp)
+    }
+    assert(Files.exists(dir.resolve("_SUCCESS")),
+      "partial dir must be replaced by the committed copy")
+    assert(spark.read.parquet(dir.toString).collect().map(_.getString(1)).toSeq === Seq("ok"))
+    // committed: a second call must not rewrite (mtimes unchanged)
+    def listing = Files.list(dir).toArray.map { p =>
+      val path = p.asInstanceOf[java.nio.file.Path]
+      path.getFileName.toString -> Files.getLastModifiedTime(path).toMillis
+    }.toMap
+    val before = listing
+    graft.queries.CoverageQueries.ensureFixture(dir) { tmp =>
+      fail("writer must not run once the fixture is committed")
+    }
+    assert(listing === before, "committed fixture must not be rewritten")
+  }
 }
