@@ -85,12 +85,15 @@ object Dedup {
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minOcc: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextFunctions.tokens(col(textCol))
-    val grams = when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+    // tokenize ONCE per row into a bound column: an inline tokens()
+    // expression inside the HOF lambda below would re-split the text
+    // per array ELEMENT — O(tokens²) per doc (the postingRows lesson)
+    val docs = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val grams = when(size(col("toks")) >= k,
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))))))
       .otherwise(array().cast("array<string>"))
-    val docs = df.select(col(idCol).as("doc_id"), col(textCol))
     // the gram pass (tokenize + per-position md5) dominates the cost
     // and feeds BOTH the ≥minOcc aggregate and the join probe — persist
     // it so the corpus is hashed once, not twice (Bench's
@@ -113,7 +116,7 @@ object Dedup {
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_len")).cast("long").as("dup_tokens"))
-    docs.select(col("doc_id"), size(toks).cast("long").as("total_tokens"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("total_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
