@@ -224,8 +224,35 @@ object DedupQueries {
     Dedup.substringSpans(Tables.documents(spark, dir), "doc_id", "text", k = 8)
       .orderBy(col("doc_id"))
 
+  /** Quality-aware survivor selection over the near-dup clusters — the
+    * production dedup semantics: keep the BEST copy of each cluster
+    * (highest `qualityScore`, min doc_id on exact ties), not the
+    * min-id copy. Composes the connected-components clusters with the
+    * shared quality signal; one row_number window over the (small)
+    * clustered-doc set picks the survivor deterministically. At scale
+    * the quality join touches only clustered ids (near-dup members,
+    * ≪ corpus) and the window partitions by component — no
+    * corpus-sized shuffle beyond what clustering already did. */
+  def dedupBestSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(spark, dir)
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("q").desc, col("node").asc)
+    clusters.join(q, clusters("node") === q("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("node"))).as("survivor_id"),
+        round(max(when(col("rn") === 1, col("q"))), 6).as("survivor_q"))
+      .orderBy(col("component"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring_spans" -> (dedupSubstringSpans _),
+    "dedup_best_survivor" -> (dedupBestSurvivor _),
     "dedup_passages" -> (dedupPassages _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
@@ -496,6 +523,54 @@ object DedupQueries {
          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node, MIN(label) AS component
          |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    // the dedup_clusters CTE chain verbatim + the shared quality
+    // formula; survivor = row_number 1 under (q DESC, node ASC)
+    "dedup_best_survivor" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+         |sig AS (
+         |  SELECT t.doc_id, h.i, MIN(md5(CAST(h.i AS VARCHAR) || '|' || t.sng)) AS mh
+         |  FROM t CROSS JOIN (SELECT unnest(range(16)) AS i) h
+         |  GROUP BY t.doc_id, h.i),
+         |band AS (
+         |  SELECT doc_id, i // 4 AS b, md5(string_agg(mh, ',' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh
+         |  WHERE x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+         |qual AS (
+         |  SELECT doc_id,
+         |         least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |         + (CAST(len(list_filter(w, t -> t IN ('the','a','and','of'))) AS DOUBLE)
+         |            / CAST(len(w) AS DOUBLE)) * 0.3
+         |         + least((CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS DOUBLE)
+         |                  / CAST(len(w) AS DOUBLE)) / 10.0, 1.0) * 0.2 AS q
+         |  FROM (SELECT doc_id, text,
+         |          string_split_regex(trim(text), '\\s+') AS w FROM documents)),
+         |r AS (
+         |  SELECT c.component, c.node, qual.q,
+         |         ROW_NUMBER() OVER (PARTITION BY c.component
+         |           ORDER BY qual.q DESC, c.node ASC) AS rn
+         |  FROM comp c JOIN qual ON qual.doc_id = c.node)
+         |SELECT component, COUNT(*) AS n_members,
+         |       CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS survivor_id,
+         |       round(MAX(CASE WHEN rn = 1 THEN q END), 6) AS survivor_q
+         |FROM r GROUP BY component ORDER BY component""".stripMargin,
     "corpus_pipeline_full" ->
       s"""WITH tok AS (
          |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
