@@ -50,9 +50,16 @@ object CoverageQueries {
           else {
             // the blocker is a PARTIAL dir (e.g. a crashed legacy
             // in-place write, which self-repaired and this path must
-            // too): replace it with the committed tmp copy
+            // too): replace it with the committed tmp copy. The retry
+            // can itself lose to a concurrent repairer — tolerate that
+            // only if the winner actually committed (_SUCCESS present)
             rmTree(dir)
-            Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+            try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case e: java.nio.file.FileSystemException =>
+                if (Files.exists(dir.resolve("_SUCCESS"))) rmTree(tmp)
+                else throw e
+            }
           }
       }
     }

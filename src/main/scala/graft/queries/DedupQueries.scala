@@ -200,13 +200,18 @@ object DedupQueries {
   /** Near-dup pairs → transitive dedup clusters: connected components
     * over the MinHash-LSH pair list (the step that turns pairwise
     * matches into groups with one survivor each). */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The (node, component) clusters WITHOUT the presentation sort —
+    * consumers that re-partition anyway (the survivor window) skip the
+    * global range-exchange the ordered form pays. */
+  private def clusterComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
       k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
       .select(col("id_a"), col("id_b"))
     Dedup.connectedComponents(pairs)
-      .orderBy(col("node"))
   }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterComponents(spark, dir).orderBy(col("node"))
 
   /** Exact substring dedup at 10-token passage granularity: which spans
     * of each document are copied text anywhere in the corpus, and how
@@ -235,8 +240,12 @@ object DedupQueries {
     * corpus-sized shuffle beyond what clustering already did. */
   def dedupBestSurvivor(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = dedupClusters(spark, dir)
+    val clusters = clusterComponents(spark, dir)
+    // prune to clustered ids BEFORE scoring: qualityScore is a
+    // tokenize + regex pass, and clustered docs are ≪ corpus — a
+    // corpus-wide score would be discarded for every unclustered doc
     val q = Tables.documents(spark, dir)
+      .join(clusters.select(col("node")), col("doc_id") === col("node"), "left_semi")
       .select(col("doc_id"),
         graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
     val w = Window.partitionBy(col("component"))
@@ -294,6 +303,39 @@ object DedupQueries {
       |        FROM documents)
       |  WHERE len(w) >= 3
       |)""".stripMargin
+
+  /** The LSH→Jaccard→connected-components chain (the SQL mirror of
+    * [[dedupClusters]]' Spark side), shared by the `dedup_clusters`
+    * and `dedup_best_survivor` oracles so the two can never silently
+    * diverge. Consumes `sh` from [[shingleCte]]; ends with
+    * `comp(node, component)`. */
+  private val clusterCteSql =
+    """t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+      |sig AS (
+      |  SELECT t.doc_id, h.i, MIN(md5(CAST(h.i AS VARCHAR) || '|' || t.sng)) AS mh
+      |  FROM t CROSS JOIN (SELECT unnest(range(16)) AS i) h
+      |  GROUP BY t.doc_id, h.i),
+      |band AS (
+      |  SELECT doc_id, i // 4 AS b, md5(string_agg(mh, ',' ORDER BY i)) AS bh
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh
+      |  WHERE x.doc_id < y.doc_id),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(a.s || b.s)) >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |reach(node, label) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)""".stripMargin
 
   private val langScoreCols =
     """len(list_filter(w, t -> t IN ('the','a','and','of'))) AS c_en,
@@ -496,63 +538,13 @@ object DedupQueries {
     // the recursion at the fixpoint)
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
-         |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
-         |sig AS (
-         |  SELECT t.doc_id, h.i, MIN(md5(CAST(h.i AS VARCHAR) || '|' || t.sng)) AS mh
-         |  FROM t CROSS JOIN (SELECT unnest(range(16)) AS i) h
-         |  GROUP BY t.doc_id, h.i),
-         |band AS (
-         |  SELECT doc_id, i // 4 AS b, md5(string_agg(mh, ',' ORDER BY i)) AS bh
-         |  FROM sig GROUP BY doc_id, i // 4),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh
-         |  WHERE x.doc_id < y.doc_id),
-         |pairs AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |          / len(list_distinct(a.s || b.s)) >= 0.8),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
-         |reach(node, label) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
-         |SELECT node, MIN(label) AS component
-         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+         |$clusterCteSql
+         |SELECT node, component FROM comp ORDER BY node""".stripMargin,
     // the dedup_clusters CTE chain verbatim + the shared quality
     // formula; survivor = row_number 1 under (q DESC, node ASC)
     "dedup_best_survivor" ->
       s"""WITH RECURSIVE $shingleCte,
-         |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
-         |sig AS (
-         |  SELECT t.doc_id, h.i, MIN(md5(CAST(h.i AS VARCHAR) || '|' || t.sng)) AS mh
-         |  FROM t CROSS JOIN (SELECT unnest(range(16)) AS i) h
-         |  GROUP BY t.doc_id, h.i),
-         |band AS (
-         |  SELECT doc_id, i // 4 AS b, md5(string_agg(mh, ',' ORDER BY i)) AS bh
-         |  FROM sig GROUP BY doc_id, i // 4),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh
-         |  WHERE x.doc_id < y.doc_id),
-         |pairs AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |          / len(list_distinct(a.s || b.s)) >= 0.8),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
-         |reach(node, label) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-         |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+         |$clusterCteSql,
          |qual AS (
          |  SELECT doc_id,
          |         least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.5

@@ -167,10 +167,14 @@ class EdgeCasesSpec extends SparkSpec {
       "partial dir must be replaced by the committed copy")
     assert(spark.read.parquet(dir.toString).collect().map(_.getString(1)).toSeq === Seq("ok"))
     // committed: a second call must not rewrite (mtimes unchanged)
-    def listing = Files.list(dir).toArray.map { p =>
-      val path = p.asInstanceOf[java.nio.file.Path]
-      path.getFileName.toString -> Files.getLastModifiedTime(path).toMillis
-    }.toMap
+    def listing = {
+      val s = Files.list(dir)
+      try s.toArray.map { p =>
+        val path = p.asInstanceOf[java.nio.file.Path]
+        path.getFileName.toString -> Files.getLastModifiedTime(path).toMillis
+      }.toMap
+      finally s.close()
+    }
     val before = listing
     graft.queries.CoverageQueries.ensureFixture(dir) { tmp =>
       fail("writer must not run once the fixture is committed")
