@@ -202,13 +202,19 @@ object DedupQueries {
     * matches into groups with one survivor each). */
   /** The (node, component) clusters WITHOUT the presentation sort —
     * consumers that re-partition anyway (the survivor window) skip the
-    * global range-exchange the ordered form pays. */
-  private def clusterComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
-      k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
-      .select(col("id_a"), col("id_b"))
-    Dedup.connectedComponents(pairs)
-  }
+    * global range-exchange the ordered form pays. A SignalMemo signal
+    * table: the LSH+connected-components pass is a corpus-wide one-off
+    * (and a written table under `spark.graft.signalDir`), so the
+    * second consumer in a session — `dedup_best_survivor` after
+    * `dedup_clusters`, or vice versa — probes it for free instead of
+    * re-running MinHash banding and the CC loop. */
+  private def clusterComponents(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "neardup_clusters") {
+      val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+    }
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterComponents(spark, dir).orderBy(col("node"))
