@@ -35,8 +35,12 @@ object CoverageQueries {
     import java.nio.file.{Files, StandardCopyOption}
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
       import scala.jdk.CollectionConverters._
-      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
+      def committed = Files.exists(dir.resolve("_SUCCESS"))
       val tmp = dir.resolveSibling(
         dir.getFileName.toString + ".tmp." + java.util.UUID.randomUUID().toString)
       write(tmp.toString)
@@ -46,19 +50,20 @@ object CoverageQueries {
         // surfaces as a raw FileSystemException (ENOTEMPTY), not the
         // typed DirectoryNotEmptyException
         case _: java.nio.file.FileSystemException =>
-          if (Files.exists(dir.resolve("_SUCCESS"))) rmTree(tmp) // lost the race; identical copy
+          if (committed) rmTree(tmp) // lost the race; identical copy
           else {
             // the blocker is a PARTIAL dir (e.g. a crashed legacy
             // in-place write, which self-repaired and this path must
-            // too): replace it with the committed tmp copy. The retry
-            // can itself lose to a concurrent repairer — tolerate that
-            // only if the winner actually committed (_SUCCESS present)
-            rmTree(dir)
-            try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+            // too): replace it with the committed tmp copy. Every step
+            // can lose to a CONCURRENT repairer (its rmTree/move racing
+            // ours), so on any failure wait briefly for the winner's
+            // _SUCCESS before concluding the fixture is truly broken.
+            try { rmTree(dir); Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE) }
             catch {
               case e: java.nio.file.FileSystemException =>
-                if (Files.exists(dir.resolve("_SUCCESS"))) rmTree(tmp)
-                else throw e
+                val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
+                while (!committed && System.nanoTime < deadline) Thread.sleep(50)
+                if (committed) rmTree(tmp) else throw e
             }
           }
       }

@@ -197,9 +197,6 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Near-dup pairs → transitive dedup clusters: connected components
-    * over the MinHash-LSH pair list (the step that turns pairwise
-    * matches into groups with one survivor each). */
   /** The (node, component) clusters WITHOUT the presentation sort —
     * consumers that re-partition anyway (the survivor window) skip the
     * global range-exchange the ordered form pays. A SignalMemo signal
@@ -207,7 +204,11 @@ object DedupQueries {
     * (and a written table under `spark.graft.signalDir`), so the
     * second consumer in a session — `dedup_best_survivor` after
     * `dedup_clusters`, or vice versa — probes it for free instead of
-    * re-running MinHash banding and the CC loop. */
+    * re-running MinHash banding and the CC loop. Like EVERY signal
+    * table, the written form is keyed by the corpus dir, not its
+    * contents: regenerating data in-place at the same path requires
+    * clearing the signal dir (the standing SignalMemo contract —
+    * immutable ingested corpora, the 100 TB norm). */
   private def clusterComponents(spark: SparkSession, dir: String): DataFrame =
     SignalMemo.cached(spark, dir, "neardup_clusters") {
       val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
@@ -216,6 +217,9 @@ object DedupQueries {
       Dedup.connectedComponents(pairs)
     }
 
+  /** Near-dup pairs → transitive dedup clusters: connected components
+    * over the MinHash-LSH pair list (the step that turns pairwise
+    * matches into groups with one survivor each). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterComponents(spark, dir).orderBy(col("node"))
 
