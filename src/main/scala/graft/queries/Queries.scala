@@ -13,7 +13,7 @@ object Queries {
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
       AnalyticsQueries.queries ++ FunctionQueries.queries ++
       TemporalQueries.queries ++ AvroQueries.queries ++
-      RetrievalQueries.queries
+      RetrievalQueries.queries ++ LayoutQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
@@ -21,5 +21,5 @@ object Queries {
       MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
       AnalyticsQueries.oracles ++ FunctionQueries.oracles ++
       TemporalQueries.oracles ++ AvroQueries.oracles ++
-      RetrievalQueries.oracles
+      RetrievalQueries.oracles ++ LayoutQueries.oracles
 }

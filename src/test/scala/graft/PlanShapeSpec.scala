@@ -88,7 +88,9 @@ class PlanShapeSpec extends SparkSpec {
     // 1-row broadcasts inside the composed signals: DSIR totals,
     // decimal-mean totals, LM smoothing vocabulary, plus the final
     // corpus × 1-row mean join
-    "curation_decisions" -> 4
+    "curation_decisions" -> 4,
+    // events × broadcast 1-row global min/max bounds for quantization
+    "layout_zorder_tiles" -> 1
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from
