@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact all-pairs similarity self-join with prefix filtering
+  * (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+  * WWW 2007) — EVERY pair with Jaccard ≥ τ, found without comparing
+  * every pair.
+  *
+  * The LSH family ([[Dedup.minhashNearDups]]) is probabilistic: banding
+  * can miss true pairs. This operator is EXACT — the prefix-filtering
+  * principle guarantees no pair above the threshold is lost: order the
+  * token universe by ascending document frequency; if two sets overlap
+  * enough to reach τ, they MUST share a token within each other's first
+  * `|d| − ceil(τ·|d|) + 1` rarest tokens. So only those prefix tokens
+  * are indexed, and candidates meet only through rare tokens —
+  * boilerplate tokens shared by half the corpus never generate pairs.
+  *
+  * Scale shape (all shuffles key on token or doc id, never payloads):
+  *  1. document-frequency table: one map-combined hash agg over
+  *     (doc, shingle) rows;
+  *  2. per-doc prefix selection: a doc-partitioned window picks each
+  *     doc's p rarest shingles — ordering is the GLOBAL (df, token)
+  *     tuple itself, so no global rank assignment (a corpus-wide
+  *     row_number would be a single-partition sort) is ever built;
+  *  3. candidate generation: prefix ⋈ prefix on the shingle — posting
+  *     lists exist only for rare tokens, bounding the quadratic blowup
+  *     the way the paper's Figure 5 shows;
+  *  4. verification: candidate pairs (ids only) fetch the two docs'
+  *     distinct-shingle arrays (doc-sized payloads, candidate-bounded
+  *     work) and check `tauDen·|A∩B| ≥ tauNum·|A∪B|` in exact integer
+  *     arithmetic.
+  */
+object AllPairsJoin {
+
+  /** All (id_a < id_b) pairs of `sets` (idCol, setCol: array of
+    * distinct tokens) with Jaccard ≥ tauNum/tauDen. Output:
+    * (id_a, id_b, inter, uni, jac_micro). */
+  def jaccardSelfJoin(sets: DataFrame, idCol: String, setCol: String,
+                      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"threshold must be in (0, 1], got $tauNum/$tauDen")
+    val base = sets
+      .select(col(idCol).cast("long").as("id"), col(setCol).as("s"))
+      .filter(size(col("s")) > 0)
+      .withColumn("sz", size(col("s")))
+    val tok = base.select(col("id"), col("sz"), explode(col("s")).as("tok"))
+    val df = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Prefix length p = sz − ceil(τ·sz) + 1, ceil in integer form.
+    val p = (col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen")
+      + lit(1))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val prefix = tok.join(df, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= p)
+      .select(col("id"), col("tok"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sa = base.select(col("id").as("id_a"), col("s").as("s_a"),
+      col("sz").as("sz_a"))
+    val sb = base.select(col("id").as("id_b"), col("s").as("s_b"),
+      col("sz").as("sz_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("s_a"), col("s_b")))
+        .cast("long"))
+      .withColumn("uni", (col("sz_a") + col("sz_b")).cast("long") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("(inter * 1000000) div uni").as("jac_micro"))
+  }
+}

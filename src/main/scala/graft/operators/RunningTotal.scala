@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Globally-ordered running sum WITHOUT a single-partition window.
+  *
+  * `SUM(v) OVER (ORDER BY k)` with no PARTITION BY moves the whole
+  * dataset to one task (Spark warns exactly this) — a non-starter at
+  * 100 TB. The classic fix is the two-pass distributed prefix sum:
+  *
+  *  1. range-partition on the order keys (partition i's keys all sort
+  *     before partition i+1's), local running sums per partition in
+  *     parallel via a window PARTITIONED BY the physical partition id;
+  *  2. per-partition totals (one row per partition, ≤ a few hundred
+  *     rows at any scale) get their exclusive prefix offsets in a
+  *     bounded single-partition window, and broadcast-join back.
+  *
+  * The input is persisted before the totals pass: range partitioning
+  * samples its boundaries, so the offsets computed in pass 2 must see
+  * the SAME physical partitioning pass 1 produced — persistence pins
+  * it (recomputation could re-sample different boundaries and pair
+  * offsets with the wrong partitions).
+  */
+object RunningTotal {
+
+  /** Adds `outCol` = running sum of `value` over the global `order`
+    * (inclusive of the current row). `order` must be a total order
+    * (include a tiebreak key) for the result to be well-defined. */
+  def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                     outCol: String, numPartitions: Int = 32): DataFrame = {
+    val parted = df
+      .withColumn("_rt_v", value.cast("long"))
+      .repartitionByRange(numPartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_rt_pid", spark_partition_id())
+      .persist()
+    val local = Window.partitionBy(col("_rt_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤ numPartitions rows: the single-partition offset window is
+    // bounded by the partition count, not the data.
+    val offsets = parted.groupBy(col("_rt_pid")).agg(sum(col("_rt_v")).as("_rt_t"))
+      .withColumn("_rt_off",
+        coalesce(sum(col("_rt_t")).over(Window.orderBy(col("_rt_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_rt_pid"), col("_rt_off"))
+    parted
+      .join(broadcast(offsets), "_rt_pid")
+      .withColumn(outCol, col("_rt_off") + sum(col("_rt_v")).over(local))
+      .drop("_rt_v", "_rt_pid", "_rt_off")
+  }
+}

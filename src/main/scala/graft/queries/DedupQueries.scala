@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{AllPairsJoin, Dedup}
 import graft.sources.Tables
 
 /** Deduplication extension queries over `documents`. The md5-hash
@@ -269,7 +269,20 @@ object DedupQueries {
       .orderBy(col("component"))
   }
 
+  /** EXACT all-pairs Jaccard ≥ 0.7 self-join via prefix filtering
+    * (Bayardo et al. WWW'07, [[AllPairsJoin]]) over distinct word
+    * 3-shingles — the lossless counterpart of the probabilistic LSH
+    * pair queries: the oracle computes the naive exact join, so a
+    * hash match PROVES the prefix filter dropped no qualifying pair. */
+  def dedupAllpairsJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.shingles(col("text"), 3).as("s"))
+    AllPairsJoin.jaccardSelfJoin(sets, "doc_id", "s", tauNum = 7, tauDen = 10)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_allpairs_jaccard" -> (dedupAllpairsJaccard _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_best_survivor" -> (dedupBestSurvivor _),
     "dedup_passages" -> (dedupPassages _),
@@ -314,12 +327,13 @@ object DedupQueries {
       |  WHERE len(w) >= 3
       |)""".stripMargin
 
-  /** The LSH→Jaccard→connected-components chain (the SQL mirror of
-    * [[dedupClusters]]' Spark side), shared by the `dedup_clusters`
-    * and `dedup_best_survivor` oracles so the two can never silently
-    * diverge. Consumes `sh` from [[shingleCte]]; ends with
-    * `comp(node, component)`. */
-  private val clusterCteSql =
+  /** The LSH→Jaccard→symmetrized-edges chain (the SQL mirror of
+    * [[graft.operators.Dedup.minhashNearDups]] with this module's
+    * parameters), ending in `edges(src, dst)`. Shared by the cluster
+    * oracles below and by GraphQueries' PageRank oracle, so the pair
+    * graph can never silently diverge between them. Consumes `sh`
+    * from [[shingleCte]]. */
+  private[queries] val neardupEdgesCteSql =
     """t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
       |sig AS (
       |  SELECT t.doc_id, h.i, MIN(md5(CAST(h.i AS VARCHAR) || '|' || t.sng)) AS mh
@@ -339,8 +353,19 @@ object DedupQueries {
       |          / len(list_distinct(a.s || b.s)) >= 0.8),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
-      |  UNION ALL SELECT id_b, id_a FROM pairs),
-      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |  UNION ALL SELECT id_b, id_a FROM pairs)""".stripMargin
+
+  /** [[shingleCte]] is consumed by [[neardupEdgesCteSql]]; exposed
+    * together for cross-module oracle composition. */
+  private[queries] def neardupGraphCtes: String =
+    shingleCte + ",\n" + neardupEdgesCteSql
+
+  /** Connected components over the near-dup edges (the SQL mirror of
+    * [[dedupClusters]]' Spark side), shared by the `dedup_clusters`
+    * and `dedup_best_survivor` oracles. Consumes `edges` from
+    * [[neardupEdgesCteSql]]; ends with `comp(node, component)`. */
+  private val clusterCteSql =
+    """nodes AS (SELECT DISTINCT src AS node FROM edges),
       |reach(node, label) AS (
       |  SELECT node, node FROM nodes
       |  UNION
@@ -506,6 +531,22 @@ object DedupQueries {
          |GROUP BY pr.doc_id
          |ORDER BY pr.doc_id""".stripMargin
     },
+    // naive exact all-pairs: a hash match proves the Spark side's
+    // prefix filter is lossless at the 7/10 threshold
+    "dedup_allpairs_jaccard" ->
+      s"""WITH $shingleCte,
+         |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+         |i AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM t x JOIN t y ON x.sng = y.sng AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |z AS (SELECT doc_id, len(s) AS sz FROM sh)
+         |SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+         |       CAST(a.sz + b.sz - i.inter AS BIGINT) AS uni,
+         |       CAST((i.inter * 1000000) // (a.sz + b.sz - i.inter) AS BIGINT) AS jac_micro
+         |FROM i JOIN z a ON a.doc_id = i.id_a JOIN z b ON b.doc_id = i.id_b
+         |WHERE i.inter * 10 >= (a.sz + b.sz - i.inter) * 7
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH $shingleCte,
          |t AS (SELECT doc_id, unnest(s) AS sng FROM sh),
@@ -547,13 +588,13 @@ object DedupQueries {
     // then min-reachable-label per node (UNION set semantics terminate
     // the recursion at the fixpoint)
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte,
+      s"""WITH RECURSIVE $neardupGraphCtes,
          |$clusterCteSql
          |SELECT node, component FROM comp ORDER BY node""".stripMargin,
     // the dedup_clusters CTE chain verbatim + the shared quality
     // formula; survivor = row_number 1 under (q DESC, node ASC)
     "dedup_best_survivor" ->
-      s"""WITH RECURSIVE $shingleCte,
+      s"""WITH RECURSIVE $neardupGraphCtes,
          |$clusterCteSql,
          |qual AS (
          |  SELECT doc_id,

@@ -13,7 +13,8 @@ object Queries {
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
       AnalyticsQueries.queries ++ FunctionQueries.queries ++
       TemporalQueries.queries ++ AvroQueries.queries ++
-      RetrievalQueries.queries ++ LayoutQueries.queries
+      RetrievalQueries.queries ++ LayoutQueries.queries ++
+      SamplingQueries.queries ++ GraphQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
@@ -21,5 +22,6 @@ object Queries {
       MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
       AnalyticsQueries.oracles ++ FunctionQueries.oracles ++
       TemporalQueries.oracles ++ AvroQueries.oracles ++
-      RetrievalQueries.oracles ++ LayoutQueries.oracles
+      RetrievalQueries.oracles ++ LayoutQueries.oracles ++
+      SamplingQueries.oracles ++ GraphQueries.oracles
 }

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.RunningTotal
+import graft.sources.Tables
+
+/** Weighted sampling, shard routing, and budgeted selection — the
+  * "which subset trains" operators of a corpus pipeline, each exactly
+  * reproducible (md5-derived draws, integer arithmetic) so the same
+  * sample falls out of any engine, any partitioning, any run.
+  *
+  * The reference pipeline (dotsering/kafka-connect-minio-pipeline)
+  * samples nothing — its SMT forwards every surviving record
+  * (`smt/src/main/java/org/dorjee/smt/UserProfileTransform.java:24-38`);
+  * these extend the curation surface like SURVEY.md §2's other
+  * beyond-parity rows.
+  */
+object SamplingQueries {
+
+  private def u16Of(c: org.apache.spark.sql.Column) = TextFunctions.u16(c)
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    * weight-biased sample of fixed size k WITHOUT replacement — each
+    * doc draws uniform u ∈ [1, 65536] and competes with priority
+    * w·65536/u (integer division); the top k by priority are the
+    * sample. Long docs (weight = n_chars) are proportionally likelier
+    * to win, every doc has a chance, and the whole draw is one
+    * TakeOrderedAndProject — a distributed top-k with NO global sort
+    * and NO per-stratum state, the at-scale way to hold "k docs,
+    * weight-biased" from a 100 TB corpus in one pass. */
+  def samplePriorityWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("weight"))
+      .withColumn("u",
+        u16Of(concat(col("doc_id").cast("string"), lit("|graftprio"))) + lit(1))
+      .withColumn("priority", expr("(weight * 65536) div u"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("weight"), col("priority"))
+
+  /** Rendezvous (highest-random-weight) sharding, Thaler & Ravishankar
+    * 1998: doc → argmax over shards of u16(md5(doc|shard)). The
+    * coordination-free routing law: any writer anywhere computes the
+    * same shard from the key alone, and adding a shard later moves
+    * only ~1/(n+1) of the docs (only those whose new draw wins) — the
+    * property hash-mod sharding lacks. Pure per-row expressions (the
+    * 8 draws are an array_max over structs, whole-stage codegen), one
+    * map-combined agg for the per-shard rollup. Ties break to the
+    * LOWEST shard id via the (score, 7−s) struct ordering. */
+  def shardRendezvous(spark: SparkSession, dir: String): DataFrame = {
+    val scores = array((0 to 7).map { s =>
+      struct(
+        u16Of(concat(col("doc_id").cast("string"), lit(s"|shard|$s")))
+          .as("score"),
+        lit(7 - s).as("inv"))
+    }: _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("best", array_max(scores))
+      .withColumn("shard", lit(7) - col("best.inv"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("shard"))
+  }
+
+  /** Budgeted quality selection: keep the highest-quality docs whose
+    * cumulative token count fits a budget (half the corpus's tokens) —
+    * the knapsack-greedy "what actually trains" cut. The running total
+    * over the global (quality DESC, doc_id) order comes from
+    * [[RunningTotal]]'s two-pass distributed prefix sum, NOT a
+    * single-partition window — the difference between this operator
+    * working at 100 TB and moving the corpus to one task. Quality is
+    * micro-quantized to a long so the order (and therefore the cut
+    * line) is identical in any engine. */
+  def budgetSelectTokens(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFunctions.qualityScore(col("text")) * lit(1000000.0))
+          .cast("long").as("q_micro"))
+    val budget = scored.agg(expr("sum(n_tokens) div 2").as("budget"))
+    RunningTotal.withRunningSum(scored,
+        Seq(col("q_micro").desc, col("doc_id").asc), col("n_tokens"),
+        "cum_tokens")
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("q_micro"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def hexNibble(e: String): String =
+    s"(CASE WHEN ascii($e) >= 97 THEN ascii($e) - 87 ELSE ascii($e) - 48 END)"
+
+  /** u16 of an md5 hex column named `h` (the SQL mirror of
+    * [[TextFunctions.u16]]). */
+  private def u16SqlOfH: String =
+    s"""(((${hexNibble("substr(h, 1, 1)")} * 16
+       |   + ${hexNibble("substr(h, 2, 1)")}) * 16
+       |   + ${hexNibble("substr(h, 3, 1)")}) * 16
+       |   + ${hexNibble("substr(h, 4, 1)")})""".stripMargin
+
+  /** The shared quality formula (TextFunctions.qualityScore), micro-
+    * quantized — same expression the dedup_best_survivor oracle uses. */
+  private val qualCte =
+    """qual AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |         CAST(round((least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) * 0.5
+      |           + (CAST(len(list_filter(w, t -> t IN ('the','a','and','of'))) AS DOUBLE)
+      |              / CAST(len(w) AS DOUBLE)) * 0.3
+      |           + least((CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS DOUBLE)
+      |                    / CAST(len(w) AS DOUBLE)) / 10.0, 1.0) * 0.2) * 1000000)
+      |              AS BIGINT) AS q_micro
+      |  FROM (SELECT doc_id, text,
+      |          string_split_regex(trim(text), '\s+') AS w FROM documents))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_priority_weighted" -> (samplePriorityWeighted _),
+    "shard_rendezvous" -> (shardRendezvous _),
+    "budget_select_tokens" -> (budgetSelectTokens _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sample_priority_weighted" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, n_chars AS weight,
+         |         md5(CAST(doc_id AS VARCHAR) || '|graftprio') AS h
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, weight,
+         |         (weight * 65536) // ($u16SqlOfH + 1) AS priority
+         |  FROM p)
+         |SELECT doc_id, weight, priority FROM q
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+    "shard_rendezvous" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, CAST(u.s AS INT) AS shard,
+         |         md5(CAST(doc_id AS VARCHAR) || '|shard|' || CAST(u.s AS VARCHAR)) AS h
+         |  FROM documents, UNNEST(range(8)) AS u(s)),
+         |sc AS (SELECT doc_id, shard, $u16SqlOfH AS score FROM s),
+         |pick AS (
+         |  SELECT doc_id, shard,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, shard ASC) AS rn
+         |  FROM sc)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+         |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+         |FROM pick WHERE rn = 1 GROUP BY shard ORDER BY shard""".stripMargin,
+    "budget_select_tokens" ->
+      s"""WITH $qualCte,
+         |b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM qual),
+         |c AS (
+         |  SELECT doc_id, n_tokens, q_micro,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY q_micro DESC, doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           AS cum_tokens
+         |  FROM qual)
+         |SELECT doc_id, n_tokens, q_micro, cum_tokens FROM c, b
+         |WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin
+  )
+}

@@ -90,7 +90,9 @@ class PlanShapeSpec extends SparkSpec {
     // corpus × 1-row mean join
     "curation_decisions" -> 4,
     // events × broadcast 1-row global min/max bounds for quantization
-    "layout_zorder_tiles" -> 1
+    "layout_zorder_tiles" -> 1,
+    // corpus × broadcast 1-row token-budget scalar
+    "budget_select_tokens" -> 1
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AllPairsJoin, PageRank, RunningTotal}
+import graft.queries.SamplingQueries
+
+/** Laws for the round-8 scale operators: PageRank (mass conservation,
+  * centrality ordering), the prefix-filtered all-pairs join (equality
+  * with the brute-force join — the losslessness theorem), the
+  * distributed running total (equality with the single-partition
+  * window), and the sampling/sharding/budget queries' invariants. */
+class ScaleOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- PageRank ----
+
+  private def edgesOf(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("pagerank: symmetric pair splits mass evenly, total mass conserved") {
+    val r = PageRank.ranks(edgesOf((1L, 2L)), iterations = 5).collect()
+    assert(r.length === 2)
+    val ranks = r.map(_.getAs[Long]("rank_micro"))
+    assert(ranks.distinct.length === 1)
+    // truncation loses at most a few units per node per round
+    val total = ranks.sum
+    assert(total <= 1000000000000L && total > 1000000000000L - 1000L)
+  }
+
+  test("pagerank: star center out-ranks leaves") {
+    val r = PageRank.ranks(edgesOf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)),
+        iterations = 10)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank_micro"))
+      .toMap
+    assert(r(0L) > r(1L))
+    assert(Seq(1L, 2L, 3L, 4L).map(r).distinct.length === 1)
+  }
+
+  test("pagerank: zero iterations is the uniform prior; empty graph is empty") {
+    val r0 = PageRank.ranks(edgesOf((1L, 2L), (2L, 3L)), iterations = 0)
+      .collect().map(_.getAs[Long]("rank_micro")).toSeq
+    assert(r0 === Seq.fill(3)(1000000000000L / 3))
+    assert(PageRank.ranks(edgesOf(), iterations = 3).count() === 0)
+  }
+
+  test("pagerank: invariant under input repartitioning") {
+    val e = edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val a = PageRank.ranks(e, iterations = 7).orderBy("node").collect().toSeq
+    val b = PageRank.ranks(e.repartition(7), iterations = 7)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- AllPairsJoin ----
+
+  private def bruteJaccard(sets: Seq[(Long, Seq[String])], tauNum: Int,
+                           tauDen: Int): Set[(Long, Long, Long, Long)] =
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size.toLong
+      uni = sa.toSet.union(sb.toSet).size.toLong
+      if inter * tauDen >= uni * tauNum
+    } yield (ia, ib, inter, uni)).toSet
+
+  test("allpairs: equals the brute-force join, including the exact-τ boundary") {
+    // docs 1/2 share 7 of (8 ∪ 9) distinct tokens → J = 7/10 exactly;
+    // 3 is a near-copy of 1; 4 shares only sub-threshold mass; 5 disjoint
+    val sets = Seq(
+      1L -> (1 to 8).map(i => s"t$i"),
+      2L -> ((1 to 7).map(i => s"t$i") ++ Seq("x1", "x2")),
+      3L -> (1 to 8).map(i => s"t$i"),
+      4L -> (Seq("t1", "t2") ++ (1 to 6).map(i => s"y$i")),
+      5L -> (1 to 5).map(i => s"z$i"))
+    val df = sets.toDF("doc_id", "s")
+    val got = AllPairsJoin.jaccardSelfJoin(df, "doc_id", "s", 7, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    assert(got === bruteJaccard(sets, 7, 10))
+    assert(got.contains((1L, 2L, 7L, 10L))) // the boundary pair survives
+    assert(got.contains((1L, 3L, 8L, 8L)))
+  }
+
+  test("allpairs: lossless across thresholds and partitionings") {
+    // deterministic synthetic corpus with overlapping token blocks
+    val sets = (0L until 40L).map { i =>
+      i -> (0 until 12).map(j => s"w${(i * 5 + j * 7) % 60}")
+        .distinct
+    }
+    val df = sets.toDF("doc_id", "s").repartition(7)
+    for ((tn, td) <- Seq((7, 10), (1, 2), (9, 10))) {
+      val got = AllPairsJoin.jaccardSelfJoin(df, "doc_id", "s", tn, td)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+      assert(got === bruteJaccard(sets.map { case (i, s) => i -> s.toSeq }, tn, td),
+        s"mismatch at tau=$tn/$td")
+    }
+  }
+
+  // ---- RunningTotal ----
+
+  test("running total: equals the single-partition window across partitionings") {
+    val df = (1 to 500).map(i => ((i * 37) % 101, i.toLong, (i % 13).toLong))
+      .toDF("k", "id", "v")
+    val expect = df
+      .withColumn("cum", sum($"v").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"k", $"id")
+          .rowsBetween(Long.MinValue, 0)))
+      .orderBy($"k", $"id").collect().map(_.getAs[Long]("cum")).toSeq
+    for (parts <- Seq(1, 5, 32)) {
+      val got = RunningTotal.withRunningSum(df, Seq($"k", $"id"), $"v",
+          "cum", numPartitions = parts)
+        .orderBy($"k", $"id").collect().map(_.getAs[Long]("cum")).toSeq
+      assert(got === expect, s"mismatch at numPartitions=$parts")
+    }
+  }
+
+  test("running total: descending order keys (the budget query's shape)") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    val got = RunningTotal.withRunningSum(df, Seq($"id".desc), $"v", "cum",
+        numPartitions = 4)
+      .orderBy($"id".desc).collect()
+    assert(got.head.getAs[Long]("cum") === got.head.getAs[Long]("v"))
+    assert(got.last.getAs[Long]("cum") === (1 to 100).map(_ % 7).sum.toLong)
+  }
+
+  // ---- query invariants over the fixture corpus ----
+
+  test("priority sample: k rows, monotone priorities, weight-biased") {
+    val rows = SamplingQueries.samplePriorityWeighted(spark, sf).collect()
+    assert(rows.length === 100)
+    val ps = rows.map(_.getAs[Long]("priority"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 100)
+    // weight bias: the sample's mean weight exceeds the corpus mean
+    val corpusMean = graft.sources.Tables.documents(spark, sf)
+      .agg(avg($"n_chars")).head.getDouble(0)
+    val sampleMean = rows.map(_.getAs[Long]("weight")).sum.toDouble / 100
+    assert(sampleMean > corpusMean)
+  }
+
+  test("rendezvous: partition of the corpus; adding a shard only moves docs into it") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val total = docs.count()
+    val byShard = SamplingQueries.shardRendezvous(spark, sf).collect()
+    assert(byShard.map(_.getAs[Long]("n_docs")).sum === total)
+    // recompute assignments in plain JVM md5 for 8 and 9 shards
+    def u16(s: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h.take(4).foldLeft(0)((a, c) => a * 16 + Character.digit(c, 16))
+    }
+    def assign(id: Long, n: Int): Int =
+      (0 until n).maxBy(s => (u16(s"$id|shard|$s"), -s))
+    val ids = docs.select($"doc_id").collect().map(_.getLong(0))
+    val moved = ids.filter(id => assign(id, 8) != assign(id, 9))
+    assert(moved.forall(id => assign(id, 9) === 8),
+      "a doc moved between surviving shards")
+    assert(moved.nonEmpty && moved.length < ids.length / 4,
+      s"~1/9 of docs should move, got ${moved.length}/${ids.length}")
+    // and the Spark-side assignment matches the JVM recompute
+    val sparkCounts = byShard
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("n_docs")).toMap
+    val jvmCounts = ids.groupBy(assign(_, 8)).map { case (s, a) => s -> a.length.toLong }
+    assert(sparkCounts === jvmCounts)
+  }
+
+  test("budget select: kept set is the exact quality-ordered prefix under the cap") {
+    val rows = SamplingQueries.budgetSelectTokens(spark, sf).collect()
+    val kept = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("q_micro"))).toSeq
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long"),
+        round(graft.functions.TextFunctions.qualityScore($"text") * 1000000.0)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val budget = all.map(_._2).sum / 2
+    val expectIds = all.sortBy { case (id, _, q) => (-q, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, n, q)) =>
+        (id, n, q, cum + n)
+      }.tail.takeWhile(_._4 <= budget).map(_._1).toSet
+    assert(kept.map(_._1).toSet === expectIds)
+    assert(kept.map(_._2).sum <= budget)
+  }
+}
