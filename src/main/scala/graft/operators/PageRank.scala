@@ -64,7 +64,10 @@ object PageRank {
         .select(col("node"), col("deg"),
           (lit(base) + expr("(85 * coalesce(in_mass, 0L)) div 100"))
             .as("rank_micro"))
-      state = if (i % checkpointCadence == 0 || i == iterations)
+      // no checkpoint on the last round: the consumer's first action
+      // materializes it anyway — an eager checkpoint there would just
+      // run one extra job
+      state = if (i % checkpointCadence == 0 && i != iterations)
         next.localCheckpoint(true) else next
     }
     state

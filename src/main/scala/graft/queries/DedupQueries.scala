@@ -209,12 +209,19 @@ object DedupQueries {
     * contents: regenerating data in-place at the same path requires
     * clearing the signal dir (the standing SignalMemo contract —
     * immutable ingested corpora, the 100 TB norm). */
-  private def clusterComponents(spark: SparkSession, dir: String): DataFrame =
-    SignalMemo.cached(spark, dir, "neardup_clusters") {
-      val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+  /** The MinHash-LSH near-dup pair list, memoized as its own signal:
+    * the cluster chain here AND GraphQueries' PageRank consume it, so
+    * a session pays the banding pipeline once across all of them. */
+  private[queries] def neardupPairs(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "neardup_pairs") {
+      Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
         k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
         .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(pairs)
+    }
+
+  private def clusterComponents(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "neardup_clusters") {
+      Dedup.connectedComponents(neardupPairs(spark, dir))
     }
 
   /** Near-dup pairs → transitive dedup clusters: connected components

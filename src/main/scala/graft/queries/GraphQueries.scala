@@ -3,8 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, PageRank}
-import graft.sources.Tables
+import graft.operators.PageRank
 
 /** Graph analytics over the near-dup pair graph. The reference
   * pipeline (dotsering/kafka-connect-minio-pipeline) has no graph
@@ -15,24 +14,13 @@ import graft.sources.Tables
   */
 object GraphQueries {
 
-  /** The MinHash-LSH near-dup pair list (same parameters as
-    * DedupQueries' cluster chain, so the oracle can reuse its edge
-    * CTEs verbatim), memoized as a SignalMemo signal — a session
-    * computes the banding once across the cluster AND graph queries. */
-  private def neardupPairs(spark: SparkSession, dir: String): DataFrame =
-    SignalMemo.cached(spark, dir, "neardup_pairs") {
-      Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
-        k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
-        .select(col("id_a"), col("id_b"))
-    }
-
   /** 10 damped integer-PageRank rounds over the symmetrized near-dup
     * graph ([[PageRank.ranks]]): per-node duplication centrality in
     * micro-units of a 10^12 total mass. Exactly reproduced by the
     * oracle's unrolled iteration chain — integer division and sums
     * only, so no aggregation-order drift at any scale. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = neardupPairs(spark, dir)
+    val pairs = DedupQueries.neardupPairs(spark, dir)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     PageRank.ranks(edges, iterations = 10)
