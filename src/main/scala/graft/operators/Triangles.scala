@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting with degree-ordered orientation
+  * (the node-iterator++ / Suri & Vassilvitskii MapReduce shape) and
+  * per-node local clustering coefficients.
+  *
+  * Triangles in the near-dup graph measure how CLIQUE-LIKE a
+  * document's duplication neighborhood is: a high local clustering
+  * coefficient says its near-dups are also near-dups of each other
+  * (one template family), while low clustering flags chain-shaped
+  * similarity (drifting revisions) — different curation actions.
+  *
+  * The scale problem is wedge explosion: enumerating both wedges at a
+  * degree-d hub costs d². The standard fix, implemented here: orient
+  * every edge from the (degree, id)-SMALLER endpoint to the larger,
+  * and generate wedges only at each edge's smaller endpoint — every
+  * oriented out-degree is O(√m), so wedge volume drops from Σd² to
+  * O(m^1.5) worst-case, the proven bound. Three hash joins total
+  * (degree attach ×2, wedge close ×1), all keyed on node ids; no
+  * payload ever moves.
+  */
+object Triangles {
+
+  /** Per-node triangle participation over an undirected simple graph
+    * given as distinct (a < b) pairs. Output: (node, deg, n_triangles,
+    * lcc_micro) where lcc_micro = floor(2T/(deg·(deg−1)) · 10^6) —
+    * integer arithmetic, engine-reproducible. Isolated-in-pairs nodes
+    * don't exist by construction (every node has deg ≥ 1). */
+  def perNode(pairs: DataFrame, aCol: String = "id_a",
+              bCol: String = "id_b"): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // (deg, id) total order; orient low → high so out-degrees are O(√m)
+    val withDeg = sym
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    // persisted: the oriented list is referenced three times (both
+    // wedge legs + the closing probe); without pinning it the whole
+    // degree-attach subtree would re-evaluate per reference
+    val oriented = withDeg
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"),
+        col("db").as("dv"))
+      .persist()
+    // wedges at the common smaller endpoint, leg pair in rank order,
+    // closed by an oriented edge between the legs
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val corners = tri.select(explode(array(col("u"), col("x"), col("y")))
+      .as("node"))
+    val counts = corners.groupBy(col("node")).agg(count(lit(1)).as("t"))
+    deg.join(counts, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_micro",
+        when(col("deg") >= 2,
+          expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.PageRank
+import graft.operators.{PageRank, Triangles}
 
 /** Graph analytics over the near-dup pair graph. The reference
   * pipeline (dotsering/kafka-connect-minio-pipeline) has no graph
@@ -28,6 +28,15 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * same near-dup graph ([[Triangles.perNode]]): how clique-like each
+    * document's duplication neighborhood is (template family vs
+    * drifting-revision chain). Shares the memoized pair signal with
+    * pagerank and the cluster queries. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    Triangles.perNode(DedupQueries.neardupPairs(spark, dir))
+      .orderBy(col("node"))
+
   private val mass = 1000000000000L
 
   /** One unrolled PageRank round: rank state r{i} from r{i-1} — the
@@ -49,7 +58,8 @@ object GraphQueries {
     }.mkString(",\n")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (graphPagerank _)
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,6 +73,28 @@ object GraphQueries {
          |  SELECT node, deg, $mass // (SELECT n FROM nn) AS r FROM deg),
          |${prIterCtes(10)}
          |SELECT node, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS rank_micro
-         |FROM r10 ORDER BY node""".stripMargin
+         |FROM r10 ORDER BY node""".stripMargin,
+    // triangles enumerated once as a<b<c over the distinct (a<b) pair
+    // set; per-corner counts then left-join every node
+    "graph_triangles" ->
+      s"""WITH ${DedupQueries.neardupGraphCtes},
+         |p AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src < dst),
+         |d AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+         |tr AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM p e1 JOIN p e2 ON e2.a = e1.b
+         |            JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |corners AS (
+         |  SELECT x AS node FROM tr
+         |  UNION ALL SELECT y FROM tr
+         |  UNION ALL SELECT z FROM tr),
+         |tc AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node)
+         |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+         |       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+         |       CAST(CASE WHEN d.deg >= 2
+         |                 THEN (2 * COALESCE(tc.t, 0) * 1000000)
+         |                        // (d.deg * (d.deg - 1))
+         |                 ELSE 0 END AS BIGINT) AS lcc_micro
+         |FROM d LEFT JOIN tc USING (node) ORDER BY d.node""".stripMargin
   )
 }

@@ -69,6 +69,29 @@ object SamplingQueries {
       .orderBy(col("shard"))
   }
 
+  /** Per-source capped weighted sample: every source contributes at
+    * most 50 docs, chosen by the same Duffield-et-al priority draw as
+    * [[samplePriorityWeighted]] — the "no source dominates the mix"
+    * curation rule executed as ONE aggregation. The per-group top-k
+    * runs through [[graft.expressions.TopKByScore]]'s map-side bounded
+    * heaps, so only k-sized buffers cross the shuffle per source — a
+    * window row_number would move every row of the heaviest source to
+    * one task. Priorities fit doubles exactly (≪ 2^53), so the heap's
+    * (score desc, id asc) order is the integer order. */
+  def sampleSourceCap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("weight"))
+      .withColumn("u",
+        u16Of(concat(col("doc_id").cast("string"), lit("|graftprio"))) + lit(1))
+      .withColumn("priority", expr("(weight * 65536) div u"))
+      .groupBy(col("source"))
+      .agg(graft.expressions.TopKByScore.topk(
+        col("priority").cast("double"), col("doc_id"), 50).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+        col("e.id").as("doc_id"), col("e.score").cast("long").as("priority"))
+      .orderBy(col("source"), col("rk"))
+
   /** Budgeted quality selection: keep the highest-quality docs whose
     * cumulative token count fits a budget (half the corpus's tokens) —
     * the knapsack-greedy "what actually trains" cut. The running total
@@ -122,6 +145,7 @@ object SamplingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_priority_weighted" -> (samplePriorityWeighted _),
+    "sample_source_cap" -> (sampleSourceCap _),
     "shard_rendezvous" -> (shardRendezvous _),
     "budget_select_tokens" -> (budgetSelectTokens _)
   )
@@ -138,6 +162,22 @@ object SamplingQueries {
          |  FROM p)
          |SELECT doc_id, weight, priority FROM q
          |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+    "sample_source_cap" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source, n_chars AS weight,
+         |         md5(CAST(doc_id AS VARCHAR) || '|graftprio') AS h
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |         (weight * 65536) // ($u16SqlOfH + 1) AS priority
+         |  FROM p),
+         |r AS (
+         |  SELECT source, doc_id, priority,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY priority DESC, doc_id ASC) AS INT) AS rk
+         |  FROM q)
+         |SELECT source, rk, doc_id, priority FROM r
+         |WHERE rk <= 50 ORDER BY source, rk""".stripMargin,
     "shard_rendezvous" ->
       s"""WITH s AS (
          |  SELECT doc_id, CAST(u.s AS INT) AS shard,

@@ -54,7 +54,15 @@ class PlanShapeSpec extends SparkSpec {
     // growing batch sizes the SMJ is exactly the graceful degradation
     "sim_topk_pq" -> 1,
     "sim_topk_ivfpq" -> 2,
-    "training_pairs_mined" -> 1
+    "training_pairs_mined" -> 1,
+    // r8 graph queries: every join side is node-sized (near-dup graph
+    // nodes ≪ corpus). pagerank: the two post-checkpoint rounds ×
+    // (contribs ⋈ edges + state ⋈ contribs). triangles: wedge + close
+    // + final count join, plus the persisted oriented-edge subtree's
+    // two degree-attach joins PRINTED once per InMemoryTableScan
+    // reference (3×2 = 6 string matches for joins that execute once)
+    "graph_pagerank" -> 4,
+    "graph_triangles" -> 9
   ).withDefaultValue(0)
 
   // legitimate broadcast nested-loop joins: tiny-dim cross products and

@@ -54,6 +54,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ---- Triangles ----
+
+  private def bruteTriangles(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    val counts = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, l) => n -> l.length.toLong }
+    nodes.map(n => n -> counts.getOrElse(n, 0L)).toMap
+  }
+
+  test("triangles: equals brute force on clique, wedge-chain, and mixed graphs") {
+    val graphs = Seq(
+      // K4: every node in 3 triangles, lcc = 1
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      // path: no triangles
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)),
+      // two triangles sharing node 3 + a pendant
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L), (5L, 6L)))
+    for (g <- graphs) {
+      val got = graft.operators.Triangles.perNode(g.toDF("id_a", "id_b"))
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+      assert(got === bruteTriangles(g), s"mismatch on $g")
+    }
+  }
+
+  test("triangles: lcc is exact for the shared-node double triangle") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val rows = graft.operators.Triangles.perNode(g.toDF("id_a", "id_b"))
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("lcc_micro"))).toMap
+    // node 3: deg 4, 2 closed of 6 wedges → 2/6 = 0.333333
+    assert(rows(3L) === ((4L, 333333L)))
+    // corner nodes: deg 2, their single wedge closed → 1.0
+    assert(rows(1L) === ((2L, 1000000L)))
+  }
+
   // ---- AllPairsJoin ----
 
   private def bruteJaccard(sets: Seq[(Long, Seq[String])], tauNum: Int,
@@ -142,6 +184,29 @@ class ScaleOpsSpec extends SparkSpec {
       .agg(avg($"n_chars")).head.getDouble(0)
     val sampleMean = rows.map(_.getAs[Long]("weight")).sum.toDouble / 100
     assert(sampleMean > corpusMean)
+  }
+
+  test("source cap: ≤50 per source, heap order == window order, ⊆ global draw law") {
+    val rows = SamplingQueries.sampleSourceCap(spark, sf).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length <= 50))
+    for ((_, rs) <- bySource) {
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      val prios = sorted.map(_.getAs[Long]("priority"))
+      assert(prios.zip(prios.tail).forall { case (a, b) => a >= b })
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq === (1 to rs.length))
+    }
+    // the capped draw uses the same priorities as the global sample:
+    // any sampled doc of a source within the cap must appear here
+    val global = SamplingQueries.samplePriorityWeighted(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val capped = rows.map(_.getAs[Long]("doc_id")).toSet
+    val docSource = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perSourceGlobal = global.groupBy(docSource)
+    assert(perSourceGlobal.forall { case (_, ids) =>
+      ids.size > 50 || ids.subsetOf(capped) })
   }
 
   test("rendezvous: partition of the corpus; adding a shard only moves docs into it") {
