@@ -86,6 +86,8 @@ class PlanShapeSpec extends SparkSpec {
     "corpus_cluster_map" -> 2,
     // IVF-PQ cell probe: queries × broadcast 16-row centroid table
     "sim_topk_ivfpq" -> 1,
+    // labels² pairwise centroid join (≤ dozens of rows a side)
+    "source_centroid_sim" -> 1,
     // two 1-row (n_docs, sum_dl) stats broadcasts: onto the term dict
     // (idf) and onto the doc-length table (dnorm)
     "text_bm25_topk" -> 2,

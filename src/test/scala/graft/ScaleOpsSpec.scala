@@ -235,6 +235,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sparkCounts === jvmCounts)
   }
 
+  test("mix diagnostics: entropy within [0, ln vocab], cosine within [-1, 1]") {
+    val ent = graft.queries.MixQueries.sourceTokenEntropy(spark, sf).collect()
+    assert(ent.nonEmpty)
+    for (r <- ent) {
+      val h = r.getAs[Long]("entropy_micro")
+      val vocab = r.getAs[Long]("vocab")
+      // Shannon bounds (with per-term rounding slack ≤ vocab/2 units)
+      assert(h >= 0L)
+      assert(h <= math.ceil(math.log(vocab.toDouble) * 1e6).toLong + vocab)
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+    }
+    val sims = graft.queries.MixQueries.sourceCentroidSim(spark, sf).collect()
+    val labels = sims.flatMap(r => Seq(r.getAs[Int]("label_a"),
+      r.getAs[Int]("label_b"))).distinct.length
+    assert(sims.length === labels * (labels - 1) / 2)
+    assert(sims.forall { r =>
+      val c = r.getAs[Double]("cos"); c >= -1.0 && c <= 1.0 })
+  }
+
   test("budget select: kept set is the exact quality-ordered prefix under the cap") {
     val rows = SamplingQueries.budgetSelectTokens(spark, sf).collect()
     val kept = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
