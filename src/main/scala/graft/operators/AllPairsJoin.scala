@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions._
   *     distinct-shingle arrays (doc-sized payloads, candidate-bounded
   *     work) and check `tauDen·|A∩B| ≥ tauNum·|A∪B|` in exact integer
   *     arithmetic.
+  *
+  * Residual skew caveat: a token can still be MANY docs' rarest token
+  * (a corpus of near-identical boilerplate), re-inflating one posting
+  * list. That worst case is inherent to any exact algorithm — the
+  * data really does contain ~all-pairs matches then; AQE's skew-join
+  * split keeps the tasks balanced, and callers wanting a bound should
+  * pre-dedup exact copies (Dedup.exact), which removes exactly the
+  * pathological mass.
   */
 object AllPairsJoin {
 
@@ -42,8 +50,12 @@ object AllPairsJoin {
                       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"threshold must be in (0, 1], got $tauNum/$tauDen")
+    // defensive distinct: |A∩B| + the sz-based union formula are only
+    // correct over sets — a caller passing raw token lists would
+    // silently inflate sizes otherwise
     val base = sets
-      .select(col(idCol).cast("long").as("id"), col(setCol).as("s"))
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(col(setCol)).as("s"))
       .filter(size(col("s")) > 0)
       .withColumn("sz", size(col("s")))
     val tok = base.select(col("id"), col("sz"), explode(col("s")).as("tok"))

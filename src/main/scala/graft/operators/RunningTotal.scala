@@ -30,6 +30,9 @@ object RunningTotal {
     * (include a tiebreak key) for the result to be well-defined. */
   def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
                      outCol: String, numPartitions: Int = 32): DataFrame = {
+    val reserved = Seq("_rt_v", "_rt_pid", "_rt_off", "_rt_t")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not contain the helper columns ${reserved.mkString(", ")}")
     val parted = df
       .withColumn("_rt_v", value.cast("long"))
       .repartitionByRange(numPartitions, order: _*)

@@ -31,8 +31,11 @@ object Triangles {
     * don't exist by construction (every node has deg ≥ 1). */
   def perNode(pairs: DataFrame, aCol: String = "id_a",
               bCol: String = "id_b"): DataFrame = {
+    // self-loops would count phantom wedges; a simple graph has none,
+    // but dropping them is one codegen'd filter
     val p = pairs.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     // (deg, id) total order; orient low → high so out-degrees are O(√m)

@@ -143,6 +143,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("allpairs: duplicate tokens in the input are deduped; empty input is empty") {
+    val dup = Seq(1L -> Seq("a", "a", "b", "b"), 2L -> Seq("a", "b", "b", "c"))
+      .toDF("doc_id", "s")
+    val got = AllPairsJoin.jaccardSelfJoin(dup, "doc_id", "s", 1, 2).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("inter") === 2L) // {a,b} ∩ {a,b,c}
+    assert(got.head.getAs[Long]("uni") === 3L)
+    val empty = Seq.empty[(Long, Seq[String])].toDF("doc_id", "s")
+    assert(AllPairsJoin.jaccardSelfJoin(empty, "doc_id", "s", 7, 10).count() === 0)
+  }
+
+  test("triangles: self-loops are ignored") {
+    val g = Seq((1L, 1L), (1L, 2L), (2L, 3L), (1L, 3L))
+    val got = graft.operators.Triangles.perNode(g.toDF("id_a", "id_b"))
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   // ---- RunningTotal ----
 
   test("running total: equals the single-partition window across partitionings") {
@@ -169,6 +188,14 @@ class ScaleOpsSpec extends SparkSpec {
       .orderBy($"id".desc).collect()
     assert(got.head.getAs[Long]("cum") === got.head.getAs[Long]("v"))
     assert(got.last.getAs[Long]("cum") === (1 to 100).map(_ % 7).sum.toLong)
+  }
+
+  test("running total: rejects inputs that carry its helper columns") {
+    val df = Seq((1L, 2L)).toDF("_rt_pid", "v")
+    val e = intercept[IllegalArgumentException] {
+      RunningTotal.withRunningSum(df, Seq($"v"), $"v", "cum")
+    }
+    assert(e.getMessage.contains("_rt_pid"))
   }
 
   // ---- query invariants over the fixture corpus ----
