@@ -18,7 +18,12 @@ class DeterminismSpec extends SparkSpec {
 
   for (q <- Seq("agg_weighted_mean", "stratified_sample", "dataset_split",
       "dedup_minhash_pairs", "dedup_passages", "bpe_learn_merges",
-      "scd2_history"))
+      "scd2_history",
+      // r8: integer PageRank rounds, the prefix-filtered exact join,
+      // the range-partitioned distributed running sum, and the
+      // priority draw — each with its own partitioning-sensitive step
+      "graph_pagerank", "dedup_allpairs_jaccard", "budget_select_tokens",
+      "sample_priority_weighted"))
     test(s"$q is invariant to shuffle partitioning (3 vs 17)") {
       assert(runWith(3, q) === runWith(17, q))
     }
