@@ -53,6 +53,35 @@ object SchemaRegistry {
       schemaJson = node.get("schema").asText())
   }
 
+  /** Register `schemaJson` under `subject` — the produce-side half the
+    * reference performs on FIRST serialize (`/root/reference/producer/
+    * producer.py:8,40`: AvroSerializer auto-registers `users-value`).
+    * Speaks `POST /subjects/{subject}/versions` and returns the global
+    * schema id the registry assigned; the registry is content-addressed
+    * per subject, so re-registering a byte-identical schema is
+    * idempotent and returns the existing id. Like the fetches, this is
+    * driver-side pipeline CONFIG: one POST per job, after which the id
+    * is a literal baked into the produce expressions — 1000 executors
+    * cost the registry one registration, not a thundering herd. */
+  def register(baseUrl: String, subject: String, schemaJson: String,
+      timeout: Duration = Duration.ofSeconds(10)): Int = {
+    val payload = mapper.createObjectNode()
+    payload.put("schema", schemaJson)
+    val url = s"${baseUrl.stripSuffix("/")}/subjects/$subject/versions"
+    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+    val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout)
+      .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(payload)))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(
+        s"schema registry POST $url -> HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+    val node = mapper.readTree(resp.body())
+    require(node.hasNonNull("id"), s"registry response missing 'id': ${resp.body().take(200)}")
+    node.get("id").asInt()
+  }
+
   /** Schema string for a global schema id (wire-format byte 1-4). */
   def fetchById(baseUrl: String, id: Int,
       timeout: Duration = Duration.ofSeconds(10)): String = {

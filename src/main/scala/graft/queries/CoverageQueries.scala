@@ -70,6 +70,36 @@ object CoverageQueries {
     }
   }
 
+  /** One-row far-future (2100-01-01) sentinel STREAM in the normalized
+    * events shape ([[Tables.eventsStream]]: `ts` session-TZ
+    * TimestampType): unioned into a bounded events replay, its event
+    * time pushes the final watermark past every real window/session so
+    * append-mode state flushes under AvailableNow. Filter
+    * `event_type =!= "__sentinel__"` (or `user_id >= 0`) downstream.
+    * Written once at a fixed path (identical across runs), with its own
+    * fixture encoding — deliberately independent of whatever encoding
+    * generation the testdata's events file is. */
+  private[graft] def sentinelStream(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sentinelTs = java.sql.Timestamp.from(
+      java.time.Instant.parse("2100-01-01T00:00:00Z"))
+    val sentinelDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_sentinel_ts_v2")
+    ensureFixture(sentinelDir) { tmp =>
+      Seq((-1L, sentinelTs, -1L, "__sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val schema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+    }
+    spark.readStream.schema(schema).parquet(sentinelDir.toString)
+  }
+
   // ---- scans / filter / project -----------------------------------------
 
   /** S12 + T2/T5 batch shape: pushed filter + pruned projection. */
@@ -388,30 +418,12 @@ object CoverageQueries {
     * only the sentinel's own window (one row) is left in state. The
     * sentinel's window is filtered from the output. */
   def tumblingWindowStreamed(spark: SparkSession, dir: String): DataFrame = {
-    // explicit source schema (streaming reads can't infer): ts arrives as
-    // raw TIMESTAMP(NANOS) int64 under the session's nanosAsLong flag
-    val schema = Tables.eventsStreamSchema
     val sentinelType = "__sentinel__"
-    val sentinelNanos = // 2100-01-01, far beyond any testdata event
-      java.time.Instant.parse("2100-01-01T00:00:00Z").getEpochSecond * 1000000000L
-    // fixed path + write-once: the one-row sentinel is identical across
-    // runs, so repeated invocations skip the write-job entirely
-    val sentinelDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_window_sentinel_v1")
-    import spark.implicits._
-    ensureFixture(sentinelDir) { tmp =>
-      Seq((-1L, sentinelNanos, -1L, sentinelType, 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(tmp)
-    }
-    // the streaming file source wants a directory; glob-filter the one
-    // table file out of the sf dir
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val sentinel = spark.readStream.schema(schema).parquet(sentinelDir.toString)
-    val stream = events.union(sentinel)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // both sides arrive normalized to session-TZ TimestampType, so the
+    // union is encoding-agnostic no matter which testdata generation the
+    // events file is
+    val stream = Tables.eventsStream(spark, dir)
+      .union(sentinelStream(spark))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(

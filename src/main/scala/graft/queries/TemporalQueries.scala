@@ -97,12 +97,8 @@ object TemporalQueries {
     * the batch `scd2_history`. stream == batch == external engine. */
   def scd2HistoryStreamed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = Tables.eventsStreamSchema
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("user_id"), col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+    val events = Tables.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .as[graft.streaming.VersionEvent]
     val out = graft.streaming.StreamingPipeline.streamingScd2(events)
     val name = "scd2_streamed_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -137,12 +133,8 @@ object TemporalQueries {
     * emitted, so the result is deterministic no matter which physical
     * duplicate row wins the state race. stream == batch == oracle. */
   def dedupLateStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsStreamSchema
-    val deduped = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("user_id"), col("event_type"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val deduped = Tables.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
@@ -173,25 +165,11 @@ object TemporalQueries {
     * spec-forced in StreamingSpec with a three-batch MemoryStream. */
   def sessionFmgsStreamed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = Tables.eventsStreamSchema
-    val sentinelUs = // 2100-01-01, far beyond any testdata event
-      java.time.Instant.parse("2100-01-01T00:00:00Z").getEpochSecond * 1000000L
-    val sentinelDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_session_sentinel_v1")
-    CoverageQueries.ensureFixture(sentinelDir) { tmp =>
-      Seq((-1L, sentinelUs * 1000L, -1L, "__sentinel__", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(tmp)
-    }
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val sentinel = spark.readStream.schema(schema).parquet(sentinelDir.toString)
     val sessions = graft.streaming.StreamingPipeline.gapSessions(
-      events.union(sentinel)
-        .select(col("user_id"), col("event_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"),
-          expr("ts div 1000").as("ts_us"))
+      Tables.eventsStream(spark, dir)
+        .union(CoverageQueries.sentinelStream(spark))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
         .withWatermark("ts", "1 hour")
         .as[graft.streaming.SessEvent],
       gapUs = 30L * 60L * 1000000L)
@@ -219,10 +197,7 @@ object TemporalQueries {
     * the DuckDB oracle is the equivalent batch range join:
     * stream == batch == external engine. */
   def streamIntervalJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
-    def src = spark.readStream.schema(Tables.eventsStreamSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = Tables.eventsStream(spark, dir)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
     val signups = src.filter(col("event_type") === "signup")
@@ -268,7 +243,57 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("bar_ts"))
   }
 
+  /** Cohort retention on the ORDERS table — the same month-offset shape
+    * as `cohort_retention`, but deliberately events-independent: §2.4
+    * temporal-analytic coverage shouldn't ride entirely on one table's
+    * loader (round 7 lost every events consumer to a single encoding
+    * change). Cohort = month of the customer's first order. Scale: both
+    * the first-order agg and the join shuffle on `o_custkey` — one key,
+    * co-partitioned, map-side partial aggs; no broadcast needed and no
+    * skew (custkey is uniform). */
+  def ordersCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cohorts = o.groupBy(col("o_custkey"))
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("cohort"))
+    o.join(cohorts, Seq("o_custkey"))
+      .withColumn("month_offset",
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          - (year(col("cohort")) * 12 + month(col("cohort"))))
+      .groupBy(col("cohort"), col("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .orderBy(col("cohort"), col("month_offset"))
+  }
+
+  /** Repeat-purchase funnel on ORDERS (events-independent twin of
+    * `funnel_conversion`): per first-order month, how many customers
+    * placed another order within 30 days. The 30-day bound lives IN the
+    * join condition (not a post-filter), so Spark prunes non-qualifying
+    * pairs during the join instead of materializing the full
+    * customer×order match — the DuckDB oracle's join-on-key-only CASE
+    * formulation is equivalent relationally but would explode at scale. */
+  def ordersRepeatFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val first = o.groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("first_dt"))
+    val later = o.select(col("o_custkey").as("r_custkey"), col("o_orderdate").as("r_dt"))
+    first.join(later,
+        col("o_custkey") === col("r_custkey")
+          && col("r_dt") > col("first_dt")
+          && col("r_dt") <= col("first_dt") + expr("INTERVAL 30 DAY"),
+        "left")
+      .groupBy(col("o_custkey"), col("first_dt"))
+      .agg(max(when(col("r_dt").isNotNull, 1).otherwise(0)).as("rep"))
+      .groupBy(date_trunc("month", col("first_dt")).as("first_month"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("rep")).cast("bigint").as("n_repeat"),
+        round(sum(col("rep")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("repeat_rate"))
+      .orderBy(col("first_month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_cohort_retention" -> (ordersCohortRetention _),
+    "orders_repeat_funnel" -> (ordersRepeatFunnel _),
     "events_resample" -> (eventsResample _),
     "funnel_conversion" -> (funnelConversion _),
     "cohort_retention" -> (cohortRetention _),
@@ -281,6 +306,33 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "orders_cohort_retention" ->
+      """WITH c AS (
+        |  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.cohort,
+        |       (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+        |         - (year(c.cohort) * 12 + month(c.cohort)) AS month_offset,
+        |       COUNT(DISTINCT o.o_custkey) AS n_active
+        |FROM orders o JOIN c USING (o_custkey)
+        |GROUP BY c.cohort, month_offset ORDER BY cohort, month_offset""".stripMargin,
+    "orders_repeat_funnel" ->
+      """WITH f AS (
+        |  SELECT o_custkey, MIN(o_orderdate) AS first_dt
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT f.o_custkey, f.first_dt,
+        |         MAX(CASE WHEN o.o_orderdate > f.first_dt
+        |                   AND o.o_orderdate <= f.first_dt + INTERVAL 30 DAY
+        |                  THEN 1 ELSE 0 END) AS rep
+        |  FROM f LEFT JOIN orders o ON o.o_custkey = f.o_custkey
+        |  GROUP BY f.o_custkey, f.first_dt)
+        |SELECT date_trunc('month', first_dt) AS first_month,
+        |       COUNT(*) AS n_customers,
+        |       CAST(SUM(rep) AS BIGINT) AS n_repeat,
+        |       round(CAST(SUM(rep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |         AS repeat_rate
+        |FROM r GROUP BY first_month ORDER BY first_month""".stripMargin,
     "events_resample" ->
       """WITH b AS (
         |  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi

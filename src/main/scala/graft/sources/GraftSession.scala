@@ -12,8 +12,10 @@ import org.apache.spark.sql.SparkSession
   *    (cores on local mode) rather than the 200 default.
   *  - UTC session timezone (oracle determinism — timestamps compare as
   *    instants, not local renderings).
-  *  - parquet nanos-as-long (the `events` table's TIMESTAMP(NANOS)
-  *    column; see [[Tables.nanosAsLongKey]]).
+  *  - parquet nanos-as-long (legacy testdata generations stored
+  *    `events.ts` as TIMESTAMP(NANOS); the flag is a no-op on the
+  *    current TIMESTAMP(MICROS) files — see [[Tables.nanosAsLongKey]]
+  *    and the dtype-adaptive [[Tables.normalizeEventTs]]).
   */
 object GraftSession {
 

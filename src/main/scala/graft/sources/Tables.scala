@@ -27,37 +27,52 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** Session conf every graft session must set at BUILD time: `events.ts`
-    * is parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]); this legacy flag reads the nanos as a
-    * plain long instead. It is session-global (no per-read parquet option
-    * exists for it — ParquetOptions only exposes mergeSchema/compression/
-    * rebase), so it lives in the session builders (Bench/Verify/Explain/
-    * SparkSpec), not as a hidden mutation inside a table loader. */
+  /** Session conf graft sessions set at BUILD time for LEGACY testdata
+    * generations where `events.ts` was parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects, [PARQUET_TYPE_ILLEGAL]); the flag
+    * reads those nanos as a plain long instead. Harmless when the file is
+    * TIMESTAMP(MICROS) — the flag only affects NANOS-annotated columns —
+    * so the session builders keep setting it and [[events]] adapts to
+    * whatever dtype the reader actually produced. */
   val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** Truncates ns→us via integer `div` — DuckDB also truncates when
-    * narrowing, so both engines see identical instants. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption(nanosAsLongKey).contains("true"),
-      s"$nanosAsLongKey must be set to true at session build time " +
-        "(events.parquet stores TIMESTAMP(NANOS))")
-    load(spark, dir, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
-  /** Explicit schema for STREAMING reads of events.parquet (streaming
-    * sources can't infer): `ts` arrives as the raw TIMESTAMP(NANOS)
-    * int64 under the session's nanosAsLong flag. One definition for
-    * every streamed-events query — a column change updated in one
-    * inline copy but not another would silently read stale columns as
-    * null under the explicit-schema path. */
-  val eventsStreamSchema: org.apache.spark.sql.types.StructType = {
+  /** Normalize however `ts` physically arrived to session-TZ
+    * TimestampType (sessions run UTC, so instants match DuckDB's naive
+    * read of the same file). The testdata generator has shipped two
+    * encodings so far — TIMESTAMP(NANOS) (read as long under
+    * [[nanosAsLongKey]]; ns→us truncated via integer `div`, matching
+    * DuckDB's narrowing) and TIMESTAMP(MICROS) `isAdjustedToUTC=false`
+    * (read natively as TIMESTAMP_NTZ) — so branch on the LOADED dtype
+    * instead of assuming a generation. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported dtype $other — Tables.normalizeEventTs " +
+          "handles LongType (legacy nanos-as-long), TIMESTAMP_NTZ, and TIMESTAMP; " +
+          "the testdata encoding changed again: extend the branch here")
+    }
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** STREAMING read of events.parquet with the same normalized shape as
+    * [[events]] (`ts` always session-TZ TimestampType). Streaming file
+    * sources can't infer a schema, and hard-coding one resurrects the
+    * generation-assumption [[normalizeEventTs]] exists to kill — so probe
+    * the batch reader's schema (a footer-only read) and declare THAT.
+    * One definition for every streamed-events query. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = load(spark, dir, "events").schema
+    normalizeEventTs(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

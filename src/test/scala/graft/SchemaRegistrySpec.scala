@@ -52,6 +52,106 @@ class SchemaRegistrySpec extends SparkSpec {
     (s"http://127.0.0.1:${server.getAddress.getPort}", () => server.stop(0))
   }
 
+  /** Registration-capable stub: POST /subjects/{s}/versions assigns ids
+    * content-addressed per subject (idempotent re-register), GET latest
+    * and GET /schemas/ids/{id} serve what was registered. */
+  private def startWritableStub(): (String, () => Unit) = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val byId = scala.collection.mutable.Map[Int, String]()
+    val bySubject = scala.collection.mutable.Map[String, List[(Int, String)]]()
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type",
+        "application/vnd.schemaregistry.v1+json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/", (ex: HttpExchange) => synchronized {
+      val path = ex.getRequestURI.getPath
+      val versionsPost = "^/subjects/([^/]+)/versions$".r
+      val latestGet = "^/subjects/([^/]+)/versions/latest$".r
+      val idGet = "^/schemas/ids/(\\d+)$".r
+      (ex.getRequestMethod, path) match {
+        case ("POST", versionsPost(subject)) =>
+          val posted = mapper.readTree(ex.getRequestBody).get("schema").asText()
+          val existing = bySubject.getOrElse(subject, Nil)
+          val id = existing.find(_._2 == posted).map(_._1).getOrElse {
+            val next = byId.keys.maxOption.getOrElse(0) + 1
+            byId(next) = posted
+            bySubject(subject) = existing :+ ((next, posted))
+            next
+          }
+          reply(ex, 200, s"""{"id":$id}""")
+        case ("GET", latestGet(subject)) =>
+          bySubject.get(subject).flatMap(_.lastOption) match {
+            case Some((id, s)) =>
+              val v = bySubject(subject).size
+              reply(ex, 200, s"""{"subject":"$subject","version":$v,"id":$id,"schema":${mapper.writeValueAsString(s)}}""")
+            case None =>
+              reply(ex, 404, """{"error_code":40401,"message":"not found"}""")
+          }
+        case ("GET", idGet(id)) =>
+          byId.get(id.toInt) match {
+            case Some(s) => reply(ex, 200, s"""{"schema":${mapper.writeValueAsString(s)}}""")
+            case None => reply(ex, 404, """{"error_code":40403,"message":"not found"}""")
+          }
+        case _ =>
+          reply(ex, 404, """{"error_code":40401,"message":"not found"}""")
+      }
+    })
+    server.start()
+    (s"http://127.0.0.1:${server.getAddress.getPort}", () => server.stop(0))
+  }
+
+  test("register POSTs the subject and round-trips through fetch (producer.py:40)") {
+    val (url, stop) = startWritableStub()
+    try {
+      // first serialize against an empty registry: register, like the
+      // reference producer's auto-register of users-value
+      intercept[java.io.IOException] { SchemaRegistry.fetchLatest(url, "users-value") }
+      val id = SchemaRegistry.register(url, "users-value", schema)
+      assert(id > 0)
+      // idempotent: identical schema re-registers to the same id
+      assert(SchemaRegistry.register(url, "users-value", schema) === id)
+      // a consumer starting later resolves exactly what was produced
+      val reg = SchemaRegistry.fetchLatest(url, "users-value")
+      assert(reg.id === id)
+      assert(AvroCodec.parsedSchema(reg.schemaJson) === AvroCodec.parsedSchema(schema))
+      assert(AvroCodec.parsedSchema(SchemaRegistry.fetchById(url, id)) ===
+        AvroCodec.parsedSchema(schema))
+      // a new (evolved) schema gets a NEW id and becomes latest
+      val evolved = schema.replace("\"User\"", "\"UserV2\"")
+      val id2 = SchemaRegistry.register(url, "users-value", evolved)
+      assert(id2 !== id)
+      assert(SchemaRegistry.fetchLatest(url, "users-value").id === id2)
+    } finally stop()
+  }
+
+  test("registered id drives the produce wire bytes end to end") {
+    val (url, stop) = startWritableStub()
+    try {
+      val id = SchemaRegistry.register(url, "users-value", schema)
+      val sparkUserType = AvroCodec.sparkStructType(schema)
+      val rows = (0 until 3).map(i => Row(Row(
+        s"id_$i", s"User$i", s"Doe$i", s"user$i@example.com", 20 + i,
+        "secret123", "TRACK_XYZ", Row(s"$i St", "City", "00000"))))
+      val wire = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("user", sparkUserType))))
+        .select(to_avro_confluent(col("user"), schema, schemaId = id).as("b"))
+        .collect().map(_.getAs[Array[Byte]](0))
+      // every framed message carries the id the registry assigned, and a
+      // by-id fetch resolves the schema that decodes the payload
+      wire.foreach { b =>
+        val sid = java.nio.ByteBuffer.wrap(b, 1, 4).getInt
+        assert(sid === id)
+      }
+      assert(AvroCodec.parsedSchema(SchemaRegistry.fetchById(url, id)) ===
+        AvroCodec.parsedSchema(schema))
+    } finally stop()
+  }
+
   test("fetchLatest and fetchById speak the Confluent REST surface") {
     val (url, stop) = startStub("users-value", 7, 3, schema)
     try {

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.sources.Tables
+
+/** The testdata-encoding CONTRACT, pinned as tests.
+  *
+  * Round 7 was lost to a silent environment change: the driver regenerated
+  * `events.parquet` with `ts` as parquet TIMESTAMP(MICROS) where earlier
+  * generations stored TIMESTAMP(NANOS), and the loader's hard-coded
+  * nanos assumption broke 26 batch queries at analysis time — and, worse,
+  * silently squashed streamed timestamps 1000× (micros read as nanos →
+  * January 2024 collapsed into minutes of 1970). These tests make any
+  * future encoding change fail loudly in `sbt test`, naming
+  * [[Tables.events]], instead of surfacing as oracle mismatches.
+  */
+class TestdataContractSpec extends SparkSpec {
+
+  private val sfDirs = Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("events.ts loads as session-TZ TimestampType in every sf dir") {
+    for (dir <- sfDirs) {
+      val dt = Tables.events(spark, dir).schema("ts").dataType
+      assert(dt === TimestampType,
+        s"$dir/events.parquet: Tables.events must normalize ts to " +
+          s"TimestampType, got $dt — extend Tables.normalizeEventTs")
+    }
+  }
+
+  test("events.ts instants are plausible (unit-squash canary)") {
+    // A unit misread (ns↔us↔ms) shifts instants by 1000× — e.g. 2024
+    // micros read as nanos collapse into ~43 minutes of January 1970.
+    // Bound min/max to a generous real-world window so ANY squash or
+    // inflation fails here with the loader named, not downstream in a
+    // wrong-but-green oracle diff.
+    for (dir <- sfDirs) {
+      val row = Tables.events(spark, dir)
+        .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+        .head()
+      val (lo, hi) = (row.getInt(0), row.getInt(1))
+      assert(lo >= 2000 && hi <= 2099,
+        s"$dir/events.parquet: event years [$lo, $hi] outside [2000, 2099] — " +
+          "Tables.normalizeEventTs is misreading the timestamp unit")
+    }
+  }
+
+  test("streamed events loader equals the batch loader row-for-row") {
+    // Tables.eventsStream must produce exactly Tables.events' rows (same
+    // normalization path, probed schema). A divergence means a streamed
+    // query can silently compute on different instants than its batch
+    // twin — the round-7 failure mode.
+    val dir = sf
+    val name = "events_stream_eq_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Tables.eventsStream(spark, dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+    val batch = Tables.events(spark, dir)
+    assert(streamed.schema.map(f => (f.name, f.dataType)) ===
+      batch.schema.map(f => (f.name, f.dataType)))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed events rows diverge from Tables.events")
+  }
+}
