@@ -47,6 +47,28 @@ class TestdataContractSpec extends SparkSpec {
     }
   }
 
+  test("normalizeEventTs handles all three historical encodings identically") {
+    import spark.implicits._
+    // one instant, three physical arrivals: legacy nanos-as-long,
+    // TIMESTAMP_NTZ (current testdata), session-TZ TIMESTAMP
+    val instant = java.time.Instant.parse("2024-03-15T12:34:56.789012Z")
+    val us = instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+    val asLong = Seq((1L, us * 1000L)).toDF("event_id", "ts")
+    val asNtz = Seq((1L, java.time.LocalDateTime.ofInstant(
+      instant, java.time.ZoneOffset.UTC))).toDF("event_id", "ts")
+    val asLtz = Seq((1L, java.sql.Timestamp.from(instant))).toDF("event_id", "ts")
+    val outs = Seq(asLong, asNtz, asLtz).map(Tables.normalizeEventTs)
+    outs.foreach(df => assert(df.schema("ts").dataType === TimestampType))
+    val vals = outs.map(_.select(unix_micros(col("ts"))).head().getLong(0))
+    assert(vals.distinct === Seq(us),
+      s"encodings disagree on the instant: $vals (expected $us)")
+    // and an unknown arrival dtype fails loudly, naming the fix site
+    val bad = intercept[IllegalStateException] {
+      Tables.normalizeEventTs(Seq((1L, "2024-03-15")).toDF("event_id", "ts"))
+    }
+    assert(bad.getMessage.contains("normalizeEventTs"))
+  }
+
   test("streamed events loader equals the batch loader row-for-row") {
     // Tables.eventsStream must produce exactly Tables.events' rows (same
     // normalization path, probed schema). A divergence means a streamed
