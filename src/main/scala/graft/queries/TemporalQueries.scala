@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.AsOfJoin
 import graft.sources.Tables
@@ -291,7 +292,61 @@ object TemporalQueries {
       .orderBy(col("first_month"))
   }
 
+  /** Ordered event-PATH matching (the MATCH_RECOGNIZE / windowFunnel
+    * analog): per user, does signup → view → purchase appear as an
+    * ordered (not necessarily adjacent) subsequence of their event
+    * history? The history aggregates per user ordered by (ts, event_id)
+    * — the same per-key-bounded state assumption sessionization makes;
+    * type names are substring-safe so the joined path + LIKE is an
+    * exact subsequence test in both engines. At 100 TB the same result
+    * computes stepwise (first signup, first later view, any later
+    * purchase — three chained min-aggregations) without materializing
+    * paths; the path form is kept because it matches the oracle
+    * formulation bit-for-bit and per-user histories are bounded. */
+  def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        concat_ws(">", expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+            " x -> x.event_type)")).as("path"))
+      .select(col("user_id"), col("n_events"),
+        col("path").like("%signup%view%purchase%").as("matched"))
+      .orderBy(col("user_id"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation on
+    * ORDERS — the classic curation-adjacent scoring shape: one
+    * map-combined agg per customer, then threshold CASEs (no ntile —
+    * a global ntile needs a single-partition window, the 100 TB
+    * anti-pattern; fixed business thresholds keep the whole plan
+    * map-side after the one keyed shuffle). `as_of` is the corpus max
+    * order date, broadcast as a one-row frame. */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.agg(max(col("o_orderdate")).as("as_of"))
+    o.join(broadcast(bounds))
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(to_date(max(col("as_of"))), to_date(max(col("o_orderdate"))))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("monetary"))
+      .withColumn("rfm",
+        (when(col("recency_days") <= 365, 3)
+          .when(col("recency_days") <= 730, 2).otherwise(1) * 100)
+          + (when(col("frequency") >= 12, 3)
+            .when(col("frequency") >= 8, 2).otherwise(1) * 10)
+          + when(col("monetary") >= 1800000d, 3)
+            .when(col("monetary") >= 1200000d, 2).otherwise(1))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sequence_match" -> (eventsSequenceMatch _),
+    "orders_rfm" -> (ordersRfm _),
     "orders_cohort_retention" -> (ordersCohortRetention _),
     "orders_repeat_funnel" -> (ordersRepeatFunnel _),
     "events_resample" -> (eventsResample _),
@@ -306,6 +361,29 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_sequence_match" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       string_agg(event_type, '>' ORDER BY ts, event_id)
+        |         LIKE '%signup%view%purchase%' AS matched
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "orders_rfm" ->
+      """WITH b AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+        |agg AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+        |                   CAST(MAX(as_of) AS DATE)) AS recency_days,
+        |         COUNT(*) AS frequency,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS monetary
+        |  FROM orders, b GROUP BY o_custkey)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |       (CASE WHEN recency_days <= 365 THEN 3
+        |             WHEN recency_days <= 730 THEN 2 ELSE 1 END) * 100
+        |       + (CASE WHEN frequency >= 12 THEN 3
+        |               WHEN frequency >= 8 THEN 2 ELSE 1 END) * 10
+        |       + (CASE WHEN monetary >= 1800000 THEN 3
+        |               WHEN monetary >= 1200000 THEN 2 ELSE 1 END) AS rfm
+        |FROM agg ORDER BY o_custkey""".stripMargin,
     "orders_cohort_retention" ->
       """WITH c AS (
         |  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
