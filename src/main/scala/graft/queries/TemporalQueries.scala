@@ -292,27 +292,39 @@ object TemporalQueries {
       .orderBy(col("first_month"))
   }
 
-  /** Ordered event-PATH matching (the MATCH_RECOGNIZE / windowFunnel
-    * analog): per user, does signup → view → purchase appear as an
-    * ordered (not necessarily adjacent) subsequence of their event
-    * history? The history aggregates per user ordered by (ts, event_id)
-    * — the same per-key-bounded state assumption sessionization makes;
-    * type names are substring-safe so the joined path + LIKE is an
-    * exact subsequence test in both engines. At 100 TB the same result
-    * computes stepwise (first signup, first later view, any later
-    * purchase — three chained min-aggregations) without materializing
-    * paths; the path form is kept because it matches the oracle
-    * formulation bit-for-bit and per-user histories are bounded. */
+  /** Ordered event-SEQUENCE matching (the MATCH_RECOGNIZE /
+    * windowFunnel analog): per user, does signup → view → purchase
+    * occur in order, all within 48 hours of the user's FIRST signup?
+    * Implemented as greedy-earliest stepwise matching — earliest
+    * signup, then the earliest later view inside the window, then any
+    * later purchase inside the window; greedy-earliest is complete for
+    * fixed-window subsequence detection (taking the earliest qualifying
+    * view maximizes the remaining window). The plan is three keyed
+    * filters/aggregations and equi-joins on user_id: no per-user
+    * history is ever materialized (a collect_list-and-scan formulation
+    * would pin one pathological user's billion events in one task),
+    * so the shape survives 100 TB unchanged. Ties order by the unique
+    * (ts, event_id) struct in both engines. */
   def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    def k = struct(col("ts"), col("event_id"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(k).as("s_k"))
+      .select(col("user_id"), col("s_k"),
+        (col("s_k.ts") + expr("INTERVAL 48 HOURS")).as("deadline"))
+    val v = ev.filter(col("event_type") === "view").join(s, "user_id")
+      .filter(k > col("s_k") && col("ts") <= col("deadline"))
       .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        concat_ws(">", expr(
-          "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
-            " x -> x.event_type)")).as("path"))
+      .agg(min(k).as("v_k"), max(col("deadline")).as("deadline"))
+    val matched = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+      .filter(k > col("v_k") && col("ts") <= col("deadline"))
+      .select(col("user_id")).distinct()
+      .withColumn("matched", lit(true))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .join(matched, Seq("user_id"), "left")
       .select(col("user_id"), col("n_events"),
-        col("path").like("%signup%view%purchase%").as("matched"))
+        coalesce(col("matched"), lit(false)).as("matched"))
       .orderBy(col("user_id"))
   }
 
@@ -362,10 +374,29 @@ object TemporalQueries {
 
   val oracles: Map[String, String] = Map(
     "events_sequence_match" ->
-      """SELECT user_id, COUNT(*) AS n_events,
-        |       string_agg(event_type, '>' ORDER BY ts, event_id)
-        |         LIKE '%signup%view%purchase%' AS matched
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """WITH s AS (
+        |  SELECT user_id, ts AS s_ts, event_id AS s_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+        |v AS (
+        |  SELECT user_id, v_ts, v_id FROM (
+        |    SELECT e.user_id, e.ts AS v_ts, e.event_id AS v_id,
+        |           ROW_NUMBER() OVER (PARTITION BY e.user_id
+        |                              ORDER BY e.ts, e.event_id) AS rn
+        |    FROM events e JOIN s USING (user_id)
+        |    WHERE e.event_type = 'view' AND (e.ts, e.event_id) > (s.s_ts, s.s_id)
+        |      AND e.ts <= s.s_ts + INTERVAL 48 HOUR) WHERE rn = 1),
+        |m AS (
+        |  SELECT DISTINCT e.user_id
+        |  FROM events e JOIN v USING (user_id) JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (v.v_ts, v.v_id)
+        |    AND e.ts <= s.s_ts + INTERVAL 48 HOUR)
+        |SELECT c.user_id, c.n_events, m.user_id IS NOT NULL AS matched
+        |FROM (SELECT user_id, COUNT(*) AS n_events
+        |      FROM events GROUP BY user_id) c
+        |LEFT JOIN m USING (user_id) ORDER BY user_id""".stripMargin,
     "orders_rfm" ->
       """WITH b AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
         |agg AS (

@@ -102,7 +102,9 @@ class PlanShapeSpec extends SparkSpec {
     // events × broadcast 1-row global min/max bounds for quantization
     "layout_zorder_tiles" -> 1,
     // corpus × broadcast 1-row token-budget scalar
-    "budget_select_tokens" -> 1
+    "budget_select_tokens" -> 1,
+    // r8: orders × broadcast 1-row as-of (corpus max date) scalar
+    "orders_rfm" -> 1
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from

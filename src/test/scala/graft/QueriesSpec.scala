@@ -13,6 +13,15 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("windowed sequence match discriminates (some users convert, some don't)") {
+    // a funnel where every user matches (or none does) verifies nothing;
+    // the 48h window must split the corpus both ways
+    import org.apache.spark.sql.functions.col
+    val df = graft.queries.TemporalQueries.eventsSequenceMatch(spark, sf)
+    val m = df.filter(col("matched")).count()
+    assert(m > 0 && m < df.count(), s"degenerate match split: $m of ${df.count()}")
+  }
+
   test("every oracle key has a matching query") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
