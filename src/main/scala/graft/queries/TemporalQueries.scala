@@ -305,8 +305,14 @@ object TemporalQueries {
     * would pin one pathological user's billion events in one task),
     * so the shape survives 100 TB unchanged. Ties order by the unique
     * (ts, event_id) struct in both engines. */
-  def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame =
+    eventsSequenceMatchFrom(Tables.events(spark, dir))
+
+  /** Frame-injectable core of [[eventsSequenceMatch]] so the boundary
+    * semantics (window inclusivity, ties, step order) are unit-testable
+    * on synthetic histories, not only on the fixed testdata. */
+  private[graft] def eventsSequenceMatchFrom(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     def k = struct(col("ts"), col("event_id"))
     val s = ev.filter(col("event_type") === "signup")

@@ -181,4 +181,35 @@ class EdgeCasesSpec extends SparkSpec {
     }
     assert(listing === before, "committed fixture must not be rewritten")
   }
+
+  test("windowed funnel boundary semantics on synthetic histories") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val H48 = 48L * 60
+    // (user, minute, event_id, type)
+    val rows = Seq(
+      // u1: clean in-order conversion inside the window
+      (1L, 0L, 1L, "signup"), (1L, 10L, 2L, "view"), (1L, 20L, 3L, "purchase"),
+      // u2: view BEFORE signup never counts; no later view -> no match
+      (2L, 0L, 10L, "view"), (2L, 5L, 11L, "signup"), (2L, 10L, 12L, "purchase"),
+      // u3: everything in order but the purchase lands 1 minute past the
+      // 48h deadline anchored at the FIRST signup
+      (3L, 0L, 20L, "signup"), (3L, 10L, 21L, "view"),
+      (3L, H48 + 1, 22L, "purchase"),
+      // u4: purchase EXACTLY at the deadline — window is inclusive
+      (4L, 0L, 30L, "signup"), (4L, 10L, 31L, "view"), (4L, H48, 32L, "purchase"),
+      // u5: anchor is the FIRST signup; a second signup can't re-open the
+      // window even though signup2->view->purchase fits inside 48h of it
+      (5L, 0L, 40L, "signup"), (5L, H48 * 3, 41L, "signup"),
+      (5L, H48 * 3 + 10, 42L, "view"), (5L, H48 * 3 + 20, 43L, "purchase"),
+      // u6: same-timestamp tie broken by event_id — the view shares the
+      // signup's instant but has a LOWER id, so it orders before the
+      // signup and must not count
+      (6L, 0L, 51L, "view"), (6L, 0L, 52L, "signup"), (6L, 10L, 53L, "purchase"))
+    val ev = rows.map { case (u, m, id, t) => (id, ts(m), u, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.queries.TemporalQueries.eventsSequenceMatchFrom(ev)
+      .select($"user_id", $"matched").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false))
+  }
 }
