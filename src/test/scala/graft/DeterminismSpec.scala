@@ -23,7 +23,11 @@ class DeterminismSpec extends SparkSpec {
       // the range-partitioned distributed running sum, and the
       // priority draw — each with its own partitioning-sensitive step
       "graph_pagerank", "dedup_allpairs_jaccard", "budget_select_tokens",
-      "sample_priority_weighted"))
+      "sample_priority_weighted",
+      // round 8: the greedy-earliest funnel (min-struct steps), RFM's
+      // decimal-routed monetary sum, and the repeat-funnel's left range
+      // join — each must not care how input rows land in partitions
+      "events_sequence_match", "orders_rfm", "orders_repeat_funnel"))
     test(s"$q is invariant to shuffle partitioning (3 vs 17)") {
       assert(runWith(3, q) === runWith(17, q))
     }
