@@ -334,6 +334,40 @@ object TemporalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** ST4: [[eventsSequenceMatch]] as a STREAMED state-store job under
+    * the same DuckDB oracle — the windowed funnel through
+    * [[graft.streaming.StreamingPipeline.funnelMatch]]'s watermark
+    * reorder buffer + O(1) step machine. The whole events table replays
+    * as an AvailableNow stream; the far-future sentinel pushes the
+    * final watermark so every user's buffered history folds and emits;
+    * snapshots settle by max fold frontier (exactly one per user under
+    * the single-batch gate). stream == batch == external engine. */
+  def funnelMatchStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.eventsStream(spark, dir)
+      .union(CoverageQueries.sentinelStream(spark))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .as[graft.streaming.FunnelEvent]
+    val out = graft.streaming.StreamingPipeline.funnelMatch(
+      src, windowUs = 48L * 3600L * 1000000L)
+    val name = "funnel_streamed_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val settle = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("frontier_us").desc, col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(settle)).filter(col("rn") === 1)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"), col("matched"))
+      .orderBy(col("user_id"))
+  }
+
   /** RFM (recency / frequency / monetary) customer segmentation on
     * ORDERS — the classic curation-adjacent scoring shape: one
     * map-combined agg per customer, then threshold CASEs (no ntile —
@@ -364,6 +398,7 @@ object TemporalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sequence_match" -> (eventsSequenceMatch _),
+    "funnel_match_streamed" -> (funnelMatchStreamed _),
     "orders_rfm" -> (ordersRfm _),
     "orders_cohort_retention" -> (ordersCohortRetention _),
     "orders_repeat_funnel" -> (ordersRepeatFunnel _),
@@ -379,30 +414,10 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "events_sequence_match" ->
-      """WITH s AS (
-        |  SELECT user_id, ts AS s_ts, event_id AS s_id FROM (
-        |    SELECT user_id, ts, event_id,
-        |           ROW_NUMBER() OVER (PARTITION BY user_id
-        |                              ORDER BY ts, event_id) AS rn
-        |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
-        |v AS (
-        |  SELECT user_id, v_ts, v_id FROM (
-        |    SELECT e.user_id, e.ts AS v_ts, e.event_id AS v_id,
-        |           ROW_NUMBER() OVER (PARTITION BY e.user_id
-        |                              ORDER BY e.ts, e.event_id) AS rn
-        |    FROM events e JOIN s USING (user_id)
-        |    WHERE e.event_type = 'view' AND (e.ts, e.event_id) > (s.s_ts, s.s_id)
-        |      AND e.ts <= s.s_ts + INTERVAL 48 HOUR) WHERE rn = 1),
-        |m AS (
-        |  SELECT DISTINCT e.user_id
-        |  FROM events e JOIN v USING (user_id) JOIN s USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (v.v_ts, v.v_id)
-        |    AND e.ts <= s.s_ts + INTERVAL 48 HOUR)
-        |SELECT c.user_id, c.n_events, m.user_id IS NOT NULL AS matched
-        |FROM (SELECT user_id, COUNT(*) AS n_events
-        |      FROM events GROUP BY user_id) c
-        |LEFT JOIN m USING (user_id) ORDER BY user_id""".stripMargin,
+    "events_sequence_match" -> funnelOracleSql,
+    // one AvailableNow replay folds each user's full history in order,
+    // so the streamed machine must reproduce the batch funnel exactly
+    "funnel_match_streamed" -> funnelOracleSql,
     "orders_rfm" ->
       """WITH b AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
         |agg AS (
@@ -543,6 +558,32 @@ object TemporalQueries {
         |FROM r GROUP BY user_id, bar_ts
         |ORDER BY user_id, bar_ts""".stripMargin
   )
+
+  /** Shared by the batch query and its streamed state-store twin. */
+  private lazy val funnelOracleSql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts AS s_ts, event_id AS s_id FROM (
+      |    SELECT user_id, ts, event_id,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS rn
+      |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+      |v AS (
+      |  SELECT user_id, v_ts, v_id FROM (
+      |    SELECT e.user_id, e.ts AS v_ts, e.event_id AS v_id,
+      |           ROW_NUMBER() OVER (PARTITION BY e.user_id
+      |                              ORDER BY e.ts, e.event_id) AS rn
+      |    FROM events e JOIN s USING (user_id)
+      |    WHERE e.event_type = 'view' AND (e.ts, e.event_id) > (s.s_ts, s.s_id)
+      |      AND e.ts <= s.s_ts + INTERVAL 48 HOUR) WHERE rn = 1),
+      |m AS (
+      |  SELECT DISTINCT e.user_id
+      |  FROM events e JOIN v USING (user_id) JOIN s USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (v.v_ts, v.v_id)
+      |    AND e.ts <= s.s_ts + INTERVAL 48 HOUR)
+      |SELECT c.user_id, c.n_events, m.user_id IS NOT NULL AS matched
+      |FROM (SELECT user_id, COUNT(*) AS n_events
+      |      FROM events GROUP BY user_id) c
+      |LEFT JOIN m USING (user_id) ORDER BY user_id""".stripMargin
 
   private lazy val scd2OracleSql: String =
     """SELECT user_id, event_id, ts AS valid_from,

@@ -30,6 +30,22 @@ case class SessAcc(start_us: Long, last_us: Long, n: Long)
 case class SessState(sessions: List[SessAcc])
 case class SessionOut(user_id: Long, session_start_us: Long,
     session_last_us: Long, n_events: Long)
+/** Streamed-funnel input: `ts` carries the watermark, the match
+  * arithmetic runs on exact `ts_us` micros. */
+case class FunnelEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, ts_us: Long, event_type: String)
+/** Per-user funnel snapshot. `frontier_us` (highest folded event time)
+  * lets the sink settle multi-batch runs: later snapshots strictly
+  * dominate earlier ones, so keep the max-frontier row per user. */
+case class FunnelOut(user_id: Long, n_events: Long, matched: Boolean,
+    frontier_us: Long)
+/** The O(1) funnel step machine (greedy-earliest over in-order folds):
+  * first signup anchor, earliest in-window later view, matched flag,
+  * lifetime event count, and the fold frontier. */
+case class FunnelMachine(n: Long, sUs: Long, sId: Long, hasS: Boolean,
+    vUs: Long, vId: Long, hasV: Boolean, matched: Boolean, frontierUs: Long)
+/** Machine + the in-horizon reorder buffer of not-yet-folded events. */
+case class FunnelState(machine: FunnelMachine, buf: List[(Long, Long, String)])
 
 /** Structured-Streaming rendering of the reference pipeline
   * (SURVEY.md §3.2): Kafka topic → per-record SMT → partitioned JSON
@@ -514,6 +530,79 @@ object StreamingPipeline {
           }
           closed.iterator.map(s =>
             SessionOut(uid, s.start_us, s.last_us, s.n))
+      }
+  }
+
+  /** ST4: the STREAMED windowed funnel (MATCH_RECOGNIZE shape) — the
+    * state-store twin of the batch `events_sequence_match` query
+    * (signup → view → purchase within `windowUs` of the first signup).
+    *
+    * Greedy-earliest matching is only correct over a time-ORDERED fold,
+    * but streams arrive out of order — so state is a WATERMARK REORDER
+    * BUFFER plus an O(1) step machine: new rows buffer (late rows older
+    * than the watermark drop, mirroring the engine's stateful ops);
+    * whenever the watermark passes buffered event times those events
+    * fold into the machine in exact (ts_us, event_id) order, and the
+    * machine is all that survives them. Buffered state is bounded by
+    * each key's in-horizon traffic (watermark delay × rate), NOT its
+    * history; the machine itself is O(1). An event-time timeout re-arms
+    * to the earliest buffered event so folds fire as the watermark
+    * advances without new input. Each fold emits a snapshot; because
+    * per-user snapshots strictly grow (`frontier_us`), the sink settles
+    * multi-batch runs by keeping the max-frontier row — under the
+    * AvailableNow oracle gate exactly one fold (and one snapshot) per
+    * user happens anyway. Machine state persists for the stream's
+    * lifetime (it carries a lifetime event count — the same per-user
+    * bound the batch groupBy holds); a production deployment would age
+    * keys out by business TTL. */
+  def funnelMatch(
+      events: org.apache.spark.sql.Dataset[FunnelEvent],
+      windowUs: Long): org.apache.spark.sql.Dataset[FunnelOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    def fold(m0: FunnelMachine, evs: Seq[(Long, Long, String)]): FunnelMachine =
+      evs.sortBy(e => (e._1, e._2)).foldLeft(m0) { case (m, (us, id, tpe)) =>
+        val m1 = m.copy(n = m.n + 1, frontierUs = math.max(m.frontierUs, us))
+        tpe match {
+          case "signup" if !m1.hasS =>
+            m1.copy(sUs = us, sId = id, hasS = true)
+          case "view" if m1.hasS && !m1.hasV &&
+              (us > m1.sUs || (us == m1.sUs && id > m1.sId)) &&
+              us <= m1.sUs + windowUs =>
+            m1.copy(vUs = us, vId = id, hasV = true)
+          case "purchase" if m1.hasV && !m1.matched &&
+              (us > m1.vUs || (us == m1.vUs && id > m1.vId)) &&
+              us <= m1.sUs + windowUs =>
+            m1.copy(matched = true)
+          case _ => m1
+        }
+      }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prior = state.getOption.getOrElse(
+            FunnelState(FunnelMachine(0L, 0L, 0L, false, 0L, 0L, false, false, -1L), Nil))
+          // late rows cannot fold without breaking the already-emitted
+          // order — drop them, exactly as the engine's stateful ops do
+          val fresh = rows.filter(_.ts_us >= wmUs)
+            .map(e => (e.ts_us, e.event_id, e.event_type)).toList
+          val (ripe, pending) = (prior.buf ++ fresh).partition(_._1 <= wmUs)
+          val machine = fold(prior.machine, ripe)
+          state.update(FunnelState(machine, pending))
+          if (pending.nonEmpty) {
+            // wake when the earliest buffered event becomes foldable
+            val nextUs = pending.map(_._1).min
+            state.setTimeoutTimestamp(math.max(wmMs + 1L, (nextUs + 999L) / 1000L))
+          }
+          if (ripe.nonEmpty)
+            Iterator.single(FunnelOut(uid, machine.n, machine.matched, machine.frontierUs))
+          else Iterator.empty
       }
   }
 }

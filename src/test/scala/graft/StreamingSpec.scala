@@ -211,6 +211,50 @@ class StreamingSpec extends SparkSpec {
       s"expected a FlatMapGroupsWithState state store in:\n$planOut")
   }
 
+  test("ST4 streamed funnel: reorder-buffer fold, cross-batch match, settle, late-drop") {
+    import graft.streaming.{FunnelEvent, FunnelOut}
+    val baseMin = 1440L
+    def ev(uid: Long, eid: Long, min: Long, tpe: String): FunnelEvent = {
+      val us = (baseMin + min) * 60L * 1000000L
+      FunnelEvent(uid, eid, new Timestamp(us / 1000L), us, tpe)
+    }
+    val windowUs = 48L * 60L * 60L * 1000000L
+    val stream = MemoryStream[FunnelEvent]
+    val out = StreamingPipeline.funnelMatch(
+      stream.toDS().withWatermark("ts", "600 minutes"), windowUs)
+    val q = out.toDF().writeStream.format("memory").queryName("funnel_spec")
+      .outputMode("append").start()
+    def settled(): Map[Long, (Long, Boolean)] =
+      spark.table("funnel_spec").as[FunnelOut].collect()
+        .groupBy(_.user_id).view
+        .mapValues(rs => { val b = rs.maxBy(_.frontier_us); (b.n_events, b.matched) })
+        .toMap
+    // batch 1 arrives OUT of ts order inside the horizon: u1's view
+    // (t=10) and purchase (t=20) precede its signup (t=0) in arrival
+    // order — the reorder buffer must fold them as 0 < 10 < 20.
+    // u2 signs up but its view lands outside the anchor's window later.
+    stream.addData(ev(1, 3, 20, "purchase"), ev(1, 2, 10, "view"),
+      ev(1, 1, 0, "signup"), ev(2, 4, 0, "signup"))
+    q.processAllAvailable() // watermark still 0: nothing folds yet
+    assert(settled().isEmpty, "no fold may happen before the watermark moves")
+    // batch 2: u1's extra click; u2's view at 49h (outside 48h window);
+    // the u99 pusher advances the watermark past every real event
+    stream.addData(ev(1, 5, 30, "click"), ev(2, 6, 49L * 60, "view"),
+      ev(99, 7, 5000, "signup"))
+    q.processAllAvailable()
+    // pusher watermark = 5000 - 600 = 4400 min > 49h=2940: all real
+    // events folded. u1 matched with 4 lifetime events; u2 unmatched
+    // (view outside window), 2 events
+    assert(settled() === Map(1L -> ((4L, true)), 2L -> ((2L, false))),
+      s"unexpected settle: ${settled()}")
+    // batch 3: a late u1 event far behind the watermark must drop —
+    // the count may not move
+    stream.addData(ev(1, 8, 40, "click"))
+    q.processAllAvailable()
+    q.stop()
+    assert(settled()(1L) === ((4L, true)), "late row must not refold")
+  }
+
   test("incremental materialized aggregate: versioned folds, snapshot = global agg") {
     val stateDir = Files.createTempDirectory("graft_incr").toString
     val ckpt = Files.createTempDirectory("graft_incr_ck").toString
