@@ -47,6 +47,28 @@ class TestdataContractSpec extends SparkSpec {
     }
   }
 
+  test("every table loads with readable temporal columns in every sf dir") {
+    // the r7 break came through events.ts, but orders.o_orderdate and
+    // lineitem.l_shipdate are the same kind of generator-owned temporal
+    // column — assert every table loads, has rows, and every
+    // date/timestamp-named column reads as a temporal (or legacy long)
+    // type, so the NEXT encoding change names its table here
+    import org.apache.spark.sql.types._
+    val temporalish = Set("ts", "o_orderdate", "l_shipdate")
+    for (dir <- sfDirs; name <- Tables.names) {
+      val df = Tables.load(spark, dir, name)
+      assert(df.limit(1).count() === 1, s"$dir/$name.parquet is empty/unreadable")
+      for (f <- df.schema.fields if temporalish(f.name)) {
+        val ok = f.dataType match {
+          case TimestampType | TimestampNTZType | DateType | LongType => true
+          case _ => false
+        }
+        assert(ok, s"$dir/$name.parquet: temporal column ${f.name} reads as " +
+          s"${f.dataType} — extend the loaders like Tables.normalizeEventTs")
+      }
+    }
+  }
+
   test("normalizeEventTs handles all three historical encodings identically") {
     import spark.implicits._
     // one instant, three physical arrivals: legacy nanos-as-long,
