@@ -131,7 +131,32 @@ object ExtendedQueries {
       .orderBy(col("frequent_user_id"))
   }
 
+  /** Skew DIAGNOSTICS for a join/agg key — the profiling step a 100 TB
+    * deployment runs before choosing salting/AQE settings: per-key
+    * count distribution (max share, p50/p99, skew ratio) plus a
+    * suggested salt factor = ceil(max_share × 32 partitions), i.e. how
+    * many ways the hottest key must split to stop dominating one
+    * shuffle partition. One groupBy + one scalar agg; the percentile
+    * pair runs on the (small) per-key count table, not the fact table. */
+  def diagKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      sum(col("cnt")).cast("bigint").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_key_rows"),
+      round(max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"), 6)
+        .as("max_share"),
+      round(expr("percentile(cnt, 0.5D)"), 6).as("p50_key_rows"),
+      round(expr("percentile(cnt, 0.99D)"), 6).as("p99_key_rows"),
+      round(expr("percentile(cnt, 0.99D) / percentile(cnt, 0.5D)"), 6)
+        .as("skew_ratio"))
+      .withColumn("suggested_salt",
+        greatest(lit(1L), ceil(col("max_share") * lit(32))).cast("bigint"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "diag_key_skew" -> (diagKeySkew _),
     "agg_approx_percentiles" -> (approxPercentiles _),
     "freq_items" -> (freqItems _),
     "salted_join" -> (saltedJoinQuery _),
@@ -144,6 +169,21 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "diag_key_skew" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |       COUNT(*) AS n_keys,
+        |       MAX(cnt) AS max_key_rows,
+        |       round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+        |         AS max_share,
+        |       round(quantile_cont(cnt, 0.5), 6) AS p50_key_rows,
+        |       round(quantile_cont(cnt, 0.99), 6) AS p99_key_rows,
+        |       round(quantile_cont(cnt, 0.99) / quantile_cont(cnt, 0.5), 6)
+        |         AS skew_ratio,
+        |       CAST(GREATEST(1, CEIL(
+        |         round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+        |           * 32)) AS BIGINT) AS suggested_salt
+        |FROM c""".stripMargin,
     "salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

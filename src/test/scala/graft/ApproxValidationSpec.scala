@@ -53,6 +53,31 @@ class ApproxValidationSpec extends SparkSpec {
       s"missed heavy hitters: ${trueHeavy -- candidates}")
   }
 
+  test("count-min sketch estimates bound exact counts (never under, eps*N over)") {
+    // the sketch-MERGE shape (per-partition sketches unioned by the agg)
+    // with CMS's published guarantee: estimate >= exact always, and
+    // <= exact + eps*N with the configured confidence. Fixed seed +
+    // fixed corpus makes the outcome deterministic, so exact bounds are
+    // assertable (a fresh seed could legitimately exceed eps*N for
+    // ~(1-confidence) of keys).
+    val ev = Tables.events(spark, sf)
+    val eps = 0.001
+    val n = ev.count()
+    val bytes = ev.agg(expr("count_min_sketch(user_id, 0.001D, 0.999D, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(cms.totalCount() === n)
+    val exact = ev.groupBy($"user_id").count().as[(Long, Long)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (uid, c) =>
+      val est = cms.estimateCount(uid)
+      assert(est >= c, s"CMS undercounted key $uid: $est < $c")
+      assert(est <= c + math.ceil(eps * n).toLong,
+        s"CMS overcount beyond eps*N for key $uid: $est vs exact $c (N=$n)")
+    }
+  }
+
   test("LSH kNN self-join recovers a reasonable share of exact kNN edges") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
