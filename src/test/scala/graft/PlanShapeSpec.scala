@@ -125,7 +125,10 @@ class PlanShapeSpec extends SparkSpec {
     // only the query-subset scan keeps its pushed predicate
     "sim_topk_ivf" -> 1, "sim_topk_ivf_seeded" -> 2, "sim_topk_lsh" -> 4,
     "sliding_window" -> 1, "smt_transform" -> 1, "sql_exists_subquery" -> 1,
-    "text_contamination" -> 2, "tumbling_window" -> 1)
+    "text_contamination" -> 2, "tumbling_window" -> 1,
+    // r8 funnel: three step scans each push their event_type equality
+    // into parquet (the fourth, lifetime-count scan reads user_id only)
+    "events_sequence_match" -> 3)
 
   // fused custom-Expression kernels + representative scan/agg shapes that
   // must stay inside whole-stage codegen
