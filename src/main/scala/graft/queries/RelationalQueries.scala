@@ -121,9 +121,41 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Cross-table referential-integrity audit — the reference's audit
+    * identity (source-vs-sink reconciliation, `verifier_ui.py:103-111`)
+    * generalized to the whole schema graph: for every FK edge, count
+    * rows and orphans (left-anti join against the referenced key set).
+    * Dim-side edges broadcast; the two fact edges shuffle on the join
+    * key — per-edge cost is one anti-join, the cheapest possible
+    * containment check at 100 TB (no distinct, no sort). */
+  def auditReferential(spark: SparkSession, dir: String): DataFrame = {
+    val edges: Seq[(String, DataFrame, String, DataFrame, String)] = Seq(
+      ("orders->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      ("lineitem->orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      ("lineitem->part", Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      ("lineitem->supplier", Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      ("customer->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      ("supplier->nation", Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      ("nation->region", Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"))
+    edges.map { case (name, child, fk, parent, pk) =>
+      val orphans = child.join(parent, child(fk) === parent(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
+    }.reduce(_.unionAll(_)).orderBy(col("edge"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_reconcile" -> (auditReconcile _),
     "audit_summary" -> (auditSummary _),
+    "audit_referential" -> (auditReferential _),
     "smt_transform" -> (smtTransform _),
     "q1_pricing_summary" -> (q1PricingSummary _)
   )
@@ -186,6 +218,43 @@ object RelationalQueries {
     "smt_transform" ->
       s"""WITH $usersCte, $transformedCte
          |SELECT * FROM transformed ORDER BY user_id""".stripMargin,
+    "audit_referential" ->
+      """SELECT 'orders->customer' AS edge,
+        |       (SELECT COUNT(*) FROM orders) AS n_rows,
+        |       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |         AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |       (SELECT COUNT(*) FROM lineitem),
+        |       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |       (SELECT COUNT(*) FROM lineitem),
+        |       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |       (SELECT COUNT(*) FROM lineitem),
+        |       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |          (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |       (SELECT COUNT(*) FROM customer),
+        |       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |UNION ALL
+        |SELECT 'supplier->nation',
+        |       (SELECT COUNT(*) FROM supplier),
+        |       (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+        |          (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |UNION ALL
+        |SELECT 'nation->region',
+        |       (SELECT COUNT(*) FROM nation),
+        |       (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+        |          (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |ORDER BY edge""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -104,7 +104,10 @@ class PlanShapeSpec extends SparkSpec {
     // corpus × broadcast 1-row token-budget scalar
     "budget_select_tokens" -> 1,
     // r8: orders × broadcast 1-row as-of (corpus max date) scalar
-    "orders_rfm" -> 1
+    "orders_rfm" -> 1,
+    // r8: seven 1-row × 1-row cross joins (per-FK-edge row count ×
+    // orphan count); the containment checks themselves are anti-joins
+    "audit_referential" -> 7
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from
