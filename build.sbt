@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through VERBATIM (no "[info] "/"[error] " logger
+// prefixes): the driver tail-captures stdout and parses the bench
+// summary JSON line, and a logger prefix would make every line
+// unparseable (BENCH_r01..r08 all came back parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -423,7 +423,7 @@ object CoverageQueries {
     // union is encoding-agnostic no matter which testdata generation the
     // events file is
     val stream = Tables.eventsStream(spark, dir)
-      .union(sentinelStream(spark))
+      .unionByName(sentinelStream(spark))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(

@@ -149,7 +149,7 @@ object RelationalQueries {
       child.agg(count(lit(1)).as("n_rows"))
         .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
         .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
-    }.reduce(_.unionAll(_)).orderBy(col("edge"))
+    }.reduce(_.union(_)).orderBy(col("edge"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -168,7 +168,7 @@ object TemporalQueries {
     import spark.implicits._
     val sessions = graft.streaming.StreamingPipeline.gapSessions(
       Tables.eventsStream(spark, dir)
-        .union(CoverageQueries.sentinelStream(spark))
+        .unionByName(CoverageQueries.sentinelStream(spark))
         .select(col("user_id"), col("event_id"), col("ts"),
           unix_micros(col("ts")).as("ts_us"))
         .withWatermark("ts", "1 hour")
@@ -345,7 +345,7 @@ object TemporalQueries {
   def funnelMatchStreamed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.eventsStream(spark, dir)
-      .union(CoverageQueries.sentinelStream(spark))
+      .unionByName(CoverageQueries.sentinelStream(spark))
       .select(col("user_id"), col("event_id"), col("ts"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .withWatermark("ts", "1 hour")

@@ -49,7 +49,16 @@ object Tables {
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // NTZ→TZ cast reinterprets the wall-clock in the SESSION zone, so
+        // it is instant-preserving only under UTC. Fail loudly on a
+        // misconfigured session instead of silently shifting instants
+        // (ADVICE r8: this guard was dropped with the nanos-as-long one).
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; casting to TimestampType is only " +
+            s"instant-correct with spark.sql.session.timeZone=UTC, got $tz")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"events.ts read as unsupported dtype $other — Tables.normalizeEventTs " +

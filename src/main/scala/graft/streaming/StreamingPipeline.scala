@@ -554,7 +554,14 @@ object StreamingPipeline {
     * user happens anyway. Machine state persists for the stream's
     * lifetime (it carries a lifetime event count — the same per-user
     * bound the batch groupBy holds); a production deployment would age
-    * keys out by business TTL. */
+    * keys out by business TTL. Note the divergence bound that comes
+    * with that TTL world: rows older than the watermark are DROPPED
+    * before they reach the machine, so in a genuine multi-batch
+    * deployment a user's lifetime `n_events` (and, if a funnel step
+    * itself arrives late, `matched`) can undercount relative to the
+    * batch query by exactly the late-beyond-watermark rows. Under the
+    * single-replay AvailableNow oracle gate no row is late, so
+    * stream == batch holds exactly there. */
   def funnelMatch(
       events: org.apache.spark.sql.Dataset[FunnelEvent],
       windowUs: Long): org.apache.spark.sql.Dataset[FunnelOut] = {
