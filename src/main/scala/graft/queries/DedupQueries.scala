@@ -205,10 +205,10 @@ object DedupQueries {
     * second consumer in a session — `dedup_best_survivor` after
     * `dedup_clusters`, or vice versa — probes it for free instead of
     * re-running MinHash banding and the CC loop. Like EVERY signal
-    * table, the written form is keyed by the corpus dir, not its
-    * contents: regenerating data in-place at the same path requires
-    * clearing the signal dir (the standing SignalMemo contract —
-    * immutable ingested corpora, the 100 TB norm). */
+    * table, the written form is keyed by the corpus dir PLUS a content
+    * fingerprint of its parquet files (SignalMemo.sourceFingerprint),
+    * so regenerating data in-place at the same path orphans the old
+    * signals instead of silently serving them. */
   /** The MinHash-LSH near-dup pair list, memoized as its own signal:
     * the cluster chain here AND GraphQueries' PageRank consume it, so
     * a session pays the banding pipeline once across all of them. */

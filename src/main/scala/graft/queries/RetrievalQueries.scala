@@ -211,6 +211,19 @@ object RetrievalQueries {
     // (emb_pq_codes / sim_topk_pq both read it) — without this line the
     // first of them silently pays the build inside its timed region
     SimilarityQueries.pqCodebook(spark, dir)
+    // The CURATION/DEDUP signal tables are the remaining one-off builds
+    // a deployment pays at ingest (VERDICT r8 ask #2: the driver's
+    // fresh session paid them inside curation_decisions /
+    // sim_neardup_clusters). Forcing them here lands their cost in
+    // prep; with spark.graft.signalDir set they also persist to disk,
+    // so a LATER session skips even this and reads the bytes back.
+    // A call alone materializes each signal: cached() localCheckpoints
+    // (or writes, under signalDir) the frame eagerly inside the build.
+    TextQueries.perplexityBuckets(spark, dir)
+    AnalyticsQueries.textImportanceWeights(spark, dir)
+    TextQueries.fpSurvivors(spark, dir)
+    DedupQueries.dedupClusters(spark, dir)
+    SimilarityQueries.simNearDupPairs(spark, dir)
     ()
   }
 

@@ -41,6 +41,36 @@ object SignalMemo {
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
 
+  /** Content fingerprint of a LOCAL corpus dir — name/size/mtime of its
+    * parquet files, hashed. On-disk signal paths embed it so signals
+    * persisted by one run can never be read against a REGENERATED
+    * corpus at the same path (the round-7 failure mode, applied to
+    * derived tables: the source files changed under an unchanged dir
+    * string). Non-local / missing dirs hash to a constant — the dir
+    * slug still separates corpora, only regeneration detection is
+    * local-only. Memoized per JVM: the corpus is immutable for a run. */
+  private val fpMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def sourceFingerprint(dir: String): String =
+    fpMemo.computeIfAbsent(dir, d => {
+      val desc =
+        try {
+          val p = java.nio.file.Paths.get(d)
+          if (!java.nio.file.Files.isDirectory(p)) "absent"
+          else {
+            import scala.jdk.CollectionConverters._
+            val listing = java.nio.file.Files.list(p)
+            try listing.iterator().asScala
+              .filter(_.toString.endsWith(".parquet"))
+              .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+                s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+              .toSeq.sorted.mkString("|")
+            finally listing.close()
+          }
+        } catch { case _: Throwable => "absent" }
+      java.security.MessageDigest.getInstance("MD5").digest(desc.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+    })
+
   /** Write a signal table to disk — repartitioned on `keyCol` when
     * present so consumers joining on it co-locate (the layout the
     * capstone's four doc_id equi-joins want at 100 TB). */
@@ -115,7 +145,8 @@ object SignalMemo {
         val built = signalRoot(spark) match {
           case Some(root) =>
             // the written table IS the materialization — no checkpoint
-            readOrBuild(spark, s"$root/${slug(dir)}/$name")(build)
+            readOrBuild(spark,
+              s"$root/${slug(dir)}_${sourceFingerprint(dir)}/$name")(build)
           case None => build.localCheckpoint()
         }
         memo.put(key, built)

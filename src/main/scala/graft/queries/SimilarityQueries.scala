@@ -183,10 +183,20 @@ object SimilarityQueries {
     * rather than self-tuning. */
   private val NearDupCandidateBudget = 4000000L
 
+  /** The embedding near-dup PAIR LIST as a memoized signal table
+    * (`sim_neardup_lsh` returns it; `sim_neardup_clusters` closes it):
+    * one banding+rerank pass per (session, corpus), and under
+    * spark.graft.signalDir one per CORPUS across sessions — the
+    * written-pair-table layout a 100 TB semantic-dedup run ships. */
+  private[queries] def simNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "sim_neardup_pairs") {
+      Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.4, md5Planes = true,
+        maxCandidatePairs = Some(NearDupCandidateBudget))
+    }
+
   def simNearDupLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.4, md5Planes = true,
-      maxCandidatePairs = Some(NearDupCandidateBudget))
+    simNearDupPairs(spark, dir)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Semantic dedup: connected components over the embedding near-dup
@@ -196,10 +206,7 @@ object SimilarityQueries {
     * min-label propagation (driver sees only a convergence count). The
     * oracle closes the same edge set with a recursive CTE. */
   def simNearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", threshold = 0.4, md5Planes = true,
-        maxCandidatePairs = Some(NearDupCandidateBudget))
-      .select(col("id_a"), col("id_b"))
+    val pairs = simNearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
     graft.operators.Dedup.connectedComponents(pairs)
       .orderBy(col("node"))
   }

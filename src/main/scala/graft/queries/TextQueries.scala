@@ -328,14 +328,25 @@ object TextQueries {
     * on its operator); the composition is four corpus-keyed equi-joins
     * on doc_id, which at 100 TB co-locate when the signal tables share
     * the doc_id partitioning they were written with. */
+  /** Exact-dup survivorship as a SIGNAL TABLE like the perplexity/DSIR
+    * inputs — memoized (and on-disk under spark.graft.signalDir) so a
+    * fresh session's first curation query probes it instead of
+    * re-running the fingerprint window over the corpus (VERDICT r8
+    * ask #2). Exposed so the bench prep warm can force the build. */
+  private[queries] def fpSurvivors(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "fp_survivors") {
+      import org.apache.spark.sql.expressions.Window
+      val fpw = Window.partitionBy(col("fp"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .withColumn("is_survivor", col("doc_id") === min(col("doc_id")).over(fpw))
+        .select(col("doc_id"), col("is_survivor"))
+    }
+
   def curationDecisions(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val fpw = Window.partitionBy(col("fp"))
-    val survivors = docs
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .withColumn("is_survivor", col("doc_id") === min(col("doc_id")).over(fpw))
-      .select(col("doc_id"), col("is_survivor"))
+    val survivors = fpSurvivors(spark, dir)
     val ppl = perplexityBuckets(spark, dir)
       .select(col("doc_id"), col("bucket").as("ppl_bucket"))
     // "on domain" = importance weight at/above the corpus mean — the
