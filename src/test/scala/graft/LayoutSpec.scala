@@ -64,6 +64,41 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("skyline worst case: anti-correlated objectives complete without a " +
+      "single-task merge of the full set") {
+    // x + y = const → NOTHING is dominated: the frontier IS the input,
+    // so every local frontier is its whole partition and the old
+    // coalesce(1) merge would funnel all n rows through one task. With
+    // mergeThreshold forced below n, the 2-objective path must take the
+    // distributed sort-sweep instead — verified structurally by the
+    // result's partitioning (the coalesce(1) path would leave exactly
+    // one partition) — and still be exact.
+    val n = 20000
+    val pts = spark.range(n.toLong).select(
+      col("id"),
+      col("id").cast("double").as("x"),
+      (lit(n.toDouble) - col("id").cast("double")).as("y"))
+      .repartition(8)
+    val res = Skyline.frontier(pts, Seq(col("x"), col("y")), mergeThreshold = 1000)
+    assert(res.rdd.getNumPartitions > 1,
+      "anti-correlated skyline went through a single-task merge")
+    assert(res.count() == n.toLong, "every anti-correlated point must survive")
+
+    // the same oversized path stays EXACT when dominated points exist:
+    // base anti-correlated grid + a +7/+7 echo of every point — each
+    // echo is dominated by its base twin, nothing else changes
+    val base = spark.range(n.toLong).select(
+      col("id"), col("id").cast("double").as("x"),
+      (lit(n.toDouble) - col("id").cast("double")).as("y"))
+    val echo = base.select((col("id") + n).as("id"),
+      (col("x") + 7).as("x"), (col("y") + 7).as("y"))
+    val twins = base.unionByName(echo).repartition(8)
+    val kept = Skyline.frontier(twins, Seq(col("x"), col("y")), mergeThreshold = 1000)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (0L until n.toLong).toSet,
+      "sweep must keep exactly the base frontier and drop every echo")
+  }
+
   // ---------------------------------------------------------------- z-order
 
   test("interleaveBits matches a reference Morton implementation") {
