@@ -69,6 +69,71 @@ class TestdataContractSpec extends SparkSpec {
     }
   }
 
+  test("full schema contract: every table's column names, order, and dtypes " +
+      "(incl. array element types) in every sf dir") {
+    // The r7 lesson generalized past temporal columns (VERDICT r8 ask
+    // #4): pin the COMPLETE loaded schema of every table — names, their
+    // order (a reorder once threatened positional unions), and exact
+    // dtypes, down to the embeddings array's FLOAT element type. The
+    // three generator-owned temporal columns stay dtype-adaptive (the
+    // loaders normalize between the generations seen so far — session
+    // TIMESTAMP, TIMESTAMP_NTZ, legacy nanos-as-BIGINT) but must still
+    // be one of exactly those; everything else must match verbatim, so
+    // the next regeneration of ANY table fails HERE with the table and
+    // column named, not in a downstream oracle diff.
+    val temporalish = Set("ts", "o_orderdate", "l_shipdate")
+    val temporalOk = Set("TIMESTAMP", "TIMESTAMP_NTZ", "DATE", "BIGINT")
+    val expect: Map[String, Seq[(String, String)]] = Map(
+      "region" -> Seq("r_regionkey" -> "INT", "r_name" -> "STRING"),
+      "nation" -> Seq("n_nationkey" -> "INT", "n_name" -> "STRING",
+        "n_regionkey" -> "INT"),
+      "customer" -> Seq("c_custkey" -> "BIGINT", "c_name" -> "STRING",
+        "c_nationkey" -> "INT", "c_acctbal" -> "DOUBLE",
+        "c_mktsegment" -> "STRING"),
+      "supplier" -> Seq("s_suppkey" -> "BIGINT", "s_name" -> "STRING",
+        "s_nationkey" -> "INT", "s_acctbal" -> "DOUBLE"),
+      "part" -> Seq("p_partkey" -> "BIGINT", "p_name" -> "STRING",
+        "p_brand" -> "STRING", "p_type" -> "STRING", "p_size" -> "INT",
+        "p_retailprice" -> "DOUBLE"),
+      "orders" -> Seq("o_orderkey" -> "BIGINT", "o_custkey" -> "BIGINT",
+        "o_orderstatus" -> "STRING", "o_totalprice" -> "DOUBLE",
+        "o_orderdate" -> "TIMESTAMP_NTZ", "o_orderpriority" -> "STRING"),
+      "lineitem" -> Seq("l_orderkey" -> "BIGINT", "l_partkey" -> "BIGINT",
+        "l_suppkey" -> "BIGINT", "l_linenumber" -> "INT",
+        "l_quantity" -> "DOUBLE", "l_extendedprice" -> "DOUBLE",
+        "l_discount" -> "DOUBLE", "l_tax" -> "DOUBLE",
+        "l_returnflag" -> "STRING", "l_linestatus" -> "STRING",
+        "l_shipdate" -> "TIMESTAMP_NTZ"),
+      "events" -> Seq("event_id" -> "BIGINT", "ts" -> "TIMESTAMP_NTZ",
+        "user_id" -> "BIGINT", "event_type" -> "STRING",
+        "value" -> "DOUBLE", "props" -> "STRING"),
+      "documents" -> Seq("doc_id" -> "BIGINT", "text" -> "STRING",
+        "lang" -> "STRING", "source" -> "STRING", "n_chars" -> "BIGINT"),
+      "embeddings" -> Seq("vec_id" -> "BIGINT",
+        "embedding" -> "ARRAY<FLOAT>", "label" -> "INT"))
+    assert(expect.keySet === Tables.names.toSet,
+      "contract tables out of sync with Tables.names — extend the map")
+    for (dir <- sfDirs; (name, cols) <- expect.toSeq.sortBy(_._1)) {
+      val got = Tables.load(spark, dir, name).schema.fields
+        .map(f => f.name -> f.dataType.sql).toSeq
+      assert(got.map(_._1) === cols.map(_._1),
+        s"$dir/$name.parquet: column names/order drifted — got " +
+          s"${got.map(_._1).mkString(",")}, contract " +
+          s"${cols.map(_._1).mkString(",")}")
+      for (((cn, want), (_, gdt)) <- cols.zip(got)) {
+        if (temporalish(cn))
+          assert(temporalOk.contains(gdt),
+            s"$dir/$name.parquet: temporal $cn reads as $gdt, outside the " +
+              s"adaptive set $temporalOk — extend the loaders AND this contract")
+        else
+          assert(gdt === want,
+            s"$dir/$name.parquet: $cn reads as $gdt, contract pins $want — " +
+              "the generator changed this column's encoding; fix the " +
+              "loaders/queries, then update the contract")
+      }
+    }
+  }
+
   test("normalizeEventTs handles all three historical encodings identically") {
     import spark.implicits._
     // one instant, three physical arrivals: legacy nanos-as-long,
