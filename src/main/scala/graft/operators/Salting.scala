@@ -13,6 +13,62 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** What the advisor measured and what it prescribes: the hottest
+    * key's estimated row count/share of `totalRows`, and the salt
+    * factor that stops that key dominating one of the target shuffle
+    * partitions (1 = salting unnecessary). */
+  case class SkewAdvice(
+      totalRows: Long, hottestKeyRows: Long, maxShare: Double, salts: Int)
+
+  /** Measure key skew with SKETCHES and prescribe a salt factor
+    * (VERDICT r8 ask #7 — diag_key_skew's machinery made reusable).
+    *
+    * Two sketch passes, both with bounded state at any corpus size —
+    * the 100 TB substitute for the exact per-key groupBy the
+    * `diag_key_skew` diagnostic query runs: a Count-Min sketch over the
+    * key (map-combined, eps·confidence-sized state) estimates per-key
+    * counts, and a single-pass `freqItems` scan (Karp et al. heavy
+    * hitters, support-bounded state) nominates the candidate hot keys
+    * the CMS is probed with — CMS alone cannot enumerate keys, and
+    * freqItems alone cannot count. The prescription mirrors
+    * diag_key_skew's `suggested_salt`: ceil(max_share × target
+    * partitions), i.e. how many ways the hottest key must split so its
+    * volume stops dominating a single shuffle task. CMS overestimates
+    * (never under), so the advice errs toward a salt too high — extra
+    * small-side replication — never toward an unsplit hot key. */
+  def advise(df: DataFrame, key: String, shufflePartitions: Int,
+      support: Double = 0.01, eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42): SkewAdvice = {
+    val row = df.agg(
+      expr(s"count_min_sketch(`$key`, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)").as("cms"),
+      count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    if (n == 0L) return SkewAdvice(0L, 0L, 0.0, 1)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val candidates = df.stat.freqItems(Array(key), support)
+      .head().getSeq[Any](0)
+    val hot =
+      if (candidates.isEmpty) 0L
+      else candidates.iterator.map(c => cms.estimateCount(c)).max
+    val share = hot.toDouble / n
+    val salts = math.max(1, math.ceil(share * shufflePartitions).toInt)
+    SkewAdvice(n, hot, share, salts)
+  }
+
+  /** [[saltedJoin]] with the salt factor chosen by [[advise]] from the
+    * big side's observed key histogram; skips salting entirely when no
+    * key is hot enough to matter (advice = 1 → plain join, letting
+    * Catalyst/AQE pick the strategy). */
+  def adaptiveSaltedJoin(
+      big: DataFrame, small: DataFrame, key: String, shufflePartitions: Int,
+      joinType: String = "inner"): DataFrame = {
+    val a = advise(big, key, shufflePartitions)
+    if (a.salts <= 1) big.join(small, Seq(key), joinType)
+    else saltedJoin(big, small, key, a.salts, joinType)
+  }
+
   /** Equi-join `big ⋈ small` on `key` with the big side salted `salts`
     * ways. Semantics identical to `big.join(small, key)`; cost is a
     * `salts`× replication of the (small) build side. */

@@ -86,6 +86,57 @@ class DedupSkewSpec extends SparkSpec {
     assert(nPairs(100) >= 60L * 59 / 2)  // under the cap: full C(60,2) emitted
   }
 
+  test("skew advisor: sketch-measured hot key drives the salt factor, and " +
+      "the salted join's max shuffle partition shrinks accordingly") {
+    import graft.operators.Salting
+    // 50% of the big side on ONE key + a uniform tail over 200 keys
+    val n = 40000L
+    val big = spark.range(n).select(
+      when($"id" < n / 2, lit(7L)).otherwise($"id" % 200L).as("k"),
+      $"id".as("payload"))
+    val small = spark.range(200).select($"id".as("k"), ($"id" * 10).as("attr"))
+
+    val advice = Salting.advise(big, "k", shufflePartitions = 32)
+    assert(advice.totalRows === n)
+    // CMS never underestimates: the hot key carries >= n/2 rows
+    assert(advice.hottestKeyRows >= n / 2, s"hot estimate ${advice.hottestKeyRows}")
+    assert(advice.maxShare >= 0.5 && advice.maxShare < 0.6, s"share ${advice.maxShare}")
+    // ceil(0.5 x 32) = 16 (modulo CMS overestimate of a few counts)
+    assert(advice.salts >= 16 && advice.salts <= 20, s"salts ${advice.salts}")
+
+    // receipts, with broadcast disabled so both joins actually shuffle
+    // (and AQE off so its own skew mitigation can't mask the receipt),
+    // at 32 shuffle partitions so per-partition tail noise stays small:
+    // the plain join funnels the hot key's half of the data through one
+    // partition; the advised salted join splits it ~advice.salts ways
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "32") {
+      def maxPart(df: org.apache.spark.sql.DataFrame): Long =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+      val plain = big.join(small, Seq("k"), "inner")
+      val salted = Salting.adaptiveSaltedJoin(big, small, "k",
+        shufflePartitions = 32)
+      assert(salted.count() === plain.count(), "salting changed join semantics")
+      val (mp, ms) = (maxPart(plain), maxPart(salted))
+      assert(mp >= n / 2, s"plain join should funnel the hot key: $mp")
+      assert(ms <= mp / 4,
+        s"salted max partition $ms did not drop vs plain $mp")
+    }
+
+    // uniform data: the advisor prescribes no salting at all
+    val uniform = spark.range(n).select(($"id" % 1000L).as("k"), $"id".as("payload"))
+    assert(Salting.advise(uniform, "k", 32).salts === 1)
+  }
+
   test("passage dedup stays linear on a passage shared by thousands of docs") {
     // 5000 docs all opening with the same 10-token boilerplate passage:
     // the count window aggregates the hot key linearly — output stays one
