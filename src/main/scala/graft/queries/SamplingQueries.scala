@@ -118,6 +118,43 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document sequence PACKING (concat-and-chunk): stream the
+    * corpus in the deterministic md5 shuffle order (the same
+    * `|graftshuffle` permutation the data-loader queries use),
+    * concatenate the token streams, and cut fixed 512-token context
+    * windows. Each document maps to its token span [tok_start,
+    * tok_start + n_tokens) → first/last window ids, how many windows it
+    * spans, and whether it straddles a boundary (the truncation /
+    * cross-document-attention-mask site a trainer must handle). This is
+    * the packing step of an LLM data loader made into a relation.
+    * (Complements `text_pack_bins`, which aggregates per-LANGUAGE bin
+    * occupancy under a lang-partitioned window; this one is the GLOBAL
+    * permuted doc→window assignment, which has no partitioning key and
+    * therefore needs the distributed prefix sum.)
+    *
+    * Scale shape: the global token offsets come from [[RunningTotal]]'s
+    * two-pass distributed prefix sum over the slim (key, doc_id,
+    * n_tokens) projection — never a single-partition window; everything
+    * after the offsets is per-row arithmetic. */
+  def corpusPackWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = 512L
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit("|graftshuffle"))).as("k"))
+      .filter(col("n_tokens") > 0)
+    RunningTotal.withRunningSum(keyed,
+        Seq(col("k").asc, col("doc_id").asc), col("n_tokens"), "cum_tokens")
+      .withColumn("tok_start", col("cum_tokens") - col("n_tokens"))
+      .withColumn("first_window", expr(s"tok_start div $w"))
+      .withColumn("last_window", expr(s"(cum_tokens - 1) div $w"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        col("first_window"), col("last_window"),
+        (col("last_window") - col("first_window") + 1).as("n_windows"),
+        (col("first_window") =!= col("last_window")).as("crosses_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
   private def hexNibble(e: String): String =
     s"(CASE WHEN ascii($e) >= 97 THEN ascii($e) - 87 ELSE ascii($e) - 48 END)"
 
@@ -147,7 +184,8 @@ object SamplingQueries {
     "sample_priority_weighted" -> (samplePriorityWeighted _),
     "sample_source_cap" -> (sampleSourceCap _),
     "shard_rendezvous" -> (shardRendezvous _),
-    "budget_select_tokens" -> (budgetSelectTokens _)
+    "budget_select_tokens" -> (budgetSelectTokens _),
+    "corpus_pack_windows" -> (corpusPackWindows _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,6 +241,28 @@ object SamplingQueries {
          |           AS cum_tokens
          |  FROM qual)
          |SELECT doc_id, n_tokens, q_micro, cum_tokens FROM c, b
-         |WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin
+         |WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
+    "corpus_pack_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR) || '|graftshuffle') AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum_tokens
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |       cum_tokens - n_tokens AS tok_start,
+        |       (cum_tokens - n_tokens) // 512 AS first_window,
+        |       (cum_tokens - 1) // 512 AS last_window,
+        |       (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1
+        |         AS n_windows,
+        |       ((cum_tokens - 1) // 512 <> (cum_tokens - n_tokens) // 512)
+        |         AS crosses_boundary
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

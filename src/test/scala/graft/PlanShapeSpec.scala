@@ -122,7 +122,12 @@ class PlanShapeSpec extends SparkSpec {
     "pivot_segments" -> 2, "q1_pricing_summary" -> 1, "range_join" -> 1,
     "rollup_agg" -> 3, "salted_join" -> 2, "session_window" -> 1,
     "sim_knn_join_lsh" -> 2, "sim_neardup_exact_check" -> 2,
-    "sim_neardup_lsh" -> 2, "sim_topk_agg" -> 2, "sim_topk_brute" -> 2,
+    // sim_neardup_lsh dropped off this map in r9: the registered query
+    // is now a probe of the memoized sim_neardup_pairs SIGNAL (a
+    // localCheckpoint / written table — no parquet rescan to push
+    // into); the BUILD plan's pushdown floor is pinned separately below
+    // ("near-dup pair signal BUILD keeps its parquet pushdown")
+    "sim_topk_agg" -> 2, "sim_topk_brute" -> 2,
     // sim_topk_ivf dropped 2 → 1: the corpus side now comes from the
     // memoized localCheckpoint'd Lloyd assignments (no parquet rescan);
     // only the query-subset scan keeps its pushed predicate
@@ -186,6 +191,21 @@ class PlanShapeSpec extends SparkSpec {
       if (got < floor) Some(s"$n: $got < $floor") else None
     }
     assert(under.isEmpty, s"pushdown regressed: $under")
+  }
+
+  test("near-dup pair signal BUILD keeps its parquet pushdown") {
+    // the registered sim_neardup_lsh/_clusters queries probe the
+    // memoized signal; the scan-side pushdown they used to pin lives in
+    // the signal's BUILDER plan, asserted here directly so a pushdown
+    // regression in the banding pipeline still fails the suite
+    val build = graft.operators.Similarity.nearDupPairsLsh(
+      graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      threshold = 0.4, md5Planes = true, maxCandidatePairs = Some(4000000L))
+    val formatted = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    val pushedRe = """PushedFilters: \[([^\]]*)\]""".r
+    val got = pushedRe.findAllMatchIn(build.queryExecution.explainString(formatted))
+      .count(_.group(1).trim.nonEmpty)
+    assert(got >= 2, s"near-dup build pushdown regressed: $got < 2")
   }
 
   test("no forced broadcast hints on query-batch-sized sides (r7 degrade)") {
