@@ -128,34 +128,50 @@ object Bench {
       "filter_project" -> 0.615143811, "join_inner" -> 0.701649977,
       "q1_pricing_summary" -> 0.920838616, "string_funcs" -> 1.68082095,
       "tumbling_window" -> 0.513273244, "window_rank" -> 0.564407618)
-    // Ratios come from the FIRST sample of each canary — r6's reference
-    // times were single-sample, so a best-of-N min would read as a
-    // phantom ~15% host speedup and skew the normalizer.
+    // A second reference, re-baselined on the r9 protocol's FIRST
+    // samples (signal tables persisted, best-of-2 run order): the r6
+    // refs are single samples whose own adjacency noise (e.g.
+    // string_funcs measured GC-adjacent at 1.68 s vs a 0.3 s warm
+    // floor) puts a ~2× floor under the per-canary ratio spread no
+    // matter how quiet the host is. Ratios against same-protocol refs
+    // measure ONLY host drift going forward; the r6 block stays for
+    // cross-era continuity.
+    val canaryRefR9 = Map(
+      "agg_corr_stats" -> 3.086202012, "window_lag" -> 0.745208181,
+      "date_funcs" -> 0.597007887, "dedup_bloom_probe" -> 3.425669178,
+      "filter_project" -> 0.49455471, "join_inner" -> 0.906106564,
+      "q1_pricing_summary" -> 1.443290288, "string_funcs" -> 2.36214684,
+      "tumbling_window" -> 0.710035787, "window_rank" -> 0.534358998)
+    // Ratios come from the FIRST sample of each canary — every
+    // reference era's times are first samples, so a best-of-N min would
+    // read as a phantom host speedup and skew the normalizer.
     val resultMap = firsts.toMap
-    val calibration: String =
+    def calibrationAgainst(refName: String, refs: Map[String, Double]): String =
       if (new java.io.File(sfDir.stripSuffix("/")).getName != "sf0.1")
         // exact basename match: a substring test would rate sf0.15 or
         // sf0.1_v2 against the wrong-scale reference as applicable
-        """{"reference":"r6@sf0.1","applicable":false}"""
+        s"""{"reference":"$refName","applicable":false}"""
       else {
-        val ratios = canaryRefR6.toSeq.sorted.flatMap { case (k, ref) =>
+        val ratios = refs.toSeq.sorted.flatMap { case (k, ref) =>
           resultMap.get(k).filter(_ > 0).map(v => k -> v / ref)
         }
-        if (ratios.isEmpty) """{"reference":"r6@sf0.1","applicable":false}"""
+        if (ratios.isEmpty) s"""{"reference":"$refName","applicable":false}"""
         else {
           val sortedR = ratios.map(_._2).sorted
           val med =
             if (sortedR.size % 2 == 1) sortedR(sortedR.size / 2)
             else (sortedR(sortedR.size / 2 - 1) + sortedR(sortedR.size / 2)) / 2
           val per = ratios.map { case (k, r) => f""""$k":$r%.3f""" }.mkString("{", ",", "}")
-          f"""{"reference":"r6@sf0.1","applicable":true,"median_ratio":$med%.3f,"ratios":$per}"""
+          f"""{"reference":"$refName%s","applicable":true,"median_ratio":$med%.3f,"ratios":$per}"""
         }
       }
+    val calibration = calibrationAgainst("r6@sf0.1", canaryRefR6)
+    val calibrationR9 = calibrationAgainst("r9@sf0.1", canaryRefR9)
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""queries":$qs,"queries_first":$qsFirst,""" +
       s""""prep":{"posting_index_build_s":$prep,"session_index_build_s":$sessPrep},""" +
-      s""""calibration":$calibration,"sf":"$sfDir"}"""
+      s""""calibration":$calibration,"calibration_r9":$calibrationR9,"sf":"$sfDir"}"""
     println(json)
     // The driver tail-captures only the LAST ~2000 chars of output, so the
     // full per-query map above never survives. Persist the complete
