@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Changelog apply (MERGE INTO semantics): fold a CDC stream of
+  * insert/update/delete records into a base snapshot.
+  *
+  * The reference pipeline lands raw Kafka records append-only
+  * (`connectors/s3-sink.json` — no compaction, no upsert); a consumer of
+  * that layout who wants current state has to replay the log. This
+  * operator is that replay as a relation: last-writer-wins per key over
+  * the changelog, then a single keyed merge with the snapshot.
+  *
+  * Scale shape (the reason this is not a window query): the
+  * latest-per-key step is `max_by(struct(payload), seq)` — ONE hash
+  * aggregate with map-side partial combine, so each map task forwards at
+  * most one candidate row per key it saw, and nothing is globally
+  * sorted. The merge is ONE full-outer equi-join on the key; at 100 TB
+  * the changelog has already collapsed to |distinct keys| before it
+  * reaches the join, and Catalyst picks broadcast-hash when that
+  * residue is small. A `row_number()` window would instead shuffle and
+  * sort every changelog record.
+  *
+  * Semantics per key (op of the max-seq record wins; seq ties broken by
+  * the struct's remaining fields, so callers should pass a unique seq):
+  *   - no changelog record        → snapshot row kept
+  *   - latest op = "D"            → row absent from the result
+  *   - latest op = "U"/"I"        → upsert; each payload column
+  *     overwrites the snapshot value when non-null (partial update),
+  *     otherwise the snapshot value survives
+  *
+  * Result = snapshot schema + a `change` status column
+  * (kept | updated | inserted).
+  */
+object CdcMerge {
+
+  /** @param snapshot  base state, one row per `key`
+    * @param changelog columns: `key`, `seq`, `op` ("I"|"U"|"D") plus any
+    *                  subset of the snapshot's non-key columns as payload
+    */
+  def upsert(snapshot: DataFrame, changelog: DataFrame,
+      key: String, seq: String, op: String): DataFrame = {
+    val payload = changelog.columns.filterNot(Set(key, seq, op)).toSeq
+    require(payload.forall(snapshot.columns.contains),
+      s"changelog payload ${payload.mkString(",")} must be snapshot columns")
+
+    // Latest record per key, payload renamed so the merge join can
+    // coalesce column-wise without ambiguity.
+    val latest = changelog
+      .groupBy(col(key))
+      .agg(max_by(struct((op +: payload).map(col): _*), col(seq)).as("__c"))
+      .select(col(key) +: col(s"__c.$op").as("__op") +:
+        payload.map(c => col(s"__c.$c").as(s"__chg_$c")): _*)
+
+    val snap = snapshot.withColumn("__in_snap", lit(true))
+    val outCols = snapshot.columns.toSeq.map {
+      case `key` => col(key)
+      case c if payload.contains(c) => coalesce(col(s"__chg_$c"), col(c)).as(c)
+      case c => col(c)
+    }
+    snap
+      .join(latest, Seq(key), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "D")
+      .select(outCols :+
+        when(col("__op").isNull, lit("kept"))
+          .when(col("__in_snap").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("change"): _*)
+  }
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.CdcMerge
+import graft.sources.Tables
+
+/** Table-maintenance relations: the operations that keep an append-only
+  * lake (which is all the reference's sink produces —
+  * `connectors/s3-sink.json` flushes raw records in arrival order)
+  * queryable and fast at 100 TB: changelog compaction into current
+  * state, incremental re-aggregation of partial states, range-partition
+  * layout planning, and zone-map data skipping.
+  *
+  * Every query here is oracle-backed; float outputs are either raw data
+  * passthrough or derived from exact decimal sums, so the cross-engine
+  * hash is stable (see Verify gotchas in the project skill).
+  */
+object MaintenanceQueries {
+
+  /** MERGE INTO semantics over a derived CDC changelog. `orders` plays
+    * the changelog against the `customer` snapshot: every order is a
+    * change record for its customer — o_orderkey % 10 picks the op
+    * (0 → delete, 1-2 → insert under a fresh key, else balance update),
+    * o_orderkey is the LWW sequence, o_totalprice the new balance.
+    * Plan shape: one map-side-combined `max_by` aggregate collapses the
+    * changelog to |keys|, then one full-outer equi-join applies it — no
+    * window sort anywhere (see [[graft.operators.CdcMerge]]). */
+  def cdcMergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val isIns = col("o_orderkey") % 10 === 1 || col("o_orderkey") % 10 === 2
+    val isDel = col("o_orderkey") % 10 === 0
+    val changelog = o.select(
+      when(isIns, col("o_custkey") + 1000000L).otherwise(col("o_custkey")).as("c_custkey"),
+      col("o_orderkey").as("seq"),
+      when(isDel, lit("D")).when(isIns, lit("I")).otherwise(lit("U")).as("op"),
+      when(isIns, lit("cdc_insert")).otherwise(lit(null).cast("string")).as("c_name"),
+      col("o_totalprice").as("c_acctbal"))
+    val snapshot = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    CdcMerge.upsert(snapshot, changelog, "c_custkey", "seq", "op")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Incremental view maintenance receipt: per-flag pricing stats are
+    * computed as TWO independent partial-aggregate states (the even and
+    * odd halves of lineitem — stand-ins for "yesterday's state" and
+    * "today's delta"), then MERGED by summing counts/sums and
+    * min/max-ing bounds. Decimal sums make the merge exact, so the
+    * merged state is bit-identical to the direct aggregate the oracle
+    * computes — the algebraic property that lets a 100 TB rollup update
+    * from a day's delta instead of rescanning history. */
+  def aggIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      (col("l_orderkey") % 2).as("half"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+      col("l_extendedprice").as("price_raw"))
+    def partialState(half: Int): DataFrame =
+      l.filter(col("half") === half)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty_d"),
+          sum(col("price")).as("sum_price_d"),
+          min(col("price_raw")).as("min_price"), max(col("price_raw")).as("max_price"))
+    partialState(0).unionByName(partialState(1))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_qty_d")).cast("double").as("sum_qty"),
+        sum(col("sum_price_d")).cast("double").as("sum_price"),
+        min(col("min_price")).as("min_price"),
+        max(col("max_price")).as("max_price"))
+      .withColumn("avg_price", col("sum_price") / col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact range-partition occupancy ledger: 16 quantile buckets of
+    * `orders` by (o_totalprice, o_orderkey), with per-bucket row counts
+    * and value bounds — the receipt a layout planner checks before a
+    * sorted write. This registered relation uses exact `ntile` so the
+    * DuckDB oracle matches bit-for-bit; the PRODUCTION path at 100 TB is
+    * [[graft.operators.RangePartition]], which plans the same
+    * boundaries from a one-pass quantile sketch (cost independent of
+    * table size) and is spec-bound to land within its error budget
+    * (MaintenanceOpsSpec). */
+  def layoutRangePartition(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", ntile(16).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Zone-map pruning ledger: per 512-key block of `orders`, the
+    * (min, max) o_totalprice zone map plus whether the block survives
+    * the predicate `o_totalprice > 450000` — i.e. whether a scan with
+    * that pushed filter must read the block at all. Arrival-order blocks
+    * nearly all survive (the point: an unsorted lake skips nothing);
+    * after a [[graft.operators.RangePartition.layout]] sorted write the
+    * same predicate prunes to a handful of files, which
+    * MaintenanceOpsSpec demonstrates on real parquet. */
+  def scanZonemapPrune(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(expr("o_orderkey div 512").as("block"), col("o_totalprice"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .withColumn("survives", col("hi") > 450000.0d)
+      .orderBy(col("block"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_merge_snapshot" -> (cdcMergeSnapshot _),
+    "agg_incremental_merge" -> (aggIncrementalMerge _),
+    "layout_range_partition" -> (layoutRangePartition _),
+    "scan_zonemap_prune" -> (scanZonemapPrune _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_merge_snapshot" ->
+      """WITH chg AS (
+        |  SELECT CASE WHEN o_orderkey % 10 IN (1,2) THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,
+        |         o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |              WHEN o_orderkey % 10 IN (1,2) THEN 'I' ELSE 'U' END AS op,
+        |         CASE WHEN o_orderkey % 10 IN (1,2) THEN 'cdc_insert' END AS chg_name,
+        |         o_totalprice AS chg_bal
+        |  FROM orders),
+        |latest AS (
+        |  SELECT c_custkey, op, chg_name, chg_bal
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM chg)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(s.c_custkey, l.c_custkey) AS c_custkey,
+        |       COALESCE(l.chg_name, s.c_name) AS c_name,
+        |       COALESCE(l.chg_bal, s.c_acctbal) AS c_acctbal,
+        |       CASE WHEN l.c_custkey IS NULL THEN 'kept'
+        |            WHEN s.c_custkey IS NULL THEN 'inserted'
+        |            ELSE 'updated' END AS change
+        |FROM customer s FULL OUTER JOIN latest l ON s.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_incremental_merge" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "layout_range_partition" ->
+      """SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM (SELECT o_totalprice,
+        |             ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |      FROM orders)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    "scan_zonemap_prune" ->
+      """SELECT o_orderkey // 512 AS block, COUNT(*) AS n,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |       MAX(o_totalprice) > 450000.0 AS survives
+        |FROM orders
+        |GROUP BY block
+        |ORDER BY block""".stripMargin
+  )
+}

@@ -14,7 +14,8 @@ object Queries {
       AnalyticsQueries.queries ++ FunctionQueries.queries ++
       TemporalQueries.queries ++ AvroQueries.queries ++
       RetrievalQueries.queries ++ LayoutQueries.queries ++
-      SamplingQueries.queries ++ GraphQueries.queries ++ MixQueries.queries
+      SamplingQueries.queries ++ GraphQueries.queries ++ MixQueries.queries ++
+      MaintenanceQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
@@ -23,5 +24,6 @@ object Queries {
       AnalyticsQueries.oracles ++ FunctionQueries.oracles ++
       TemporalQueries.oracles ++ AvroQueries.oracles ++
       RetrievalQueries.oracles ++ LayoutQueries.oracles ++
-      SamplingQueries.oracles ++ GraphQueries.oracles ++ MixQueries.oracles
+      SamplingQueries.oracles ++ GraphQueries.oracles ++ MixQueries.oracles ++
+      MaintenanceQueries.oracles
 }
