@@ -218,6 +218,42 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("p_event_id"), col("s_event_id"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: every purchase emits, with
+    * its signup match when one exists inside the 7-day window and a
+    * null-extended row otherwise. Outer emission is the part inner
+    * joins never exercise: an unmatched left row is only FINAL once the
+    * right-side watermark passes its match window, so two far-future
+    * sentinels (one per event type, filtered from the output) push both
+    * watermarks past all real data and the AvailableNow no-data batch
+    * flushes every pending unmatched purchase. Nulls are coalesced to
+    * -1 BEFORE the sink so ordering and the cross-engine hash never
+    * depend on engine null-sort rules. */
+  def streamIntervalJoinLeftStreamed(spark: SparkSession, dir: String): DataFrame = {
+    def sentinelAs(tpe: String): DataFrame =
+      CoverageQueries.sentinelStream(spark).withColumn("event_type", lit(tpe))
+    def src = Tables.eventsStream(spark, dir)
+      .unionByName(sentinelAs("purchase")).unionByName(sentinelAs("signup"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_event_id"), col("ts").as("s_ts"))
+    val joined = graft.streaming.StreamingPipeline.streamIntervalJoin(
+      purchases, signups, key = "user_id", leftTs = "p_ts", rightTs = "s_ts",
+      delay = "1 hour", horizon = "7 days", joinType = "left_outer")
+      .select(col("l.user_id").as("user_id"), col("p_event_id"),
+        coalesce(col("s_event_id"), lit(-1L)).as("s_event_id"), col("p_ts"),
+        col("s_event_id").isNotNull.as("matched"))
+      .filter(col("p_event_id") >= 0)
+    val name = "ssljoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .orderBy(col("user_id"), col("p_event_id"), col("s_event_id"))
+  }
+
   /** Hourly OHLC bars per user — the time-series bar aggregation
     * (open/high/low/close + count) with deterministic (ts, event_id)
     * endpoint tiebreaks. The two endpoint windows and the rollup all
@@ -410,6 +446,7 @@ object TemporalQueries {
     "dedup_late_streamed" -> (dedupLateStreamed _),
     "session_fmgs_streamed" -> (sessionFmgsStreamed _),
     "stream_interval_join_streamed" -> (streamIntervalJoinStreamed _),
+    "stream_interval_join_left_streamed" -> (streamIntervalJoinLeftStreamed _),
     "events_ohlc_bars" -> (eventsOhlcBars _)
   )
 
@@ -539,6 +576,18 @@ object TemporalQueries {
         | AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 7 DAY
         |WHERE l.event_type = 'purchase' AND r.event_type = 'signup'
         |ORDER BY l.user_id, p_event_id, s_event_id""".stripMargin,
+    "stream_interval_join_left_streamed" ->
+      """WITH p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, event_id AS s_event_id, ts AS s_ts
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, p.p_event_id,
+        |       COALESCE(s.s_event_id, -1) AS s_event_id, p.p_ts,
+        |       s.s_event_id IS NOT NULL AS matched
+        |FROM p LEFT JOIN s
+        |  ON p.user_id = s.user_id
+        | AND s.s_ts <= p.p_ts AND s.s_ts >= p.p_ts - INTERVAL 7 DAY
+        |ORDER BY p.user_id, p_event_id, s_event_id""".stripMargin,
     "events_ohlc_bars" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bar_ts, ts, event_id, value

@@ -304,13 +304,20 @@ object StreamingPipeline {
   def streamIntervalJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      delay: String, horizon: String): DataFrame = {
+      delay: String, horizon: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay).alias("l")
     val r = right.withWatermark(rightTs, delay).alias("r")
+    // For outer variants the same watermark + range predicate that bound
+    // the state also tell Spark WHEN an unmatched row is final: a left
+    // row emits null-extended once the right watermark passes its match
+    // window, so outer results trickle out bounded by `delay`, not at
+    // stream end.
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") &&
-        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $horizon"))
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $horizon"),
+      joinType)
   }
 
   /** Custom keyed state (the `flatMapGroupsWithState` escape hatch,
