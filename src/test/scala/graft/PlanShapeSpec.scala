@@ -62,7 +62,12 @@ class PlanShapeSpec extends SparkSpec {
     // two degree-attach joins PRINTED once per InMemoryTableScan
     // reference (3×2 = 6 string matches for joins that execute once)
     "graph_pagerank" -> 4,
-    "graph_triangles" -> 9
+    "graph_triangles" -> 9,
+    // r9: the snapshot↔latest-changes merge is a FULL-outer equi-join,
+    // which no broadcast strategy supports — one shuffle join is the
+    // correct (and minimal) shape; the changelog side has already been
+    // collapsed to |distinct keys| by the max_by aggregate
+    "cdc_merge_snapshot" -> 1
   ).withDefaultValue(0)
 
   // legitimate broadcast nested-loop joins: tiny-dim cross products and
@@ -136,7 +141,10 @@ class PlanShapeSpec extends SparkSpec {
     "text_contamination" -> 2, "tumbling_window" -> 1,
     // r8 funnel: three step scans each push their event_type equality
     // into parquet (the fourth, lifetime-count scan reads user_id only)
-    "events_sequence_match" -> 3)
+    "events_sequence_match" -> 3,
+    // r9: each partial-state arm pushes its half-split predicate
+    // (l_orderkey % 2 = h) into its lineitem scan
+    "agg_incremental_merge" -> 2)
 
   // fused custom-Expression kernels + representative scan/agg shapes that
   // must stay inside whole-stage codegen
