@@ -35,24 +35,29 @@ import org.apache.spark.sql.functions._
   */
 object CdcMerge {
 
-  /** @param snapshot  base state, one row per `key`
-    * @param changelog columns: `key`, `seq`, `op` ("I"|"U"|"D") plus any
-    *                  subset of the snapshot's non-key columns as payload
-    */
-  def upsert(snapshot: DataFrame, changelog: DataFrame,
-      key: String, seq: String, op: String): DataFrame = {
+  /** Stage 1 — last-writer-wins compaction: the latest record per key,
+    * op exposed as `__op` and payload columns renamed `__chg_*` so the
+    * merge join can coalesce column-wise without ambiguity. Works on a
+    * batch OR streaming changelog (a plain streaming aggregation whose
+    * state is exactly the CDC bound: one buffered row per live key). */
+  def latestPerKey(changelog: DataFrame, key: String, seq: String,
+      op: String): DataFrame = {
     val payload = changelog.columns.filterNot(Set(key, seq, op)).toSeq
-    require(payload.forall(snapshot.columns.contains),
-      s"changelog payload ${payload.mkString(",")} must be snapshot columns")
-
-    // Latest record per key, payload renamed so the merge join can
-    // coalesce column-wise without ambiguity.
-    val latest = changelog
+    changelog
       .groupBy(col(key))
       .agg(max_by(struct((op +: payload).map(col): _*), col(seq)).as("__c"))
       .select(col(key) +: col(s"__c.$op").as("__op") +:
         payload.map(c => col(s"__c.$c").as(s"__chg_$c")): _*)
+  }
 
+  /** Stage 2 — apply an already-compacted `latest` frame (the
+    * [[latestPerKey]] shape) to the snapshot. */
+  def applyLatest(snapshot: DataFrame, latest: DataFrame, key: String): DataFrame = {
+    val payload = latest.columns.collect {
+      case c if c.startsWith("__chg_") => c.stripPrefix("__chg_")
+    }.toSeq
+    require(payload.forall(snapshot.columns.contains),
+      s"changelog payload ${payload.mkString(",")} must be snapshot columns")
     val snap = snapshot.withColumn("__in_snap", lit(true))
     val outCols = snapshot.columns.toSeq.map {
       case `key` => col(key)
@@ -67,4 +72,12 @@ object CdcMerge {
           .when(col("__in_snap").isNull, lit("inserted"))
           .otherwise(lit("updated")).as("change"): _*)
   }
+
+  /** @param snapshot  base state, one row per `key`
+    * @param changelog columns: `key`, `seq`, `op` ("I"|"U"|"D") plus any
+    *                  subset of the snapshot's non-key columns as payload
+    */
+  def upsert(snapshot: DataFrame, changelog: DataFrame,
+      key: String, seq: String, op: String): DataFrame =
+    applyLatest(snapshot, latestPerKey(changelog, key, seq, op), key)
 }

@@ -29,19 +29,49 @@ object MaintenanceQueries {
     * Plan shape: one map-side-combined `max_by` aggregate collapses the
     * changelog to |keys|, then one full-outer equi-join applies it — no
     * window sort anywhere (see [[graft.operators.CdcMerge]]). */
-  def cdcMergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+  /** The derived changelog shape shared by the batch and streamed merge:
+    * each order is a change record for its customer, op picked by
+    * o_orderkey % 10, o_orderkey the LWW sequence. Works on a batch or
+    * streaming `orders` frame. */
+  private def ordersChangelog(o: DataFrame): DataFrame = {
     val isIns = col("o_orderkey") % 10 === 1 || col("o_orderkey") % 10 === 2
     val isDel = col("o_orderkey") % 10 === 0
-    val changelog = o.select(
+    o.select(
       when(isIns, col("o_custkey") + 1000000L).otherwise(col("o_custkey")).as("c_custkey"),
       col("o_orderkey").as("seq"),
       when(isDel, lit("D")).when(isIns, lit("I")).otherwise(lit("U")).as("op"),
       when(isIns, lit("cdc_insert")).otherwise(lit(null).cast("string")).as("c_name"),
       col("o_totalprice").as("c_acctbal"))
-    val snapshot = Tables.customer(spark, dir)
+  }
+
+  private def customerSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-    CdcMerge.upsert(snapshot, changelog, "c_custkey", "seq", "op")
+
+  def cdcMergeSnapshot(spark: SparkSession, dir: String): DataFrame =
+    CdcMerge.upsert(customerSnapshot(spark, dir),
+        ordersChangelog(Tables.orders(spark, dir)), "c_custkey", "seq", "op")
+      .orderBy(col("c_custkey"))
+
+  /** The SAME merge with the changelog arriving as a STREAM: stage 1
+    * (LWW compaction) runs as a streaming aggregation whose keyed state
+    * is exactly the CDC bound — one buffered row per live key — and the
+    * complete-mode sink always holds the current compacted state, which
+    * stage 2 applies to the snapshot. max_by over a unique sequence
+    * makes the result independent of micro-batch slicing, so the
+    * streamed state matches the batch merge bit-for-bit — same oracle
+    * as `cdc_merge_snapshot`. (A deployment would fold stage 2 into
+    * `foreachBatch` against the lake table; the gate keeps it explicit.) */
+  def cdcMergeStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val latest = CdcMerge.latestPerKey(
+      ordersChangelog(Tables.ordersStream(spark, dir)), "c_custkey", "seq", "op")
+    val name = "cdc_latest_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = latest.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    CdcMerge.applyLatest(customerSnapshot(spark, dir), spark.table(name), "c_custkey")
       .orderBy(col("c_custkey"))
   }
 
@@ -116,14 +146,16 @@ object MaintenanceQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_merge_snapshot" -> (cdcMergeSnapshot _),
+    "cdc_merge_streamed" -> (cdcMergeStreamed _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
     "layout_range_partition" -> (layoutRangePartition _),
     "scan_zonemap_prune" -> (scanZonemapPrune _)
   )
 
-  val oracles: Map[String, String] = Map(
-    "cdc_merge_snapshot" ->
-      """WITH chg AS (
+  // one AvailableNow replay compacts the same changelog the batch merge
+  // reads, so streamed and batch share the oracle verbatim
+  private val cdcOracleSql =
+    """WITH chg AS (
         |  SELECT CASE WHEN o_orderkey % 10 IN (1,2) THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,
         |         o_orderkey AS seq,
         |         CASE WHEN o_orderkey % 10 = 0 THEN 'D'
@@ -143,7 +175,11 @@ object MaintenanceQueries {
         |            ELSE 'updated' END AS change
         |FROM customer s FULL OUTER JOIN latest l ON s.c_custkey = l.c_custkey
         |WHERE l.op IS NULL OR l.op <> 'D'
-        |ORDER BY c_custkey""".stripMargin,
+        |ORDER BY c_custkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "cdc_merge_snapshot" -> cdcOracleSql,
+    "cdc_merge_streamed" -> cdcOracleSql,
     "agg_incremental_merge" ->
       """SELECT l_returnflag,
         |       COUNT(*) AS n,

@@ -84,6 +84,17 @@ object Tables {
         .parquet(dir))
   }
 
+  /** Orders replayed as a file stream (the CDC-changelog shape for the
+    * streamed merge): schema probed from the batch footer like
+    * [[eventsStream]], so encoding drift surfaces in the contract spec,
+    * not silently here. */
+  def ordersStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = load(spark, dir, "orders").schema
+    spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -44,6 +44,14 @@ class MaintenanceOpsSpec extends SparkSpec {
       "latest-per-key should be the max_by aggregate")
   }
 
+  test("streamed CDC merge equals the batch merge row-for-row") {
+    val batch = MaintenanceQueries.cdcMergeSnapshot(spark, sf)
+      .as[(Long, String, Double, String)].collect().toSeq
+    val streamed = MaintenanceQueries.cdcMergeStreamed(spark, sf)
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("RangePartition.planBoundaries + assign: near-balanced occupancy within sketch error") {
     val orders = Tables.orders(spark, sf)
     val parts = 8

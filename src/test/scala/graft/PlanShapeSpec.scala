@@ -67,7 +67,9 @@ class PlanShapeSpec extends SparkSpec {
     // which no broadcast strategy supports — one shuffle join is the
     // correct (and minimal) shape; the changelog side has already been
     // collapsed to |distinct keys| by the max_by aggregate
-    "cdc_merge_snapshot" -> 1
+    "cdc_merge_snapshot" -> 1,
+    // same full-outer merge, latest side = the streamed compacted state
+    "cdc_merge_streamed" -> 1
   ).withDefaultValue(0)
 
   // legitimate broadcast nested-loop joins: tiny-dim cross products and
