@@ -107,6 +107,31 @@ object MaintenanceQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The SKETCH counterpart of [[aggIncrementalMerge]]: per-flag
+    * distinct-part counts maintained as two independent Datasketches
+    * HLL partials merged with `hll_union_agg`. Where the decimal-sum
+    * merge is exact, the sketch merge is LOSSLESS IN STATE — register-
+    * wise max, so merging a delta sketch into yesterday's gives the
+    * identical registers (and estimate) a full rescan would, at a few
+    * KB per group instead of a distinct-set shuffle. Rows-only at the
+    * driver gate (no cross-engine HLL); MaintenanceOpsSpec pins both
+    * the merge identity (merged estimate == direct-sketch estimate,
+    * exactly) and the rsd-style error bound vs the exact count. */
+  def aggSketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"), (col("l_orderkey") % 2).as("half"), col("l_partkey"))
+    def partialSketch(half: Int): DataFrame =
+      l.filter(col("half") === half)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    partialSketch(0).unionByName(partialSketch(1))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(col("l_returnflag"),
+        hll_sketch_estimate(col("sk")).as("approx_distinct_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact range-partition occupancy ledger: 16 quantile buckets of
     * `orders` by (o_totalprice, o_orderkey), with per-bucket row counts
     * and value bounds — the receipt a layout planner checks before a
@@ -148,6 +173,7 @@ object MaintenanceQueries {
     "cdc_merge_snapshot" -> (cdcMergeSnapshot _),
     "cdc_merge_streamed" -> (cdcMergeStreamed _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
+    "agg_sketch_merge" -> (aggSketchMerge _),
     "layout_range_partition" -> (layoutRangePartition _),
     "scan_zonemap_prune" -> (scanZonemapPrune _)
   )

@@ -106,6 +106,23 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("HLL sketch merge: merged halves equal the direct sketch exactly, and track the exact count") {
+    val merged = MaintenanceQueries.aggSketchMerge(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"l_partkey")).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === direct, "register-wise union must reproduce the direct sketch")
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, d) =>
+      val rel = math.abs(merged(k) - d).toDouble / d
+      assert(rel <= 0.05, s"flag $k: sketch ${merged(k)} vs exact $d (rel $rel)")
+    }
+  }
+
   test("zone-map ledger: arrival-order blocks skip (almost) nothing") {
     val rows = MaintenanceQueries.scanZonemapPrune(spark, sf)
       .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
