@@ -121,6 +121,62 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** TPC-H Q3-style shipping priority: the classic 3-way
+    * dim-filter → fact-join → group → top-k pipeline. Both join keys
+    * arrive filtered (segment on customer, date windows on orders and
+    * lineitem — all pushed to the scans), the filtered customer side
+    * broadcasts, and the final top-10 is a `TakeOrderedAndProject`
+    * (distributed heap merge, no global sort) — the shape that holds at
+    * 100 TB because only k rows ever reach the driver side of the sort. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(22, 6))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local supplier volume: the 6-way snowflake join —
+    * region → nation → customer → orders → lineitem → supplier, with
+    * the "local" constraint (supplier and customer share a nation)
+    * applied as an extra equi-condition on the supplier join. All four
+    * dim sides broadcast; the only big-big join is orders ⋈ lineitem
+    * on the order key. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(22, 6))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Cross-table referential-integrity audit — the reference's audit
     * identity (source-vs-sink reconciliation, `verifier_ui.py:103-111`)
     * generalized to the whole schema graph: for every FK edge, count
@@ -157,7 +213,9 @@ object RelationalQueries {
     "audit_summary" -> (auditSummary _),
     "audit_referential" -> (auditReferential _),
     "smt_transform" -> (smtTransform _),
-    "q1_pricing_summary" -> (q1PricingSummary _)
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _)
   )
 
   private val usersCte =
@@ -265,6 +323,29 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

@@ -146,7 +146,9 @@ class PlanShapeSpec extends SparkSpec {
     "events_sequence_match" -> 3,
     // r9: each partial-state arm pushes its half-split predicate
     // (l_orderkey % 2 = h) into its lineitem scan
-    "agg_incremental_merge" -> 2)
+    "agg_incremental_merge" -> 2,
+    // r9 TPC-H shapes: every scan keeps its dim/date predicate
+    "q3_shipping_priority" -> 3, "q5_local_supplier_volume" -> 6)
 
   // fused custom-Expression kernels + representative scan/agg shapes that
   // must stay inside whole-stage codegen
