@@ -237,13 +237,18 @@ object TemporalQueries {
       .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
     val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("s_event_id"), col("ts").as("s_ts"))
+    // The sentinel is dropped AFTER the sink, not here: a deterministic
+    // predicate on a left-side column (p_event_id >= 0) is pushable
+    // through a left-outer join and lands BELOW the EventTimeWatermark
+    // operator, silently removing the sentinel from the watermark
+    // bookkeeping — the final-hour unmatched rows then never flush
+    // (caught by the sf0.1 oracle: 2 rows short).
     val joined = graft.streaming.StreamingPipeline.streamIntervalJoin(
       purchases, signups, key = "user_id", leftTs = "p_ts", rightTs = "s_ts",
       delay = "1 hour", horizon = "7 days", joinType = "left_outer")
       .select(col("l.user_id").as("user_id"), col("p_event_id"),
         coalesce(col("s_event_id"), lit(-1L)).as("s_event_id"), col("p_ts"),
         col("s_event_id").isNotNull.as("matched"))
-      .filter(col("p_event_id") >= 0)
     val name = "ssljoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = joined.writeStream.format("memory").queryName(name)
       .outputMode("append")
@@ -251,6 +256,7 @@ object TemporalQueries {
       .start()
     q.awaitTermination()
     spark.table(name)
+      .filter(col("p_event_id") >= 0)
       .orderBy(col("user_id"), col("p_event_id"), col("s_event_id"))
   }
 
