@@ -177,6 +177,55 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10-style returned-item report: which customers returned the
+    * most revenue in a quarter. Same all-broadcast dim topology as Q3
+    * (nation broadcasts onto customer, filtered orders broadcast onto
+    * lineitem), return-flag + date predicates pushed, top-20 via the
+    * distributed heap. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(22, 6))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18-style large-volume customers: orders whose total quantity
+    * clears a threshold, found via a grouped-HAVING subquery that
+    * Catalyst plans as an aggregate + LEFT SEMI join (the qualifying key
+    * set never materializes wider than (key, flag)) — the "find the
+    * whales, then hydrate them" shape. */
+  def q18LargeVolumeCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+    val qualifying = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"))
+      .filter(col("sq") > 180).select(col("l_orderkey").as("q_orderkey"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .join(qualifying, col("o_orderkey") === col("q_orderkey"), "left_semi")
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Cross-table referential-integrity audit — the reference's audit
     * identity (source-vs-sink reconciliation, `verifier_ui.py:103-111`)
     * generalized to the whole schema graph: for every FK edge, count
@@ -215,7 +264,9 @@ object RelationalQueries {
     "smt_transform" -> (smtTransform _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
-    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _)
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q18_large_volume_customer" -> (q18LargeVolumeCustomer _)
   )
 
   private val usersCte =
@@ -346,6 +397,28 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q18_large_volume_customer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin
   )
 }

@@ -148,7 +148,8 @@ class PlanShapeSpec extends SparkSpec {
     // (l_orderkey % 2 = h) into its lineitem scan
     "agg_incremental_merge" -> 2,
     // r9 TPC-H shapes: every scan keeps its dim/date predicate
-    "q3_shipping_priority" -> 3, "q5_local_supplier_volume" -> 6)
+    "q3_shipping_priority" -> 3, "q5_local_supplier_volume" -> 6,
+    "q10_returned_items" -> 4, "q18_large_volume_customer" -> 4)
 
   // fused custom-Expression kernels + representative scan/agg shapes that
   // must stay inside whole-stage codegen
