@@ -88,6 +88,39 @@ object FunctionQueries {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  /** CORRELATED scalar subquery (the shape [[sqlExistsSubquery]]'s
+    * uncorrelated threshold doesn't cover): each order compared against
+    * ITS customer's max — Catalyst decorrelates to a per-key aggregate
+    * plus an equi-join, so the "subquery per row" reading costs one
+    * grouped pass, not O(rows) rescans. */
+  def sqlCorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders_v o
+        |WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |                        FROM orders_v o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)
+  }
+
+  /** LATERAL correlated derived table: top-2 orders PER customer via a
+    * per-row subquery with ORDER BY + LIMIT — decorrelated by Catalyst
+    * into a partitioned rank filter, not a per-customer rescan. */
+  def sqlLateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_v c,
+        |LATERAL (SELECT o.o_orderkey, o.o_totalprice
+        |         FROM orders_v o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+  }
+
   /** Outer generator semantics: explode_outer keeps rows whose array is
     * empty (as a null element) — short documents survive the shingle
     * explode instead of silently vanishing. */
@@ -106,7 +139,9 @@ object FunctionQueries {
     "string_funcs2" -> (stringFuncs2 _),
     "map_explode" -> (mapExplode _),
     "join_right_outer" -> (joinRightOuter _),
-    "sql_exists_subquery" -> (sqlExistsSubquery _)
+    "sql_exists_subquery" -> (sqlExistsSubquery _),
+    "sql_correlated_scalar" -> (sqlCorrelatedScalar _),
+    "sql_lateral_topn" -> (sqlLateralTopn _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,6 +195,22 @@ object FunctionQueries {
         |    AND o.o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |                                 / COUNT(*) * 1.5
         |                          FROM orders o2))
-        |ORDER BY c.c_custkey""".stripMargin
+        |ORDER BY c.c_custkey""".stripMargin,
+    "sql_correlated_scalar" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |                        FROM orders o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin,
+    "sql_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o.o_orderkey, o.o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
   )
 }

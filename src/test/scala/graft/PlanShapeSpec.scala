@@ -149,7 +149,10 @@ class PlanShapeSpec extends SparkSpec {
     "agg_incremental_merge" -> 2,
     // r9 TPC-H shapes: every scan keeps its dim/date predicate
     "q3_shipping_priority" -> 3, "q5_local_supplier_volume" -> 6,
-    "q10_returned_items" -> 4, "q18_large_volume_customer" -> 4)
+    "q10_returned_items" -> 4, "q18_large_volume_customer" -> 4,
+    // r9 SQL shapes: decorrelated subqueries keep join-key IsNotNull
+    // predicates at their scans
+    "sql_correlated_scalar" -> 2, "sql_lateral_topn" -> 1)
 
   // fused custom-Expression kernels + representative scan/agg shapes that
   // must stay inside whole-stage codegen
