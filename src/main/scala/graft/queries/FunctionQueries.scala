@@ -121,6 +121,29 @@ object FunctionQueries {
         |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
   }
 
+  /** Recursive CTE (SQL:1999, Spark 4's WITH RECURSIVE): an 80-month
+    * calendar spine generated by recursion, left-joined to sparse
+    * high-value orders so empty months SURVIVE as zero rows — the
+    * gap-filling shape every resampled time series needs and plain
+    * GROUP BY cannot produce (it only yields months that have data;
+    * at sf0.01, 11 of the 80 months are gap-filled zeros). The
+    * recursion itself is driver-cheap (80 rows); the join and rollup
+    * stay distributed. */
+  def sqlRecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < TIMESTAMP '2001-08-01')
+        |SELECT s.m, COUNT(o.o_orderkey) AS n_orders,
+        |       COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS revenue
+        |FROM spine s LEFT JOIN orders_v o
+        |  ON date_trunc('month', o.o_orderdate) = s.m AND o.o_totalprice > 495000
+        |GROUP BY s.m
+        |ORDER BY s.m""".stripMargin)
+  }
+
   /** Outer generator semantics: explode_outer keeps rows whose array is
     * empty (as a null element) — short documents survive the shingle
     * explode instead of silently vanishing. */
@@ -141,7 +164,8 @@ object FunctionQueries {
     "join_right_outer" -> (joinRightOuter _),
     "sql_exists_subquery" -> (sqlExistsSubquery _),
     "sql_correlated_scalar" -> (sqlCorrelatedScalar _),
-    "sql_lateral_topn" -> (sqlLateralTopn _)
+    "sql_lateral_topn" -> (sqlLateralTopn _),
+    "sql_recursive_spine" -> (sqlRecursiveSpine _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +235,17 @@ object FunctionQueries {
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o.o_totalprice DESC, o.o_orderkey
         |         LIMIT 2) t
-        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
+    "sql_recursive_spine" ->
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < TIMESTAMP '2001-08-01')
+        |SELECT s.m, COUNT(o.o_orderkey) AS n_orders,
+        |       COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS revenue
+        |FROM spine s LEFT JOIN orders o
+        |  ON date_trunc('month', o.o_orderdate) = s.m AND o.o_totalprice > 495000
+        |GROUP BY s.m
+        |ORDER BY s.m""".stripMargin
   )
 }
