@@ -15,7 +15,7 @@ object Queries {
       TemporalQueries.queries ++ AvroQueries.queries ++
       RetrievalQueries.queries ++ LayoutQueries.queries ++
       SamplingQueries.queries ++ GraphQueries.queries ++ MixQueries.queries ++
-      MaintenanceQueries.queries
+      MaintenanceQueries.queries ++ TpchQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ CoverageQueries.oracles ++
@@ -25,5 +25,5 @@ object Queries {
       TemporalQueries.oracles ++ AvroQueries.oracles ++
       RetrievalQueries.oracles ++ LayoutQueries.oracles ++
       SamplingQueries.oracles ++ GraphQueries.oracles ++ MixQueries.oracles ++
-      MaintenanceQueries.oracles
+      MaintenanceQueries.oracles ++ TpchQueries.oracles
 }

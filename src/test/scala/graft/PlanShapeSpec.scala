@@ -69,7 +69,10 @@ class PlanShapeSpec extends SparkSpec {
     // collapsed to |distinct keys| by the max_by aggregate
     "cdc_merge_snapshot" -> 1,
     // same full-outer merge, latest side = the streamed compacted state
-    "cdc_merge_streamed" -> 1
+    "cdc_merge_streamed" -> 1,
+    // r9 TPC-H Q8: the one big-big core (lineitem ⋈ orders on orderkey);
+    // every dim side broadcasts
+    "q8_market_share" -> 1
   ).withDefaultValue(0)
 
   // legitimate broadcast nested-loop joins: tiny-dim cross products and
@@ -114,7 +117,11 @@ class PlanShapeSpec extends SparkSpec {
     "orders_rfm" -> 1,
     // r8: seven 1-row × 1-row cross joins (per-FK-edge row count ×
     // orphan count); the containment checks themselves are anti-joins
-    "audit_referential" -> 7
+    "audit_referential" -> 7,
+    // r9 TPC-H scalar subqueries: per-part values × broadcast 1-row
+    // scoped total (Q11) / customers × broadcast 1-row avg balance (Q22)
+    "q11_important_parts" -> 1,
+    "q22_sales_opportunity" -> 1
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from
@@ -152,7 +159,16 @@ class PlanShapeSpec extends SparkSpec {
     "q10_returned_items" -> 4, "q18_large_volume_customer" -> 4,
     // r9 SQL shapes: decorrelated subqueries keep join-key IsNotNull
     // predicates at their scans
-    "sql_correlated_scalar" -> 2, "sql_lateral_topn" -> 1)
+    "sql_correlated_scalar" -> 2, "sql_lateral_topn" -> 1,
+    // r9 TPC-H battery (PlanAudit sf0.001): every scan keeps its
+    // dim/date/flag predicate in parquet
+    "q2_min_cost_supplier" -> 7, "q4_order_priority" -> 2,
+    "q7_nation_volume" -> 6, "q8_market_share" -> 8,
+    "q9_product_profit" -> 5, "q11_important_parts" -> 8,
+    "q13_customer_distribution" -> 1, "q15_top_supplier" -> 3,
+    "q16_supplier_cnt" -> 3, "q17_small_qty_revenue" -> 4,
+    "q19_disjunctive_revenue" -> 2, "q21_waiting_supplier" -> 5,
+    "q22_sales_opportunity" -> 3)
 
   // fused custom-Expression kernels + representative scan/agg shapes that
   // must stay inside whole-stage codegen
