@@ -187,6 +187,41 @@ object TemporalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** ST4 on the THIRD keyed-state API: the same gap sessionization
+    * through Spark 4's `transformWithState`
+    * ([[graft.streaming.TwsSessions.gapSessionsTws]]) — named typed
+    * state slots + first-class per-key event-time timers on the RocksDB
+    * state store, versus fMGWS's single implicit timeout and blob
+    * state. Same input, same sentinel watermark push, same post-sink
+    * aggregation, and the SAME oracle SQL as `session_fmgs_streamed`,
+    * so the two custom-state implementations and the external engine
+    * must agree three ways. Multi-batch merge/bridge/late-drop
+    * semantics are spec-forced in TwsSessionsSpec. */
+  def sessionTwsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.eventsStream(spark, dir)
+      .unionByName(CoverageQueries.sentinelStream(spark))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", "1 hour")
+      .as[graft.streaming.SessEvent]
+    val sessions = graft.streaming.TwsSessions.gapSessionsTws(
+      events, gapUs = 30L * 60L * 1000000L)
+    val name = "session_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.TwsSessions.withRocksDb(spark) {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** The stream-STREAM interval join under the oracle gate (SURVEY
     * §2.9 — previously spec-only): purchases matched to the same
     * user's signups within 7 days before them, through
@@ -451,6 +486,7 @@ object TemporalQueries {
     "scd2_history_streamed" -> (scd2HistoryStreamed _),
     "dedup_late_streamed" -> (dedupLateStreamed _),
     "session_fmgs_streamed" -> (sessionFmgsStreamed _),
+    "session_tws_streamed" -> (sessionTwsStreamed _),
     "stream_interval_join_streamed" -> (streamIntervalJoinStreamed _),
     "stream_interval_join_left_streamed" -> (streamIntervalJoinLeftStreamed _),
     "events_ohlc_bars" -> (eventsOhlcBars _)
@@ -561,6 +597,20 @@ object TemporalQueries {
     // one AvailableNow pass hands each key its full sorted history, so
     // the state-store sessionization must reproduce it exactly
     "session_fmgs_streamed" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |marks AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM gaps)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM marks GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same oracle for the transformWithState twin: both keyed-state
+    // implementations must reproduce the batch gaps-and-islands exactly
+    "session_tws_streamed" ->
       """WITH gaps AS (
         |  SELECT user_id, ts,
         |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
