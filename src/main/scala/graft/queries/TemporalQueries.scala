@@ -222,6 +222,52 @@ object TemporalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The backfill → streaming HANDOFF at the state level: sessions over
+    * the first half of history are computed in BATCH
+    * ([[graft.streaming.TwsSessions.batchSessionState]] — one windowed
+    * pass, compressed per-user intervals), seeded into the
+    * `transformWithState` processor as INITIAL STATE
+    * (`StatefulProcessorWithInitialState`), and the stream replays ONLY
+    * the second half. A session spanning the boundary exists half in
+    * the seed and half in the stream; the interval merge welds it back
+    * together, so the result must equal the batch sessionization of the
+    * FULL table — which is exactly the oracle (the same gaps-and-islands
+    * SQL as the two replay-everything twins). This is ST5's backfill
+    * story without the replay cost: at 100 TB you sessionize history
+    * once in batch and hand the stream just the open tail, instead of
+    * re-streaming the archive. */
+  def sessionBootstrapStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60L * 1000000L
+    val cutoff = lit("2024-01-16").cast("timestamp")
+    val seed = graft.streaming.TwsSessions.batchSessionState(
+      Tables.events(spark, dir).filter(col("ts") < cutoff)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us")),
+      gapUs)
+    val streamHalf = Tables.eventsStream(spark, dir)
+      .filter(col("ts") >= cutoff) // passes the far-future sentinel too
+      .unionByName(CoverageQueries.sentinelStream(spark))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", "1 hour")
+      .as[graft.streaming.SessEvent]
+    val sessions = graft.streaming.TwsSessions.gapSessionsTwsBootstrapped(
+      streamHalf, gapUs, seed)
+    val name = "session_boot_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.TwsSessions.withRocksDb(spark) {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** The stream-STREAM interval join under the oracle gate (SURVEY
     * §2.9 — previously spec-only): purchases matched to the same
     * user's signups within 7 days before them, through
@@ -487,6 +533,7 @@ object TemporalQueries {
     "dedup_late_streamed" -> (dedupLateStreamed _),
     "session_fmgs_streamed" -> (sessionFmgsStreamed _),
     "session_tws_streamed" -> (sessionTwsStreamed _),
+    "session_bootstrap_streamed" -> (sessionBootstrapStreamed _),
     "stream_interval_join_streamed" -> (streamIntervalJoinStreamed _),
     "stream_interval_join_left_streamed" -> (streamIntervalJoinLeftStreamed _),
     "events_ohlc_bars" -> (eventsOhlcBars _)
@@ -611,6 +658,21 @@ object TemporalQueries {
     // same oracle for the transformWithState twin: both keyed-state
     // implementations must reproduce the batch gaps-and-islands exactly
     "session_tws_streamed" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |marks AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM gaps)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM marks GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the bootstrap handoff must reconstruct the FULL-table batch
+    // sessionization even though the stream saw only the second half —
+    // same oracle again, including the boundary-spanning sessions
+    "session_bootstrap_streamed" ->
       """WITH gaps AS (
         |  SELECT user_id, ts,
         |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

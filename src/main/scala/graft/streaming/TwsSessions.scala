@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Gap sessionization on Spark 4's `transformWithState` — the third
   * keyed-state streaming API surface beside
@@ -34,10 +36,15 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   */
 object TwsSessions {
 
-  class GapSessionProcessor(gapUs: Long)
-      extends StatefulProcessor[Long, SessEvent, SessionOut] {
+  /** The session logic both processors share (plain vs batch-bootstrapped):
+    * mixed into concrete `StatefulProcessor` subclasses because the
+    * with-initial-state variant extends a DIFFERENT abstract class. */
+  sealed trait GapSessionLogic {
+    self: StatefulProcessor[Long, SessEvent, SessionOut] =>
 
-    @transient private var sessions: ValueState[SessState] = _
+    def gapUs: Long
+
+    @transient protected var sessions: ValueState[SessState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       sessions = getHandle.getValueState[SessState](
@@ -45,7 +52,7 @@ object TwsSessions {
 
     /** Interval merge shared with the fMGWS twin: sort by start, coalesce
       * while the next interval starts within `gap` of the previous end. */
-    private def merge(prior: List[SessAcc], fresh: List[SessAcc]): List[SessAcc] =
+    protected def merge(prior: List[SessAcc], fresh: List[SessAcc]): List[SessAcc] =
       (prior ++ fresh).sortBy(s => (s.start_us, s.last_us))
         .foldLeft(List.empty[SessAcc]) {
           case (prev :: tail, cur) if cur.start_us - prev.last_us < gapUs =>
@@ -54,21 +61,27 @@ object TwsSessions {
           case (acc, cur) => cur :: acc
         }.reverse
 
+    /** Re-arm the single per-key timer to the earliest closable session,
+      * clamped past the current watermark. */
+    protected def rearm(open: List[SessAcc], wmMs: Long): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (open.nonEmpty) {
+        val nextUs = open.map(_.last_us + gapUs).min
+        getHandle.registerTimer(math.max(wmMs + 1L, (nextUs + 999L) / 1000L))
+      }
+    }
+
     /** Emit closable sessions against the current watermark, persist the
       * rest, and re-arm the single per-key timer. */
-    private def drain(key: Long, fresh: List[SessAcc],
+    protected def drain(key: Long, fresh: List[SessAcc],
         timers: TimerValues): Iterator[SessionOut] = {
       val wmMs = timers.getCurrentWatermarkInMs()
       val wmUs = wmMs * 1000L
       val prior = if (sessions.exists()) sessions.get().sessions else Nil
       val (closed, open) = merge(prior, fresh).partition(_.last_us + gapUs <= wmUs)
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
       if (open.isEmpty) sessions.clear()
-      else {
-        sessions.update(SessState(open))
-        val nextUs = open.map(_.last_us + gapUs).min
-        getHandle.registerTimer(math.max(wmMs + 1L, (nextUs + 999L) / 1000L))
-      }
+      else sessions.update(SessState(open))
+      rearm(open, wmMs)
       closed.iterator.map(s => SessionOut(key, s.start_us, s.last_us, s.n))
     }
 
@@ -86,6 +99,28 @@ object TwsSessions {
     override def handleExpiredTimer(key: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[SessionOut] =
       drain(key, Nil, timers)
+  }
+
+  class GapSessionProcessor(val gapUs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionOut]
+      with GapSessionLogic
+
+  /** Batch-bootstrapped variant: state is SEEDED from a batch-computed
+    * session snapshot before the first streaming batch — the
+    * backfill-then-go-streaming handoff. Seed intervals may still be
+    * OPEN (a session spanning the batch/stream boundary): the normal
+    * interval merge lets the first in-gap streamed row extend them, so
+    * boundary sessions come out whole, not split. */
+  class BootstrapGapSessionProcessor(val gapUs: Long)
+      extends StatefulProcessorWithInitialState[Long, SessEvent, SessionOut, SessState]
+      with GapSessionLogic {
+
+    override def handleInitialState(key: Long, initial: SessState,
+        timers: TimerValues): Unit = {
+      val merged = merge(Nil, initial.sessions)
+      sessions.update(SessState(merged))
+      rearm(merged, timers.getCurrentWatermarkInMs())
+    }
   }
 
   private val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -112,5 +147,48 @@ object TwsSessions {
       .groupByKey(_.user_id)
       .transformWithState(new GapSessionProcessor(gapUs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Batch-compute the per-user compressed session state from historical
+    * events — the SEED for [[gapSessionsTwsBootstrapped]]. Input needs
+    * (user_id, event_id, ts_us); output is one (user_id, SessState) row
+    * per user, the intervals gap-disjoint and sorted. One shuffle on
+    * user_id (the window) + the per-user rollup; interval count per user
+    * is bounded by that user's session count, so state rows stay small
+    * even when history is long. */
+  def batchSessionState(events: DataFrame, gapUs: Long): Dataset[(Long, SessState)] = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val perSession = events
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("last_us"),
+        count(lit(1)).as("n"))
+    perSession
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("start_us"), col("last_us"), col("n")))).as("sessions"))
+      .select(col("user_id").as("_1"), struct(col("sessions")).as("_2"))
+      .as[(Long, SessState)]
+  }
+
+  /** Sessionization seeded from a batch snapshot: the backfill → streaming
+    * handoff (SURVEY §2.9 ST5 at the STATE level — replaying history
+    * through the stream is one option; adopting its batch-computed state
+    * without replay is this one). Seed sessions that closed before the
+    * stream's horizon emit on the first watermark advance; open boundary
+    * sessions extend seamlessly. */
+  def gapSessionsTwsBootstrapped(events: Dataset[SessEvent], gapUs: Long,
+      initial: Dataset[(Long, SessState)]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new BootstrapGapSessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 }

@@ -69,6 +69,43 @@ class TwsSessionsSpec extends SparkSpec {
     }
   }
 
+  test("TWS bootstrap: seeded batch state welds boundary sessions to streamed rows") {
+    import graft.streaming.{SessAcc, SessState}
+    val gapUs = 30L * 60L * 1000000L
+    val baseMin = 1440L
+    def us(min: Long): Long = (baseMin + min) * 60L * 1000000L
+    def ev(uid: Long, eid: Long, min: Long): SessEvent =
+      SessEvent(uid, eid, new Timestamp(us(min) / 1000L), us(min))
+    // seed: u1 has a CLOSED session [0,10]×2 and an OPEN boundary
+    // session [100,110]×2; u2 only the closed [0,5]×3
+    val seed = Seq(
+      (1L, SessState(List(SessAcc(us(0), us(10), 2L), SessAcc(us(100), us(110), 2L)))),
+      (2L, SessState(List(SessAcc(us(0), us(5), 3L))))).toDS()
+    val stream = MemoryStream[SessEvent]
+    val sessions = TwsSessions.gapSessionsTwsBootstrapped(
+      stream.toDS().withWatermark("ts", "600 minutes"), gapUs, seed)
+    TwsSessions.withRocksDb(spark) {
+      val q = sessions.writeStream.format("memory").queryName("sess_boot_spec")
+        .outputMode("append").start()
+      try {
+        // u1@125 lands within gap of the open seed session (15 < 30):
+        // the weld must produce ONE session [100,125]×3, not a split;
+        // u3@0 is a stream-only user; u99@900 pushes the watermark
+        stream.addData(ev(1, 1, 125), ev(3, 2, 0), ev(99, 3, 900))
+        q.processAllAvailable()
+        val out = spark.table("sess_boot_spec").as[SessionOut].collect().toSeq
+          .map(s => (s.user_id, s.session_start_us, s.session_last_us, s.n_events))
+          .toSet
+        assert(out === Set(
+          (1L, us(0), us(10), 2L),   // closed seed session emits as-is
+          (1L, us(100), us(125), 3L), // boundary weld: seed 2 + stream 1
+          (2L, us(0), us(5), 3L),     // seed-only user drains on timer
+          (3L, us(0), us(0), 1L)),    // stream-only user
+          s"unexpected bootstrap session set: $out")
+      } finally q.stop()
+    }
+  }
+
   test("TWS and fMGWS sessionizations agree on a replayed event table") {
     // the two custom-state implementations, one AvailableNow replay
     // each, must produce identical session sets over real data
