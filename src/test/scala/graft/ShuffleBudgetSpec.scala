@@ -1,0 +1,61 @@
+package graft
+
+import graft.tools.ShuffleAudit
+
+/** Quantitative shuffle-VOLUME regression gate — the companion to
+  * PlanShapeSpec's operator-count budgets. Two plans with identical
+  * shapes can differ 10× in exchanged bytes (a dropped pre-shuffle
+  * projection, a filter that slid above its exchange, a widened
+  * aggregation key); at 100 TB exchanged bytes are the cost model, so
+  * each representative query's executed-plan shuffle write volume is
+  * pinned to a budget ≈ 2.5× its measured sf0.001 value (headroom for
+  * partition-count jitter, not for regressions — a doubled exchange
+  * blows straight through).
+  *
+  * Budgets from `runMain graft.tools.ShuffleAudit /root/testdata/sf0.001
+  * <queries>`; if a legitimate change shifts one, re-measure and update
+  * the budget next to a comment saying why the new volume is right.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  // (byte budget, measured bytes at audit time) — representative heavy
+  // hitters across join/agg/window/dedup/pack/asof families
+  private val budgets: Map[String, (Long, Long)] = Map(
+    "q1_pricing_summary" -> (4000L, 1462L),
+    "q3_shipping_priority" -> (12000L, 4705L),
+    "q5_local_supplier_volume" -> (2000L, 102L),
+    "q8_market_share" -> (65000L, 26146L),
+    "q18_large_volume_customer" -> (68000L, 27092L),
+    "q13_customer_distribution" -> (8500L, 3249L),
+    "q21_waiting_supplier" -> (330000L, 129631L),
+    "audit_reconcile" -> (30000L, 11281L),
+    "dedup_exact" -> (110000L, 43484L),
+    "dedup_minhash_pairs" -> (220000L, 86405L),
+    "cube_agg" -> (8000L, 3155L),
+    "window_rank" -> (17000L, 6784L),
+    "corpus_pack_windows" -> (110000L, 42340L),
+    "asof_join" -> (120000L, 48087L),
+    "budget_select_tokens" -> (50000L, 19763L))
+
+  test("executed-plan shuffle write volume stays inside per-query budgets") {
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, (budget, measured)) =>
+      val v = ShuffleAudit.measure(SparkEntry.queries(name)(spark, sf))
+      if (v.shuffleBytes > budget)
+        Some(s"$name: ${v.shuffleBytes} B > $budget B (was $measured B at audit)")
+      else None
+    }
+    assert(over.isEmpty, s"shuffle volume regressed: $over")
+  }
+
+  test("broadcast-only TPC-H plans exchange almost nothing (Q5 ≤ 2 KB)") {
+    // the strongest single receipt: a 6-way snowflake join whose ONLY
+    // shuffle is the final 1-row-per-nation aggregate — everything else
+    // broadcasts, so exchanged volume is independent of fact-table size
+    val v = ShuffleAudit.measure(
+      SparkEntry.queries("q5_local_supplier_volume")(spark, sf))
+    assert(v.shuffleBytes <= 2000,
+      s"Q5 should shuffle only its tiny final aggregate, got ${v.shuffleBytes} B")
+    assert(v.shuffleExchanges <= 2,
+      s"Q5 should have at most its aggregate exchanges, got ${v.shuffleExchanges}")
+  }
+}
