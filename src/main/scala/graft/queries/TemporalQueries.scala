@@ -268,6 +268,75 @@ object TemporalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** MAP-typed keyed state under the oracle gate: per-user running
+    * event-type counts through `transformWithState` + `MapState`
+    * ([[graft.streaming.TwsCounts]]) — each increment touches ONE map
+    * entry in the RocksDB store instead of rewriting a per-key blob
+    * (the write-amplification argument for the API at 100 TB). Counts
+    * are monotone, so data batches emit nothing — each re-arms a
+    * watermark+1 timer, and the snapshot flushes in the key's first
+    * no-input batch (under default no-data microbatches, promptly
+    * after each data batch; superseding snapshots on later input).
+    * Post-sink settles by max(n) per (user, type) — monotonicity makes
+    * the max the latest snapshot — and the oracle is the plain batch
+    * GROUP BY. */
+  def typeCountsTwsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.eventsStream(spark, dir)
+      .unionByName(CoverageQueries.sentinelStream(spark))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[graft.streaming.TypedEvent]
+    val counts = graft.streaming.TwsCounts.typeCounts(events)
+    val name = "type_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.TwsSessions.withRocksDb(spark) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** LIST-typed keyed state under the oracle gate: per-user last-3
+    * events through `transformWithState` + `ListState`
+    * ([[graft.streaming.TwsRecent]]) — the online "recent history"
+    * feature buffer, evicted by EVENT time (late rows slot in
+    * correctly), emitted as slot-numbered snapshots at each key's
+    * no-input batch. The j-th newest of a growing set is monotone in
+    * (ts, event_id), so the post-sink settle takes max(struct(ts,
+    * event_id)) per (user, slot); the oracle is the batch top-3
+    * ROW_NUMBER window. */
+  def userRecentEventsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.eventsStream(spark, dir)
+      .unionByName(CoverageQueries.sentinelStream(spark))
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[graft.streaming.RecentIn]
+    val recent = graft.streaming.TwsRecent.recentEvents(events, 3)
+    val name = "recent_events_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.TwsSessions.withRocksDb(spark) {
+      val q = recent.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"), col("slot"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("slot"),
+        col("m.event_id").as("event_id"), col("m.ts").as("ts"))
+      .orderBy(col("user_id"), col("slot"))
+  }
+
   /** The stream-STREAM interval join under the oracle gate (SURVEY
     * §2.9 — previously spec-only): purchases matched to the same
     * user's signups within 7 days before them, through
@@ -365,6 +434,86 @@ object TemporalQueries {
         max(when(col("rn_close") === 1, col("value"))).as("close"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"), col("bar_ts"))
+  }
+
+  /** Rolling z-score anomaly detection over each user's value series —
+    * the streaming-metrics shape (data-quality monitors, drift alarms)
+    * as ONE window pass: mean/stddev over the 20 preceding events
+    * (frame EXCLUDES the current row so a spike can't mask itself),
+    * z = (value − μ)/σ where at least 5 priors exist. One exchange on
+    * user_id serves all three frame aggregates; the per-user series
+    * sorts locally inside its partition, so the plan is shuffle → sort
+    * → window regardless of total scale. Cross-engine double hygiene:
+    * only the ROUNDED z (4 dp) is emitted or compared against the
+    * 2σ/3σ thresholds — Spark re-accumulates sliding frames left to
+    * right while DuckDB combines via segment tree, so raw doubles can
+    * differ in the last ulp. */
+  def eventsAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sigma", stddev_samp(col("value")).over(w))
+      .withColumn("n_prev", count(col("value")).over(w))
+      .filter(col("n_prev") >= 5 && col("sigma") > 0)
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
+      .filter(abs(col("z")) >= 2)
+      .select(col("user_id"), col("event_id"), col("z"),
+        (abs(col("z")) >= 3).as("is_anomaly"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — the behavioral-model fit (next-event prediction,
+    * anomalous-sequence scoring) reduced to lag + count: P(to|from) =
+    * n(from→to) / n(from→*). The lag pass shuffles once on user_id;
+    * the bigram space is |types|² (25 here), so the normalizing window
+    * runs over a broadcast-sized aggregate — at 100 TB the heavy input
+    * collapses to tiny partials before anything global happens. The
+    * probability divides two exact counts, so the double is
+    * bit-identical across engines. */
+  def eventsMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent preceding non-purchase event within 7 days, else counts as
+    * "direct". The carry-forward is `last(..., ignoreNulls)` over an
+    * unbounded-preceding frame — one user_id exchange, no join at all
+    * (the naive formulation is a per-purchase correlated subquery; the
+    * window rewrite turns it into a single sorted pass, which is the
+    * 100 TB-safe plan). The type and timestamp carries share one frame
+    * and the same null-masking predicate, so they always come from the
+    * SAME touch row. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val notPurchase = col("event_type") =!= "purchase"
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("touch_type",
+        last(when(notPurchase, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_ts",
+        last(when(notPurchase, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(when(col("touch_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+        col("touch_type")).otherwise(lit("direct")).as("touch_type"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("touch_type"))
   }
 
   /** Cohort retention on the ORDERS table — the same month-offset shape
@@ -534,9 +683,14 @@ object TemporalQueries {
     "session_fmgs_streamed" -> (sessionFmgsStreamed _),
     "session_tws_streamed" -> (sessionTwsStreamed _),
     "session_bootstrap_streamed" -> (sessionBootstrapStreamed _),
+    "type_counts_tws_streamed" -> (typeCountsTwsStreamed _),
+    "user_recent_events_streamed" -> (userRecentEventsStreamed _),
     "stream_interval_join_streamed" -> (streamIntervalJoinStreamed _),
     "stream_interval_join_left_streamed" -> (streamIntervalJoinLeftStreamed _),
-    "events_ohlc_bars" -> (eventsOhlcBars _)
+    "events_ohlc_bars" -> (eventsOhlcBars _),
+    "events_anomaly_zscore" -> (eventsAnomalyZscore _),
+    "events_markov_transitions" -> (eventsMarkovTransitions _),
+    "events_attribution" -> (eventsAttribution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -684,6 +838,23 @@ object TemporalQueries {
         |  FROM gaps)
         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM marks GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // map-state running counts: one final snapshot per key under the
+    // single-replay gate, so the ledger equals the batch GROUP BY
+    "type_counts_tws_streamed" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    // list-state recent-k buffer: the settled ledger equals the batch
+    // per-user top-3 by (ts, event_id)
+    "user_recent_events_streamed" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS slot
+        |  FROM events)
+        |SELECT user_id, CAST(slot AS INT) AS slot, event_id, ts
+        |FROM r WHERE slot <= 3
+        |ORDER BY user_id, slot""".stripMargin,
     // the equivalent batch range join: the streamed inner interval join
     // emits exactly the matches, so one AvailableNow replay == batch
     "stream_interval_join_streamed" ->
@@ -723,7 +894,52 @@ object TemporalQueries {
         |       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
         |       COUNT(*) AS n_events
         |FROM r GROUP BY user_id, bar_ts
-        |ORDER BY user_id, bar_ts""".stripMargin
+        |ORDER BY user_id, bar_ts""".stripMargin,
+    // both engines round z to 4 dp BEFORE the 2σ/3σ comparisons: Spark
+    // re-accumulates sliding frames, DuckDB segment-trees them, so raw
+    // doubles may differ in the last ulp
+    "events_anomaly_zscore" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, value,
+        |         AVG(value) OVER win AS mu,
+        |         STDDEV_SAMP(value) OVER win AS sigma,
+        |         COUNT(value) OVER win AS n_prev
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, ROUND((value - mu) / sigma, 4) AS z,
+        |       ABS(ROUND((value - mu) / sigma, 4)) >= 3 AS is_anomaly
+        |FROM w WHERE n_prev >= 5 AND sigma > 0
+        |  AND ABS(ROUND((value - mu) / sigma, 4)) >= 2
+        |ORDER BY user_id, event_id""".stripMargin,
+    "events_markov_transitions" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n,
+        |       CAST(COUNT(*) AS DOUBLE) /
+        |         CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM b WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle keeps the window formulation; the CASE's NULL → ELSE
+    // path is what maps no-preceding-touch to 'direct' in both engines
+    "events_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS) OVER win AS touch_type,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+        |               IGNORE NULLS) OVER win AS touch_ts
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_type
+        |            ELSE 'direct' END AS touch_type,
+        |       COUNT(*) AS n_purchases
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared by the batch query and its streamed state-store twin. */

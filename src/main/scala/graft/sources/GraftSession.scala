@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongKey, "true")
+      // Checkpoint file checksums (4.1 default-on) route every state
+      // file through RawLocalFileSystem.getFileLinkStatus, which forks
+      // a `readlink` SHELL per file on local filesystems — a RocksDB
+      // transformWithState spec went from minutes-stuck to seconds with
+      // this off. The feature targets object-store corruption detection;
+      // on a real deployment's DFS checkpoint dir, re-enable it.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Local session for the driver-contract mains. */
