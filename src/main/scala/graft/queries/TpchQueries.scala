@@ -12,6 +12,7 @@ import graft.sources.Tables
   * query). Q1/Q3/Q5/Q10/Q18 live in [[RelationalQueries]]; Q14's shape is
   * `part_promo_revenue` in AnalyticsQueries. Together these pin every
   * canonical plan topology a warehouse engine must get right:
+  * pure pushed-scan aggregation (Q6),
   * semi/anti-join decorrelation (Q4, Q21, Q22), scalar-subquery
   * broadcast (Q11, Q15, Q22), correlated-aggregate join-back (Q2, Q17),
   * dim-snowflake broadcast with big-big cores (Q7, Q8, Q9), outer-join
@@ -55,6 +56,23 @@ object TpchQueries {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q6 (forecasting revenue change) — the canonical pure scan-side
+    * query: one table, three pushable range predicates, one scalar
+    * aggregate. Its whole point at 100 TB is that the plan must be a
+    * parquet scan with ALL filters in PushedFilters (row-group pruning
+    * does the heavy lifting on a shipdate-sorted layout), partial
+    * map-side sums, and a single-row exchange — no join, no wide
+    * shuffle. Per-term decimal cast keeps the sum order-insensitive. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast(DecimalType(22, 6))).cast("double").as("revenue"))
   }
 
   /** Q7 (volume shipping between two nations). Nation joins broadcast
@@ -375,6 +393,7 @@ object TpchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q4_order_priority" -> (q4OrderPriority _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -414,6 +433,13 @@ object TpchQueries {
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       EXTRACT(year FROM l_shipdate) AS l_year,

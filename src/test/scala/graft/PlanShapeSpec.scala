@@ -163,6 +163,8 @@ class PlanShapeSpec extends SparkSpec {
     // r9 TPC-H battery (PlanAudit sf0.001): every scan keeps its
     // dim/date/flag predicate in parquet
     "q2_min_cost_supplier" -> 7, "q4_order_priority" -> 2,
+    // Q6 is ALL pushdown by design: one scan, four range predicates
+    "q6_forecast_revenue" -> 1,
     "q7_nation_volume" -> 6, "q8_market_share" -> 8,
     "q9_product_profit" -> 5, "q11_important_parts" -> 8,
     "q13_customer_distribution" -> 1, "q15_top_supplier" -> 3,
