@@ -169,7 +169,39 @@ object MaintenanceQueries {
       .withColumn("survives", col("hi") > 450000.0d)
       .orderBy(col("block"))
 
+  /** Inline data-quality observation: `Dataset.observe` metrics ride
+    * the SAME scan the pipeline already pays for — they accumulate on
+    * the executors during the action, so profiling 100 TB costs zero
+    * extra passes and zero extra shuffles (the alternative is a second
+    * full aggregate query over the same bytes). The relation runs one
+    * noop materialization to harvest the Observation, then returns the
+    * metrics as a single row; the decimal-cast sum keeps the double
+    * order-insensitive, and the oracle is the equivalent plain
+    * aggregate — proving observed metrics equal computed ones. */
+  def pipelineObserveMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    Tables.lineitem(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        min(col("l_shipdate")).as("min_shipdate"),
+        max(col("l_shipdate")).as("max_shipdate"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    // l_shipdate loads as TIMESTAMP_NTZ, which surfaces as
+    // LocalDateTime in the observed row and round-trips to parquet as
+    // a naive timestamp — exactly what the DuckDB oracle computes
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Double],
+      m("n_returned").asInstanceOf[Long],
+      m("min_shipdate").asInstanceOf[java.time.LocalDateTime],
+      m("max_shipdate").asInstanceOf[java.time.LocalDateTime]))
+      .toDF("n_rows", "sum_qty", "n_returned", "min_shipdate", "max_shipdate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_observe_metrics" -> (pipelineObserveMetrics _),
     "cdc_merge_snapshot" -> (cdcMergeSnapshot _),
     "cdc_merge_streamed" -> (cdcMergeStreamed _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
@@ -204,6 +236,13 @@ object MaintenanceQueries {
         |ORDER BY c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_observe_metrics" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+        |       MIN(l_shipdate) AS min_shipdate,
+        |       MAX(l_shipdate) AS max_shipdate
+        |FROM lineitem""".stripMargin,
     "cdc_merge_snapshot" -> cdcOracleSql,
     "cdc_merge_streamed" -> cdcOracleSql,
     "agg_incremental_merge" ->

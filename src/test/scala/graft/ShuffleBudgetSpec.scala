@@ -35,7 +35,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     "window_rank" -> (17000L, 6784L),
     "corpus_pack_windows" -> (110000L, 42340L),
     "asof_join" -> (120000L, 48087L),
-    "budget_select_tokens" -> (50000L, 19763L))
+    "budget_select_tokens" -> (50000L, 19763L),
+    // r9 window analytics: ONE user_id exchange carries the events
+    // rows; everything downstream is frame-local or broadcast-sized
+    "events_anomaly_zscore" -> (60000L, 23685L),
+    "events_attribution" -> (56000L, 22078L),
+    "events_markov_transitions" -> (56000L, 21995L),
+    // Q6 is the pure-pushdown receipt: the only exchange is the
+    // single-row final aggregate
+    "q6_forecast_revenue" -> (200L, 79L))
 
   test("executed-plan shuffle write volume stays inside per-query budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, (budget, measured)) =>
@@ -57,5 +65,18 @@ class ShuffleBudgetSpec extends SparkSpec {
       s"Q5 should shuffle only its tiny final aggregate, got ${v.shuffleBytes} B")
     assert(v.shuffleExchanges <= 2,
       s"Q5 should have at most its aggregate exchanges, got ${v.shuffleExchanges}")
+  }
+
+  test("Q6 exchanges exactly one aggregate row — scan-side cost only") {
+    // the scan-dominated extreme: every predicate in PushedFilters
+    // (PlanShapeSpec pins that) and the lone exchange carries the
+    // single partial-aggregate row, so exchanged volume is CONSTANT in
+    // fact-table size — the plan a 100 TB Q6 needs
+    val v = ShuffleAudit.measure(
+      SparkEntry.queries("q6_forecast_revenue")(spark, sf))
+    assert(v.shuffleRows <= 32,
+      s"Q6 should exchange only partial-aggregate rows, got ${v.shuffleRows}")
+    assert(v.shuffleExchanges <= 1,
+      s"Q6 should have one final-aggregate exchange, got ${v.shuffleExchanges}")
   }
 }
