@@ -347,6 +347,27 @@ object CoverageQueries {
       .orderBy(col("event_type"))
   }
 
+  /** F8 without a declared schema: `events.props` through Spark 4's
+    * VARIANT type — `parse_json` shreds the string ONCE into binary
+    * variant and every later `variant_get` is a typed binary probe, not
+    * a re-parse. That is the semi-structured story at 100 TB: schema-free
+    * ingestion whose per-access cost matches a struct column's, vs
+    * re-tokenizing JSON text per expression (`json_extract`'s from_json
+    * with an explicit schema is the schema-ENFORCED sibling; this is the
+    * schema-FLEXIBLE one — both land in the same aggregate oracle). The
+    * malformed-input path is covered: try_parse_json nulls instead of
+    * failing, so a poisoned row degrades to missing, not a dead job. */
+  def jsonVariantAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("v", expr("try_parse_json(props)"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** F5 generalized: calendar bucketing of order dates. */
   def dateTrunc(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -475,6 +496,7 @@ object CoverageQueries {
     "array_vector_stats" -> (arrayVectorStats _),
     "stratified_sample" -> (stratifiedSample _),
     "json_extract" -> (jsonExtract _),
+    "json_variant_agg" -> (jsonVariantAgg _),
     "json_malformed_skip" -> (jsonMalformedSkip _),
     "date_trunc_agg" -> (dateTrunc _),
     "string_funcs" -> (stringFuncs _),
@@ -597,6 +619,13 @@ object CoverageQueries {
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       COUNT(json_extract_string(props, '$.k')) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_variant_agg" ->
+      """WITH k AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     "date_trunc_agg" ->
       """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
