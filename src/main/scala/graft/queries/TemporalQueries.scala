@@ -303,6 +303,32 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Update OUTPUT MODE under the oracle gate — the third of the three
+    * streaming output modes (append is everywhere, complete backs the
+    * streamed sketch merge): the engine's own incremental stateful
+    * aggregate re-emits each CHANGED group per microbatch, so a
+    * dashboard sink sees monotone count revisions without waiting for
+    * any watermark flush (there is no watermark here at all — update
+    * mode is what makes that legal). Counts are monotone, so the
+    * settled ledger (max per key) equals the final totals; at scale
+    * the state is one long per group and the per-batch emission is
+    * bounded by groups TOUCHED in the batch, not total groups. */
+  def typeCountsUpdateStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = "type_counts_upd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** LIST-typed keyed state under the oracle gate: per-user last-3
     * events through `transformWithState` + `ListState`
     * ([[graft.streaming.TwsRecent]]) — the online "recent history"
@@ -685,6 +711,7 @@ object TemporalQueries {
     "session_bootstrap_streamed" -> (sessionBootstrapStreamed _),
     "type_counts_tws_streamed" -> (typeCountsTwsStreamed _),
     "user_recent_events_streamed" -> (userRecentEventsStreamed _),
+    "type_counts_update_streamed" -> (typeCountsUpdateStreamed _),
     "stream_interval_join_streamed" -> (streamIntervalJoinStreamed _),
     "stream_interval_join_left_streamed" -> (streamIntervalJoinLeftStreamed _),
     "events_ohlc_bars" -> (eventsOhlcBars _),
@@ -844,6 +871,11 @@ object TemporalQueries {
       """SELECT user_id, event_type, COUNT(*) AS n FROM events
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // update-mode running aggregate: monotone counts settle by max to
+    // the plain batch totals
+    "type_counts_update_streamed" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // list-state recent-k buffer: the settled ledger equals the batch
     // per-user top-3 by (ts, event_id)
     "user_recent_events_streamed" ->
