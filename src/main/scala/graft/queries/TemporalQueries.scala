@@ -529,11 +529,15 @@ object TemporalQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     val notPurchase = col("event_type") =!= "purchase"
     Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("touch_type",
-        last(when(notPurchase, col("event_type")), ignoreNulls = true).over(w))
-      .withColumn("touch_ts",
-        last(when(notPurchase, col("ts")), ignoreNulls = true).over(w))
+      // both carries in ONE projection: sequential withColumns would
+      // leave a Project between two identical-spec Window operators,
+      // which blocks CollapseWindow — this way the plan runs a single
+      // Window pass computing both
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        last(when(notPurchase, col("event_type")), ignoreNulls = true)
+          .over(w).as("touch_type"),
+        last(when(notPurchase, col("ts")), ignoreNulls = true)
+          .over(w).as("touch_ts"))
       .filter(col("event_type") === "purchase")
       .select(when(col("touch_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
         col("touch_type")).otherwise(lit("direct")).as("touch_type"))
