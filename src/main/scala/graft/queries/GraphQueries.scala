@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{PageRank, Triangles}
+import graft.operators.{Bfs, PageRank, Triangles}
 
 /** Graph analytics over the near-dup pair graph. The reference
   * pipeline (dotsering/kafka-connect-minio-pipeline) has no graph
@@ -37,6 +37,25 @@ object GraphQueries {
     Triangles.perNode(DedupQueries.neardupPairs(spark, dir))
       .orderBy(col("node"))
 
+  /** Bounded multi-source BFS over the same near-dup graph
+    * ([[Bfs.hops]]): hop distance (≤ 3) from the nearest "locally
+    * canonical" document — a node smaller than every neighbor, the
+    * deterministic seed set a revision chain's keeper election uses.
+    * The curation meaning: how many near-dup steps separate each doc
+    * from a keeper. Unreached nodes are absent. The oracle replays the
+    * exact frontier expansion as a depth-capped recursive CTE with a
+    * MIN(hop) rollup. */
+  def graphBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.neardupPairs(spark, dir)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val seeds = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .filter(col("src") < col("min_nbr"))
+      .select(col("src").as("node"))
+    Bfs.hops(edges, seeds, maxHops = 3).orderBy(col("node"))
+  }
+
   private val mass = 1000000000000L
 
   /** One unrolled PageRank round: rank state r{i} from r{i-1} — the
@@ -59,10 +78,26 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
-    "graph_triangles" -> (graphTriangles _)
+    "graph_triangles" -> (graphTriangles _),
+    "graph_bfs_hops" -> (graphBfsHops _)
   )
 
   val oracles: Map[String, String] = Map(
+    // WITH RECURSIVE heads the whole CTE list (the non-recursive graph
+    // CTEs ride along); UNION (not ALL) dedups (node, hop) pairs so the
+    // depth-capped recursion stays finite, and MIN(hop) per node is the
+    // BFS distance
+    "graph_bfs_hops" ->
+      s"""WITH RECURSIVE ${DedupQueries.neardupGraphCtes},
+         |e2 AS MATERIALIZED (SELECT src, dst FROM edges),
+         |seeds AS (SELECT src AS node FROM e2 GROUP BY src HAVING src < MIN(dst)),
+         |bfs(node, hop) AS (
+         |  SELECT node, 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, bfs.hop + 1
+         |  FROM bfs JOIN e2 e ON e.src = bfs.node WHERE bfs.hop < 3)
+         |SELECT node, CAST(MIN(hop) AS INT) AS hop
+         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
     "graph_pagerank" ->
       s"""WITH ${DedupQueries.neardupGraphCtes},
          |e2 AS MATERIALIZED (SELECT src, dst FROM edges),
