@@ -30,6 +30,12 @@ class BfsSpec extends SparkSpec {
     assert(got(6L) === 2, s"side chain wrong: $got")
   }
 
+  test("empty graph / empty seed set: empty result, not errors") {
+    assert(run(Seq.empty[(Long, Long)], Seq.empty[Long], 3) === Map.empty)
+    assert(run(Seq.empty[(Long, Long)], Seq(1L), 3) === Map(1L -> 0),
+      "a seed with no edges is still at hop 0")
+  }
+
   test("multi-source: every node takes the distance to its NEAREST seed") {
     // two seeds at the ends of a path 1..7; middle splits between them
     val edges = (1L to 6L).map(i => (i, i + 1))
