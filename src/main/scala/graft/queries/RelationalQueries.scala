@@ -257,8 +257,42 @@ object RelationalQueries {
     }.reduce(_.union(_)).orderBy(col("edge"))
   }
 
+  /** Typed per-key MERGE through `KeyValueGroupedDataset.cogroup` — the
+    * §2.10 Dataset primitive the registry had not yet exercised: both
+    * sides co-partition on the key in ONE shuffle each and the merge
+    * function sees each key's two row streams together. The primitive
+    * earns its keep when per-key logic exceeds relational algebra
+    * (sequence alignment, custom conflict resolution); THIS instance is
+    * deliberately relational — order-header vs line-detail consistency
+    * with exact-decimal line totals — so the full-outer-join oracle can
+    * prove the cogroup path row-for-row. Decimal accumulation in the
+    * merge keeps the emitted double independent of line order. */
+  def auditCogroupDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice")).as[(Long, Double)]
+    orders.groupByKey(_._1).cogroup(lines.groupByKey(_._1)) { (key, os, ls) =>
+      val hasOrder = os.nonEmpty
+      var n = 0L
+      var total = BigDecimal(0).setScale(2)
+      ls.foreach { l =>
+        n += 1
+        total += BigDecimal(l._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val status =
+        if (!hasOrder) "orphan_lines"
+        else if (n == 0L) "empty_order"
+        else "ok"
+      Iterator((key, status, n, total.toDouble))
+    }.toDF("order_key", "status", "n_lines", "line_total")
+      .orderBy(col("order_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_reconcile" -> (auditReconcile _),
+    "audit_cogroup_diff" -> (auditCogroupDiff _),
     "audit_summary" -> (auditSummary _),
     "audit_referential" -> (auditReferential _),
     "smt_transform" -> (smtTransform _),
@@ -320,6 +354,21 @@ object RelationalQueries {
       s"""WITH $usersCte, $transformedCte, $sinkCte
          |$auditSelect
          |ORDER BY user_id""".stripMargin,
+    // the relational mirror of the typed cogroup merge: full-outer on
+    // the order key with exact-decimal line totals
+    "audit_cogroup_diff" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_total
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS order_key,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'orphan_lines'
+        |            WHEN l.l_orderkey IS NULL THEN 'empty_order'
+        |            ELSE 'ok' END AS status,
+        |       COALESCE(l.n_lines, 0) AS n_lines,
+        |       CAST(COALESCE(l.line_total, 0.00) AS DOUBLE) AS line_total
+        |FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY order_key""".stripMargin,
     "audit_summary" ->
       s"""WITH $usersCte, $transformedCte, $sinkCte,
          |audit AS ($auditSelect)
