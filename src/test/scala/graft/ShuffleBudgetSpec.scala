@@ -43,7 +43,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "events_markov_transitions" -> (56000L, 21995L),
     // Q6 is the pure-pushdown receipt: the only exchange is the
     // single-row final aggregate
-    "q6_forecast_revenue" -> (200L, 79L))
+    "q6_forecast_revenue" -> (200L, 79L),
+    // typed cogroup: both key-projected sides co-partition (orders +
+    // lineitem rows) plus the ordered-output range exchange
+    "audit_cogroup_diff" -> (350000L, 138914L))
 
   test("executed-plan shuffle write volume stays inside per-query budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, (budget, measured)) =>
