@@ -171,6 +171,46 @@ object AnalyticsQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Least-squares regression of event value on time per event type —
+    * slope (per hour)/intercept/r², the drift-detection shape for
+    * metric monitoring. NOT the built-in regr_* aggregates: their
+    * one-pass moments drift ~1e-6 between engines (measured — enough
+    * to flip a 6-dp rounding), so this routes the five moments through
+    * EXACT decimal sums over an integer-seconds regressor (the
+    * agg_corr_stats discipline) and derives the fit in textually
+    * identical double arithmetic in both engines — bit-equal before
+    * the presentation rounding ever runs. */
+  def aggRegression(spark: SparkSession, dir: String): DataFrame = {
+    // integer regressor (seconds) and integer regressand (value in
+    // micro-units): round(value*1e6) is a pure function of the stored
+    // double — the IEEE product and the rounding are identical in both
+    // engines — so every moment below is EXACT and engine-independent
+    val xs = (unix_timestamp(col("ts")) - lit(1704067200L))
+    val vi = round(col("value") * 1000000.0, 0).cast(DecimalType(18, 0))
+    val g = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xs.cast(DecimalType(18, 0))).as("sx"),
+        sum(vi).as("sy"),
+        sum((xs * xs).cast(DecimalType(28, 0))).as("sxx"),
+        sum(vi * vi).as("syy"),
+        sum(xs.cast(DecimalType(18, 0)) * vi).as("sxy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val cov = nD * sxy - sx * sy
+    val varx = nD * sxx - sx * sx
+    val vary = nD * syy - sy * sy
+    val slopeSec = cov / varx
+    g.select(col("event_type"), col("n"),
+      round(slopeSec * 3600.0 / 1000000.0, 6).as("slope_per_hour"),
+      round((sy - slopeSec * sx) / nD / 1000000.0, 6).as("intercept"),
+      round((cov * cov) / (varx * vary), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Ordered/positional aggregates: min_by/max_by on a unique ordering
     * key, plus a deterministic string_agg (sorted distinct). */
   def aggMinmaxBy(spark: SparkSession, dir: String): DataFrame =
@@ -345,6 +385,7 @@ object AnalyticsQueries {
     "window_ntile" -> (windowNtile _),
     "window_ignore_nulls" -> (windowIgnoreNulls _),
     "agg_corr_stats" -> (aggCorrStats _),
+    "agg_regression" -> (aggRegression _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_conditional" -> (aggConditional _),
     "union_by_name" -> (unionByNameQuery _),
@@ -438,6 +479,49 @@ object AnalyticsQueries {
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
         |         AS last_click_value
         |FROM events ORDER BY event_id""".stripMargin,
+    // integer-seconds regressor × micro-unit-quantized regressand:
+    // round(value*1e6) is the same pure function of the stored double
+    // in both engines, so every moment is exact and the derived double
+    // arithmetic is bit-equal pre-rounding (built-in regr_* one-pass
+    // moments drift ~1e-6 across engines — measured, rejected)
+    "agg_regression" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |         -- floor(): Spark's unix_timestamp truncates to whole
+        |         -- seconds while DuckDB's epoch() keeps the fraction
+        |         CAST(floor(epoch(ts)) - 1704067200 AS DECIMAL(18,0)) AS xs,
+        |         CAST(round(value * 1000000.0) AS DECIMAL(18,0)) AS vi
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(xs) AS sx,
+        |         SUM(vi) AS sy,
+        |         SUM(xs * xs) AS sxx,
+        |         SUM(vi * vi) AS syy,
+        |         SUM(xs * vi) AS sxy
+        |  FROM q GROUP BY event_type)
+        |SELECT event_type, n,
+        |       round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |             * 3600.0 / 1000000.0, 6) AS slope_per_hour,
+        |       round((CAST(sy AS DOUBLE)
+        |              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |                * CAST(sx AS DOUBLE))
+        |             / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept,
+        |       round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM g ORDER BY event_type""".stripMargin,
     "agg_corr_stats" ->
       """WITH g AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
