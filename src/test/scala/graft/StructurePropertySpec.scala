@@ -155,4 +155,38 @@ class StructurePropertySpec extends SparkSpec {
     assert(missing.isEmpty,
       s"false negatives on inserted items: ${missing.take(3).mkString(",")}")
   }
+
+  test("property: distributed BFS hops == reference BFS on random graphs") {
+    // Bfs.hops (frontier expansion over DataFrames) against an
+    // in-memory queue BFS on random sparse graphs with random seed sets
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      nEdges <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+      nSeeds <- Gen.choose(1, 3)
+      seeds <- Gen.listOfN(nSeeds, Gen.choose(0, n - 1).map(_.toLong))
+      maxHops <- Gen.choose(1, 4)
+    } yield (edges.filter(e => e._1 != e._2), seeds.distinct, maxHops)
+    samples(gen, 25, seed0 = 11L).foreach { case (edges, seeds, maxHops) =>
+      // reference: queue BFS over the symmetrized adjacency
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val dist = scala.collection.mutable.Map(seeds.map(_ -> 0): _*)
+      var frontier = seeds.toSet
+      var h = 0
+      while (h < maxHops && frontier.nonEmpty) {
+        h += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(dist(_) = h)
+      }
+      val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+      val got = graft.operators.Bfs.hops(sym, seeds.toDF("node"), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === dist.toMap,
+        s"BFS mismatch on edges=$edges seeds=$seeds maxHops=$maxHops")
+    }
+  }
 }
