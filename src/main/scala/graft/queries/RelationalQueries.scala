@@ -269,10 +269,19 @@ object RelationalQueries {
     * merge keeps the emitted double independent of line order. */
   def auditCogroupDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val orders = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
-    val lines = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_extendedprice")).as[(Long, Double)]
+    cogroupDiff(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)],
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice")).as[(Long, Double)])
+  }
+
+  /** The cogroup merge itself, parameterized so synthetic specs can
+    * drive the arms the fixture data never produces (the testdata has
+    * no orphan lines — every l_orderkey exists in orders). */
+  def cogroupDiff(orders: org.apache.spark.sql.Dataset[(Long, Double)],
+      lines: org.apache.spark.sql.Dataset[(Long, Double)]): DataFrame = {
+    import orders.sparkSession.implicits._
     orders.groupByKey(_._1).cogroup(lines.groupByKey(_._1)) { (key, os, ls) =>
       val hasOrder = os.nonEmpty
       var n = 0L

@@ -212,4 +212,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got === Map(1L -> true, 2L -> false, 3L -> false,
       4L -> true, 5L -> false, 6L -> false))
   }
+
+  test("cogroup diff: all three arms on synthetic keys, exact decimal line totals") {
+    // the fixture data never produces orphan_lines (every l_orderkey
+    // exists in orders) — synthetic sides drive every arm: key 1 ok,
+    // key 2 empty_order, key 3 orphan_lines; 0.005 must round HALF_UP
+    val orders = Seq((1L, 100.0), (2L, 50.0)).toDS()
+    val lines = Seq((1L, 10.105), (1L, 20.0), (3L, 7.0)).toDS()
+    val got = graft.queries.RelationalQueries.cogroupDiff(orders, lines)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map(
+      1L -> (("ok", 2L, 30.11)),
+      2L -> (("empty_order", 0L, 0.0)),
+      3L -> (("orphan_lines", 1L, 7.0))), s"arms wrong: $got")
+  }
 }
