@@ -171,6 +171,23 @@ object AnalyticsQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Discrete percentiles — `percentile_disc` returns an ACTUAL element
+    * of the group (the smallest value whose cume_dist reaches p), not
+    * an interpolation, so the result is immune to the cross-engine
+    * float-interpolation drift exact `percentile` has to manage and is
+    * the right statistic when the value must be realizable (a real
+    * order's price, a real latency). Same sort-based grouped plan as
+    * the continuous variant. */
+  def aggPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Least-squares regression of event value on time per event type —
     * slope (per hour)/intercept/r², the drift-detection shape for
     * metric monitoring. NOT the built-in regr_* aggregates: their
@@ -386,6 +403,7 @@ object AnalyticsQueries {
     "window_ignore_nulls" -> (windowIgnoreNulls _),
     "agg_corr_stats" -> (aggCorrStats _),
     "agg_regression" -> (aggRegression _),
+    "agg_percentile_disc" -> (aggPercentileDisc _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_conditional" -> (aggConditional _),
     "union_by_name" -> (unionByNameQuery _),
@@ -479,6 +497,15 @@ object AnalyticsQueries {
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
         |         AS last_click_value
         |FROM events ORDER BY event_id""".stripMargin,
+    // discrete percentiles pick an actual element — exact string-equal
+    // across engines, no interpolation arithmetic to align
+    "agg_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |       quantile_disc(o_totalprice, 0.25) AS p25,
+        |       quantile_disc(o_totalprice, 0.5) AS p50,
+        |       quantile_disc(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // integer-seconds regressor × micro-unit-quantized regressand:
     // round(value*1e6) is the same pure function of the stored double
     // in both engines, so every moment is exact and the derived double
