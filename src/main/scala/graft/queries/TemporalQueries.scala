@@ -546,6 +546,31 @@ object TemporalQueries {
       .orderBy(col("touch_type"))
   }
 
+  /** Per-user journey strings — the first 8 events concatenated in
+    * event-time order ("signup>view>click>…"), the sequence-as-string
+    * feature session-embedding and journey-clustering pipelines start
+    * from. Ordered string aggregation is a determinism trap at scale:
+    * `collect_list` order is partition-arrival order, so the rows are
+    * rank-stamped first and the collected (rn, type) structs are
+    * `array_sort`ed before joining — same one user_id exchange as any
+    * windowed query, with the per-user payload capped at 8 structs
+    * before the aggregate ever shuffles. */
+  def eventsPathString(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type"))))
+        .as("steps"), count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        array_join(expr("transform(steps, x -> x.event_type)"), ">").as("path"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Cohort retention on the ORDERS table — the same month-offset shape
     * as `cohort_retention`, but deliberately events-independent: §2.4
     * temporal-analytic coverage shouldn't ride entirely on one table's
@@ -721,7 +746,8 @@ object TemporalQueries {
     "events_ohlc_bars" -> (eventsOhlcBars _),
     "events_anomaly_zscore" -> (eventsAnomalyZscore _),
     "events_markov_transitions" -> (eventsMarkovTransitions _),
-    "events_attribution" -> (eventsAttribution _)
+    "events_attribution" -> (eventsAttribution _),
+    "events_path_string" -> (eventsPathString _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -959,6 +985,17 @@ object TemporalQueries {
         |         CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
         |FROM b WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ordered string_agg mirrors the rank-stamped sorted-struct join
+    "events_path_string" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |       COUNT(*) AS n_events
+        |FROM r WHERE rn <= 8
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the oracle keeps the window formulation; the CASE's NULL → ELSE
     // path is what maps no-preceding-touch to 'direct' in both engines
     "events_attribution" ->
