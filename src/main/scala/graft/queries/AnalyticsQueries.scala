@@ -171,6 +171,30 @@ object AnalyticsQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ANSI-safe arithmetic — Spark 4 runs ANSI mode by default, where
+    * decimal division by zero and bad casts THROW mid-job; `try_divide`
+    * / `try_cast` are the production-safe forms that degrade a poisoned
+    * row to null instead of killing a 1000-executor stage hours in.
+    * This pins those semantics as data: rows whose quantity hits the
+    * sentinel make the division undefined, rows flagged 'R' carry an
+    * uncastable string — both must surface as null COUNTS, not
+    * exceptions. Count-only output: try_divide's decimal quotient
+    * scale rules differ across engines, so values stay out of the
+    * oracle and the null-geometry is what's compared. */
+  def aggTrySafe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("try_divide(CAST(l_extendedprice AS DECIMAL(18,2)), " +
+          "CAST(l_quantity - 25 AS DECIMAL(18,2)))").as("ratio"),
+        expr("try_cast(CASE WHEN l_returnflag = 'R' THEN 'not-a-number' " +
+          "ELSE CAST(l_linenumber AS STRING) END AS INT)").as("parsed"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("ratio"))).as("n_div_undefined"),
+        (count(lit(1)) - count(col("parsed"))).as("n_cast_failed"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Discrete percentiles — `percentile_disc` returns an ACTUAL element
     * of the group (the smallest value whose cume_dist reaches p), not
     * an interpolation, so the result is immune to the cross-engine
@@ -404,6 +428,7 @@ object AnalyticsQueries {
     "agg_corr_stats" -> (aggCorrStats _),
     "agg_regression" -> (aggRegression _),
     "agg_percentile_disc" -> (aggPercentileDisc _),
+    "agg_try_safe" -> (aggTrySafe _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_conditional" -> (aggConditional _),
     "union_by_name" -> (unionByNameQuery _),
@@ -497,6 +522,18 @@ object AnalyticsQueries {
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
         |         AS last_click_value
         |FROM events ORDER BY event_id""".stripMargin,
+    // null-geometry of the try_* family: NULLIF/TRY_CAST reproduce the
+    // same undefined-row sets the Spark side's try_divide/try_cast make
+    "agg_try_safe" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       COUNT(*) - COUNT(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                        / NULLIF(CAST(l_quantity - 25 AS DECIMAL(18,2)), 0))
+        |         AS n_div_undefined,
+        |       COUNT(*) - COUNT(TRY_CAST(CASE WHEN l_returnflag = 'R'
+        |                                      THEN 'not-a-number'
+        |                                      ELSE CAST(l_linenumber AS VARCHAR)
+        |                                 END AS INT)) AS n_cast_failed
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // discrete percentiles pick an actual element — exact string-equal
     // across engines, no interpolation arithmetic to align
     "agg_percentile_disc" ->
