@@ -171,6 +171,26 @@ object AnalyticsQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Bitwise aggregate rollup — each user's event-type COVERAGE as a
+    * bitmask (`bit_or` of one-hot positions): the compact "which
+    * features/event kinds has this key ever seen" representation that
+    * feature stores and segment filters use (set membership in one
+    * BIGINT, AND/OR-composable downstream without a join). Exact
+    * integer arithmetic end to end, map-side partial `bit_or`, one
+    * user_id exchange. */
+  def aggBitmaskTypes(spark: SparkSession, dir: String): DataFrame = {
+    val bit = expr(
+      "1 << (CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 " +
+        "WHEN 'signup' THEN 2 WHEN 'purchase' THEN 3 ELSE 4 END)")
+    Tables.events(spark, dir)
+      .select(col("user_id"), bit.cast("long").as("type_bit"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(type_bit)").as("type_mask"),
+        expr("bit_count(bit_or(type_bit))").as("n_distinct_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** ANSI-safe arithmetic — Spark 4 runs ANSI mode by default, where
     * decimal division by zero and bad casts THROW mid-job; `try_divide`
     * / `try_cast` are the production-safe forms that degrade a poisoned
@@ -429,6 +449,7 @@ object AnalyticsQueries {
     "agg_regression" -> (aggRegression _),
     "agg_percentile_disc" -> (aggPercentileDisc _),
     "agg_try_safe" -> (aggTrySafe _),
+    "agg_bitmask_types" -> (aggBitmaskTypes _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_conditional" -> (aggConditional _),
     "union_by_name" -> (unionByNameQuery _),
@@ -522,6 +543,20 @@ object AnalyticsQueries {
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
         |         AS last_click_value
         |FROM events ORDER BY event_id""".stripMargin,
+    // exact-integer bitmask rollup: bit_or/bit_count agree across
+    // engines with no float anywhere
+    "agg_bitmask_types" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         CAST(1 << (CASE event_type WHEN 'click' THEN 0
+        |                    WHEN 'view' THEN 1 WHEN 'signup' THEN 2
+        |                    WHEN 'purchase' THEN 3 ELSE 4 END) AS BIGINT)
+        |           AS type_bit
+        |  FROM events)
+        |SELECT user_id, bit_or(type_bit) AS type_mask,
+        |       CAST(bit_count(bit_or(type_bit)) AS INT) AS n_distinct_types,
+        |       COUNT(*) AS n_events
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
     // null-geometry of the try_* family: NULLIF/TRY_CAST reproduce the
     // same undefined-row sets the Spark side's try_divide/try_cast make
     "agg_try_safe" ->
