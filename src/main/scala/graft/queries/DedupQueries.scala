@@ -288,7 +288,34 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Classic entity-resolution blocking + edit-distance scoring: parts
+    * sharing a (brand, size) block pair up and close names survive a
+    * Levenshtein threshold. The blocking equi-join is ONE shuffle on
+    * the block key; the quadratic pair term is bounded by block size
+    * (≈16 rows/block here), which is the whole point of blocking — at
+    * 100 TB you pick keys that keep blocks O(10²) and the comparison
+    * volume stays linear-ish in the corpus. Both engines implement the
+    * same classic edit distance, so the pair set is exact-integer
+    * comparable. Complements the shingle/minhash family: edit distance
+    * catches single-token typo variants Jaccard-over-shingles ranks
+    * low. */
+  def dedupLevenshteinBlock(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+      col("p_brand").as("brand"), col("p_size").as("size"))
+    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+      col("p_brand").as("brand"), col("p_size").as("size"))
+    a.join(b, Seq("brand", "size"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 5)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_levenshtein_block" -> (dedupLevenshteinBlock _),
     "dedup_allpairs_jaccard" -> (dedupAllpairsJaccard _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_best_survivor" -> (dedupBestSurvivor _),
@@ -386,6 +413,15 @@ object DedupQueries {
       |len(list_filter(w, t -> t IN ('le','les','et','je'))) AS c_fr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_levenshtein_block" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_substring_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
