@@ -300,13 +300,17 @@ object DedupQueries {
     * catches single-token typo variants Jaccard-over-shingles ranks
     * low. */
   def dedupLevenshteinBlock(spark: SparkSession, dir: String): DataFrame = {
+    // block key: brand × size BAND (div 10) — exact-size blocks go
+    // singleton at tiny scale while brand-only goes quadratic at big
+    // scale; the band keeps blocks populated AND bounded everywhere
     val p = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        expr("p_size div 10").as("size_band"))
     val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-      col("p_brand").as("brand"), col("p_size").as("size"))
+      col("p_brand").as("brand"), col("size_band"))
     val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-      col("p_brand").as("brand"), col("p_size").as("size"))
-    a.join(b, Seq("brand", "size"))
+      col("p_brand").as("brand"), col("size_band"))
+    a.join(b, Seq("brand", "size_band"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 5)
@@ -418,7 +422,8 @@ object DedupQueries {
         |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         |FROM p a JOIN p b
-        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  ON a.p_brand = b.p_brand
+        | AND (a.p_size // 10) = (b.p_size // 10)
         | AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY id_a, id_b""".stripMargin,
