@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AllPairsJoin, Dedup}
+import graft.operators.{AllPairsJoin, Dedup, SortedNeighborhood}
 import graft.sources.Tables
 
 /** Deduplication extension queries over `documents`. The md5-hash
@@ -288,33 +288,33 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Classic entity-resolution blocking + edit-distance scoring: parts
-    * sharing a (brand, size) block pair up and close names survive a
-    * Levenshtein threshold. The blocking equi-join is ONE shuffle on
-    * the block key; the quadratic pair term is bounded by block size
-    * (≈16 rows/block here), which is the whole point of blocking — at
-    * 100 TB you pick keys that keep blocks O(10²) and the comparison
-    * volume stays linear-ish in the corpus. Both engines implement the
-    * same classic edit distance, so the pair set is exact-integer
-    * comparable. Complements the shingle/minhash family: edit distance
-    * catches single-token typo variants Jaccard-over-shingles ranks
-    * low. */
+  /** Classic entity-resolution blocking + edit-distance scoring, via
+    * SORTED-NEIGHBORHOOD blocking ([[SortedNeighborhood]], Hernández &
+    * Stolfo SIGMOD'95): parts within `window` positions of each other
+    * in the global (p_name, p_partkey) sort order pair up, and close
+    * names survive a Levenshtein threshold. The round-9 version keyed
+    * blocks on brand × size-band — a FIXED ≈125-block cardinality, so
+    * block population grew linearly with the corpus and within-block
+    * pair volume quadratically (the VERDICT r9 scale-killer). Sorted
+    * neighborhood inverts that: the "block" is a fixed-size window
+    * span, candidate volume is exactly n·window at ANY corpus size,
+    * and name-sorting is precisely the order edit-distance blocking
+    * wants (typo variants sort adjacent). Both engines implement the
+    * same classic edit distance AND the same rank join, so the pair
+    * set is exact-integer comparable; scale behavior (bucket size ==
+    * window under 10× inflation) is spec-pinned in
+    * SortedNeighborhoodSpec. Complements the shingle/minhash family:
+    * edit distance catches single-token typo variants
+    * Jaccard-over-shingles ranks low. */
   def dedupLevenshteinBlock(spark: SparkSession, dir: String): DataFrame = {
-    // block key: brand × size BAND (div 10) — exact-size blocks go
-    // singleton at tiny scale while brand-only goes quadratic at big
-    // scale; the band keeps blocks populated AND bounded everywhere
-    val p = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_name"), col("p_brand"),
-        expr("p_size div 10").as("size_band"))
-    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-      col("p_brand").as("brand"), col("size_band"))
-    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-      col("p_brand").as("brand"), col("size_band"))
-    a.join(b, Seq("brand", "size_band"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    SortedNeighborhood
+      .candidatePairs(p, Seq(col("p_name"), col("p_partkey")), window = 10)
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
       .filter(col("dist") <= 5)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(least(col("a.p_partkey"), col("b.p_partkey")).as("id_a"),
+        greatest(col("a.p_partkey"), col("b.p_partkey")).as("id_b"),
+        col("dist").cast("int").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -417,14 +417,17 @@ object DedupQueries {
       |len(list_filter(w, t -> t IN ('le','les','et','je'))) AS c_fr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the literal sorted-neighborhood definition: a rank range join,
+    // mirroring SortedNeighborhood.candidatePairs' window semantics
     "dedup_levenshtein_block" ->
-      """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part)
-        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      """WITH r AS (
+        |  SELECT p_partkey, p_name,
+        |         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+        |  FROM part)
+        |SELECT LEAST(a.p_partkey, b.p_partkey) AS id_a,
+        |       GREATEST(a.p_partkey, b.p_partkey) AS id_b,
         |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        |FROM p a JOIN p b
-        |  ON a.p_brand = b.p_brand
-        | AND (a.p_size // 10) = (b.p_size // 10)
-        | AND a.p_partkey < b.p_partkey
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 10
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_substring_spans" ->
