@@ -16,8 +16,10 @@ import graft.sources.Tables
   * semi/anti-join decorrelation (Q4, Q21, Q22), scalar-subquery
   * broadcast (Q11, Q15, Q22), correlated-aggregate join-back (Q2, Q17),
   * dim-snowflake broadcast with big-big cores (Q7, Q8, Q9), outer-join
-  * histogramming (Q13), distinct-agg after anti-join (Q16), and
-  * disjunctive predicate evaluation (Q19).
+  * histogramming (Q13), distinct-agg after anti-join (Q16),
+  * disjunctive predicate evaluation (Q19), two-way CASE aggregation
+  * over a date-window join (Q12), and the nested semi-join chain with
+  * a correlated half-sum (Q20).
   *
   * Determinism rules are the repo standard (SURVEY.md §5): money sums go
   * through decimal so accumulation order can't matter, every ORDER BY
@@ -197,6 +199,67 @@ object TpchQueries {
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
 
+  /** Q12 (shipping-priority counting; substitutions: l_returnflag for
+    * the missing l_shipmode's two-mode IN list, l_shipdate for the
+    * missing receiptdate's one-year window). The canonical two-way CASE
+    * aggregation over a date-window join: both line-level predicates
+    * push to the lineitem scan, the orders side is projected to
+    * (orderkey, priority) before the one big-big equi-shuffle on
+    * orderkey, and the CASE pair folds in the same pass as the group-by
+    * — no second aggregate, no second shuffle. */
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q20 (potential promotion suppliers; partsupp-free rewrite like
+    * Q2/Q16: "availqty" becomes each (part, supplier)'s all-time
+    * shipped quantity). The nested semi-join chain: part name-prefix
+    * filter → per-(part, supp) quantity rollup → correlated half-sum
+    * threshold (rewritten aggregate-then-join; the oracle keeps the
+    * literal correlated subquery) → supplier IN-list → nation filter.
+    * The half comparison is 2·qty > window_qty on exact decimal sums,
+    * so no engine pair can disagree on a boundary; parts with no
+    * in-window shipments drop via the inner join, matching the literal
+    * NULL-comparison semantics. Both lineitem passes are semi-
+    * restricted to the name-filtered parts BEFORE aggregating, so the
+    * heavy scans shrink first; nation is filtered then broadcast. */
+  def q20PotentialPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val qtyDec = col("l_quantity").cast(DecimalType(18, 2))
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    def smallLines = Tables.lineitem(spark, dir)
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+    val ps = smallLines
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(qtyDec).as("qty"))
+    val winQty = smallLines
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey").as("w_partkey"))
+      .agg(sum(qtyDec).as("win_qty"))
+    val goodSupp = ps.join(winQty, col("l_partkey") === col("w_partkey"))
+      .filter(col("qty") * lit(2) > col("win_qty"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(goodSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"), col("s_suppkey"))
+  }
+
   /** Q13 (customer order-count distribution). LEFT OUTER join so
     * zero-order customers survive with count 0, orders pre-filtered
     * (priority exclusion) BEFORE the join — the filter can't live in the
@@ -361,31 +424,38 @@ object TpchQueries {
   /** Q2 (min-cost supplier). No partsupp table, so the "offer" relation
     * is derived: each (part, supplier) pair's minimum observed unit
     * price across its lineitems. The correlated MIN is again an
-    * aggregate-then-join: per-part min unit cost joins back on
-    * (partkey, exact double equality — both engines derive the value
-    * from identical IEEE divisions, and MIN is exact). Part is
-    * pre-filtered by size/type before driving the join. */
+    * aggregate-then-join: per-part min unit cost joins back on the
+    * partkey plus the min-cost EQUALITY — which is why the unit cost
+    * is quantized to integer micro-units first (round(x·10⁶), a pure
+    * function of the stored doubles both engines compute identically):
+    * an equality join on raw IEEE doubles would be correct only while
+    * both sides evaluate the division with identical precision, and
+    * fragile to any codegen/evaluation-order change on either engine.
+    * Part is pre-filtered by size/type before driving the join. */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
       .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
       .select(col("p_partkey"), col("p_name"))
+    val unitCostMicro =
+      round(col("l_extendedprice") / col("l_quantity") * lit(1e6)).cast("long")
     val offers = Tables.lineitem(spark, dir)
       .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .agg(min(unitCostMicro).as("cost_micro"))
     val minCost = offers.groupBy(col("l_partkey").as("m_partkey"))
-      .agg(min(col("unit_cost")).as("min_cost"))
+      .agg(min(col("cost_micro")).as("min_micro"))
     val s = Tables.supplier(spark, dir)
       .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
         col("n_name").as("nation"))
     offers
       .join(minCost, col("l_partkey") === col("m_partkey") &&
-        col("unit_cost") === col("min_cost"))
+        col("cost_micro") === col("min_micro"))
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(s, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("nation"),
-        col("p_partkey"), col("p_name"), col("unit_cost"))
+        col("p_partkey"), col("p_name"),
+        (col("cost_micro") / lit(1e6)).as("unit_cost"))
       .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
       .limit(100)
   }
@@ -398,11 +468,13 @@ object TpchQueries {
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q11_important_parts" -> (q11ImportantParts _),
+    "q12_ship_priority" -> (q12ShipPriority _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q16_supplier_cnt" -> (q16SupplierCnt _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
+    "q20_potential_promotion" -> (q20PotentialPromotion _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _)
   )
@@ -413,15 +485,17 @@ object TpchQueries {
         |           WHERE p_size <= 5 AND p_type = 'LARGE'),
         |offers AS (
         |  SELECT l_partkey, l_suppkey,
-        |         MIN(l_extendedprice / l_quantity) AS unit_cost
+        |         MIN(CAST(ROUND(l_extendedprice / l_quantity * 1e6) AS BIGINT))
+        |           AS cost_micro
         |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM p)
         |  GROUP BY l_partkey, l_suppkey)
-        |SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name, unit_cost
+        |SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
+        |       cost_micro / 1e6 AS unit_cost
         |FROM offers, p, supplier, nation
         |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
         |  AND s_nationkey = n_nationkey
-        |  AND unit_cost = (SELECT MIN(o2.unit_cost) FROM offers o2
-        |                   WHERE o2.l_partkey = p_partkey)
+        |  AND cost_micro = (SELECT MIN(o2.cost_micro) FROM offers o2
+        |                    WHERE o2.l_partkey = p_partkey)
         |ORDER BY s_acctbal DESC, p_partkey, s_name
         |LIMIT 100""".stripMargin,
     "q4_order_priority" ->
@@ -493,6 +567,18 @@ object TpchQueries {
         |GROUP BY l_partkey
         |HAVING SUM(val) > (SELECT SUM(val) * 0.001 FROM scoped)
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q13_customer_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist
         |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -542,6 +628,29 @@ object TpchQueries {
         |   AND l_quantity BETWEEN 10 AND 20) OR
         |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |   AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    // the literal nested-IN + correlated-subquery formulation, proving
+    // the Spark aggregate-then-join rewrite equivalent on every run; no
+    // COALESCE on the correlated sum — a part with no in-window
+    // shipments yields NULL > and drops, matching the inner join
+    "q20_potential_promotion" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM (
+        |      SELECT l_partkey AS ps_partkey, l_suppkey,
+        |             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |      FROM lineitem GROUP BY 1, 2) ps
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'small%')
+        |      AND qty * 2 > (
+        |        SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |        FROM lineitem l2
+        |        WHERE l2.l_partkey = ps.ps_partkey
+        |          AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |ORDER BY s_name, s_suppkey""".stripMargin,
     "q21_waiting_supplier" ->
       """SELECT s_name, COUNT(*) AS numwait
         |FROM supplier, lineitem l1, orders, nation
