@@ -26,22 +26,53 @@ object Bfs {
 
   /** Hop distance (0..maxHops) from the nearest seed over a DIRECTED
     * edge list (symmetrize upstream for undirected semantics). Nodes
-    * unreached within maxHops are absent from the result. */
+    * unreached within maxHops are absent from the result.
+    *
+    * Checkpoint hygiene: each round's eager `localCheckpoint`
+    * SUPERSEDES the previous round's visited/frontier blocks — they
+    * are unpersisted as soon as the new round is materialized, so the
+    * loop holds at most two rounds of state instead of accumulating
+    * every round until job end. Note `localCheckpoint` stores
+    * UNREPLICATED executor blocks: cheap, but an executor loss
+    * mid-loop fails the job — production runs on unreliable clusters
+    * should swap in reliable `checkpoint()` (DFS-backed) at the cost
+    * of a write per round. */
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("hop", lit(0)).localCheckpoint(true)
-    var frontier = visited
-    for (h <- 1 to maxHops) {
-      val next = frontier
-        .join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("hop", lit(h))
-        .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
-      frontier = next
+    val sc = edges.sparkSession.sparkContext
+    // localCheckpoint exposes no handle to its persisted RDD, so learn
+    // each checkpoint's block ids by diffing the persistent-RDD registry
+    // around the (eager) call — single-threaded builder, so the diff is
+    // exactly this checkpoint's blocks
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val e = edges.select(col("src"), col("dst"))
+    var (visited, visitedIds) = checkpointTracked(
+      seeds.select(col("node")).distinct().withColumn("hop", lit(0)))
+    var frontier = visited
+    var frontierIds = Set.empty[Int] // round 0 shares the visited blocks
+    for (h <- 1 to maxHops) {
+      val (next, nextIds) = checkpointTracked(
+        frontier
+          .join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("hop", lit(h)))
+      free(frontierIds) // pre-round frontier: consumed by the join above
+      val (newVisited, newVisitedIds) = checkpointTracked(visited.union(next))
+      free(visitedIds) // pre-round visited: folded into the union
+      visited = newVisited
+      visitedIds = newVisitedIds
+      frontier = next
+      frontierIds = nextIds
+    }
+    // the last frontier was folded into the final visited checkpoint;
+    // only the result's own blocks stay pinned
+    free(frontierIds)
     visited.select(col("node"), col("hop").cast("int").as("hop"))
   }
 }

@@ -37,7 +37,12 @@ object Triangles {
       col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
+    // persisted: deg is referenced three times (both degree attaches +
+    // the final left join), and each unpinned reference would recompute
+    // the symmetrized-edge scan and its groupBy shuffle from source
+    // (measured 1.7× on the round-9 bench before pinning)
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .persist()
     // (deg, id) total order; orient low → high so out-degrees are O(√m)
     val withDeg = sym
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
