@@ -137,6 +137,49 @@ class DedupSkewSpec extends SparkSpec {
     assert(Salting.advise(uniform, "k", 32).salts === 1)
   }
 
+  test("advised_salted_join: the advise-driven salt splits the hottest real key's " +
+      "max-task rows vs the unsalted plan, and the registered plan is salted") {
+    import graft.operators.Salting
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_type", $"user_id", $"value")
+    // real data: each of the 5 event types carries ~20% of the rows, so
+    // the advisor must prescribe splitting (ceil(0.2 x 32) ~ 7)
+    val advice = Salting.advise(ev, "event_type", shufflePartitions = 32)
+    assert(advice.salts >= 2, s"real event_type skew must demand salting: $advice")
+
+    // the registered query actually joins on (key, __salt): the salt
+    // column survives into the optimized plan's join keys
+    val registered = graft.queries.ExtendedQueries
+      .advisedSaltedJoin(spark, sf)
+    val optimized = registered.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("__salt"),
+      "advised_salted_join's plan lost the salt key — no longer salted")
+
+    // receipt on the real table (broadcast + AQE off so both joins
+    // shuffle): the hottest key's max-task rows drop by ~the salt factor
+    val dim = ev.groupBy($"event_type").agg(count(lit(1)).as("n_type"))
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "32") {
+      def maxPart(df: org.apache.spark.sql.DataFrame): Long =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+      val plain = ev.join(dim, Seq("event_type"), "inner")
+      val salted = Salting.saltedJoin(ev, dim, "event_type", advice.salts)
+      assert(salted.count() === plain.count(), "salting changed join semantics")
+      val (mp, ms) = (maxPart(plain), maxPart(salted))
+      assert(ms * 2 <= mp,
+        s"salted max partition $ms did not drop vs plain $mp (salts ${advice.salts})")
+    }
+  }
+
   test("passage dedup stays linear on a passage shared by thousands of docs") {
     // 5000 docs all opening with the same 10-token boilerplate passage:
     // the count window aggregates the hot key linearly — output stays one

@@ -82,7 +82,11 @@ class PlanShapeSpec extends SparkSpec {
     "cdc_merge_streamed" -> 1,
     // r9 TPC-H Q8: the one big-big core (lineitem ⋈ orders on orderkey);
     // every dim side broadcasts
-    "q8_market_share" -> 1
+    "q8_market_share" -> 1,
+    // r10: the advise→salt→join demo PINS the shuffled path (merge
+    // hint) because its whole subject is the non-broadcastable-dim
+    // regime — a broadcast would optimize the salting away
+    "advised_salted_join" -> 1
   ).withDefaultValue(0)
 
   // legitimate broadcast nested-loop joins: tiny-dim cross products and
