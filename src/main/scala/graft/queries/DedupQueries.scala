@@ -65,11 +65,12 @@ object DedupQueries {
         coalesce(col("n_hist_copies"), lit(0L)).as("n_hist_copies"),
         col("n_hist_copies").isNull.cast("int").as("is_new"))
     val name = "dedup_inc_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     spark.table(name).orderBy(col("doc_id"))
   }
 

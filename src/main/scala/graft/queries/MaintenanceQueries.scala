@@ -66,11 +66,12 @@ object MaintenanceQueries {
     val latest = CdcMerge.latestPerKey(
       ordersChangelog(Tables.ordersStream(spark, dir)), "c_custkey", "seq", "op")
     val name = "cdc_latest_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = latest.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      latest.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     CdcMerge.applyLatest(customerSnapshot(spark, dir), spark.table(name), "c_custkey")
       .orderBy(col("c_custkey"))
   }

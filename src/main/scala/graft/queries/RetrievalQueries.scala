@@ -435,11 +435,12 @@ object RetrievalQueries {
         .filter(col("source") === "src0"))
       .select(col("doc_id"), col("t"), col("tf"), col("dl"))
     val name = "bm25_post_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = postings.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      postings.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     spark.table(name).orderBy(col("doc_id"), col("t"))
   }
 
@@ -495,33 +496,34 @@ object RetrievalQueries {
     val fresh = postingRows(
       reader.parquet(dir).filter(col("source") === sourceId),
       carry = Seq("source"))
-    val q = fresh.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // doc-keyed UPSERT of this micro-batch into the source
-        // partition: re-delivered docs replace their old rows, and
-        // rows of OTHER docs already in the partition survive — so a
-        // source split across micro-batches (maxFilesPerTrigger)
-        // accumulates instead of each batch clobbering the partition,
-        // and whole-run re-delivery stays exactly-once per doc
-        val sp = batch.sparkSession
-        val part = new org.apache.hadoop.fs.Path(indexDir, s"source=$sourceId")
-        val fs = part.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(part)) {
-            sp.read.parquet(indexDir).filter(col("source") === sourceId)
-              .join(batch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-              .unionByName(batch)
-              // materialize before overwriting the files being read
-              .localCheckpoint()
-          } else batch
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("source").parquet(indexDir)
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      fresh.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // doc-keyed UPSERT of this micro-batch into the source
+          // partition: re-delivered docs replace their old rows, and
+          // rows of OTHER docs already in the partition survive — so a
+          // source split across micro-batches (maxFilesPerTrigger)
+          // accumulates instead of each batch clobbering the partition,
+          // and whole-run re-delivery stays exactly-once per doc
+          val sp = batch.sparkSession
+          val part = new org.apache.hadoop.fs.Path(indexDir, s"source=$sourceId")
+          val fs = part.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(part)) {
+              sp.read.parquet(indexDir).filter(col("source") === sourceId)
+                .join(batch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+                .unionByName(batch)
+                // materialize before overwriting the files being read
+                .localCheckpoint()
+            } else batch
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("source").parquet(indexDir)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -317,11 +317,12 @@ object SimilarityQueries {
         (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int").as("cell"),
         round(array_min(col("d2s")), 9).as("d2"))
     val name = "sim_assign_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = assigned.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      assigned.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     spark.table(name).orderBy(col("vec_id"))
   }
 
@@ -344,37 +345,38 @@ object SimilarityQueries {
     val fresh = assignedStream(spark, dir, mod)
       .select(col("vec_id"), col("embedding"),
         (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int").as("cell"))
-    val q = fresh.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        val b = batch.localCheckpoint()
-        val touched = b.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).sorted
-        if (touched.nonEmpty) {
-          val root = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
-          val merged =
-            if (fs.exists(root)) {
-              // only the touched cells are read and rewritten; rows of
-              // OTHER ids in those cells survive the anti-join, so a
-              // batch split across triggers accumulates instead of
-              // clobbering, and whole-run re-delivery is idempotent
-              sp.read.parquet(indexDir)
-                .filter(col("cell").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
-                .join(b.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
-                .unionByName(b)
-                // materialize before overwriting the files being read
-                .localCheckpoint()
-            } else b
-          merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell").parquet(indexDir)
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      fresh.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sp = batch.sparkSession
+          val b = batch.localCheckpoint()
+          val touched = b.select(col("cell")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          if (touched.nonEmpty) {
+            val root = new org.apache.hadoop.fs.Path(indexDir)
+            val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+            val merged =
+              if (fs.exists(root)) {
+                // only the touched cells are read and rewritten; rows of
+                // OTHER ids in those cells survive the anti-join, so a
+                // batch split across triggers accumulates instead of
+                // clobbering, and whole-run re-delivery is idempotent
+                sp.read.parquet(indexDir)
+                  .filter(col("cell").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
+                  .join(b.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+                  .unionByName(b)
+                  // materialize before overwriting the files being read
+                  .localCheckpoint()
+              } else b
+            merged.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("cell").parquet(indexDir)
+          }
         }
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Corpus cartography: join the document metadata onto the Lloyd-IVF

@@ -103,11 +103,12 @@ object TemporalQueries {
       .as[graft.streaming.VersionEvent]
     val out = graft.streaming.StreamingPipeline.streamingScd2(events)
     val name = "scd2_streamed_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.toDF().writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     val settle = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("event_id"))
       .orderBy(col("valid_to").asc_nulls_last)
@@ -140,11 +141,12 @@ object TemporalQueries {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     val name = "dedup_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     spark.table(name).orderBy(col("user_id"), col("event_type"))
   }
 
@@ -175,11 +177,12 @@ object TemporalQueries {
         .as[graft.streaming.SessEvent],
       gapUs = 30L * 60L * 1000000L)
     val name = "session_fmgs_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessions.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     spark.table(name)
       .filter(col("user_id") >= 0)
       .groupBy(col("user_id"))
@@ -209,11 +212,12 @@ object TemporalQueries {
       events, gapUs = 30L * 60L * 1000000L)
     val name = "session_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
     graft.streaming.TwsSessions.withRocksDb(spark) {
-      val q = sessions.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamGate.runToCompletion(spark) {
+        sessions.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
     }
     spark.table(name)
       .filter(col("user_id") >= 0)
@@ -240,10 +244,15 @@ object TemporalQueries {
     import spark.implicits._
     val gapUs = 30L * 60L * 1000000L
     val cutoff = lit("2024-01-16").cast("timestamp")
+    // the seed is materialized EAGERLY at the session's full batch
+    // parallelism before the stream starts: left lazy, its window+rollup
+    // would execute inside micro-batch 0 at the (deliberately small)
+    // stream state-partition count — the backfill compute belongs to the
+    // batch engine, the handoff should move only the compressed state
     val seed = graft.streaming.TwsSessions.batchSessionState(
       Tables.events(spark, dir).filter(col("ts") < cutoff)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us")),
-      gapUs)
+      gapUs).localCheckpoint(true)
     val streamHalf = Tables.eventsStream(spark, dir)
       .filter(col("ts") >= cutoff) // passes the far-future sentinel too
       .unionByName(CoverageQueries.sentinelStream(spark))
@@ -255,11 +264,12 @@ object TemporalQueries {
       streamHalf, gapUs, seed)
     val name = "session_boot_" + java.util.UUID.randomUUID().toString.replace("-", "")
     graft.streaming.TwsSessions.withRocksDb(spark) {
-      val q = sessions.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamGate.runToCompletion(spark) {
+        sessions.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
     }
     spark.table(name)
       .filter(col("user_id") >= 0)
@@ -290,11 +300,12 @@ object TemporalQueries {
     val counts = graft.streaming.TwsCounts.typeCounts(events)
     val name = "type_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
     graft.streaming.TwsSessions.withRocksDb(spark) {
-      val q = counts.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamGate.runToCompletion(spark) {
+        counts.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
     }
     spark.table(name)
       .filter(col("user_id") >= 0)
@@ -318,11 +329,12 @@ object TemporalQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
     val name = "type_counts_upd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      counts.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"))
@@ -348,11 +360,12 @@ object TemporalQueries {
     val recent = graft.streaming.TwsRecent.recentEvents(events, 3)
     val name = "recent_events_" + java.util.UUID.randomUUID().toString.replace("-", "")
     graft.streaming.TwsSessions.withRocksDb(spark) {
-      val q = recent.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamGate.runToCompletion(spark) {
+        recent.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
     }
     spark.table(name)
       .filter(col("user_id") >= 0)
@@ -374,7 +387,7 @@ object TemporalQueries {
     * the DuckDB oracle is the equivalent batch range join:
     * stream == batch == external engine. */
   def streamIntervalJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
-    def src = Tables.eventsStream(spark, dir)
+    val src = Tables.eventsStream(spark, dir)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
     val signups = src.filter(col("event_type") === "signup")
@@ -385,11 +398,12 @@ object TemporalQueries {
       .select(col("l.user_id").as("user_id"), col("p_event_id"),
         col("s_event_id"), col("p_ts"), col("s_ts"))
     val name = "ssjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     spark.table(name)
       .orderBy(col("user_id"), col("p_event_id"), col("s_event_id"))
   }
@@ -407,7 +421,7 @@ object TemporalQueries {
   def streamIntervalJoinLeftStreamed(spark: SparkSession, dir: String): DataFrame = {
     def sentinelAs(tpe: String): DataFrame =
       CoverageQueries.sentinelStream(spark).withColumn("event_type", lit(tpe))
-    def src = Tables.eventsStream(spark, dir)
+    val src = Tables.eventsStream(spark, dir)
       .unionByName(sentinelAs("purchase")).unionByName(sentinelAs("signup"))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
@@ -426,11 +440,12 @@ object TemporalQueries {
         coalesce(col("s_event_id"), lit(-1L)).as("s_event_id"), col("p_ts"),
         col("s_event_id").isNotNull.as("matched"))
     val name = "ssljoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     spark.table(name)
       .filter(col("p_event_id") >= 0)
       .orderBy(col("user_id"), col("p_event_id"), col("s_event_id"))
@@ -680,11 +695,12 @@ object TemporalQueries {
     val out = graft.streaming.StreamingPipeline.funnelMatch(
       src, windowUs = 48L * 3600L * 1000000L)
     val name = "funnel_streamed_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.toDF().writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     val settle = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("frontier_us").desc, col("n_events").desc)
