@@ -142,10 +142,52 @@ object Bench {
       "filter_project" -> 0.49455471, "join_inner" -> 0.906106564,
       "q1_pricing_summary" -> 1.443290288, "string_funcs" -> 2.36214684,
       "tumbling_window" -> 0.710035787, "window_rank" -> 0.534358998)
+    // r10 (VERDICT r9 ask #6): the canary set widened to 20 queries
+    // spanning scan / agg / join / window / dedup / set / windowed-agg
+    // families and spread across the alphabetical run order, with a
+    // TRIMMED median (drop the 3 highest + 3 lowest ratios) so no
+    // single GC-adjacent or cache-cold canary can move the normalizer.
+    // References are the committed r9 driver run's FIRST samples
+    // (bench/BENCH_full.json at 5c6d77a) — same protocol, same machine
+    // class, so the ratio measures host drift, not code change. Every
+    // canary is a query untouched in r10.
+    val canaryRefR10 = Map(
+      "filter_project" -> 0.5316, "date_funcs" -> 0.6562,
+      "string_funcs" -> 1.3663, "q1_pricing_summary" -> 0.9663,
+      "agg_corr_stats" -> 2.9429, "agg_conditional" -> 0.8763,
+      "cube_agg" -> 0.6848, "pivot_segments" -> 0.8356,
+      "join_inner" -> 0.6322, "join_left_outer" -> 1.6905,
+      "join_semi" -> 0.3984, "asof_join" -> 1.3479,
+      "range_join" -> 1.9648, "window_rank" -> 0.4188,
+      "window_lag" -> 0.4483, "session_window" -> 0.9536,
+      "dedup_bloom_probe" -> 4.3812, "dedup_exact" -> 0.5847,
+      "tumbling_window" -> 0.4637, "set_union" -> 0.3383)
     // Ratios come from the FIRST sample of each canary — every
     // reference era's times are first samples, so a best-of-N min would
     // read as a phantom host speedup and skew the normalizer.
     val resultMap = firsts.toMap
+    def trimmedCalibration(refName: String, refs: Map[String, Double],
+        trim: Int): String =
+      if (new java.io.File(sfDir.stripSuffix("/")).getName != "sf0.1")
+        s"""{"reference":"$refName","applicable":false}"""
+      else {
+        val ratios = refs.toSeq.sorted.flatMap { case (k, ref) =>
+          resultMap.get(k).filter(_ > 0).map(v => k -> v / ref)
+        }
+        if (ratios.size < 2 * trim + 1)
+          s"""{"reference":"$refName","applicable":false}"""
+        else {
+          val sortedR = ratios.map(_._2).sorted
+          val mid = sortedR.slice(trim, sortedR.size - trim)
+          val med =
+            if (mid.size % 2 == 1) mid(mid.size / 2)
+            else (mid(mid.size / 2 - 1) + mid(mid.size / 2)) / 2
+          val per = ratios.map { case (k, r) => f""""$k":$r%.3f""" }.mkString("{", ",", "}")
+          f"""{"reference":"$refName%s","applicable":true,"trim":$trim,""" +
+            f""""median_ratio":$med%.3f,"trimmed_min":${mid.head}%.3f,""" +
+            f""""trimmed_max":${mid.last}%.3f,"ratios":$per}"""
+        }
+      }
     def calibrationAgainst(refName: String, refs: Map[String, Double]): String =
       if (new java.io.File(sfDir.stripSuffix("/")).getName != "sf0.1")
         // exact basename match: a substring test would rate sf0.15 or
@@ -167,11 +209,13 @@ object Bench {
       }
     val calibration = calibrationAgainst("r6@sf0.1", canaryRefR6)
     val calibrationR9 = calibrationAgainst("r9@sf0.1", canaryRefR9)
+    val calibrationR10 = trimmedCalibration("r9driver@sf0.1", canaryRefR10, trim = 3)
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""queries":$qs,"queries_first":$qsFirst,""" +
       s""""prep":{"posting_index_build_s":$prep,"session_index_build_s":$sessPrep},""" +
-      s""""calibration":$calibration,"calibration_r9":$calibrationR9,"sf":"$sfDir"}"""
+      s""""calibration":$calibration,"calibration_r9":$calibrationR9,""" +
+      s""""calibration_r10":$calibrationR10,"sf":"$sfDir"}"""
     println(json)
     // The driver tail-captures only the LAST ~2000 chars of output, so the
     // full per-query map above never survives. Persist the complete
@@ -210,14 +254,16 @@ object Bench {
     val perQ = if (n > 0) total / n else 0.0
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    val medianRatio = {
-      val m = """"median_ratio":([0-9.]+)""".r.findFirstMatchIn(calibration)
-      m.map(_.group(1)).getOrElse("null")
-    }
+    def medianOf(block: String): String =
+      """"median_ratio":([0-9.]+)""".r.findFirstMatchIn(block)
+        .map(_.group(1)).getOrElse("null")
+    val medianRatio = medianOf(calibration)
+    val medianRatioR10 = medianOf(calibrationR10)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,""" +
       f""""s_per_query":$perQ%.4f,"runs":$runs,""" +
       f""""prep":{"posting_index_build_s":$prep%.2f,"session_index_build_s":$sessPrep%.2f},""" +
-      s""""calibration_median_ratio":$medianRatio,"slowest":$slowest,""" +
+      s""""calibration_median_ratio":$medianRatio,""" +
+      s""""calibration_r10_trimmed_median":$medianRatioR10,"slowest":$slowest,""" +
       s""""queries_file":"$outPath","sf":"$sfDir"}""")
     System.out.flush()
   }
