@@ -111,24 +111,55 @@ object ExtendedQueries {
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       .orderBy(col("user_id"))
 
-  /** Sketch aggregates (rows-only: sketch internals are engine-specific):
-    * t-digest-style approximate percentiles with bounded memory — the
-    * 100 TB alternative to exact sort-based percentiles. */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+  /** Bounded-memory approximate percentiles (GK-style
+    * `approx_percentile`, the 100 TB alternative to exact sort-based
+    * percentiles) UNDER the oracle gate (VERDICT r9 ask #8, previously
+    * rows-only): the estimates are engine-private, so the gated
+    * relation emits the EXACT percentile pair (cross-engine, the
+    * agg_percentiles formulation) plus per-quantile boolean BRACKETS —
+    * |approx − exact| ≤ max(5%·|exact|, 1e-6), the
+    * ApproxValidationSpec bound — which the oracle pins TRUE. An
+    * estimate leaving its error budget fails the gate as a hash
+    * mismatch instead of hiding behind `no_oracle`. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    def inBounds(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+      abs(a - e) <= greatest(abs(e) * lit(0.05), lit(1e-6))
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(expr("approx_percentile(value, array(0.5D, 0.9D), 1000)").as("qs"))
+      .agg(expr("approx_percentile(value, array(0.5D, 0.9D), 1000)").as("qa"),
+        expr("percentile(value, array(0.5D, 0.9D))").as("qe"))
       .select(col("event_type"),
-        element_at(col("qs"), 1).as("p50"),
-        element_at(col("qs"), 2).as("p90"))
+        round(element_at(col("qe"), 1), 6).as("p50_exact"),
+        round(element_at(col("qe"), 2), 6).as("p90_exact"),
+        inBounds(element_at(col("qa"), 1), element_at(col("qe"), 1))
+          .as("p50_in_bounds"),
+        inBounds(element_at(col("qa"), 2), element_at(col("qe"), 2))
+          .as("p90_in_bounds"))
       .orderBy(col("event_type"))
+  }
 
-  /** Frequent-items sketch (df.stat.freqItems): single-pass heavy-hitter
-    * candidates without a full groupBy (rows-only). */
+  /** Frequent-items sketch (df.stat.freqItems — Karp et al. one-pass
+    * heavy hitters, support-bounded state, no full groupBy) UNDER the
+    * oracle gate via its COVERAGE LAW (VERDICT r9 ask #8): every item
+    * whose true frequency exceeds support·n must be nominated by the
+    * sketch — false positives are allowed, false negatives are not.
+    * The gated relation is each EXACT heavy hitter (event_type at 5%
+    * support: all five ~20% types qualify) with its exact count and
+    * the sketch-membership flag, which the oracle pins TRUE. The exact
+    * count table rides along only to form the bracket. */
   def freqItems(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.events(spark, dir).stat.freqItems(Array("user_id"), 0.05)
-    items.select(explode(col("user_id_freqItems")).as("frequent_user_id"))
-      .orderBy(col("frequent_user_id"))
+    val ev = Tables.events(spark, dir)
+    val nominated = ev.stat.freqItems(Array("event_type"), 0.05)
+      .select(explode(col("event_type_freqItems")).as("event_type"))
+      .withColumn("in_sketch", lit(true))
+    val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n").cast("double") > col("total").cast("double") * 0.05)
+      .join(nominated, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"),
+        coalesce(col("in_sketch"), lit(false)).as("covered"))
+      .orderBy(col("event_type"))
   }
 
   /** The advise→salt→join loop END TO END over real data (VERDICT r9
@@ -290,6 +321,22 @@ object ExtendedQueries {
         |       round(quantile_cont(value, 0.25), 6) AS q25,
         |       round(quantile_cont(value, 0.5), 6) AS q50,
         |       round(quantile_cont(value, 0.9), 6) AS q90
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // sketch brackets (r9 ask #8): exact side cross-engine, the
+    // in-bounds / coverage flag pinned TRUE
+    "agg_approx_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |       round(quantile_cont(value, 0.9), 6) AS p90_exact,
+        |       TRUE AS p50_in_bounds,
+        |       TRUE AS p90_in_bounds
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "freq_items" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM c)
+        |SELECT event_type, n, TRUE AS covered
+        |FROM c, t
+        |WHERE CAST(n AS DOUBLE) > CAST(total AS DOUBLE) * 0.05
+        |ORDER BY event_type""".stripMargin
   )
 }

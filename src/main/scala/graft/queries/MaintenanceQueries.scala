@@ -114,10 +114,14 @@ object MaintenanceQueries {
     * merge is exact, the sketch merge is LOSSLESS IN STATE — register-
     * wise max, so merging a delta sketch into yesterday's gives the
     * identical registers (and estimate) a full rescan would, at a few
-    * KB per group instead of a distinct-set shuffle. Rows-only at the
-    * driver gate (no cross-engine HLL); MaintenanceOpsSpec pins both
-    * the merge identity (merged estimate == direct-sketch estimate,
-    * exactly) and the rsd-style error bound vs the exact count. */
+    * KB per group instead of a distinct-set shuffle. Gated via its
+    * BRACKET (VERDICT r9 ask #8, previously rows-only): the merged
+    * estimate is engine-private, so the relation emits the exact
+    * distinct count plus a boolean — merged estimate within 10%
+    * relative error, the ApproxValidationSpec-class bound — pinned
+    * TRUE by the oracle. MaintenanceOpsSpec additionally pins the
+    * merge identity (merged estimate == direct-sketch estimate,
+    * exactly), which no cross-engine oracle can. */
   def aggSketchMerge(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).select(
       col("l_returnflag"), (col("l_orderkey") % 2).as("half"), col("l_partkey"))
@@ -125,11 +129,17 @@ object MaintenanceQueries {
       l.filter(col("half") === half)
         .groupBy(col("l_returnflag"))
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
-    partialSketch(0).unionByName(partialSketch(1))
+    val merged = partialSketch(0).unionByName(partialSketch(1))
       .groupBy(col("l_returnflag"))
       .agg(hll_union_agg(col("sk")).as("sk"))
       .select(col("l_returnflag"),
-        hll_sketch_estimate(col("sk")).as("approx_distinct_parts"))
+        hll_sketch_estimate(col("sk")).as("a"))
+    val exact = l.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    merged.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("a") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= 0.1).as("merge_in_bounds"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -237,6 +247,14 @@ object MaintenanceQueries {
         |ORDER BY c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the sketch-merge bracket (r9 ask #8): exact side cross-engine,
+    // the in-bounds flag pinned TRUE
+    "agg_sketch_merge" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS merge_in_bounds
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "pipeline_observe_metrics" ->
       """SELECT COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

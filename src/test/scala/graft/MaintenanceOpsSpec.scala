@@ -107,7 +107,16 @@ class MaintenanceOpsSpec extends SparkSpec {
   }
 
   test("HLL sketch merge: merged halves equal the direct sketch exactly, and track the exact count") {
-    val merged = MaintenanceQueries.aggSketchMerge(spark, sf)
+    // the registered query now emits the BRACKET (exact + in-bounds flag,
+    // r9 ask #8) rather than the raw estimate, so the merge-identity law
+    // is pinned here on the same two-half construction the query runs
+    val l = Tables.lineitem(spark, sf).select(
+      $"l_returnflag", ($"l_orderkey" % 2).as("half"), $"l_partkey")
+    def half(h: Int) = l.filter($"half" === h)
+      .groupBy($"l_returnflag").agg(hll_sketch_agg($"l_partkey").as("sk"))
+    val merged = half(0).unionByName(half(1))
+      .groupBy($"l_returnflag").agg(hll_union_agg($"sk").as("sk"))
+      .select($"l_returnflag", hll_sketch_estimate($"sk").as("e"))
       .as[(String, Long)].collect().toMap
     val direct = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag")
@@ -121,6 +130,11 @@ class MaintenanceOpsSpec extends SparkSpec {
       val rel = math.abs(merged(k) - d).toDouble / d
       assert(rel <= 0.05, s"flag $k: sketch ${merged(k)} vs exact $d (rel $rel)")
     }
+    // and the registered bracket itself holds on this corpus
+    val gated = MaintenanceQueries.aggSketchMerge(spark, sf)
+      .as[(String, Long, Boolean)].collect()
+    assert(gated.nonEmpty && gated.forall(_._3),
+      s"merge_in_bounds must hold per flag: ${gated.mkString(", ")}")
   }
 
   test("zone-map ledger: arrival-order blocks skip (almost) nothing") {

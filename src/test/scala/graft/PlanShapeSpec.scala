@@ -135,7 +135,10 @@ class PlanShapeSpec extends SparkSpec {
     // r9 TPC-H scalar subqueries: per-part values × broadcast 1-row
     // scoped total (Q11) / customers × broadcast 1-row avg balance (Q22)
     "q11_important_parts" -> 1,
-    "q22_sales_opportunity" -> 1
+    "q22_sales_opportunity" -> 1,
+    // r10 sketch bracket: per-type counts × broadcast 1-row corpus
+    // total (the heavy-hitter support threshold)
+    "freq_items" -> 1
   ).withDefaultValue(0)
 
   // floor of parquet scans with non-empty PushedFilters per query (from
