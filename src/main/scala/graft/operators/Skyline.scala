@@ -126,9 +126,22 @@ object Skyline {
     val spark = local.sparkSession
     val schema = local.schema
     val parts = math.max(local.rdd.getNumPartitions, 1)
+    // tie salt (VERDICT r9 polish #7): range partitioning on the two
+    // objectives alone sends every row of a heavily-tied (o1, o2) point
+    // to ONE partition — a dominant tie value (90% duplicates) would
+    // re-create the single-task funnel this sweep exists to avoid. A
+    // unique third range key spreads ties across partitions; the sweep
+    // stays exact because tied rows never dominate each other (both
+    // strictness arms fail) and cross-partition dominance flows through
+    // the prefix-min summary regardless of which partition holds which
+    // tie. The id is partition-layout-dependent but `local` is
+    // checkpoint-pinned, and no output value depends on it.
     val sorted = local
-      .repartitionByRange(parts, col("_obj")(0).asc, col("_obj")(1).asc)
+      .withColumn("_sl_tb", monotonically_increasing_id())
+      .repartitionByRange(parts, col("_obj")(0).asc, col("_obj")(1).asc,
+        col("_sl_tb").asc)
       .sortWithinPartitions(col("_obj")(0).asc, col("_obj")(1).asc)
+      .drop("_sl_tb")
     val rdd = sorted.rdd
     // pass 1: per-partition (min o2, min o1 among points achieving it)
     val partMins = rdd.mapPartitionsWithIndex { (i, it) =>

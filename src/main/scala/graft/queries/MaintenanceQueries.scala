@@ -188,7 +188,14 @@ object MaintenanceQueries {
     * noop materialization to harvest the Observation, then returns the
     * metrics as a single row; the decimal-cast sum keeps the double
     * order-insensitive, and the oracle is the equivalent plain
-    * aggregate — proving observed metrics equal computed ones. */
+    * aggregate — proving observed metrics equal computed ones.
+    *
+    * TOOLING NOTE (registry contract): building this DataFrame is NOT
+    * free and NOT lazy — the full lineitem scan + noop write run at
+    * construction, and the returned frame is a LocalRelation with no
+    * plan to inspect. Plan-shape audits must exclude it
+    * (PlanShapeSpec.eagerNoPlan); anything that "just wants the plan"
+    * (explain tooling, bench prep) pays the scan and learns nothing. */
   def pipelineObserveMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val obs = org.apache.spark.sql.Observation()

@@ -484,22 +484,35 @@ object TemporalQueries {
     * z = (value − μ)/σ where at least 5 priors exist. One exchange on
     * user_id serves all three frame aggregates; the per-user series
     * sorts locally inside its partition, so the plan is shuffle → sort
-    * → window regardless of total scale. Cross-engine double hygiene:
-    * only the ROUNDED z (4 dp) is emitted or compared against the
-    * 2σ/3σ thresholds — Spark re-accumulates sliding frames left to
-    * right while DuckDB combines via segment tree, so raw doubles can
-    * differ in the last ulp. */
+    * → window regardless of total scale. Cross-engine double hygiene
+    * (the repo's moment discipline, hardened per ADVICE r9): windowed
+    * μ/σ built-ins differ across engines by ~1e-6 — Spark
+    * re-accumulates sliding frames, DuckDB segment-trees them — so a z
+    * landing on a rounding or threshold boundary could flip a row in
+    * or out of the compared set. Instead the frame aggregates EXACT
+    * integer sums of micro-quantized values (Σv, Σv² as
+    * decimal/HUGEINT — both engines produce bit-identical integers),
+    * and μ, σ, z derive in textually identical double arithmetic from
+    * those identical inputs, so no boundary can disagree. */
   def eventsAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-20, -1)
     Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .withColumn("mu", avg(col("value")).over(w))
-      .withColumn("sigma", stddev_samp(col("value")).over(w))
-      .withColumn("n_prev", count(col("value")).over(w))
-      .filter(col("n_prev") >= 5 && col("sigma") > 0)
-      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * lit(1e6)).cast("long").as("vm"))
+      .withColumn("n", count(col("vm")).over(w))
+      .withColumn("s1", sum(col("vm")).over(w))
+      .withColumn("s2", sum(col("vm").cast(DecimalType(38, 0)) * col("vm")).over(w))
+      .filter(col("n") >= 5)
+      .select(col("user_id"), col("event_id"), col("vm").cast("double").as("vd"),
+        col("n").cast("double").as("nd"), col("s1").cast("double").as("s1d"),
+        col("s2").cast("double").as("s2d"))
+      .withColumn("varr",
+        (col("s2d") - col("s1d") * col("s1d") / col("nd")) / (col("nd") - 1))
+      .filter(col("varr") > 0)
+      .withColumn("z",
+        round((col("vd") - col("s1d") / col("nd")) / sqrt(col("varr")), 4))
       .filter(abs(col("z")) >= 2)
       .select(col("user_id"), col("event_id"), col("z"),
         (abs(col("z")) >= 3).as("is_anomaly"))
@@ -973,22 +986,35 @@ object TemporalQueries {
         |       COUNT(*) AS n_events
         |FROM r GROUP BY user_id, bar_ts
         |ORDER BY user_id, bar_ts""".stripMargin,
-    // both engines round z to 4 dp BEFORE the 2σ/3σ comparisons: Spark
-    // re-accumulates sliding frames, DuckDB segment-trees them, so raw
-    // doubles may differ in the last ulp
+    // exact-integer frame sums (Σv, Σv² over micro-quantized values),
+    // then μ/σ/z in textually identical double arithmetic — the moment
+    // discipline that removes rounding-boundary flips entirely
     "events_anomaly_zscore" ->
-      """WITH w AS (
-        |  SELECT user_id, event_id, value,
-        |         AVG(value) OVER win AS mu,
-        |         STDDEV_SAMP(value) OVER win AS sigma,
-        |         COUNT(value) OVER win AS n_prev
-        |  FROM events
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(ROUND(value * 1e6) AS BIGINT) AS vm
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, vm,
+        |         COUNT(vm) OVER win AS n,
+        |         SUM(vm) OVER win AS s1,
+        |         SUM(CAST(vm AS HUGEINT) * vm) OVER win AS s2
+        |  FROM e
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-        |SELECT user_id, event_id, ROUND((value - mu) / sigma, 4) AS z,
-        |       ABS(ROUND((value - mu) / sigma, 4)) >= 3 AS is_anomaly
-        |FROM w WHERE n_prev >= 5 AND sigma > 0
-        |  AND ABS(ROUND((value - mu) / sigma, 4)) >= 2
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |v AS (
+        |  SELECT user_id, event_id, CAST(vm AS DOUBLE) AS vd,
+        |         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+        |         CAST(s2 AS DOUBLE) AS s2d
+        |  FROM w WHERE n >= 5),
+        |z AS (
+        |  SELECT user_id, event_id,
+        |         ROUND((vd - s1d / nd)
+        |               / SQRT((s2d - s1d * s1d / nd) / (nd - 1)), 4) AS z
+        |  FROM v
+        |  WHERE (s2d - s1d * s1d / nd) / (nd - 1) > 0)
+        |SELECT user_id, event_id, z, ABS(z) >= 3 AS is_anomaly
+        |FROM z WHERE ABS(z) >= 2
         |ORDER BY user_id, event_id""".stripMargin,
     "events_markov_transitions" ->
       """WITH b AS (

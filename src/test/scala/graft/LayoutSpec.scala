@@ -99,6 +99,45 @@ class LayoutSpec extends SparkSpec {
       "sweep must keep exactly the base frontier and drop every echo")
   }
 
+  test("skyline heavy ties: a 90%-duplicate objective point neither skews the " +
+      "sweep onto one partition nor breaks exactness") {
+    // 90% of rows share ONE (o1, o2) value: range keys on the two
+    // objectives alone would put every tied row in a single range — the
+    // r9-flagged skew. The tie salt must spread them while keeping the
+    // result exact: all tied duplicates of the frontier point survive
+    // (ties never dominate each other), dominated scatter drops.
+    val n = 20000
+    val hot = spark.range((n * 9 / 10).toLong)
+      .select(col("id"), lit(1.0).as("x"), lit(2.0).as("y"))
+    // scatter strictly dominated by the hot point except one true
+    // frontier companion at (0.5, 50.0) — better x, worse y
+    val scatter = spark.range((n / 10).toLong)
+      .select((col("id") + n).as("id"),
+        (lit(3.0) + col("id").cast("double") / 1000).as("x"),
+        (lit(4.0) + col("id").cast("double") / 1000).as("y"))
+    val companion = spark.range(1)
+      .select(lit(-1L).as("id"), lit(0.5).as("x"), lit(50.0).as("y"))
+    val pts = hot.unionByName(scatter).unionByName(companion).repartition(8)
+    val res = Skyline.frontier(pts, Seq(col("x"), col("y")), mergeThreshold = 1000)
+    assert(res.rdd.getNumPartitions > 1,
+      "heavy-tie skyline went through a single-task merge")
+    // spread receipt: the sweep's input partitioning must not funnel the
+    // tied mass into one range — no partition may hold >40% of the rows
+    // when 90% of them are one value across 8 ranges
+    val tagged = pts
+      .withColumn("_obj", array(col("x"), col("y")))
+      .withColumn("_sl_tb", monotonically_increasing_id())
+      .repartitionByRange(8, col("_obj")(0).asc, col("_obj")(1).asc,
+        col("_sl_tb").asc)
+    val sizes = tagged.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+    assert(sizes.max <= (n * 2L) / 5,
+      s"tie salt failed to spread the hot point: ${sizes.mkString(",")}")
+    val got = res.select("id").as[Long].collect().toSet
+    val want = (0L until (n * 9 / 10).toLong).toSet + -1L
+    assert(got == want, "heavy-tie frontier must be the tied point's " +
+      "duplicates plus the one companion")
+  }
+
   // ---------------------------------------------------------------- z-order
 
   test("interleaveBits matches a reference Morton implementation") {

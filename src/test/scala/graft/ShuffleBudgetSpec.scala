@@ -55,7 +55,18 @@ class ShuffleBudgetSpec extends SparkSpec {
         Some(s"$name: ${v.shuffleBytes} B > $budget B (was $measured B at audit)")
       else None
     }
-    assert(over.isEmpty, s"shuffle volume regressed: $over")
+    // These are RE-MEASURE-ON-UPGRADE budgets, not invariants: absolute
+    // shuffle bytes move with Spark version, shuffle codec, and
+    // partition-count defaults. On a failure, first decide whether the
+    // PLAN regressed (an extra exchange, a lost broadcast — fix the
+    // plan) or only the encoding moved (same exchanges, new byte count —
+    // re-measure via `runMain graft.tools.ShuffleAudit` and update the
+    // budget with a comment saying why the new volume is right).
+    assert(over.isEmpty,
+      s"shuffle volume over budget: $over — if the plan shape is unchanged " +
+        "(same exchanges in .explain), re-measure with graft.tools.ShuffleAudit " +
+        "and update the budget; only treat as a regression if an exchange " +
+        "appeared or a broadcast was lost")
   }
 
   test("broadcast-only TPC-H plans exchange almost nothing (Q5 ≤ 2 KB)") {
