@@ -398,7 +398,9 @@ object TemporalQueries {
       .select(col("l.user_id").as("user_id"), col("p_event_id"),
         col("s_event_id"), col("p_ts"), col("s_ts"))
     val name = "ssjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.StreamGate.runToCompletion(spark) {
+    // inner join: every match emits inside the data batch; the trailing
+    // no-data batch would only evict state the teardown deletes anyway
+    graft.streaming.StreamGate.runToCompletion(spark, skipNoDataBatch = true) {
       joined.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -32,23 +32,77 @@ object StreamGate {
   /** Session conf key for the per-query state partition count. */
   val statePartitionsKey = "spark.graft.streamStatePartitions"
 
+  /** Session conf key overriding where gate checkpoints live. */
+  val checkpointDirKey = "spark.graft.streamCheckpointDir"
+
   private val shuffleKey = "spark.sql.shuffle.partitions"
+  private val ckptConfKey = "spark.sql.streaming.checkpointLocation"
+  private val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+  /** RAM-backed scratch for EPHEMERAL gate checkpoints. A bounded
+    * replay's checkpoint is write-only bookkeeping that dies with the
+    * query, yet every state-store commit fsyncs delta files through
+    * it — the stream-debug receipts showed `commitTimeMs` (32+ store
+    * instances × per-batch delta writes, RocksDB zips in the extreme)
+    * as the dominant fixed cost of the `_streamed` oracle gate. Local
+    * disk buys those writes nothing, so land them on tmpfs when the
+    * host has one. A PRODUCTION stream whose checkpoint is its
+    * recovery story keeps a durable DFS location — this helper only
+    * redirects queries that did not specify their own
+    * `checkpointLocation`, and `spark.graft.streamCheckpointDir`
+    * overrides the probe. */
+  private def scratchBase(spark: SparkSession): Option[java.io.File] =
+    spark.conf.getOption(checkpointDirKey).map(new java.io.File(_))
+      .orElse(Some(new java.io.File("/dev/shm")).filter(d => d.isDirectory && d.canWrite))
+      .map(new java.io.File(_, "graft-gate-ckpt"))
 
   /** Start a stream with state-sized shuffle partitions and wait for it
-    * to finish. The override is scoped to the `start` call — the
-    * partition count is captured into the query plan at start, so the
-    * session's batch default is restored before anything else plans. */
-  def runToCompletion(spark: SparkSession)(start: => StreamingQuery): Unit = {
-    val n = spark.conf.getOption(statePartitionsKey).getOrElse("8")
-    val prior = spark.conf.getOption(shuffleKey)
-    spark.conf.set(shuffleKey, n)
-    val q =
-      try start
-      finally prior match {
-        case Some(v) => spark.conf.set(shuffleKey, v)
-        case None    => spark.conf.unset(shuffleKey)
+    * to finish. The overrides are scoped to the `start` call — Spark
+    * clones the session (and its conf) when the query starts, so the
+    * session's batch defaults are restored before anything else plans.
+    *
+    * `skipNoDataBatch` disables the trailing no-data micro-batch for
+    * streams whose OUTPUT provably does not depend on it — an
+    * append-mode stream-stream INNER join emits every match inside the
+    * data batch itself; the no-data batch only evicts state that the
+    * checkpoint teardown is about to delete anyway. Leave it enabled
+    * (default) for anything watermark-finalized: outer joins, windowed
+    * or session aggregations, and dedup-with-watermark all emit their
+    * last rows FROM that batch. */
+  def runToCompletion(
+      spark: SparkSession, skipNoDataBatch: Boolean = false)(
+      start: => StreamingQuery): Unit = {
+    val scratch = scratchBase(spark).map { base =>
+      val d = new java.io.File(base, java.util.UUID.randomUUID().toString)
+      d.mkdirs(); d
+    }
+    // Session conf is SESSION-global and the gate harness starts streams
+    // from a thread pool (Verify): without serializing the set→start→
+    // restore window, stream B can capture stream A's checkpoint conf,
+    // and A's teardown then deletes B's live state mid-run. Only the
+    // start window is locked — awaitTermination (the long part) runs
+    // fully concurrent.
+    val q = StreamGate.synchronized {
+      val n = spark.conf.getOption(statePartitionsKey).getOrElse("8")
+      val priorShuffle = spark.conf.getOption(shuffleKey)
+      val priorCkpt = spark.conf.getOption(ckptConfKey)
+      val priorNoData = spark.conf.getOption(noDataKey)
+      spark.conf.set(shuffleKey, n)
+      scratch.foreach(d => spark.conf.set(ckptConfKey, d.getAbsolutePath))
+      if (skipNoDataBatch) spark.conf.set(noDataKey, "false")
+      def restore(key: String, prior: Option[String]): Unit = prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
       }
-    q.awaitTermination()
+      try start
+      finally {
+        restore(shuffleKey, priorShuffle)
+        restore(ckptConfKey, priorCkpt)
+        restore(noDataKey, priorNoData)
+      }
+    }
+    try q.awaitTermination()
+    finally scratch.foreach(deleteRecursively)
     // env-gated receipt for harness-cost investigations: batch count ×
     // per-batch duration is the fixed-overhead profile of a gate run
     if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
@@ -61,5 +115,10 @@ object StreamGate {
           s"stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")} " +
           s"commitMs=${p.stateOperators.map(_.commitTimeMs).mkString(",")}")
       }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }
