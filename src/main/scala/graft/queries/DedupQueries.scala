@@ -311,8 +311,14 @@ object DedupQueries {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
     SortedNeighborhood
       .candidatePairs(p, Seq(col("p_name"), col("p_partkey")), window = 10)
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
-      .filter(col("dist") <= 5)
+      // thresholded variant: the DP matrix computation abandons a pair
+      // the moment every band cell exceeds 5 (returns -1) instead of
+      // finishing the full O(|a|·|b|) table — most window pairs are NOT
+      // within distance 5, so the early exit is the common path. The
+      // surviving (dist >= 0) set is identical to `levenshtein <= 5`,
+      // which is what the oracle's plain formulation computes.
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 5))
+      .filter(col("dist") >= 0)
       .select(least(col("a.p_partkey"), col("b.p_partkey")).as("id_a"),
         greatest(col("a.p_partkey"), col("b.p_partkey")).as("id_b"),
         col("dist").cast("int").as("dist"))
