@@ -325,8 +325,44 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** MULTI-PASS sorted neighborhood (the second half of Hernández &
+    * Stolfo '95): one sort order has a blind spot — a typo in the
+    * FIRST characters of a name moves the record far from its
+    * duplicate in name order, outside any fixed window. The classic
+    * remedy is additional passes under independent sort keys; here a
+    * second pass sorts by the REVERSED name (prefix typos become
+    * suffix typos and sort adjacent again), and the pair set is the
+    * union. Scale shape: each pass is the same linear n·window
+    * candidate stream as the single-pass query, and the union dedups
+    * by one ids-width distinct — candidate volume is exactly
+    * passes·n·window at ANY corpus size. Pair orientation is
+    * canonical (id_a < id_b, names carried by that rule), so the
+    * cross-pass distinct and the oracle's UNION agree row-for-row. */
+  def dedupSnmMultipass(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    def pass(keyed: DataFrame, order: Seq[org.apache.spark.sql.Column]) =
+      SortedNeighborhood.candidatePairs(keyed, order, window = 10)
+        .select(
+          least(col("a.p_partkey"), col("b.p_partkey")).as("id_a"),
+          greatest(col("a.p_partkey"), col("b.p_partkey")).as("id_b"),
+          when(col("a.p_partkey") < col("b.p_partkey"), col("a.p_name"))
+            .otherwise(col("b.p_name")).as("name_a"),
+          when(col("a.p_partkey") < col("b.p_partkey"), col("b.p_name"))
+            .otherwise(col("a.p_name")).as("name_b"))
+    val byName = pass(p, Seq(col("p_name"), col("p_partkey")))
+    val byRev = pass(p.withColumn("_rname", reverse(col("p_name"))),
+      Seq(col("_rname"), col("p_partkey")))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+    byName.unionByName(byRev).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 5))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_levenshtein_block" -> (dedupLevenshteinBlock _),
+    "dedup_snm_multipass" -> (dedupSnmMultipass _),
     "dedup_allpairs_jaccard" -> (dedupAllpairsJaccard _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_best_survivor" -> (dedupBestSurvivor _),
@@ -436,6 +472,31 @@ object DedupQueries {
         |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 10
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // multi-pass SNM: the literal two-rank-join UNION (name order +
+    // reversed-name order), deduped by UNION's set semantics exactly
+    // like the engine's cross-pass distinct
+    "dedup_snm_multipass" ->
+      """WITH r1 AS (
+        |  SELECT p_partkey, p_name,
+        |         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+        |  FROM part),
+        |r2 AS (
+        |  SELECT p_partkey, p_name,
+        |         ROW_NUMBER() OVER (ORDER BY reverse(p_name), p_partkey) AS rn
+        |  FROM part),
+        |c AS (
+        |  SELECT LEAST(a.p_partkey, b.p_partkey) AS id_a,
+        |         GREATEST(a.p_partkey, b.p_partkey) AS id_b,
+        |         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |  FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND 10
+        |  UNION
+        |  SELECT LEAST(a.p_partkey, b.p_partkey),
+        |         GREATEST(a.p_partkey, b.p_partkey),
+        |         CAST(levenshtein(a.p_name, b.p_name) AS INT)
+        |  FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND 10)
+        |SELECT id_a, id_b, dist FROM c
+        |WHERE dist <= 5
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_substring_spans" ->
       """WITH t AS (

@@ -69,4 +69,28 @@ class SortedNeighborhoodSpec extends SparkSpec {
       .candidatePairs(df, Seq(col("name"), col("id")), window = 1).count()
     assert(n === 49L)
   }
+
+  test("multi-pass recall: the reversed-name pass catches prefix typos the name pass misses") {
+    // 'zlue bolt' is a first-char typo of 'blue bolt': in name order
+    // every cold/hot/large/red/small name sorts between them (~2/3 of
+    // the corpus, far outside any fixed window), but REVERSED they are
+    // 'tlob eulb' / 'tlob eulz' — adjacent name groups, separated only
+    // by 'blue bolt' duplicates (id tiebreak puts 900 last among them).
+    // The multipass query's defining case.
+    def pairs(q: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("snm_mp").toString
+      val parts = names(80, seed = 5) :+ (900L, "blue bolt") :+ (901L, "zlue bolt")
+      parts.toDF("p_partkey", "p_name").write.mode("overwrite")
+        .parquet(s"$dir/part.parquet")
+      q(spark, dir).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    }
+    val single = pairs(graft.queries.DedupQueries.dedupLevenshteinBlock)
+    val multi = pairs(graft.queries.DedupQueries.dedupSnmMultipass)
+    assert(single.subsetOf(multi),
+      "multipass must never lose a single-pass pair")
+    assert(multi.contains((900L, 901L)) && !single.contains((900L, 901L)),
+      s"the prefix-typo pair must come from the reversed pass alone: " +
+        s"single=${single.contains((900L, 901L))} multi=${multi.contains((900L, 901L))}")
+  }
 }
