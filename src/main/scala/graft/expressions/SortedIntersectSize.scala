@@ -1,0 +1,101 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** `|A ∩ B|` over two ASC-SORTED string arrays by two-pointer merge.
+  *
+  * The built-in `array_intersect` is set-semantic and order-agnostic, so
+  * for EVERY evaluation it builds a hash set of one side and probes the
+  * other — per-element string hashing plus a set allocation per call. In
+  * [[graft.operators.AllPairsJoin]]'s verification stage that call sits
+  * in the hottest loop of the registry's most expensive query (one
+  * evaluation per surviving candidate pair, arrays are whole-document
+  * shingle sets), and only the SIZE of the intersection is ever used.
+  * Sorting each document's shingle set ONCE upstream (n log n per doc,
+  * amortized over every pair the doc appears in) converts each pair
+  * evaluation into an allocation-free linear merge of binary-comparable
+  * `UTF8String`s — the classic sorted-list intersection from the
+  * all-pairs literature (Bayardo et al., WWW'07, §3). Whole-stage
+  * codegen keeps the merge in the generated loop (SURVEY.md §7.3
+  * preference order: native expression over UDF).
+  *
+  * Measured honestly: at sf0.1 (short ~100-shingle sets, ~1 candidate
+  * pair per doc) the two paths are at PARITY — the per-pair hash set is
+  * small enough that allocation noise hides the merge's win. The
+  * expression is kept for the regime the operator is designed for:
+  * long documents × high candidate fan-out, where per-pair set builds
+  * allocate and hash the same strings over and over while the merge
+  * stays allocation-free, and the sorted arrays additionally
+  * prefix-compress in shuffle. Do NOT sort in the tok/prefix branch —
+  * it only explodes, and an earlier draft that sorted `base` (scanned
+  * three times) regressed the query ~15%.
+  *
+  * PRECONDITION: both arrays sorted ascending in Spark's binary string
+  * order (`sort_array` default) with no null elements and no duplicates
+  * — exactly what `sort_array(array_distinct(...))` produces. Count
+  * semantics on such inputs are identical to
+  * `size(array_intersect(a, b))`, which is what the property spec pins.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_size expects array<string> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $n = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

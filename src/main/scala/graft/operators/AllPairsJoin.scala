@@ -72,13 +72,20 @@ object AllPairsJoin {
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sa = base.select(col("id").as("id_a"), col("s").as("s_a"),
+    // verification inputs sort ONCE per doc scan (the tok/prefix branch
+    // stays unsorted — it only explodes), converting each per-pair
+    // verification from array_intersect's hash-set build into
+    // SortedIntersectSize's allocation-free two-pointer merge
+    // (Bayardo §3's sorted-list verification)
+    val sa = base.select(col("id").as("id_a"), sort_array(col("s")).as("s_a"),
       col("sz").as("sz_a"))
-    val sb = base.select(col("id").as("id_b"), col("s").as("s_b"),
+    val sb = base.select(col("id").as("id_b"), sort_array(col("s")).as("s_b"),
       col("sz").as("sz_b"))
+    import org.apache.spark.sql.graft.ExprBridge
     cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("inter", size(array_intersect(col("s_a"), col("s_b")))
-        .cast("long"))
+      .withColumn("inter", ExprBridge.column(
+        graft.expressions.SortedIntersectSize(
+          ExprBridge.expression(col("s_a")), ExprBridge.expression(col("s_b")))))
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("long") - col("inter"))
       .filter(col("inter") * tauDen >= col("uni") * tauNum)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),

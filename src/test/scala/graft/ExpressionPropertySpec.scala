@@ -148,4 +148,25 @@ class ExpressionPropertySpec extends SparkSpec {
       .filter(not($"f" <=> $"h")).count()
     assert(diff === 0)
   }
+
+  test("SortedIntersectSize == size(array_intersect) on sorted-distinct arrays") {
+    import org.apache.spark.sql.graft.ExprBridge
+    // arbitrary token multisets, incl. empties, unicode, shared and
+    // disjoint vocab — normalized exactly like AllPairsJoin.base does
+    val tokGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(4)),
+      Gen.oneOf("", "ü", "日本", "aa", "ab", "b"))
+    val setGen = Gen.listOfN(10, tokGen)
+    val pairs = samples(Gen.zip(setGen, setGen), 120) ++
+      Seq((Nil, List("a")), (List("a"), Nil), (Nil, Nil))
+    val df = pairs.toDF("ra", "rb").select(
+      sort_array(array_distinct($"ra")).as("a"),
+      sort_array(array_distinct($"rb")).as("b"))
+    def fused = ExprBridge.column(graft.expressions.SortedIntersectSize(
+      ExprBridge.expression($"a"), ExprBridge.expression($"b")))
+    val diff = df.select(fused.as("f"),
+        size(array_intersect($"a", $"b")).cast("long").as("h"))
+      .filter(not($"f" <=> $"h")).count()
+    assert(diff === 0)
+  }
 }
