@@ -35,10 +35,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * three times) regressed the query ~15%.
   *
   * PRECONDITION: both arrays sorted ascending in Spark's binary string
-  * order (`sort_array` default) with no null elements and no duplicates
-  * — exactly what `sort_array(array_distinct(...))` produces. Count
-  * semantics on such inputs are identical to
-  * `size(array_intersect(a, b))`, which is what the property spec pins.
+  * order (`sort_array` default) with no duplicates — exactly what
+  * `sort_array(array_distinct(...))` produces. NULL ELEMENTS are
+  * tolerated: `sort_array` asc places them first, and the merge treats
+  * null as the minimum (a null on both sides matches once — the same
+  * count `array_intersect` produces on distinct arrays), so a stray
+  * null token degrades to the replaced builtin's semantics instead of
+  * crashing an executor task. Count semantics on such inputs are
+  * identical to `size(array_intersect(a, b))`, which is what the
+  * property spec pins (including its null-element cases).
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -65,7 +70,16 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var j = 0
     var n = 0L
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      // null elements sort first (sort_array asc); rank null as the
+      // minimum so a null on both sides matches exactly once, matching
+      // array_intersect's count on distinct inputs
+      val xn = x.isNullAt(i)
+      val yn = y.isNullAt(j)
+      val c =
+        if (xn && yn) 0
+        else if (xn) -1
+        else if (yn) 1
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -87,7 +101,10 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $i = 0, $j = 0;
          |long $n = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  boolean ${c}xn = $a.isNullAt($i);
+         |  boolean ${c}yn = $b.isNullAt($j);
+         |  int $c = (${c}xn && ${c}yn) ? 0 : ${c}xn ? -1 : ${c}yn ? 1
+         |    : $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c == 0) { $n++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

@@ -38,41 +38,35 @@ object Bfs {
     * should swap in reliable `checkpoint()` (DFS-backed) at the cost
     * of a write per round. */
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    // localCheckpoint exposes no handle to its persisted RDD, so learn
-    // each checkpoint's block ids by diffing the persistent-RDD registry
-    // around the (eager) call — single-threaded builder, so the diff is
-    // exactly this checkpoint's blocks
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // handle-exact tracking ([[LocalCheckpoints]]): the RDD each eager
+    // localCheckpoint persisted comes straight off the returned frame's
+    // plan, never from the SparkContext-global registry — the registry
+    // diff this replaced raced concurrent queries' persists (Verify runs
+    // on a thread pool) and could unpersist a sibling's only copy
+    import LocalCheckpoints.{tracked, free}
     val e = edges.select(col("src"), col("dst"))
-    var (visited, visitedIds) = checkpointTracked(
+    var (visited, visitedRdds) = tracked(
       seeds.select(col("node")).distinct().withColumn("hop", lit(0)))
     var frontier = visited
-    var frontierIds = Set.empty[Int] // round 0 shares the visited blocks
+    var frontierRdds = Seq.empty[org.apache.spark.rdd.RDD[_]] // round 0 shares the visited blocks
     for (h <- 1 to maxHops) {
-      val (next, nextIds) = checkpointTracked(
+      val (next, nextRdds) = tracked(
         frontier
           .join(e, frontier("node") === e("src"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select(col("node")), Seq("node"), "left_anti")
           .withColumn("hop", lit(h)))
-      free(frontierIds) // pre-round frontier: consumed by the join above
-      val (newVisited, newVisitedIds) = checkpointTracked(visited.union(next))
-      free(visitedIds) // pre-round visited: folded into the union
+      free(frontierRdds) // pre-round frontier: consumed by the join above
+      val (newVisited, newVisitedRdds) = tracked(visited.union(next))
+      free(visitedRdds) // pre-round visited: folded into the union
       visited = newVisited
-      visitedIds = newVisitedIds
+      visitedRdds = newVisitedRdds
       frontier = next
-      frontierIds = nextIds
+      frontierRdds = nextRdds
     }
     // the last frontier was folded into the final visited checkpoint;
     // only the result's own blocks stay pinned
-    free(frontierIds)
+    free(frontierRdds)
     visited.select(col("node"), col("hop").cast("int").as("hop"))
   }
 }

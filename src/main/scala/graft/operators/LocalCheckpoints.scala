@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Handle-exact bookkeeping for eager `localCheckpoint` loops.
+  *
+  * Iterative operators (BFS frontiers, label propagation) must truncate
+  * lineage each round or round k re-executes rounds 1..k−1; eager
+  * `localCheckpoint` does that but pins UNREPLICATED executor blocks
+  * that the loop must release as rounds supersede each other. The
+  * Dataset API exposes no handle to the RDD it just persisted, and
+  * diffing the SparkContext-GLOBAL `getPersistentRDDs` registry around
+  * the call is a RACE in any multi-threaded harness (Verify runs the
+  * registry on a thread pool): a sibling query's persist landing in the
+  * diff window would be attributed to this loop and later unpersisted —
+  * and unpersisting someone else's localCheckpointed RDD destroys its
+  * ONLY copy (lineage is truncated), an intermittent cross-query
+  * failure. So take the handle DIRECTLY: `Dataset.localCheckpoint`
+  * returns a Dataset whose analyzed plan is exactly one [[LogicalRDD]]
+  * wrapping the RDD it persisted; collecting that node yields the
+  * precise blocks this call created, with no global state consulted.
+  */
+object LocalCheckpoints {
+
+  /** Eagerly localCheckpoints `df`; returns the checkpointed frame plus
+    * the exact RDD handles backing it (for a later [[free]]). */
+  def tracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+    val out = df.localCheckpoint(true)
+    val handles = out.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd
+    }
+    (out, handles)
+  }
+
+  /** Releases the blocks of a superseded checkpoint. Non-blocking: the
+    * caller's next round does not wait on block removal. */
+  def free(handles: Seq[RDD[_]]): Unit =
+    handles.foreach(_.unpersist(false))
+}

@@ -27,15 +27,22 @@ object RunningTotal {
 
   /** Adds `outCol` = running sum of `value` over the global `order`
     * (inclusive of the current row). `order` must be a total order
-    * (include a tiebreak key) for the result to be well-defined. */
+    * (include a tiebreak key) for the result to be well-defined.
+    * `numPartitions` ≤ 0 (the default) derives the range-partition
+    * count from `spark.sql.shuffle.partitions` — a cluster that sized
+    * its shuffles sized this prefix sum too; a hard-coded literal
+    * would silently rank 100 TB through a dev-scale partition count. */
   def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
-                     outCol: String, numPartitions: Int = 32): DataFrame = {
+                     outCol: String, numPartitions: Int = 0): DataFrame = {
     val reserved = Seq("_rt_v", "_rt_pid", "_rt_off", "_rt_t")
     require(!df.columns.exists(reserved.contains),
       s"input must not contain the helper columns ${reserved.mkString(", ")}")
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = df
       .withColumn("_rt_v", value.cast("long"))
-      .repartitionByRange(numPartitions, order: _*)
+      .repartitionByRange(nParts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_rt_pid", spark_partition_id())
       .persist()

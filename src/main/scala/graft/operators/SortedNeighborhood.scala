@@ -31,9 +31,12 @@ object SortedNeighborhood {
     * 1 ≤ rank(b) − rank(a) ≤ window, as two struct columns `a` and `b`
     * carrying the full input row. `order` must be a total order
     * (include a unique tiebreak key) for ranks — and therefore the
-    * pair set — to be well-defined. */
+    * pair set — to be well-defined. `numPartitions` ≤ 0 (the default)
+    * defers to [[RunningTotal]]'s `spark.sql.shuffle.partitions`
+    * derivation, so a cluster deployment's shuffle sizing governs the
+    * rank's range partitioning too (no magic dev-scale constant). */
   def candidatePairs(df: DataFrame, order: Seq[Column], window: Int,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 0): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val reserved = Seq("_sn_rn", "_sn_b", "_sn_bb", "_sn_rn_a", "_sn_rn_b")
     require(!df.columns.exists(reserved.contains),

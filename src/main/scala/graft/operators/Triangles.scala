@@ -68,12 +68,24 @@ object Triangles {
     val corners = tri.select(explode(array(col("u"), col("x"), col("y")))
       .as("node"))
     val counts = corners.groupBy(col("node")).agg(count(lit(1)).as("t"))
-    deg.join(counts, Seq("node"), "left")
+    val result = deg.join(counts, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("t"), lit(0L)).as("n_triangles"))
       .withColumn("lcc_micro",
         when(col("deg") >= 2,
           expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
           .otherwise(lit(0L)))
+    // Returning `result` lazily would pin deg/oriented for the session
+    // lifetime (no point before execution at which to unpersist them,
+    // and repeated Bench/Verify invocations would accumulate leaked
+    // cache entries). Materialize eagerly instead — the result is
+    // node-count-sized, orders smaller than the edge-derived
+    // intermediates it lets go of — then drop both pins before
+    // returning. blocking = false: the next query need not wait on
+    // block removal.
+    val (out, _) = LocalCheckpoints.tracked(result)
+    deg.unpersist(false)
+    oriented.unpersist(false)
+    out
   }
 }

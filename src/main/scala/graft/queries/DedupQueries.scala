@@ -335,9 +335,18 @@ object DedupQueries {
     * union. Scale shape: each pass is the same linear n·window
     * candidate stream as the single-pass query, and the union dedups
     * by one ids-width distinct — candidate volume is exactly
-    * passes·n·window at ANY corpus size. Pair orientation is
-    * canonical (id_a < id_b, names carried by that rule), so the
-    * cross-pass distinct and the oracle's UNION agree row-for-row. */
+    * passes·n·window at ANY corpus size. The Levenshtein score and
+    * its threshold filter run INSIDE each pass, before the cross-pass
+    * union: `dist` is functionally determined by the pair, so scoring
+    * the (few) pairs both passes find twice costs two cheap DP calls,
+    * while the union's distinct shuffle then carries three ints per
+    * row instead of two full name payloads and dedups the (smaller)
+    * surviving set rather than every candidate — at 100 TB with long
+    * names the ids-width shuffle is the difference that matters
+    * (ShuffleBudgetSpec pins the distinct exchange string-free). Pair
+    * orientation is canonical (id_a < id_b, names ordered by that
+    * rule), so the cross-pass distinct and the oracle's UNION agree
+    * row-for-row. */
   def dedupSnmMultipass(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
     def pass(keyed: DataFrame, order: Seq[org.apache.spark.sql.Column]) =
@@ -349,14 +358,13 @@ object DedupQueries {
             .otherwise(col("b.p_name")).as("name_a"),
           when(col("a.p_partkey") < col("b.p_partkey"), col("b.p_name"))
             .otherwise(col("a.p_name")).as("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 5))
+        .filter(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
     val byName = pass(p, Seq(col("p_name"), col("p_partkey")))
     val byRev = pass(p.withColumn("_rname", reverse(col("p_name"))),
       Seq(col("_rname"), col("p_partkey")))
-      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
     byName.unionByName(byRev).distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 5))
-      .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

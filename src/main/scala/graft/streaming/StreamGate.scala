@@ -81,8 +81,12 @@ object StreamGate {
     // restore window, stream B can capture stream A's checkpoint conf,
     // and A's teardown then deletes B's live state mid-run. Only the
     // start window is locked — awaitTermination (the long part) runs
-    // fully concurrent.
-    val q = StreamGate.synchronized {
+    // fully concurrent. Residual exposure: a BATCH query planned on
+    // another thread inside this (short, start-only) window picks up
+    // the state-sized shuffle partition count — a bounded perf wobble,
+    // never a correctness issue, and unavoidable without a per-query
+    // conf surface Spark does not expose for state sizing.
+    val q = try StreamGate.synchronized {
       val n = spark.conf.getOption(statePartitionsKey).getOrElse("8")
       val priorShuffle = spark.conf.getOption(shuffleKey)
       val priorCkpt = spark.conf.getOption(ckptConfKey)
@@ -100,6 +104,10 @@ object StreamGate {
         restore(ckptConfKey, priorCkpt)
         restore(noDataKey, priorNoData)
       }
+    } catch { case e: Throwable =>
+      // a failed start leaves no query to tear the scratch down
+      scratch.foreach(deleteRecursively)
+      throw e
     }
     try q.awaitTermination()
     finally scratch.foreach(deleteRecursively)

