@@ -26,11 +26,13 @@ object Bench {
     if (signalDir.nonEmpty)
       spark.conf.set(graft.queries.SignalMemo.signalDirKey, signalDir)
 
-    def materializeOnce(name: String): Double = {
+    def materializeOnce(name: String,
+        registry: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame] = SparkEntry.queries): Double = {
       val t0 = System.nanoTime()
       val elapsed =
         try {
-          SparkEntry.queries(name)(spark, sfDir)
+          registry(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
@@ -107,6 +109,26 @@ object Bench {
     val timed = selected.map(n => n -> materialize(n))
     val results = timed.map { case (k, (_, best)) => k -> best }
     val firsts = timed.map { case (k, (first, _)) => k -> first }
+
+    // Sketch honesty (VERDICT r10 what's-wrong #1): the registered
+    // sketch queries are exact-BRACKET relations (exact counterpart
+    // rides along so the oracle can pin the sketch's error), so their
+    // numbers above measure exact+sketch. The `sketch_only` section
+    // times the PRODUCTION path alone — the figure a 100 TB deployment
+    // reads — and `bracketed` tags the registry entries whose time
+    // includes the bracket.
+    val sketchTimed = graft.queries.BenchOnly.sketchOnly.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map { n =>
+        val times = (1 to runs).map(_ =>
+          materializeOnce(n, graft.queries.BenchOnly.sketchOnly))
+        val ok = times.filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
+      }
+    val sketchJson = sketchTimed
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val bracketedJson = graft.queries.BenchOnly.bracketed
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsFirst = firsts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -213,6 +235,7 @@ object Bench {
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""queries":$qs,"queries_first":$qsFirst,""" +
+      s""""sketch_only":$sketchJson,"bracketed":$bracketedJson,""" +
       s""""prep":{"posting_index_build_s":$prep,"session_index_build_s":$sessPrep},""" +
       s""""calibration":$calibration,"calibration_r9":$calibrationR9,""" +
       s""""calibration_r10":$calibrationR10,"sf":"$sfDir"}"""

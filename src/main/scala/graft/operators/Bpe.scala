@@ -91,6 +91,12 @@ object Bpe {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var cur = words
+    // handle-exact checkpoint hygiene ([[LocalCheckpoints]]): a cadence
+    // checkpoint supersedes the previous one — free its blocks once the
+    // new one is materialized, so the learn pins at most two vocab
+    // tables instead of one per cadence. The settled table stays pinned
+    // (callers fold/segment against it); vocab-sized.
+    var curRdds = Seq.empty[org.apache.spark.rdd.RDD[_]]
     var scansSinceCheckpoint = 0
     var exhausted = false
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -135,12 +141,16 @@ object Bpe {
             col("cnt"))
         scansSinceCheckpoint += 1
         if (scansSinceCheckpoint >= checkpointCadence) {
-          cur = cur.localCheckpoint()
+          val (ck, ckRdds) = LocalCheckpoints.tracked(cur)
+          LocalCheckpoints.free(curRdds) // superseded by the new checkpoint
+          cur = ck
+          curRdds = ckRdds
           scansSinceCheckpoint = 0
         }
       }
     }
-    val settled = cur.localCheckpoint() // reusable without re-folding
+    val (settled, _) = LocalCheckpoints.tracked(cur) // reusable without re-folding
+    LocalCheckpoints.free(curRdds)
     words.unpersist()
     Learned(out.toSeq, settled)
   }

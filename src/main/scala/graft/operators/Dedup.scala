@@ -383,10 +383,15 @@ object Dedup {
     // Seed labels with min(self, min neighbor): the first propagation
     // step fused into initialization — one groupBy replaces the distinct
     // AND saves a full join+groupBy iteration of the loop below.
-    var labels = sym.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("min_nbr"))
-      .select(col("node"), least(col("node"), col("min_nbr")).as("label"))
-      .localCheckpoint(true)
+    // Handle-exact hygiene ([[LocalCheckpoints]]): each iteration's
+    // checkpoint supersedes the previous one, whose blocks are freed
+    // once the new one is materialized — at most two label tables stay
+    // pinned instead of one per iteration. The final labels checkpoint
+    // remains pinned (the returned lazy frame reads it); node-sized.
+    var (labels, labelRdds) = LocalCheckpoints.tracked(
+      sym.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("min_nbr"))
+        .select(col("node"), least(col("node"), col("min_nbr")).as("label")))
     // Convergence probe: labels are elementwise monotone non-increasing
     // (every update is a least(...) against the old label, and a node's
     // label never exceeds the node), so Σ label strictly decreases iff
@@ -414,14 +419,15 @@ object Dedup {
       // its input twice, so chaining jumps on the unmaterialized hop
       // re-evaluates the join pipeline 4x — measured 3x slower than the
       // extra rounds it saves.)
-      val next = hop.alias("a")
+      val (next, nextRdds) = LocalCheckpoints.tracked(hop.alias("a")
         .join(hop.select(col("node").as("l_node"), col("label").as("l_label")).alias("b"),
           col("a.label") === col("b.l_node"), "left")
         .select(col("a.node").as("node"),
-          coalesce(col("b.l_label"), col("a.label")).as("label"))
-        .localCheckpoint(true)
+          coalesce(col("b.l_label"), col("a.label")).as("label")))
       val curSum = labelSum(next)
+      LocalCheckpoints.free(labelRdds) // superseded by the new checkpoint
       labels = next
+      labelRdds = nextRdds
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       i += 1

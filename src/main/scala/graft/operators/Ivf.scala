@@ -177,6 +177,11 @@ object Ivf {
     var cents = seededCentroids(corpus, idCol, vecCol, nCells)
       .select(col("cell"),
         transform(col("centroid"), x => x.cast("double")).as("centroid"))
+    // handle-exact checkpoint hygiene ([[LocalCheckpoints]]): each
+    // round's centroid checkpoint supersedes the previous one, freed
+    // once the new round materializes; the final one stays pinned for
+    // the returned frames (nCells rows)
+    var centsRdds = Seq.empty[org.apache.spark.rdd.RDD[_]]
     for (_ <- 1 to iters) {
       val assigned = assignTo(corpus, cents, idCol, vecCol)
       val means = assigned
@@ -189,9 +194,12 @@ object Ivf {
           array_sort(collect_list(struct(col("pos"), col("sq"), col("n")))),
           s => round(s.getField("sq").cast("double") / 1e6 / s.getField("n"), 9))
           .as("newc"))
-      cents = cents.join(means, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("newc"), col("centroid")).as("centroid"))
-        .localCheckpoint()
+      val (ck, ckRdds) = LocalCheckpoints.tracked(
+        cents.join(means, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("newc"), col("centroid")).as("centroid")))
+      LocalCheckpoints.free(centsRdds) // superseded by the new round
+      cents = ck
+      centsRdds = ckRdds
     }
     (cents, assignTo(corpus, cents, idCol, vecCol))
   }

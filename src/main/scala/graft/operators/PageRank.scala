@@ -52,7 +52,14 @@ object PageRank {
     if (n == 0) return deg.withColumn("rank_micro", lit(0L))
     val r0 = massMicro / n
     val base = (15L * r0) / 100L
-    var state = deg.withColumn("rank_micro", lit(r0)).localCheckpoint(true)
+    // handle-exact checkpoint hygiene ([[LocalCheckpoints]]): each
+    // cadence checkpoint supersedes the previous one, whose blocks are
+    // freed as soon as the new one is materialized — the loop pins at
+    // most two rounds of node-sized state instead of one per cadence.
+    // The FINAL checkpoint stays pinned (the returned lazy frame reads
+    // it); node-sized, one per invocation.
+    import LocalCheckpoints.{tracked, free}
+    var (state, stateRdds) = tracked(deg.withColumn("rank_micro", lit(r0)))
     for (i <- 1 to iterations) {
       val contribs = state
         .select(col("node"), expr("rank_micro div deg").as("c"))
@@ -67,8 +74,12 @@ object PageRank {
       // no checkpoint on the last round: the consumer's first action
       // materializes it anyway — an eager checkpoint there would just
       // run one extra job
-      state = if (i % checkpointCadence == 0 && i != iterations)
-        next.localCheckpoint(true) else next
+      if (i % checkpointCadence == 0 && i != iterations) {
+        val (ck, ckRdds) = tracked(next)
+        free(stateRdds) // superseded: folded into the new checkpoint
+        state = ck
+        stateRdds = ckRdds
+      } else state = next
     }
     state
   }

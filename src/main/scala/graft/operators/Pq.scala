@@ -85,6 +85,10 @@ object Pq {
           qslice(col("v"), b * subDim, subDim)): _*)).as(Seq("blk", "qc")))
       .select(col("blk").cast("int").as("blk"), col("code"), col("qc"))
     val vb = subVectors(emb, idCol, vecCol, dim, m)
+    // handle-exact checkpoint hygiene ([[LocalCheckpoints]]): free each
+    // round's superseded codebook checkpoint; the final (m·k rows) one
+    // stays pinned for the returned frame
+    var cbRdds = Seq.empty[org.apache.spark.rdd.RDD[_]]
     for (_ <- 1 to iters) {
       val means = assign(vb, cb)
         .select(col("blk"), col("code"), posexplode(col("qv")).as(Seq("pos", "qx")))
@@ -95,10 +99,13 @@ object Pq {
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           t => round(t.getField("s").cast("double") / t.getField("n")).cast("long"))
           .as("newqc"))
-      cb = cb.join(means, Seq("blk", "code"), "left")
-        .select(col("blk"), col("code"),
-          coalesce(col("newqc"), col("qc")).as("qc"))
-        .localCheckpoint()
+      val (ck, ckRdds) = LocalCheckpoints.tracked(
+        cb.join(means, Seq("blk", "code"), "left")
+          .select(col("blk"), col("code"),
+            coalesce(col("newqc"), col("qc")).as("qc")))
+      LocalCheckpoints.free(cbRdds) // superseded by the new round
+      cb = ck
+      cbRdds = ckRdds
     }
     cb
   }

@@ -88,8 +88,12 @@ object Skyline {
     val tagged = df.withColumn("_obj", array(objectives.map(_.cast("double")): _*))
     val enc = Encoders.row(tagged.schema)
     val objIdx = tagged.schema.fieldIndex("_obj")
-    val local = tagged.mapPartitions(it => prune(it, objIdx, -1))(enc)
-      .localCheckpoint()
+    // handle-exact checkpoint hygiene ([[LocalCheckpoints]]): each
+    // halving round's checkpoint supersedes the previous one, freed as
+    // soon as the new round materializes — the merge pins at most two
+    // (shrinking) survivor tables instead of one per round
+    val (local, localRdds) = LocalCheckpoints.tracked(
+      tagged.mapPartitions(it => prune(it, objIdx, -1))(enc))
     val survivors = local.count()
     if (survivors <= mergeThreshold)
       local.coalesce(1).mapPartitions(it => prune(it, objIdx, -1))(enc)
@@ -98,12 +102,16 @@ object Skyline {
       sweep2d(local, objIdx).drop("_obj")
     else {
       var cur = local
+      var curRdds = localRdds
       var n = survivors
       var parts = cur.rdd.getNumPartitions
       while (n > mergeThreshold && parts > 1) {
         parts = (parts + 1) / 2
-        cur = cur.coalesce(parts).mapPartitions(it => prune(it, objIdx, -1))(enc)
-          .localCheckpoint()
+        val (ck, ckRdds) = LocalCheckpoints.tracked(
+          cur.coalesce(parts).mapPartitions(it => prune(it, objIdx, -1))(enc))
+        LocalCheckpoints.free(curRdds) // superseded by the new round
+        cur = ck
+        curRdds = ckRdds
         n = cur.count()
       }
       (if (parts > 1)

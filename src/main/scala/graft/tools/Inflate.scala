@@ -98,11 +98,23 @@ object Inflate {
   }
 
   /** Writes the full inflated corpus under `destDir` in the testdata
-    * layout (`<destDir>/<table>.parquet`), readable by every
-    * [[Tables]] loader / registry query unchanged. */
+    * layout — `<destDir>/<table>.parquet` as a single plain FILE, not
+    * a directory: the streamed loaders select their table with a
+    * `pathGlobFilter` on leaf FILE names (`Tables.eventsStream`), so a
+    * directory of part-files would silently stream zero rows. Probe
+    * corpora are small enough that the single-file coalesce is free. */
   def corpus(spark: SparkSession, srcDir: String, destDir: String, k: Int): Unit =
     Tables.names.foreach { name =>
-      table(spark, srcDir, name, k).write.mode("overwrite")
-        .parquet(s"$destDir/$name.parquet")
+      val scratch = s"$destDir/_build_$name"
+      table(spark, srcDir, name, k).coalesce(1)
+        .write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $scratch"))
+      val target = new java.io.File(destDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(scratch).listFiles().foreach(_.delete())
+      new java.io.File(scratch).delete(): Unit
     }
 }

@@ -36,6 +36,11 @@ class ScaleProbeSpec extends SparkSpec {
     // produce MORE work than 1x somewhere, or the assertion is vacuous
     assert(obs.count(o => o.bytesK > o.bytes1) >= obs.size / 2,
       "inflation produced no extra shuffle volume for most families — probe broken?")
+    // and every family has to produce output at 1x — a zero-row run
+    // means the query silently saw no data (the streamed pathGlobFilter
+    // trap) and its "linear growth" is vacuous
+    val empty = obs.filter(_.rows1 === 0L).map(_.query)
+    assert(empty.isEmpty, s"families with zero 1x output (probe not exercised): $empty")
   }
 
   test("inflation preserves within-copy structure and separates copies") {
