@@ -23,6 +23,13 @@ import org.apache.spark.sql.SparkSession
   * scale on every probed batch family; `runMain graft.tools.ScaleProbe`
   * writes the full observation table (default sf0.01, k=10) as a
   * driver-visible JSON artifact.
+  *
+  * Deliberately NOT probed: `sim_neardup_lsh`'s static 6×3 embedding
+  * banding, whose candidate mass is KNOWN quadratic beyond its
+  * declared envelope — that family is guarded by an explicit candidate
+  * budget that fails loudly with the autoBitsPerBand re-banding
+  * suggestion (SimilarityQueries.NearDupCandidateBudget) rather than
+  * claiming linearity; probing it would just trip its own guard.
   */
 object ScaleProbe {
 
@@ -85,6 +92,14 @@ object ScaleProbe {
     Family("sim_knn_join_lsh",
       "LSH kNN join: per-QUERY probe cost linear in corpus (every vector is a query)",
       coupled = true),
+    Family("text_tfidf", "per-(doc, term) postings, linear in corpus tokens"),
+    Family("dedup_winnowing_candidates",
+      "winnowing fingerprints hash-banded, ids-only shuffle"),
+    Family("scd2_history", "per-key ordered windows, one keyed shuffle"),
+    Family("budget_select_tokens",
+      "two-pass distributed prefix sum; output bounded by the token budget"),
+    Family("corpus_pack_windows", "sequence packing, shuffle-budgeted"),
+    Family("events_resample", "per-user gap fill, keyed shuffle linear in events"),
     Family("q1_pricing_summary", "scan + map-side partial agg control"))
 
   /** Streamed family: stream==batch gate machinery, measured by output
