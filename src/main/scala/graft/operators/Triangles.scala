@@ -31,6 +31,28 @@ object Triangles {
     * don't exist by construction (every node has deg ≥ 1). */
   def perNode(pairs: DataFrame, aCol: String = "id_a",
               bCol: String = "id_b"): DataFrame = {
+    val (result, pins) = perNodePlan(pairs, aCol, bCol)
+    // Returning the lazy plan would pin deg/oriented for the session
+    // lifetime (no point before execution at which to unpersist them,
+    // and repeated Bench/Verify invocations would accumulate leaked
+    // cache entries). Materialize eagerly instead — the result is
+    // node-count-sized, orders smaller than the edge-derived
+    // intermediates it lets go of — then drop both pins before
+    // returning. blocking = false: the next query need not wait on
+    // block removal. Plan-shape audits pin [[perNodePlan]], the lazy
+    // builder plan this materializes.
+    val (out, _) = LocalCheckpoints.tracked(result)
+    pins.foreach(_.unpersist(false))
+    out
+  }
+
+  /** The LAZY builder plan plus the two cache pins it references —
+    * exposed so plan-shape audits can assert the wedge/close join
+    * shape that [[perNode]]'s eager materialization hides behind a
+    * LogicalRDD scan. Callers must unpersist the returned pins (or go
+    * through [[perNode]], which does). */
+  private[graft] def perNodePlan(pairs: DataFrame, aCol: String,
+      bCol: String): (DataFrame, Seq[DataFrame]) = {
     // self-loops would count phantom wedges; a simple graph has none,
     // but dropping them is one codegen'd filter
     val p = pairs.select(col(aCol).cast("long").as("a"),
@@ -75,17 +97,6 @@ object Triangles {
         when(col("deg") >= 2,
           expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
           .otherwise(lit(0L)))
-    // Returning `result` lazily would pin deg/oriented for the session
-    // lifetime (no point before execution at which to unpersist them,
-    // and repeated Bench/Verify invocations would accumulate leaked
-    // cache entries). Materialize eagerly instead — the result is
-    // node-count-sized, orders smaller than the edge-derived
-    // intermediates it lets go of — then drop both pins before
-    // returning. blocking = false: the next query need not wait on
-    // block removal.
-    val (out, _) = LocalCheckpoints.tracked(result)
-    deg.unpersist(false)
-    oriented.unpersist(false)
-    out
+    (result, Seq(deg, oriented))
   }
 }

@@ -213,7 +213,7 @@ object DedupQueries {
   /** The MinHash-LSH near-dup pair list, memoized as its own signal:
     * the cluster chain here AND GraphQueries' PageRank consume it, so
     * a session pays the banding pipeline once across all of them. */
-  private[queries] def neardupPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def neardupPairs(spark: SparkSession, dir: String): DataFrame =
     SignalMemo.cached(spark, dir, "neardup_pairs") {
       Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
         k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)

@@ -62,17 +62,15 @@ class PlanShapeSpec extends SparkSpec {
     // two degree-attach joins PRINTED once per InMemoryTableScan
     // reference (3×2 = 6 string matches for joins that execute once)
     "graph_pagerank" -> 4,
-    // 9 is a PRINTING artifact, not 9 executed joins: wedge + close +
-    // final count join execute once each, and the persisted oriented-
-    // edge subtree's two degree-attach joins are printed once per
-    // InMemoryTableScan reference (3 references × 2 = 6 strings for
-    // joins that run once). r10 re-audited after the regression
-    // investigation: the degree table is now ALSO persisted (it was
-    // the actual r9 regression — 3 unpinned deg references recomputed
-    // the symmetrized scan+groupBy, 1.20 s → 0.68 s at sf0.1 when
-    // pinned), but cached subtrees still print in full, so the count
-    // stays 9. Executed joins: 5.
-    "graph_triangles" -> 9,
+    // r11: perNode now materializes eagerly (checkpoint hygiene — the
+    // deg/oriented pins are released before returning), so the
+    // REGISTERED query's plan is one LogicalRDD scan with zero joins;
+    // the wedge/close join shape is pinned on the lazy BUILDER plan in
+    // the dedicated test below ("triangles BUILD plan…"), same pattern
+    // as the near-dup signal BUILD pin. Historical context (r10): the
+    // old lazy plan printed 9 join strings for 5 executed joins
+    // (cached subtrees print once per InMemoryTableScan reference).
+    "graph_triangles" -> 0,
     // r9: the snapshot↔latest-changes merge is a FULL-outer equi-join,
     // which no broadcast strategy supports — one shuffle join is the
     // correct (and minimal) shape; the changelog side has already been
@@ -267,6 +265,26 @@ class PlanShapeSpec extends SparkSpec {
     val got = pushedRe.findAllMatchIn(build.queryExecution.explainString(formatted))
       .count(_.group(1).trim.nonEmpty)
     assert(got >= 2, s"near-dup build pushdown regressed: $got < 2")
+  }
+
+  test("triangles BUILD plan keeps its degree-ordered join shape") {
+    // the registered graph_triangles query materializes eagerly (its
+    // plan is a LogicalRDD scan), so the wedge/close shape is pinned on
+    // the lazy builder plan: 3 executed hash joins (wedge leg pair +
+    // closing probe + final degree attach) over the two persisted
+    // subtrees, whose own joins print once per InMemoryTableScan
+    // reference — budget the historical 9-string ceiling and forbid
+    // cartesian products outright
+    val (build, pins) = graft.operators.Triangles.perNodePlan(
+      graft.queries.DedupQueries.neardupPairs(spark, sf), "id_a", "id_b")
+    try {
+      val plan = build.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"))
+      val joins = count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") +
+        count(plan, "BroadcastHashJoin")
+      assert(joins >= 3, s"triangles build lost its join structure: $joins < 3")
+      assert(joins <= 9, s"triangles build grew extra joins: $joins > 9")
+    } finally pins.foreach(_.unpersist(true))
   }
 
   test("no forced broadcast hints on query-batch-sized sides (r7 degrade)") {
