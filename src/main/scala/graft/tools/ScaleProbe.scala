@@ -152,17 +152,24 @@ object ScaleProbe {
       s""""note":"linear_ok: kx growth of shuffle bytes/rows and output rows stays under margin*k plus a fixed-overhead floor; coupled=true families (query set derived from the corpus, so both join sides grow) get the additional query-volume factor, i.e. PER-QUERY linearity; wall_s advisory","families":$rows}"""
   }
 
-  /** `runMain graft.tools.ScaleProbe [sfDir] [k] [outPath]` */
+  /** `runMain graft.tools.ScaleProbe [sfDir] [k] [outPath] [q1,q2,...]`
+    * — the optional 4th arg restricts to a comma-separated family
+    * subset (e.g. a deep k=100 run over the cheap strictly-linear
+    * families; the full set at k=100 would spend minutes proving the
+    * coupled self-joins quadratic, which k=10 already shows). */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val outPath = args.lift(2).getOrElse("SCALE_r11.json")
+    val only = args.lift(3).map(_.split(",").toSet)
     val spark = graft.sources.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     val dir1 = inflateTo(spark, sfDir, 1)
     val dirK = inflateTo(spark, sfDir, k)
-    val obs = observe(spark, dir1, dirK, k, batchFamilies ++ streamedFamilies)
+    val families = (batchFamilies ++ streamedFamilies)
+      .filter(f => only.forall(_.contains(f.query)))
+    val obs = observe(spark, dir1, dirK, k, families)
     val out = json(obs, sfDir, margin = 2.0)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (out + "\n").getBytes("UTF-8"))
