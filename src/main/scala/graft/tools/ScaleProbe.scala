@@ -102,12 +102,16 @@ object ScaleProbe {
     Family("events_resample", "per-user gap fill, keyed shuffle linear in events"),
     Family("q1_pricing_summary", "scan + map-side partial agg control"))
 
-  /** Streamed family: stream==batch gate machinery, measured by output
-    * rows and wall only (the streaming job's exchanges are not visible
-    * on the returned batch frame). */
+  /** Streamed families: stream==batch gate machinery, measured by
+    * output rows and wall only (the streaming job's exchanges are not
+    * visible on the returned batch frame). */
   val streamedFamilies: Seq[Family] = Seq(
     Family("dedup_incremental_streamed",
-      "state-store incremental dedup: state and per-batch work linear in keys"))
+      "state-store incremental dedup: state and per-batch work linear in keys"),
+    Family("cdc_merge_streamed",
+      "streamed changelog compaction + merge: state linear in keys"),
+    Family("tumbling_window_streamed",
+      "watermarked windowed agg: state bounded by open windows"))
 
   /** Inflate `srcDir` k-fold under a scratch dir; returns the corpus
     * dir. */
