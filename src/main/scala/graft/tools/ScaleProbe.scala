@@ -114,11 +114,21 @@ object ScaleProbe {
       "watermarked windowed agg: state bounded by open windows"))
 
   /** Inflate `srcDir` k-fold under a scratch dir; returns the corpus
-    * dir. */
+    * dir. Callers delete it with [[cleanup]] when done — a k=10 sf0.01
+    * corpus is ~100 MB of /tmp that would otherwise outlive the run. */
   def inflateTo(spark: SparkSession, srcDir: String, k: Int): String = {
     val dest = java.nio.file.Files.createTempDirectory(s"graft_scale_${k}x").toString
     Inflate.corpus(spark, srcDir, dest, k)
     dest
+  }
+
+  /** Recursively deletes an inflated scratch corpus. */
+  def cleanup(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
   }
 
   private def timedMeasure(spark: SparkSession, dir: String, q: String):
@@ -173,7 +183,9 @@ object ScaleProbe {
     val dirK = inflateTo(spark, sfDir, k)
     val families = (batchFamilies ++ streamedFamilies)
       .filter(f => only.forall(_.contains(f.query)))
-    val obs = observe(spark, dir1, dirK, k, families)
+    val obs =
+      try observe(spark, dir1, dirK, k, families)
+      finally { cleanup(dir1); cleanup(dirK) }
     val out = json(obs, sfDir, margin = 2.0)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (out + "\n").getBytes("UTF-8"))

@@ -25,7 +25,9 @@ class ScaleProbeSpec extends SparkSpec {
     val k = 5
     val dir1 = ScaleProbe.inflateTo(spark, sf, 1)
     val dirK = ScaleProbe.inflateTo(spark, sf, k)
-    val obs = ScaleProbe.observe(spark, dir1, dirK, k, ScaleProbe.batchFamilies)
+    val obs =
+      try ScaleProbe.observe(spark, dir1, dirK, k, ScaleProbe.batchFamilies)
+      finally { ScaleProbe.cleanup(dir1); ScaleProbe.cleanup(dirK) }
     val bad = obs.filterNot(_.linearOk(margin = 2.0)).map(o =>
       s"${o.query}: rows ${o.rows1}->${o.rowsK}, shuffleBytes ${o.bytes1}->" +
         s"${o.bytesK} (x${f"${o.bytesRatio}%.1f"}), shuffleRows ${o.srows1}->${o.srowsK}")
