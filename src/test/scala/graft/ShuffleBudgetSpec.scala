@@ -46,7 +46,24 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q6_forecast_revenue" -> (200L, 79L),
     // typed cogroup: both key-projected sides co-partition (orders +
     // lineitem rows) plus the ordered-output range exchange
-    "audit_cogroup_diff" -> (350000L, 138914L))
+    "audit_cogroup_diff" -> (350000L, 138914L),
+    // r11 additions (audited at local[8] sf0.001): the r10 TPC-H
+    // topology closers — Q12's date-window join carries 4 partial-agg
+    // rows, Q20's nested semi-chain stays broadcast-dominated
+    "q12_ship_priority" -> (800L, 300L),
+    "q20_potential_promotion" -> (12000L, 4577L),
+    // SNM: rank range exchange + bucket equi-shuffle per pass + the
+    // ids-width cross-pass distinct (string-free, pinned below)
+    "dedup_levenshtein_block" -> (55000L, 21100L),
+    "dedup_snm_multipass" -> (200000L, 77281L),
+    // advise→salt→join: sketch pass shuffles nothing (CMS aggregates
+    // map-side); the salted join + per-user agg carry the volume
+    "advised_salted_join" -> (45000L, 17934L),
+    // graph family: node-sized state rounds (pagerank), one frontier
+    // exchange (bfs), builder-materialized scan + order (triangles)
+    "graph_pagerank" -> (15000L, 5850L),
+    "graph_bfs_hops" -> (3500L, 1261L),
+    "graph_triangles" -> (6500L, 2433L))
 
   test("executed-plan shuffle write volume stays inside per-query budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, (budget, measured)) =>
