@@ -185,7 +185,12 @@ class PlanShapeSpec extends SparkSpec {
     "q13_customer_distribution" -> 1, "q15_top_supplier" -> 3,
     "q16_supplier_cnt" -> 3, "q17_small_qty_revenue" -> 4,
     "q19_disjunctive_revenue" -> 2, "q21_waiting_supplier" -> 5,
-    "q22_sales_opportunity" -> 3)
+    "q22_sales_opportunity" -> 3,
+    // r10 topology closers, floored in r11: Q12 pushes its shipmode/
+    // date-window range into lineitem (+ IsNotNull keys); Q20's nested
+    // semi chain keeps the color prefix, date window, and key
+    // null-guards at their scans
+    "q12_ship_priority" -> 2, "q20_potential_promotion" -> 6)
 
   // fused custom-Expression kernels + representative scan/agg shapes that
   // must stay inside whole-stage codegen
