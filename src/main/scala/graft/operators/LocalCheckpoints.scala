@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Handle-exact bookkeeping for eager `localCheckpoint` loops.
@@ -24,10 +24,11 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object LocalCheckpoints {
 
-  /** Eagerly localCheckpoints `df`; returns the checkpointed frame plus
-    * the exact RDD handles backing it (for a later [[free]]). */
-  def tracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val out = df.localCheckpoint(true)
+  /** Eagerly localCheckpoints `ds`; returns the checkpointed frame plus
+    * the exact RDD handles backing it (for a later [[free]]). Typed:
+    * works for `DataFrame` and any `Dataset[T]`. */
+  def tracked[T](ds: Dataset[T]): (Dataset[T], Seq[RDD[_]]) = {
+    val out = ds.localCheckpoint(true)
     val handles = out.queryExecution.analyzed.collect {
       case l: LogicalRDD => l.rdd
     }

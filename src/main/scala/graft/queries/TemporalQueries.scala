@@ -249,10 +249,11 @@ object TemporalQueries {
     // would execute inside micro-batch 0 at the (deliberately small)
     // stream state-partition count — the backfill compute belongs to the
     // batch engine, the handoff should move only the compressed state
-    val seed = graft.streaming.TwsSessions.batchSessionState(
-      Tables.events(spark, dir).filter(col("ts") < cutoff)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us")),
-      gapUs).localCheckpoint(true)
+    val (seed, seedRdds) = graft.operators.LocalCheckpoints.tracked(
+      graft.streaming.TwsSessions.batchSessionState(
+        Tables.events(spark, dir).filter(col("ts") < cutoff)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us")),
+        gapUs))
     val streamHalf = Tables.eventsStream(spark, dir)
       .filter(col("ts") >= cutoff) // passes the far-future sentinel too
       .unionByName(CoverageQueries.sentinelStream(spark))
@@ -271,6 +272,10 @@ object TemporalQueries {
           .start()
       }
     }
+    // the completed replay consumed the seed (initial state loaded in
+    // micro-batch 0); its blocks would otherwise stay pinned for the
+    // session lifetime
+    graft.operators.LocalCheckpoints.free(seedRdds)
     spark.table(name)
       .filter(col("user_id") >= 0)
       .groupBy(col("user_id"))
