@@ -508,17 +508,19 @@ object RetrievalQueries {
           val sp = batch.sparkSession
           val part = new org.apache.hadoop.fs.Path(indexDir, s"source=$sourceId")
           val fs = part.getFileSystem(sp.sparkContext.hadoopConfiguration)
-          val merged =
+          val (merged, mergedRdds) =
             if (fs.exists(part)) {
-              sp.read.parquet(indexDir).filter(col("source") === sourceId)
-                .join(batch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-                .unionByName(batch)
-                // materialize before overwriting the files being read
-                .localCheckpoint()
-            } else batch
+              // the checkpoint materializes before the write overwrites
+              // the files being read; its blocks die with the batch
+              graft.operators.LocalCheckpoints.tracked(
+                sp.read.parquet(indexDir).filter(col("source") === sourceId)
+                  .join(batch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+                  .unionByName(batch))
+            } else (batch, Seq.empty[org.apache.spark.rdd.RDD[_]])
           merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("source").parquet(indexDir)
+          graft.operators.LocalCheckpoints.free(mergedRdds)
         }
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

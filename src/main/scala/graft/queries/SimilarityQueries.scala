@@ -348,30 +348,34 @@ object SimilarityQueries {
     graft.streaming.StreamGate.runToCompletion(spark) {
       fresh.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          import graft.operators.LocalCheckpoints
           val sp = batch.sparkSession
-          val b = batch.localCheckpoint()
+          val (b, bRdds) = LocalCheckpoints.tracked(batch)
           val touched = b.select(col("cell")).distinct()
             .collect().map(_.getInt(0)).sorted
           if (touched.nonEmpty) {
             val root = new org.apache.hadoop.fs.Path(indexDir)
             val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
-            val merged =
+            val (merged, mergedRdds) =
               if (fs.exists(root)) {
                 // only the touched cells are read and rewritten; rows of
                 // OTHER ids in those cells survive the anti-join, so a
                 // batch split across triggers accumulates instead of
                 // clobbering, and whole-run re-delivery is idempotent
-                sp.read.parquet(indexDir)
+                LocalCheckpoints.tracked(sp.read.parquet(indexDir)
                   .filter(col("cell").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
                   .join(b.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
-                  .unionByName(b)
-                  // materialize before overwriting the files being read
-                  .localCheckpoint()
-              } else b
+                  .unionByName(b))
+                  // (the checkpoint materializes before the write
+                  // overwrites the files being read)
+              } else (b, Seq.empty[org.apache.spark.rdd.RDD[_]])
             merged.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("cell").parquet(indexDir)
+            LocalCheckpoints.free(mergedRdds)
           }
+          // per-batch checkpoints die with the batch, not the session
+          LocalCheckpoints.free(bRdds)
         }
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
