@@ -368,7 +368,52 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** (bands, rows-per-band) factorizations of the 16-hash signature —
+    * the whole banding design space for the registered MinHash
+    * config. */
+  private val lshBandConfigs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** The S-curve cell `P(candidate | J = s) = 1 − (1 − s^r)^b` in
+    * EXACT integer micro-units for s = k/10: with r·b = 16 the value
+    * is (10^16 − (10^r − k^r)^b) / 10^16 — every intermediate fits a
+    * signed 64-bit integer (max 10^16 < 2^63), so both engines
+    * evaluate the identical integer expression and the hash gate needs
+    * no cross-engine float discipline at all. `sym` is the similarity
+    * variable's column name; `divOp` the dialect's integer division. */
+  private def lshPMicroSql(b: Int, r: Int, sym: String, divOp: String): String = {
+    val kr = Seq.fill(r)(sym).mkString("(", "*", ")")
+    val tenR = BigInt(10).pow(r)
+    val m = Seq.fill(b)(s"($tenR - $kr)").mkString("(", "*", ")")
+    s"CAST(((10000000000000000 - $m + 5000000000) $divOp 10000000000) AS BIGINT)"
+  }
+
+  /** LSH BANDING PLANNER — the knob the whole MinHash family turns on.
+    * For a fixed signature length (16 hashes, the registered config)
+    * the banding (b bands × r rows) decides the candidate S-curve
+    * `P(candidate | J=s) = 1 − (1−s^r)^b`: more bands ⇒ higher recall
+    * but more candidates (the quadratic term the scale probe watches);
+    * longer bands ⇒ finer buckets but a threshold pushed right
+    * (≈ (1/b)^(1/r)). This relation emits the full design space so a
+    * deployment picks its banding from a TABLE instead of folklore —
+    * exactly the decision the r4 BENCH_NOTES envelope discussion
+    * ("static banding breaks at 100×; re-band via autoBitsPerBand")
+    * needs quantified. Emitted in exact integer micro-units (see
+    * [[lshPMicroSql]]) so the oracle is bit-exact; DedupSpec pins the
+    * curve's laws (monotone in s, band-count dominance, the registered
+    * 4×4 config's ≥90% recall at its 0.8 operating threshold) and a
+    * BigDecimal cross-check of every cell. */
+  def dedupLshBandPlan(spark: SparkSession, dir: String): DataFrame = {
+    val parts = lshBandConfigs.map { case (b, r) =>
+      spark.range(1, 10).selectExpr(
+        s"$b AS bands", s"$r AS rows_per_band",
+        "CAST(id AS INT) AS s_tenths",
+        s"${lshPMicroSql(b, r, "id", "div")} AS p_micro")
+    }
+    parts.reduce(_ unionByName _).orderBy(col("bands"), col("s_tenths"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_band_plan" -> (dedupLshBandPlan _),
     "dedup_levenshtein_block" -> (dedupLevenshteinBlock _),
     "dedup_snm_multipass" -> (dedupSnmMultipass _),
     "dedup_allpairs_jaccard" -> (dedupAllpairsJaccard _),
@@ -468,6 +513,16 @@ object DedupQueries {
       |len(list_filter(w, t -> t IN ('le','les','et','je'))) AS c_fr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // generated from the SAME Scala arithmetic builder as the Spark
+    // plan (lshPMicroSql) — only the integer-division operator differs
+    // by dialect — so the two sides cannot drift; all-integer, so the
+    // hash matches bit-exactly with no float discipline
+    "dedup_lsh_band_plan" -> (lshBandConfigs.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |       CAST(range AS INT) AS s_tenths,
+         |       ${lshPMicroSql(b, r, "range", "//")} AS p_micro
+         |FROM range(1, 10)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY bands, s_tenths"),
     // the literal sorted-neighborhood definition: a rank range join,
     // mirroring SortedNeighborhood.candidatePairs' window semantics
     "dedup_levenshtein_block" ->

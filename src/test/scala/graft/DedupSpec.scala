@@ -233,4 +233,39 @@ class DedupSpec extends SparkSpec {
     val n = Dedup.lshCandidates(withSig, "doc_id", "sig", 4, 4, maxBucket = 10).count()
     assert(n === 0, "bucket over cap should be pruned")
   }
+
+  test("lsh band plan: exact S-curve cells, monotone laws, registered-config recall") {
+    val rows = graft.queries.DedupQueries.dedupLshBandPlan(spark, sf)
+      .as[(Int, Int, Int, Long)].collect()
+    assert(rows.length === 45) // 5 factorizations x 9 similarity points
+    // every cell equals the independent BigInt recomputation of
+    // round(1e6 * (1 - (1 - (k/10)^r)^b)) with r*b = 16
+    rows.foreach { case (b, r, k, pMicro) =>
+      val m = (BigInt(10).pow(r) - BigInt(k).pow(r)).pow(b)
+      val expect = (BigInt(10).pow(16) - m + BigInt(5000000000L)) / BigInt(10).pow(10)
+      assert(BigInt(pMicro) === expect, s"cell (b=$b, r=$r, s=$k/10)")
+    }
+    // monotone in similarity within each banding
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, cells) =>
+      val ps = cells.sortBy(_._3).map(_._4)
+      assert(ps.zip(ps.tail).forall { case (a, c) => a <= c })
+    }
+    // band-count dominance at fixed s: more, shorter bands never lower
+    // the candidate probability (the recall/candidate-volume trade)
+    rows.groupBy(_._3).foreach { case (s, cells) =>
+      val byBands = cells.sortBy(_._1).map(_._4)
+      assert(byBands.zip(byBands.tail).forall { case (a, c) => a <= c },
+        s"band dominance violated at s=$s/10")
+    }
+    // the registered minhash config (4 bands x 4 rows) at its 0.8
+    // operating threshold: 87.85% single-shot candidate recall exactly
+    // AT the threshold (the table's raison d'être — this number was
+    // folklore before), rising to 98.6% one tenth above it. Pin both
+    // so a banding change that dents recall at the operating point
+    // fails loudly.
+    val p44at8 = rows.find(t => t._1 == 4 && t._3 == 8).get._4
+    val p44at9 = rows.find(t => t._1 == 4 && t._3 == 9).get._4
+    assert(p44at8 === 878497L, s"4x4 S-curve moved at s=0.8: $p44at8")
+    assert(p44at9 >= 980000L, s"4x4 recall above threshold too low: $p44at9")
+  }
 }
