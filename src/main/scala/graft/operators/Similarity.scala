@@ -154,6 +154,33 @@ object Similarity {
     math.max(3, math.ceil(
       math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt)
 
+  /** The banding DESIGN TABLE for hyperplane LSH over THIS corpus:
+    * one row per (bands × bitsPerBand) candidate config with its
+    * MEASURED candidate-pair mass (Σ over buckets of C(size, 2),
+    * over-cap buckets skipped — the same accounting as
+    * [[candidatePairCount]], but lazy and for every config in one
+    * relation) and a verdict against the caller's candidate budget.
+    * This is [[autoBitsPerBand]]'s advice made queryable: instead of a
+    * log₂ rule of thumb, the deployment reads the real occupancy of
+    * each banding on its own data and picks the config whose mass fits
+    * its budget — the decision that keeps the per-bucket quadratic
+    * term from detonating at 100× corpus growth. md5 planes keep the
+    * bucket assignment engine-neutral, so the whole table sits under
+    * the DuckDB oracle gate. Cost: one ids-only banding pass per
+    * config (vectors never move; the per-config agg is map-combined). */
+  def bucketPlan(df: DataFrame, idCol: String, vecCol: String,
+      configs: Seq[(Int, Int)], budget: Long,
+      maxBucket: Int = 10000): DataFrame =
+    configs.map { case (b, bits) =>
+      bandedIds(df, idCol, vecCol, "id", b, bits, md5Planes = true)
+        .groupBy(col("band"), col("bits")).agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, maxBucket))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("candidate_pairs"))
+        .select(lit(b).as("bands"), lit(bits).as("bits_per_band"),
+          col("candidate_pairs"),
+          (col("candidate_pairs") <= budget).as("within_budget"))
+    }.reduce(_ unionByName _)
+
   /** The candidate-pair mass a banding would enumerate: Σ over buckets
     * of C(size, 2), skipping over-cap buckets — counts only (one
     * map-combined agg over ids-only banded rows; vectors never move).

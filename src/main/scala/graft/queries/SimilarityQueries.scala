@@ -411,7 +411,27 @@ object SimilarityQueries {
       .orderBy(col("cell"))
   }
 
+  /** The banding design space probed by `sim_lsh_bucket_plan`: every
+    * (bands × bitsPerBand) combination around the registered 6×3
+    * near-dup config. */
+  private val bucketPlanConfigs: Seq[(Int, Int)] =
+    for (b <- Seq(4, 6, 8); bits <- Seq(2, 3, 4)) yield (b, bits)
+
+  /** [[graft.operators.Similarity.bucketPlan]] over the corpus: the
+    * MEASURED candidate-pair mass of every candidate banding plus its
+    * verdict against the declared envelope budget — the quantified
+    * version of the "static banding breaks at 100×, re-band via
+    * autoBitsPerBand" discussion, as an oracle-gated relation (the
+    * DuckDB side rebuilds each config's md5-parity buckets through the
+    * same plane CTE the near-dup oracles use). */
+  def simLshBucketPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.bucketPlan(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      bucketPlanConfigs, budget = NearDupCandidateBudget)
+      .orderBy(col("bands"), col("bits_per_band"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_lsh_bucket_plan" -> (simLshBucketPlan _),
     "corpus_cluster_map" -> (corpusClusterMap _),
     "sim_semdedup" -> (simSemDedup _),
     "emb_random_projection" -> (embRandomProjection _),
@@ -449,6 +469,17 @@ object SimilarityQueries {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // one UNION arm per banding config, each rebuilding that config's
+    // md5-parity buckets through the SAME plane CTE the near-dup
+    // oracles use — occupancy → C(n,2) mass → budget verdict
+    "sim_lsh_bucket_plan" -> (bucketPlanConfigs.map { case (b, bits) =>
+      s"""SELECT * FROM (WITH ${lshBandsCte(planes = b * bits, bitsPerBand = bits)},
+         |occ AS (SELECT band, bits, COUNT(*) AS n FROM bands GROUP BY band, bits)
+         |SELECT $b AS bands, $bits AS bits_per_band,
+         |       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS candidate_pairs,
+         |       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) <= $NearDupCandidateBudget AS within_budget
+         |FROM occ WHERE n BETWEEN 2 AND 10000)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY bands, bits_per_band"),
     // Corpus cartography: Lloyd cells + document metadata rollup.
     "corpus_cluster_map" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

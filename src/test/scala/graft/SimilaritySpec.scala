@@ -294,4 +294,30 @@ class SimilaritySpec extends SparkSpec {
     assert(probe(spark.read.parquet(indexDir)) === probe(rebuilt),
       "ANN results over the stream-merged index must equal the batch-rebuilt index")
   }
+
+  test("lsh bucket plan: occupancy laws + the registered banding's envelope verdict") {
+    val plan = graft.queries.SimilarityQueries.simLshBucketPlan(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    // finer buckets (more bits) never raise candidate mass at fixed
+    // band count — the knob that de-quadratifies a growing corpus
+    for (b <- Seq(4, 6, 8))
+      assert(plan((b, 2))._1 >= plan((b, 3))._1 &&
+        plan((b, 3))._1 >= plan((b, 4))._1,
+        s"bits must not raise mass at bands=$b")
+    // more bands never lower mass at fixed bits (recall costs candidates)
+    for (bits <- Seq(2, 3, 4))
+      assert(plan((4, bits))._1 <= plan((6, bits))._1 &&
+        plan((6, bits))._1 <= plan((8, bits))._1,
+        s"bands must not lower mass at bits=$bits")
+    // the registered near-dup banding (6x3) sits inside its declared
+    // envelope at fixture scale, and its mass equals the guard's own
+    // accounting (one source of truth)
+    assert(plan((6, 3))._2, "registered 6x3 banding must be within budget here")
+    val guard = graft.operators.Similarity.candidatePairCount(
+      graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      bands = 6, bitsPerBand = 3, md5Planes = true)
+    assert(plan((6, 3))._1 === guard,
+      "bucketPlan and candidatePairCount must agree on the same banding")
+  }
 }
