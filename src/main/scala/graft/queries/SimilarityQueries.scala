@@ -430,7 +430,42 @@ object SimilarityQueries {
       bucketPlanConfigs, budget = NearDupCandidateBudget)
       .orderBy(col("bands"), col("bits_per_band"))
 
+  /** Probe depths swept by `sim_ivf_probe_plan`. */
+  private val ivfProbePlanProbes = Seq(1, 2, 4, 8)
+
+  /** IVF PROBE PLANNER — the third planning table (after the MinHash
+    * band plan and the hyperplane bucket plan): for each probe depth,
+    * the MEASURED recall of seeded-IVF top-10 against the brute-force
+    * truth over the same query subset, in exact integer counts
+    * (retrieved rows, hit rows, recall in micro-units) so the whole
+    * sweep sits under the hash gate. This quantifies the probes↔recall
+    * trade a deployment tunes: candidates scored grow linearly with
+    * nProbe while recall saturates — the table says where. Recall is
+    * MONOTONE in nProbe by construction (probed cells are a ranked
+    * prefix, so the candidate set only grows, and an IVF top-10 member
+    * of the true top-10 can only be displaced by another true-top-10
+    * member) — SimilaritySpec pins that law. */
+  def simIvfProbePlan(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = queriesSubset(emb)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val bruteTotal = brute.agg(count(lit(1)).as("brute_pairs"))
+    ivfProbePlanProbes.map { p =>
+      val ivf = graft.operators.Ivf.seededTopK(emb, q, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = p)
+        .select(col("query_id"), col("neighbor_id"))
+      ivf.join(brute.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("retrieved"), count(col("hit")).as("hits"))
+        .crossJoin(broadcast(bruteTotal))
+        .select(lit(p).as("n_probe"), col("retrieved"), col("hits"),
+          expr("hits * 1000000 div brute_pairs").as("recall_micro"))
+    }.reduce(_ unionByName _).orderBy(col("n_probe"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_probe_plan" -> (simIvfProbePlan _),
     "sim_lsh_bucket_plan" -> (simLshBucketPlan _),
     "corpus_cluster_map" -> (corpusClusterMap _),
     "sim_semdedup" -> (simSemDedup _),
@@ -468,7 +503,65 @@ object SimilarityQueries {
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** One probe-plan oracle arm: the seeded-IVF CTE chain (verbatim from
+    * the green `sim_topk_ivf_seeded` oracle, probe depth inlined) plus
+    * the brute top-10 CTE chain (verbatim from `topkOracle`), reduced
+    * to the exact integer counts the plan row carries. */
+  private def ivfProbePlanArm(p: Int): String = {
+    val d2 = (a: String, b: String) =>
+      s"list_sum(list_transform(range(64), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1])))"
+    val hitCount =
+      """(SELECT COUNT(*) FROM ivf i JOIN brute b
+        |             ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)""".stripMargin
+    s"""SELECT * FROM (
+       |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |cents AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+       |         vec AS centroid
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |assign AS (
+       |  SELECT vec_id, vec, cell FROM (
+       |    SELECT e.vec_id, e.vec, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${d2("e.vec", "c.centroid")}, c.cell) AS r
+       |    FROM e CROSS JOIN cents c) t WHERE r = 1),
+       |probed AS (
+       |  SELECT query_id, qvec, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.vec AS qvec, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             ${d2("q.vec", "c.centroid")}, c.cell) AS r
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id % 50 = 0) t WHERE r <= $p),
+       |iscored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(p.qvec, a.vec), 9) AS sim
+       |  FROM probed p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |iranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM iscored),
+       |ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE rank <= 10),
+       |bscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(q.vec, c.vec), 9) AS sim
+       |  FROM e q CROSS JOIN e c
+       |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |branked AS (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM bscored),
+       |brute AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 10)
+       |SELECT $p AS n_probe,
+       |       CAST((SELECT COUNT(*) FROM ivf) AS BIGINT) AS retrieved,
+       |       CAST($hitCount AS BIGINT) AS hits,
+       |       CAST(($hitCount * 1000000)
+       |            // (SELECT COUNT(*) FROM brute) AS BIGINT) AS recall_micro
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_ivf_probe_plan" -> (ivfProbePlanProbes.map(ivfProbePlanArm)
+      .mkString("\nUNION ALL\n") + "\nORDER BY n_probe"),
     // one UNION arm per banding config, each rebuilding that config's
     // md5-parity buckets through the SAME plane CTE the near-dup
     // oracles use — occupancy → C(n,2) mass → budget verdict
