@@ -412,7 +412,33 @@ object DedupQueries {
     parts.reduce(_ unionByName _).orderBy(col("bands"), col("s_tenths"))
   }
 
+  /** Window sizes swept by `dedup_snm_window_plan`. */
+  private val snmPlanWindows = Seq(2, 5, 10, 20)
+
+  /** SNM WINDOW PLANNER — the sorted-neighborhood knob quantified: for
+    * each window size, the candidate count (EXACTLY (n−w)·w + w(w−1)/2
+    * by construction — the linear-volume law the scale probe measures,
+    * here oracle-gated as an exact relation) and the count of pairs
+    * surviving the Levenshtein ≤ 5 threshold. Candidates grow linearly
+    * with the window while survivors saturate (close names sort close,
+    * so widening the window mostly adds far-apart non-matches) — the
+    * table a deployment reads to pick its window instead of guessing.
+    * All integer counts; DedupSpec pins the closed-form candidate law
+    * and survivor monotonicity. */
+  def dedupSnmWindowPlan(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    snmPlanWindows.map { w =>
+      SortedNeighborhood
+        .candidatePairs(p, Seq(col("p_name"), col("p_partkey")), window = w)
+        .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 5))
+        .agg(count(lit(1)).as("candidates"),
+          sum(when(col("dist") >= 0, 1L).otherwise(0L)).as("survivors"))
+        .select(lit(w).as("win"), col("candidates"), col("survivors"))
+    }.reduce(_ unionByName _).orderBy(col("win"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_snm_window_plan" -> (dedupSnmWindowPlan _),
     "dedup_lsh_band_plan" -> (dedupLshBandPlan _),
     "dedup_levenshtein_block" -> (dedupLevenshteinBlock _),
     "dedup_snm_multipass" -> (dedupSnmMultipass _),
@@ -513,6 +539,20 @@ object DedupQueries {
       |len(list_filter(w, t -> t IN ('le','les','et','je'))) AS c_fr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // one rank-self-join arm per window (the proven single-pass SNM
+    // oracle shape, reduced to counts); candidates/survivors are exact
+    // integers so the hash gate needs no float discipline
+    "dedup_snm_window_plan" -> (snmPlanWindows.map { w =>
+      s"""SELECT * FROM (WITH r AS (
+         |  SELECT p_partkey, p_name,
+         |         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+         |  FROM part)
+         |SELECT $w AS win,
+         |       CAST(COUNT(*) AS BIGINT) AS candidates,
+         |       CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) <= 5
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND $w)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY win"),
     // generated from the SAME Scala arithmetic builder as the Spark
     // plan (lshPMicroSql) — only the integer-division operator differs
     // by dialect — so the two sides cannot drift; all-integer, so the

@@ -268,4 +268,26 @@ class DedupSpec extends SparkSpec {
     assert(p44at8 === 878497L, s"4x4 S-curve moved at s=0.8: $p44at8")
     assert(p44at9 >= 980000L, s"4x4 recall above threshold too low: $p44at9")
   }
+
+  test("snm window plan: closed-form candidate law + survivor saturation") {
+    val n = graft.sources.Tables.part(spark, sf).count()
+    val rows = graft.queries.DedupQueries.dedupSnmWindowPlan(spark, sf)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1) === Seq(2, 5, 10, 20))
+    // candidates are EXACTLY (n-w)*w + w(w-1)/2 — the linear-volume
+    // law, cross-checked against the closed form (not just "≈ linear")
+    rows.foreach { case (w, cands, _) =>
+      assert(cands === (n - w) * w + w.toLong * (w - 1) / 2,
+        s"candidate closed form broken at window=$w")
+    }
+    // survivors are monotone in the window (candidate sets nest)...
+    val sv = rows.map(_._3)
+    assert(sv.zip(sv.tail).forall { case (a, b) => a <= b })
+    // ...but saturate: doubling 10 → 20 must add proportionally fewer
+    // survivors than candidates (close names sort close — the reason a
+    // small window suffices)
+    val per = rows.map { case (w, c, s) => s.toDouble / c }
+    assert(per.zip(per.tail).forall { case (a, b) => b <= a * 1.05 },
+      s"survivor density should not grow with the window: ${per.toSeq}")
+  }
 }
