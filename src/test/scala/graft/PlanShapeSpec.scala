@@ -35,6 +35,10 @@ class PlanShapeSpec extends SparkSpec {
     "corpus_pipeline_full" -> 3,
     "sim_topk_ivf" -> 1,
     "sim_topk_ivf_seeded" -> 1,
+    // the probe-plan sweep embeds four seeded-IVF searches (one per
+    // probe depth) plus the brute truth side — per arm the same two
+    // comparable-size joins sim_topk_ivf_seeded carries; 4 × 2 = 8
+    "sim_ivf_probe_plan" -> 8,
     // SemDeDup's within-cell self-join: both sides ARE the corpus,
     // repartitioned by cell — the O(n²/k) intra-cluster sweep
     "sim_semdedup" -> 1,
@@ -95,6 +99,10 @@ class PlanShapeSpec extends SparkSpec {
     "sim_neardup_exact_check" -> 1,
     "sim_topk_agg" -> 1,
     "sim_topk_brute" -> 1,
+    // four arms × (seeded centroid/probe assignment BNLJs + the brute
+    // truth's labeled broadcast top-k scorer) — the 16-row centroid
+    // table and the query subset are model/batch-sized by design
+    "sim_ivf_probe_plan" -> 20,
     "sim_topk_ivf" -> 2,
     "sim_topk_ivf_seeded" -> 2,
     "text_tfidf" -> 1,
