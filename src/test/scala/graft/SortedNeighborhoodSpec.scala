@@ -70,6 +70,19 @@ class SortedNeighborhoodSpec extends SparkSpec {
     assert(n === 49L)
   }
 
+  test("window >= corpus degrades to the full pair set, nothing more") {
+    // the closed form (n−w)·w + w(w−1)/2 only holds for w ≤ n; past
+    // that the operator must cap at C(n,2) — every ordered pair once —
+    // rather than duplicating or dropping pairs across bucket seams
+    val df = names(10, seed = 13).toDF("id", "name")
+    val pairs = SortedNeighborhood
+      .candidatePairs(df, Seq(col("name"), col("id")), window = 50)
+      .select($"a.id".as("ia"), $"b.id".as("ib"))
+      .as[(Long, Long)].collect()
+    assert(pairs.length === 45, s"expected C(10,2)=45, got ${pairs.length}")
+    assert(pairs.toSet.size === 45, "no duplicate pairs across bucket seams")
+  }
+
   test("multi-pass recall: the reversed-name pass catches prefix typos the name pass misses") {
     // 'zlue bolt' is a first-char typo of 'blue bolt': in name order
     // every cold/hot/large/red/small name sorts between them (~2/3 of
