@@ -448,10 +448,14 @@ object SimilarityQueries {
   def simIvfProbePlan(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val q = queriesSubset(emb)
-    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
-      .select(col("query_id"), col("neighbor_id"))
+    // the brute truth is shared by all four arms: checkpoint it ONCE
+    // (handle-exact, freed after the 4-row plan materializes) instead
+    // of re-scoring |Q| × corpus per probe depth
+    val (brute, bruteRdds) = graft.operators.LocalCheckpoints.tracked(
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")))
     val bruteTotal = brute.agg(count(lit(1)).as("brute_pairs"))
-    ivfProbePlanProbes.map { p =>
+    val plan = ivfProbePlanProbes.map { p =>
       val ivf = graft.operators.Ivf.seededTopK(emb, q, "vec_id", "embedding",
         k = 10, nCells = 16, nProbe = p)
         .select(col("query_id"), col("neighbor_id"))
@@ -462,6 +466,10 @@ object SimilarityQueries {
         .select(lit(p).as("n_probe"), col("retrieved"), col("hits"),
           expr("hits * 1000000 div brute_pairs").as("recall_micro"))
     }.reduce(_ unionByName _).orderBy(col("n_probe"))
+    // 4-row result: eager materialization releases the brute pin
+    val (out, _) = graft.operators.LocalCheckpoints.tracked(plan)
+    graft.operators.LocalCheckpoints.free(bruteRdds)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

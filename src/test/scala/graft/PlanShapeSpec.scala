@@ -35,10 +35,12 @@ class PlanShapeSpec extends SparkSpec {
     "corpus_pipeline_full" -> 3,
     "sim_topk_ivf" -> 1,
     "sim_topk_ivf_seeded" -> 1,
-    // the probe-plan sweep embeds four seeded-IVF searches (one per
-    // probe depth) plus the brute truth side — per arm the same two
-    // comparable-size joins sim_topk_ivf_seeded carries; 4 × 2 = 8
-    "sim_ivf_probe_plan" -> 8,
+    // the probe-plan sweep materializes eagerly (4-row result; its
+    // shared brute checkpoint is freed on return), so the registered
+    // plan is a LogicalRDD scan — the constituent join shapes remain
+    // pinned through the registered sim_topk_brute / sim_topk_ivf_seeded
+    // queries that use the same machinery lazily
+    "sim_ivf_probe_plan" -> 0,
     // SemDeDup's within-cell self-join: both sides ARE the corpus,
     // repartitioned by cell — the O(n²/k) intra-cluster sweep
     "sim_semdedup" -> 1,
@@ -99,10 +101,10 @@ class PlanShapeSpec extends SparkSpec {
     "sim_neardup_exact_check" -> 1,
     "sim_topk_agg" -> 1,
     "sim_topk_brute" -> 1,
-    // four arms × (seeded centroid/probe assignment BNLJs + the brute
-    // truth's labeled broadcast top-k scorer) — the 16-row centroid
-    // table and the query subset are model/batch-sized by design
-    "sim_ivf_probe_plan" -> 20,
+    // eager 4-row materialization (see shuffleJoinBudget note): the
+    // registered plan carries no joins; the arms' BNLJ shapes stay
+    // pinned via sim_topk_brute / sim_topk_ivf_seeded
+    "sim_ivf_probe_plan" -> 0,
     "sim_topk_ivf" -> 2,
     "sim_topk_ivf_seeded" -> 2,
     "text_tfidf" -> 1,
