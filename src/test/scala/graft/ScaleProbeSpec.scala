@@ -45,6 +45,87 @@ class ScaleProbeSpec extends SparkSpec {
     assert(empty.isEmpty, s"families with zero 1x output (probe not exercised): $empty")
   }
 
+  test("derived-knob banded families grow ~linearly under 4x inflation") {
+    // VERDICT r11 ask #2 in CI form: the banded/quadratic-risk families
+    // probed with the banding re-derived from corpus size (the
+    // sim_neardup_autoband builder re-computes bitsPerBand per corpus);
+    // the committed k=30 artifact is the deep form of the same run.
+    val k = 4
+    val dir1 = ScaleProbe.inflateTo(spark, sf, 1)
+    val dirK = ScaleProbe.inflateTo(spark, sf, k)
+    val obs =
+      try ScaleProbe.observe(spark, dir1, dirK, k, ScaleProbe.bandedFamilies(spark))
+      finally { ScaleProbe.cleanup(dir1); ScaleProbe.cleanup(dirK) }
+    val bad = obs.filterNot(_.linearOk(margin = 2.0)).map(o =>
+      s"${o.query}: rows ${o.rows1}->${o.rowsK}, shuffleBytes ${o.bytes1}->" +
+        s"${o.bytesK} (x${f"${o.bytesRatio}%.1f"})")
+    assert(bad.isEmpty, s"banded families super-linear at ${k}x:\n  " + bad.mkString("\n  "))
+    assert(obs.forall(_.rows1 > 0), "every banded family must produce 1x output")
+    // the autoband row must actually derive its knob
+    assert(obs.exists(o => o.query == "sim_neardup_autoband" && o.knob.contains("autoBitsPerBand")))
+  }
+
+  test("growth law: coupled workload factor is the known k, not the observed rows ratio") {
+    // ADVICE r11: rowsRatio as the workload factor was self-referencing
+    // (bound scaled with the signal it constrains) and rows1 == 0 gave
+    // an infinite allowance. Pinned: the factor is exactly k, and an
+    // empty 1x baseline FAILS.
+    def obs(rows1: Long, rowsK: Long, bytes1: Long, bytesK: Long,
+        coupled: Boolean, k: Int = 10) =
+      ScaleProbe.Obs("t", "c", coupled, k, rows1, rowsK, bytes1, bytesK,
+        0L, 0L, 0.0, 0.0)
+    // coupled: bytes may grow ~k^2 (per-query linearity) but not k^3
+    assert(obs(100, 1000, 1L << 22, (1L << 22) * 150, coupled = true).linearOk())
+    assert(!obs(100, 1000, 1L << 22, (1L << 22) * 250, coupled = true).linearOk())
+    // coupled OUTPUT rows grow k (top-k per query), not k^2: 100x rows fails
+    assert(!obs(100000, 10000000, 1L << 22, 1L << 23, coupled = true).linearOk())
+    // non-coupled: bytes growth beyond margin*k fails
+    assert(!obs(100, 1000, 1L << 22, (1L << 22) * 25, coupled = false).linearOk())
+    // empty 1x baseline with non-empty kx output: probe failure, not allowance
+    assert(!obs(0, 500, 0, 1L << 30, coupled = true).linearOk())
+    assert(!obs(0, 500, 0, 1L << 30, coupled = false).linearOk())
+  }
+
+  test("committed scale artifacts parse and every row passes its own law") {
+    // VERDICT r11 ask #4: the committed probe artifacts were unchecked
+    // output — a regenerated artifact could silently carry a failing
+    // family. This parses the repo-root artifacts and re-asserts.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (name <- Seq("SCALE_r12.json", "SCALE_r12_deep.json", "SCALE_r12_banded.json")) {
+      val f = new java.io.File(name)
+      assert(f.isFile, s"committed artifact $name missing from repo root")
+      val root = om.readTree(f)
+      val fams = root.get("families")
+      assert(fams != null && fams.isArray && fams.size() > 0, s"$name: no families")
+      fams.forEach { row =>
+        val q = row.get("query").asText()
+        assert(row.get("linear_ok").asBoolean(), s"$name/$q: linear_ok false")
+        assert(row.get("rows").get(0).asLong() > 0, s"$name/$q: empty 1x output")
+        assert(row.has("coupled"), s"$name/$q: coupled tag missing")
+        // coupled rows pass only under the per-query reading — the tag
+        // must be present AND the shuffle growth must actually exceed
+        // plain-linear for the tag to be load-bearing; nothing to
+        // assert beyond its presence + the law re-check above, which
+        // Obs.linearOk already encodes (factor k, not rows ratio).
+      }
+    }
+  }
+
+  test("inflation salts 0/1-word documents too (unconditional per-copy prefix)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ADVICE r11: the interleave-only salt left whitespace-free texts
+    // byte-identical across copies, reintroducing cross-copy duplicate
+    // mass for exactly the degenerate docs dedup families over-count.
+    val df = Seq("word", "", "two words").toDF("text")
+    val salted = (0 until 3).map(i =>
+      df.select(graft.tools.Inflate.saltText(col("text"), i).as("t"))
+        .as[String].collect().toSeq)
+    for (a <- 0 until 3; b <- (a + 1) until 3; r <- salted(a).indices)
+      assert(salted(a)(r) != salted(b)(r),
+        s"copy $a and $b share salted text '${salted(a)(r)}'")
+  }
+
   test("inflation preserves within-copy structure and separates copies") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -321,6 +321,87 @@ class SimilaritySpec extends SparkSpec {
       "bucketPlan and candidatePairCount must agree on the same banding")
   }
 
+  test("autoBand: policy law pinned; autoBandPairs output-equals the explicit config") {
+    import graft.queries.SimilarityQueries.bucketPlanConfigs
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val budget = 4000000L
+    val choice = graft.operators.Similarity.autoBand(
+      emb, "vec_id", "embedding", bucketPlanConfigs, budget)
+    // the policy, recomputed from the measured table: within-budget
+    // first, then max mass, ties to fewer bands/bits
+    val rows = graft.operators.Similarity.bucketPlan(
+      emb, "vec_id", "embedding", bucketPlanConfigs, budget)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getBoolean(3))))
+    val expected = rows.minBy { case ((b, bits), (mass, ok)) => (!ok, -mass, b, bits) }._1
+    assert(choice === expected, "autoBand must implement the documented policy")
+    assert(rows.toMap.apply(choice)._2, "fixture choice must be within budget")
+    // the auto path changes WHICH config runs, never what a config
+    // computes: pair set identical to spelling the chosen config out
+    val auto = graft.operators.Similarity.autoBandPairs(
+      emb, "vec_id", "embedding", threshold = 0.4, bucketPlanConfigs, budget,
+      md5Planes = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = graft.operators.Similarity.nearDupPairsLsh(
+      emb, "vec_id", "embedding", threshold = 0.4,
+      bands = choice._1, bitsPerBand = choice._2, md5Planes = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === explicit, "autoBandPairs must equal the explicit chosen config")
+  }
+
+  test("autoBand: the choice MOVES when the corpus grows against a fixed budget") {
+    import graft.queries.SimilarityQueries.bucketPlanConfigs
+    // VERDICT r11 ask #3's 'spec that shifts the corpus and shows the
+    // choice move': same budget, 2x corpus (Inflate's sign-flip copies:
+    // decorrelated, so buckets mix copies and per-bucket mass grows
+    // ~quadratically) — the 1x recall-maximal config blows the budget
+    // and the planner retreats to a finer banding.
+    val emb1 = graft.sources.Tables.embeddings(spark, sf)
+    val embK = graft.tools.Inflate.table(spark, sf, "embeddings", 2)
+    def masses(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      graft.operators.Similarity.bucketPlan(
+        df, "vec_id", "embedding", bucketPlanConfigs, budget = Long.MaxValue)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val m1 = masses(emb1)
+    val mK = masses(embK)
+    // budget = the 1x table's max mass: every config feasible at 1x, so
+    // the 1x choice is the global recall-max config...
+    val budget = m1.values.max
+    val choice1 = graft.operators.Similarity.autoBand(
+      emb1, "vec_id", "embedding", bucketPlanConfigs, budget)
+    assert(m1(choice1) === budget, "1x choice must be the max-mass config")
+    // ...and the 2x corpus must price that config out while leaving a
+    // finer config affordable (fixture sanity, then the move itself)
+    assert(mK(choice1) > budget, s"2x mass of $choice1 should exceed $budget")
+    assert(mK.values.min <= budget, "some finer config must stay affordable at 2x")
+    val choiceK = graft.operators.Similarity.autoBand(
+      embK, "vec_id", "embedding", bucketPlanConfigs, budget)
+    assert(choiceK !== choice1,
+      s"choice must move under corpus growth: still $choice1 (mass ${mK(choice1)} > $budget)")
+    assert(mK(choiceK) <= budget, "moved choice must be within budget on the 2x corpus")
+  }
+
+  test("autoProbe: smallest within-floor depth; monotone fallback to max depth") {
+    import spark.implicits._
+    def plan(rows: (Int, Long)*) =
+      rows.toSeq.toDF("n_probe", "recall_micro")
+    assert(graft.operators.Ivf.autoProbe(
+      plan(1 -> 210000L, 2 -> 320000L, 4 -> 500000L, 8 -> 720000L), 450000L) === 4)
+    assert(graft.operators.Ivf.autoProbe(
+      plan(1 -> 210000L, 2 -> 460000L, 4 -> 500000L, 8 -> 720000L), 450000L) === 2)
+    // nothing meets the floor: recall is monotone, so max depth = max recall
+    assert(graft.operators.Ivf.autoProbe(
+      plan(1 -> 210000L, 2 -> 320000L, 4 -> 500000L, 8 -> 720000L), 990000L) === 8)
+    // the registered query emits exactly the row autoProbe selects
+    val table = graft.queries.SimilarityQueries.ivfProbePlanTable(spark, sf)
+    val chosen = graft.operators.Ivf.autoProbe(table,
+      graft.queries.SimilarityQueries.AutoProbeRecallFloorMicro)
+    val emitted = graft.queries.SimilarityQueries.simIvfAutoprobe(spark, sf)
+      .collect()
+    assert(emitted.length === 1)
+    assert(emitted.head.getInt(0) === chosen,
+      "sim_ivf_autoprobe must emit the autoProbe-selected depth")
+  }
+
   test("ivf probe plan: recall monotone in probes, saturating at full coverage") {
     val rows = graft.queries.SimilarityQueries.simIvfProbePlan(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
