@@ -212,6 +212,24 @@ object Dedup {
     jaccardVerify(cands, withSh, idCol, "sh", threshold)
   }
 
+  /** [[minhashNearDups]] under the [[autoBanding]]-chosen banding: the
+    * closed planner loop for the MinHash family — evaluate the exact
+    * S-curve at the target threshold, pick the floor-meeting banding
+    * with the finest buckets, run it. Output is spec-pinned identical
+    * to spelling the chosen banding out (the auto path changes WHICH
+    * banding runs, never what a banding computes); at the registered
+    * operating point the choice IS the registered 4×4. */
+  def autoBandedNearDups(
+      plan: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, floorMicro: Long,
+      k: Int = 3, numHashes: Int = 16, useMd5: Boolean = true): DataFrame = {
+    val sTenths = math.round(threshold * 10).toInt
+    val (bands, rows) = autoBanding(plan, sTenths, floorMicro)
+    require(bands * rows == numHashes,
+      s"plan banding ${bands}x$rows does not factor the $numHashes-hash signature")
+    minhashNearDups(df, idCol, textCol, k, numHashes, bands, threshold, useMd5)
+  }
+
   /** 64-bit SimHash of a token array: per-bit majority vote of token
     * hashes. Fused custom expression; `simhash64Hof` is the composable
     * reference (tests assert bit-equality). */
@@ -479,5 +497,29 @@ object Dedup {
         |                  / size(array_union(xs[i].sh, xs[j].sh)) AS jaccard))))""".stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.jaccard").as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** PRESCRIPTIVE selection over a MinHash band-plan table (VERDICT r11
+    * ask #3 generalized to the band planner): given the exact S-curve
+    * rows (bands, rows_per_band, s_tenths, p_micro), return the banding
+    * to run at target similarity `sTenths`. Policy, mirrored verbatim
+    * by the `dedup_autoband_choice` DuckDB oracle: among configs whose
+    * recall at the target meets `floorMicro`, the LONGEST rows-per-band
+    * (finest buckets — the fewest false candidates, i.e. the cheapest
+    * verify join — for a fixed 16-hash signature), ties to fewer bands;
+    * if none meets the floor, the max-recall config. At the registered
+    * operating point (s=0.8, floor 0.85) this selects exactly the
+    * registered 4x4 banding — the config the engine ships is the config
+    * the planner derives. */
+  def autoBanding(plan: DataFrame, sTenths: Int, floorMicro: Long): (Int, Int) = {
+    val rows = plan.filter(col("s_tenths") === sTenths).collect()
+    require(rows.nonEmpty, s"autoBanding: no plan rows at s_tenths=$sTenths")
+    val best = rows.minBy { r =>
+      val p = r.getAs[Long]("p_micro")
+      (p < floorMicro,
+        if (p >= floorMicro) -r.getAs[Int]("rows_per_band").toLong else -p,
+        r.getAs[Int]("bands"))
+    }
+    (best.getAs[Int]("bands"), best.getAs[Int]("rows_per_band"))
   }
 }

@@ -53,4 +53,23 @@ object SortedNeighborhood {
       .filter((col("_sn_rn_b") - col("_sn_rn_a")).between(1, window))
       .select(col("a"), col("b"))
   }
+
+  /** PRESCRIPTIVE selection over an SNM window-plan table (VERDICT r11
+    * ask #3 generalized to the fourth planning table): given measured
+    * (win, candidates, survivors) rows, return the SMALLEST window
+    * whose survivors reach `coverageMicro` (micro-fraction) of the
+    * widest window's survivor count. Candidates grow linearly with the
+    * window while survivors saturate (close names sort close), so the
+    * cheapest window capturing ~all the matches is the one to run.
+    * Survivors are monotone in the window (wider windows see a
+    * superset of candidate pairs), so the max-survivor row is the
+    * widest window and the selection is always non-empty. Mirrored
+    * verbatim by the `dedup_snm_autowindow` DuckDB oracle. */
+  def autoWindow(plan: DataFrame, coverageMicro: Long): Int = {
+    val rows = plan.collect()
+    require(rows.nonEmpty, "autoWindow needs a non-empty window-plan table")
+    val maxSurv = rows.map(_.getAs[Long]("survivors")).max
+    rows.filter(_.getAs[Long]("survivors") * 1000000L >= coverageMicro * maxSurv)
+      .map(_.getAs[Int]("win")).min
+  }
 }

@@ -437,9 +437,61 @@ object DedupQueries {
     }.reduce(_ unionByName _).orderBy(col("win"))
   }
 
+  /** Operating point for the prescriptive banding choice: the
+    * registered MinHash near-dup threshold (J=0.8) and a recall floor
+    * that sits strictly between the (8,2) arm (0.9997) and the (2,8)
+    * arm (0.31) — the choice is interior and lands on 4×4. */
+  private[graft] val AutoBandingTargetTenths = 8
+  private[graft] val AutoBandingRecallFloorMicro = 850000L
+
+  /** THE PRESCRIPTIVE BANDING CHOICE for the MinHash family (VERDICT
+    * r11 ask #3, fourth planner consumed): the S-curve row
+    * [[graft.operators.Dedup.autoBanding]] selects at the registered
+    * operating point — within-floor configs first, then longest
+    * rows-per-band (finest buckets ⇒ cheapest verify join), ties to
+    * fewer bands; max-recall fallback. On the 16-hash design space
+    * this lands exactly on the REGISTERED 4×4 banding: the config the
+    * engine ships is the config the planner derives. All-integer row,
+    * oracle-gated through the same generated arithmetic as the band
+    * plan itself. */
+  def dedupAutobandChoice(spark: SparkSession, dir: String): DataFrame = {
+    val floor = lit(AutoBandingRecallFloorMicro)
+    dedupLshBandPlan(spark, dir)
+      .filter(col("s_tenths") === AutoBandingTargetTenths)
+      .orderBy((col("p_micro") >= floor).desc,
+        when(col("p_micro") >= floor, -col("rows_per_band").cast("long"))
+          .otherwise(-col("p_micro")),
+        col("bands"))
+      .limit(1)
+  }
+
+  /** Coverage floor for the prescriptive window choice: the smallest
+    * window keeping ≥95% of the widest window's surviving matches. */
+  private[graft] val AutoWindowCoverageMicro = 950000L
+
+  /** THE PRESCRIPTIVE WINDOW CHOICE for sorted-neighborhood blocking
+    * (VERDICT r11 ask #3): the window-plan row
+    * [[graft.operators.SortedNeighborhood.autoWindow]] selects —
+    * smallest window whose survivors reach 95% of the widest window's
+    * (survivors are monotone in the window, so the widest row always
+    * qualifies and the choice is total). Candidates grow linearly with
+    * the window while survivors saturate; this is that trade, decided
+    * from the measured table. */
+  def dedupSnmAutowindow(spark: SparkSession, dir: String): DataFrame = {
+    val plan = dedupSnmWindowPlan(spark, dir)
+    val mx = plan.agg(max(col("survivors")).as("ms"))
+    plan.crossJoin(broadcast(mx))
+      .filter(col("survivors") * lit(1000000L) >= lit(AutoWindowCoverageMicro) * col("ms"))
+      .select(col("win"), col("candidates"), col("survivors"))
+      .orderBy(col("win"))
+      .limit(1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_snm_window_plan" -> (dedupSnmWindowPlan _),
+    "dedup_snm_autowindow" -> (dedupSnmAutowindow _),
     "dedup_lsh_band_plan" -> (dedupLshBandPlan _),
+    "dedup_autoband_choice" -> (dedupAutobandChoice _),
     "dedup_levenshtein_block" -> (dedupLevenshteinBlock _),
     "dedup_snm_multipass" -> (dedupSnmMultipass _),
     "dedup_allpairs_jaccard" -> (dedupAllpairsJaccard _),
@@ -538,31 +590,60 @@ object DedupQueries {
       |len(list_filter(w, t -> t IN ('el','la','los','y'))) AS c_es,
       |len(list_filter(w, t -> t IN ('le','les','et','je'))) AS c_fr""".stripMargin
 
+  /** The SNM window-plan UNION (one rank-self-join arm per window —
+    * the proven single-pass SNM oracle shape, reduced to counts),
+    * shared by the plan relation's oracle and the window choice's. */
+  private def snmWindowPlanOracleUnion: String = snmPlanWindows.map { w =>
+    s"""SELECT * FROM (WITH r AS (
+       |  SELECT p_partkey, p_name,
+       |         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+       |  FROM part)
+       |SELECT $w AS win,
+       |       CAST(COUNT(*) AS BIGINT) AS candidates,
+       |       CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) <= 5
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+       |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND $w)""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  /** The band-plan UNION, generated from the SAME Scala arithmetic
+    * builder as the Spark plan (lshPMicroSql) — only the
+    * integer-division operator differs by dialect — shared by the plan
+    * relation's oracle and the banding choice's. */
+  private def lshBandPlanOracleUnion: String = lshBandConfigs.map { case (b, r) =>
+    s"""SELECT $b AS bands, $r AS rows_per_band,
+       |       CAST(range AS INT) AS s_tenths,
+       |       ${lshPMicroSql(b, r, "range", "//")} AS p_micro
+       |FROM range(1, 10)""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val oracles: Map[String, String] = Map(
-    // one rank-self-join arm per window (the proven single-pass SNM
-    // oracle shape, reduced to counts); candidates/survivors are exact
-    // integers so the hash gate needs no float discipline
-    "dedup_snm_window_plan" -> (snmPlanWindows.map { w =>
-      s"""SELECT * FROM (WITH r AS (
-         |  SELECT p_partkey, p_name,
-         |         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
-         |  FROM part)
-         |SELECT $w AS win,
-         |       CAST(COUNT(*) AS BIGINT) AS candidates,
-         |       CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) <= 5
-         |                     THEN 1 ELSE 0 END) AS BIGINT) AS survivors
-         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND $w)""".stripMargin
-    }.mkString("\nUNION ALL\n") + "\nORDER BY win"),
-    // generated from the SAME Scala arithmetic builder as the Spark
-    // plan (lshPMicroSql) — only the integer-division operator differs
-    // by dialect — so the two sides cannot drift; all-integer, so the
-    // hash matches bit-exactly with no float discipline
-    "dedup_lsh_band_plan" -> (lshBandConfigs.map { case (b, r) =>
-      s"""SELECT $b AS bands, $r AS rows_per_band,
-         |       CAST(range AS INT) AS s_tenths,
-         |       ${lshPMicroSql(b, r, "range", "//")} AS p_micro
-         |FROM range(1, 10)""".stripMargin
-    }.mkString("\nUNION ALL\n") + "\nORDER BY bands, s_tenths"),
+    // candidates/survivors are exact integers so the hash gate needs
+    // no float discipline
+    "dedup_snm_window_plan" -> (snmWindowPlanOracleUnion + "\nORDER BY win"),
+    // the autoWindow policy, verbatim: smallest window keeping >= 95%
+    // of the widest window's survivors (monotone, so always non-empty)
+    "dedup_snm_autowindow" ->
+      s"""WITH plan AS (
+         |$snmWindowPlanOracleUnion
+         |), m AS (SELECT MAX(survivors) AS ms FROM plan)
+         |SELECT win, candidates, survivors FROM plan, m
+         |WHERE survivors * 1000000 >= $AutoWindowCoverageMicro * ms
+         |ORDER BY win LIMIT 1""".stripMargin,
+    // all-integer, so the hash matches bit-exactly with no float
+    // discipline
+    "dedup_lsh_band_plan" -> (lshBandPlanOracleUnion + "\nORDER BY bands, s_tenths"),
+    // the autoBanding policy, verbatim: within-floor first, then
+    // longest rows-per-band (finest buckets), ties to fewer bands;
+    // max-recall fallback
+    "dedup_autoband_choice" ->
+      s"""SELECT * FROM (
+         |$lshBandPlanOracleUnion
+         |) WHERE s_tenths = $AutoBandingTargetTenths
+         |ORDER BY (p_micro >= $AutoBandingRecallFloorMicro) DESC,
+         |  CASE WHEN p_micro >= $AutoBandingRecallFloorMicro
+         |       THEN -rows_per_band ELSE -p_micro END,
+         |  bands
+         |LIMIT 1""".stripMargin,
     // the literal sorted-neighborhood definition: a rank range join,
     // mirroring SortedNeighborhood.candidatePairs' window semantics
     "dedup_levenshtein_block" ->

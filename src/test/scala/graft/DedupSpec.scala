@@ -290,4 +290,62 @@ class DedupSpec extends SparkSpec {
     assert(per.zip(per.tail).forall { case (a, b) => b <= a * 1.05 },
       s"survivor density should not grow with the window: ${per.toSeq}")
   }
+
+  test("autoBanding: registered operating point derives the registered 4x4 config") {
+    val plan = graft.queries.DedupQueries.dedupLshBandPlan(spark, sf)
+    // the shipped config IS the planner-derived config at (s=0.8, floor
+    // 0.85): within-floor configs are {4x4, 8x2, 16x1}; longest
+    // rows-per-band wins
+    assert(graft.operators.Dedup.autoBanding(plan, sTenths = 8,
+      floorMicro = 850000L) === ((4, 4)))
+    // floor nothing can meet -> max-recall fallback (16 bands of 1 row)
+    assert(graft.operators.Dedup.autoBanding(plan, sTenths = 1,
+      floorMicro = 999999L) === ((16, 1)))
+    // the target MOVES the choice: at a 0.9-recall floor and target
+    // J=0.5 only shorter rows qualify (4x4 recall at 0.5 is ~23%)
+    val (b05, r05) = graft.operators.Dedup.autoBanding(plan, sTenths = 5,
+      floorMicro = 900000L)
+    assert(r05 < 4, s"at J=0.5 a 0.9 floor must force shorter bands, got ${(b05, r05)}")
+    // the registered query emits exactly the autoBanding-selected row
+    val emitted = graft.queries.DedupQueries.dedupAutobandChoice(spark, sf).collect()
+    assert(emitted.length === 1)
+    assert((emitted.head.getInt(0), emitted.head.getInt(1)) ===
+      graft.operators.Dedup.autoBanding(plan,
+        graft.queries.DedupQueries.AutoBandingTargetTenths,
+        graft.queries.DedupQueries.AutoBandingRecallFloorMicro))
+  }
+
+  test("autoBandedNearDups output-equals the explicitly-banded run") {
+    val plan = graft.queries.DedupQueries.dedupLshBandPlan(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairs(graft.operators.Dedup.autoBandedNearDups(
+      plan, docs, "doc_id", "text", threshold = 0.8, floorMicro = 850000L))
+    // the chosen banding at (0.8, 0.85) is the registered 4x4 — the
+    // auto path must reproduce the registered pipeline exactly
+    val explicit = pairs(graft.operators.Dedup.minhashNearDups(
+      docs, "doc_id", "text", k = 3, numHashes = 16, bands = 4,
+      threshold = 0.8, useMd5 = true))
+    assert(auto === explicit)
+  }
+
+  test("autoWindow: smallest window at 95% survivor coverage; query agrees") {
+    import spark.implicits._
+    // synthetic law check: coverage floor slides the choice
+    val plan = Seq((2, 100L, 50L), (5, 250L, 90L), (10, 500L, 99L), (20, 1000L, 100L))
+      .toDF("win", "candidates", "survivors")
+    assert(graft.operators.SortedNeighborhood.autoWindow(plan, 950000L) === 10)
+    assert(graft.operators.SortedNeighborhood.autoWindow(plan, 900000L) === 5)
+    assert(graft.operators.SortedNeighborhood.autoWindow(plan, 1000000L) === 20)
+    // real table: the emitted row is the operator's own choice
+    val real = graft.queries.DedupQueries.dedupSnmWindowPlan(spark, sf)
+    val chosen = graft.operators.SortedNeighborhood.autoWindow(real,
+      graft.queries.DedupQueries.AutoWindowCoverageMicro)
+    val emitted = graft.queries.DedupQueries.dedupSnmAutowindow(spark, sf).collect()
+    assert(emitted.length === 1)
+    assert(emitted.head.getInt(0) === chosen,
+      "dedup_snm_autowindow must emit the autoWindow-selected window")
+  }
 }
