@@ -425,17 +425,25 @@ object DedupQueries {
     * table a deployment reads to pick its window instead of guessing.
     * All integer counts; DedupSpec pins the closed-form candidate law
     * and survivor monotonicity. */
-  def dedupSnmWindowPlan(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
-    snmPlanWindows.map { w =>
-      SortedNeighborhood
-        .candidatePairs(p, Seq(col("p_name"), col("p_partkey")), window = w)
-        .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 5))
-        .agg(count(lit(1)).as("candidates"),
-          sum(when(col("dist") >= 0, 1L).otherwise(0L)).as("survivors"))
-        .select(lit(w).as("win"), col("candidates"), col("survivors"))
-    }.reduce(_ unionByName _).orderBy(col("win"))
-  }
+  /** The measured window-plan TABLE, memoized per (session, corpus):
+    * both the published relation (`dedup_snm_window_plan`) and the
+    * prescriptive consumer (`dedup_snm_autowindow`) read it, so a
+    * session pays the 4-window SNM sweep once. */
+  private def snmWindowPlanTable(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "snm_window_plan") {
+      val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+      snmPlanWindows.map { w =>
+        SortedNeighborhood
+          .candidatePairs(p, Seq(col("p_name"), col("p_partkey")), window = w)
+          .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 5))
+          .agg(count(lit(1)).as("candidates"),
+            sum(when(col("dist") >= 0, 1L).otherwise(0L)).as("survivors"))
+          .select(lit(w).as("win"), col("candidates"), col("survivors"))
+      }.reduce(_ unionByName _)
+    }
+
+  def dedupSnmWindowPlan(spark: SparkSession, dir: String): DataFrame =
+    snmWindowPlanTable(spark, dir).orderBy(col("win"))
 
   /** Operating point for the prescriptive banding choice: the
     * registered MinHash near-dup threshold (J=0.8) and a recall floor
@@ -478,7 +486,7 @@ object DedupQueries {
     * the window while survivors saturate; this is that trade, decided
     * from the measured table. */
   def dedupSnmAutowindow(spark: SparkSession, dir: String): DataFrame = {
-    val plan = dedupSnmWindowPlan(spark, dir)
+    val plan = snmWindowPlanTable(spark, dir)
     val mx = plan.agg(max(col("survivors")).as("ms"))
     plan.crossJoin(broadcast(mx))
       .filter(col("survivors") * lit(1000000L) >= lit(AutoWindowCoverageMicro) * col("ms"))

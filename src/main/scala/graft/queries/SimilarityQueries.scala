@@ -424,10 +424,18 @@ object SimilarityQueries {
     * autoBitsPerBand" discussion, as an oracle-gated relation (the
     * DuckDB side rebuilds each config's md5-parity buckets through the
     * same plane CTE the near-dup oracles use). */
+  /** The measured bucket-plan TABLE, memoized per (session, corpus):
+    * the published relation and the prescriptive choice both read it,
+    * so a session pays the 9-config banding sweep once. */
+  private def bucketPlanTable(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "lsh_bucket_plan") {
+      graft.operators.Similarity.bucketPlan(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        bucketPlanConfigs, budget = NearDupCandidateBudget)
+    }
+
   def simLshBucketPlan(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Similarity.bucketPlan(
-      Tables.embeddings(spark, dir), "vec_id", "embedding",
-      bucketPlanConfigs, budget = NearDupCandidateBudget)
+    bucketPlanTable(spark, dir)
       .orderBy(col("bands"), col("bits_per_band"))
 
   /** Probe depths swept by `sim_ivf_probe_plan`. */
@@ -517,9 +525,7 @@ object SimilarityQueries {
     * fewer bands then fewer bits. Oracle-gated through the same plane
     * CTEs as the bucket plan itself. */
   def simAutobandChoice(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Similarity.bucketPlan(
-      Tables.embeddings(spark, dir), "vec_id", "embedding",
-      bucketPlanConfigs, budget = NearDupCandidateBudget)
+    bucketPlanTable(spark, dir)
       .orderBy(col("within_budget").desc, col("candidate_pairs").desc,
         col("bands"), col("bits_per_band"))
       .limit(1)

@@ -116,7 +116,42 @@ object ScaleProbe {
       "two-pass distributed prefix sum; output bounded by the token budget"),
     Family("corpus_pack_windows", "sequence packing, shuffle-budgeted"),
     Family("events_resample", "per-user gap fill, keyed shuffle linear in events"),
-    Family("q1_pricing_summary", "scan + map-side partial agg control"))
+    Family("q1_pricing_summary", "scan + map-side partial agg control"),
+    // FIXED-WORKLOAD arms for the two coupled families (VERDICT r11
+    // what's-wrong #2 strengthened): the coupled rows pass only under
+    // the per-query reading because their query sets grow with the
+    // corpus; these arms PIN the query set to copy 0, so |Q| is
+    // constant across scales and the per-query-linearity claim becomes
+    // a DIRECTLY measured plain-linear law — the "deployment pins the
+    // query set" story (contamination scans), executed. Listed after
+    // their coupled counterparts so the memoized posting index is
+    // already built and the arm measures the probe alone.
+    Family("text_bm25_topk_fixedq",
+      "PINNED %37 query set over a growing corpus: probe cost linear in postings",
+      builder = Some { (s: SparkSession, d: String) =>
+        import org.apache.spark.sql.functions._
+        val queries = graft.sources.Tables.documents(s, d)
+          .filter(col("doc_id") % 37 === 0 && col("doc_id") < Inflate.keyOffset)
+          .select(col("doc_id").as("query_id"),
+            explode(array_distinct(
+              graft.functions.TextFunctions.tokens(col("text")))).as("t"))
+        graft.queries.RetrievalQueries.bm25ProbeDenorm(queries,
+          graft.queries.RetrievalQueries.postingsIndex(s, d)
+            .filter(col("doc_id") % 37 =!= 0), k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      knob = "query set pinned to copy 0 (doc_id < keyOffset): |Q| constant across scales, plain-linear law, no coupled factor"),
+    Family("sim_topk_lsh_fixedq",
+      "PINNED %50 query set LSH top-k over a growing corpus: per-probe cost linear",
+      builder = Some { (s: SparkSession, d: String) =>
+        import org.apache.spark.sql.functions._
+        val emb = graft.sources.Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") < Inflate.keyOffset)
+        graft.operators.Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      knob = "query set pinned to copy 0 (vec_id < keyOffset): |Q| constant across scales, plain-linear law, no coupled factor"))
 
   /** Streamed families: stream==batch gate machinery. Since the r12
     * listener-based measurement ([[ShuffleAudit.measureTotal]]) the

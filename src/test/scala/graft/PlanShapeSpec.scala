@@ -112,6 +112,9 @@ class PlanShapeSpec extends SparkSpec {
     "sim_semdedup" -> 2,
     // corpus × broadcast 1-row totals (same shape as text_tfidf's N join)
     "text_importance_weights" -> 1,
+    // 4-row plan × broadcast 1-row max-survivors scalar (the coverage
+    // threshold for the prescriptive window choice)
+    "dedup_snm_autowindow" -> 1,
     // LM × broadcast 1-row smoothing-vocabulary count
     "text_perplexity_buckets" -> 1,
     // Lloyd assign passes: corpus × broadcast 16-row centroid table
