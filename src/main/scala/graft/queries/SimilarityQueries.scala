@@ -517,6 +517,23 @@ object SimilarityQueries {
       .limit(1)
   }
 
+  /** The EXECUTED auto-probe path: seeded-IVF top-k at the depth
+    * [[graft.operators.Ivf.autoProbe]] selects from the measured table
+    * — the probe-depth analog of [[graft.operators.Dedup.autoBandedNearDups]]
+    * (the choice row says WHAT the planner picked; this runs it).
+    * Oracle-gated end to end: the DuckDB side recomputes the recall
+    * table, applies the same selection as a scalar subquery, and
+    * probes `r <= (SELECT n_probe FROM choice)` — so a drifting choice
+    * OR a drifting execution both break the hash. */
+  def simTopKIvfAuto(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.operators.Ivf.autoProbe(ivfProbePlanTable(spark, dir),
+      AutoProbeRecallFloorMicro)
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Ivf.seededTopK(emb, queriesSubset(emb), "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = p)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** THE PRESCRIPTIVE BANDING CHOICE (VERDICT r11 ask #3): the row of
     * the measured bucket-plan table that
     * [[graft.operators.Similarity.autoBand]] selects — within-budget
@@ -533,6 +550,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_probe_plan" -> (simIvfProbePlan _),
     "sim_ivf_autoprobe" -> (simIvfAutoprobe _),
+    "sim_topk_ivf_auto" -> (simTopKIvfAuto _),
     "sim_lsh_bucket_plan" -> (simLshBucketPlan _),
     "sim_autoband_choice" -> (simAutobandChoice _),
     "corpus_cluster_map" -> (corpusClusterMap _),
@@ -653,6 +671,50 @@ object SimilarityQueries {
          |  CASE WHEN recall_micro >= $AutoProbeRecallFloorMicro
          |       THEN n_probe ELSE -n_probe END
          |LIMIT 1""".stripMargin,
+    // the EXECUTED auto-probe: the recall table and the selection run
+    // inside the oracle (scalar subquery), then the seeded chain probes
+    // the chosen depth — choice drift and execution drift both break
+    // the hash
+    "sim_topk_ivf_auto" ->
+      s"""WITH plan AS (
+         |$ivfProbePlanOracleUnion
+         |), choice AS (
+         |  SELECT n_probe FROM plan
+         |  ORDER BY (recall_micro >= $AutoProbeRecallFloorMicro) DESC,
+         |    CASE WHEN recall_micro >= $AutoProbeRecallFloorMicro
+         |         THEN n_probe ELSE -n_probe END
+         |  LIMIT 1
+         |),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |cents AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+         |         vec AS centroid
+         |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, vec, cell FROM (
+         |    SELECT e.vec_id, e.vec, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             list_sum(list_transform(range(64), i -> (e.vec[i+1]-c.centroid[i+1])*(e.vec[i+1]-c.centroid[i+1]))), c.cell) AS r
+         |    FROM e CROSS JOIN cents c) t WHERE r = 1),
+         |probed AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.vec AS qvec, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |             list_sum(list_transform(range(64), i -> (q.vec[i+1]-c.centroid[i+1])*(q.vec[i+1]-c.centroid[i+1]))), c.cell) AS r
+         |    FROM e q CROSS JOIN cents c WHERE q.vec_id % 50 = 0) t
+         |  WHERE r <= (SELECT n_probe FROM choice)),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(p.qvec, a.vec), 9) AS sim
+         |  FROM probed p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, sim FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // one UNION arm per banding config, each rebuilding that config's
     // md5-parity buckets through the SAME plane CTE the near-dup
     // oracles use — occupancy → C(n,2) mass → budget verdict

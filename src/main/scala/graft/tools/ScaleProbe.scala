@@ -95,14 +95,16 @@ object ScaleProbe {
     Family("dedup_minhash_pairs",
       "banded MinHash LSH: candidate volume follows band-bucket collisions, linear for non-duplicated growth"),
     Family("dedup_clusters",
-      "LSH candidates + size-switched connected components, linear edges"),
+      "LSH candidates + size-switched connected components, linear edges",
+      knob = "first consumer of the neardup_pairs signal: this row's tally INCLUDES the MinHash banding build for both corpora"),
     Family("dedup_exact", "fingerprint hash-groupBy, one linear shuffle"),
     Family("text_bm25_topk",
       "posting probe: per-QUERY scoring cost linear in corpus (query split itself grows with the corpus)",
       coupled = true),
     Family("text_winnowing", "per-doc winnowing fingerprints, map-side linear"),
     Family("graph_triangles",
-      "degree-ordered orientation: wedge volume O(m^1.5), linear-ish at constant density"),
+      "degree-ordered orientation: wedge volume O(m^1.5), linear-ish at constant density",
+      knob = "probes the neardup_pairs signal memoized by dedup_clusters (listed earlier): this row's tally is the triangle joins alone, both scales symmetric"),
     Family("cdc_merge_snapshot",
       "changelog collapsed to |keys| before the full-outer merge"),
     Family("sim_knn_join_lsh",

@@ -35,6 +35,9 @@ class PlanShapeSpec extends SparkSpec {
     "corpus_pipeline_full" -> 3,
     "sim_topk_ivf" -> 1,
     "sim_topk_ivf_seeded" -> 1,
+    // the executed auto-probe runs the same seeded machinery at the
+    // planner-chosen depth
+    "sim_topk_ivf_auto" -> 1,
     // the probe-plan sweep materializes eagerly (4-row result; its
     // shared brute checkpoint is freed on return), so the registered
     // plan is a LogicalRDD scan — the constituent join shapes remain
@@ -107,6 +110,7 @@ class PlanShapeSpec extends SparkSpec {
     "sim_ivf_probe_plan" -> 0,
     "sim_topk_ivf" -> 2,
     "sim_topk_ivf_seeded" -> 2,
+    "sim_topk_ivf_auto" -> 2,
     "text_tfidf" -> 1,
     // Lloyd assign passes: corpus × broadcast 16-row centroid table
     "sim_semdedup" -> 2,

@@ -44,6 +44,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     // Q6 is the pure-pushdown receipt: the only exchange is the
     // single-row final aggregate
     "q6_forecast_revenue" -> (200L, 79L),
+    // r12 prescriptive planners (audited at local[4] sf0.001): the
+    // choice/plan relations probe MEMOIZED plan tables, so their
+    // executed plans exchange almost nothing (the sweep cost is the
+    // signal build — same accounting as every memoized signal); the
+    // EXECUTED auto-probe path carries the real seeded-IVF volume
+    "sim_topk_ivf_auto" -> (370000L, 146763L),
+    "dedup_snm_autowindow" -> (200L, 59L),
+    "sim_lsh_bucket_plan" -> (1500L, 598L),
+    "dedup_snm_window_plan" -> (700L, 272L),
     // typed cogroup: both key-projected sides co-partition (orders +
     // lineitem rows) plus the ordered-output range exchange
     "audit_cogroup_diff" -> (350000L, 138914L),

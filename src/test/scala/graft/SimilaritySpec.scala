@@ -400,6 +400,18 @@ class SimilaritySpec extends SparkSpec {
     assert(emitted.length === 1)
     assert(emitted.head.getInt(0) === chosen,
       "sim_ivf_autoprobe must emit the autoProbe-selected depth")
+    // the EXECUTED auto path equals the explicitly-spelled chosen depth
+    // (the auto path changes WHICH depth runs, never what a depth does)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val auto = rows(graft.queries.SimilarityQueries.simTopKIvfAuto(spark, sf))
+    val explicitRun = rows(graft.operators.Ivf.seededTopK(emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+      "vec_id", "embedding", k = 10, nCells = 16, nProbe = chosen))
+    assert(auto === explicitRun,
+      "sim_topk_ivf_auto must equal seededTopK at the chosen depth")
   }
 
   test("ivf probe plan: recall monotone in probes, saturating at full coverage") {
