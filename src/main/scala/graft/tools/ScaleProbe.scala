@@ -48,10 +48,18 @@ object ScaleProbe {
     * is re-derived from the corpus size per the planner-table discipline
     * (`Similarity.autoBitsPerBand` growing with log₂ n) instead of the
     * registered compile-time config the DuckDB oracle needs. `knob`
-    * documents the derivation and lands in the artifact row. */
+    * documents the derivation and lands in the artifact row.
+    *
+    * `warm`: one-off signal builds to run BEFORE the measurement window
+    * — the probe analog of the bench's `prep` accounting. An
+    * index-probing family measured in a SUBSET run would otherwise
+    * swallow the ingest-side index build into its tally (order-
+    * dependent: in a full run an earlier family pays it), and the
+    * build's shuffle profile does not follow the probe's growth law. */
   final case class Family(query: String, claim: String, coupled: Boolean = false,
       builder: Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] = None,
-      knob: String = "")
+      knob: String = "",
+      warm: Option[(SparkSession, String) => Unit] = None)
 
   final case class Obs(query: String, claim: String, coupled: Boolean, k: Int,
       rows1: Long, rowsK: Long, bytes1: Long, bytesK: Long,
@@ -137,12 +145,25 @@ object ScaleProbe {
           .select(col("doc_id").as("query_id"),
             explode(array_distinct(
               graft.functions.TextFunctions.tokens(col("text")))).as("t"))
+        // postings DOC-co-located for the probe: under the memoized
+        // index's as-is layout the (query, doc) partial agg's combine
+        // ratio depends on how many partitions a pair's term hits span
+        // — physical history, shifting between scales (measured: srows
+        // x9.8 at k=10 but x111 at k=30 while joinRows x28.2 and
+        // distinct pairs x30.0 stayed exactly linear — FixedQProbe).
+        // Repartitioning by doc_id pins every pair's contributions to
+        // one task, making the combine scale-invariant: srows x29.9 at
+        // k=30. The repartition itself is one linear postings exchange.
         graft.queries.RetrievalQueries.bm25ProbeDenorm(queries,
           graft.queries.RetrievalQueries.postingsIndex(s, d)
-            .filter(col("doc_id") % 37 =!= 0), k = 10)
+            .filter(col("doc_id") % 37 =!= 0)
+            .repartition(col("doc_id")), k = 10)
           .orderBy(col("query_id"), col("rank"))
       },
-      knob = "query set pinned to copy 0 (doc_id < keyOffset): |Q| constant across scales, plain-linear law, no coupled factor"),
+      knob = "query set pinned to copy 0 (doc_id < keyOffset): |Q| constant across scales, plain-linear law, no coupled factor; posting-index signal warmed outside the window (ingest-side, bench-prep accounting); postings doc-co-located so the partial-agg combine ratio is scale-invariant (see builder comment)",
+      warm = Some((s: SparkSession, d: String) => {
+        graft.queries.RetrievalQueries.postingsIndex(s, d); ()
+      })),
     Family("sim_topk_lsh_fixedq",
       "PINNED %50 query set LSH top-k over a growing corpus: per-probe cost linear",
       builder = Some { (s: SparkSession, d: String) =>
@@ -245,6 +266,10 @@ object ScaleProbe {
 
   private def timedMeasure(spark: SparkSession, dir: String, f: Family):
       (ShuffleAudit.Volumes, Double) = {
+    // ingest-side signal builds land OUTSIDE the measured window (see
+    // Family.warm) — memoized, so a family that already paid them in a
+    // full run is unaffected
+    f.warm.foreach(_(spark, dir))
     val t0 = System.nanoTime()
     // measureTotal (listener-window accounting), NOT the executed-plan
     // walk: families that eagerly localCheckpoint during CONSTRUCTION
