@@ -331,6 +331,37 @@ class DedupSpec extends SparkSpec {
     assert(auto === explicit)
   }
 
+  test("selector laws hold across swept floors (totality + optimality)") {
+    val bandPlan = graft.queries.DedupQueries.dedupLshBandPlan(spark, sf)
+    val bandRows = bandPlan.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    for (s <- Seq(2, 5, 8); floor <- Seq(100000L, 500000L, 850000L, 990000L)) {
+      val (b, rp) = graft.operators.Dedup.autoBanding(bandPlan, s, floor)
+      val at = bandRows.filter(_._3 == s).map { case (bb, rr, _, p) => ((bb, rr), p) }.toMap
+      assert(at.contains((b, rp)), "choice must come from the plan")
+      val meets = at.filter(_._2 >= floor)
+      if (meets.nonEmpty) {
+        assert(at((b, rp)) >= floor, s"s=$s floor=$floor: choice below floor")
+        // optimality: longest rows-per-band among floor-meeting configs
+        assert(rp === meets.keys.map(_._2).max,
+          s"s=$s floor=$floor: ${(b, rp)} not the finest-bucket qualifier")
+      } else {
+        // totality: max-recall fallback
+        assert(at((b, rp)) === at.values.max)
+      }
+    }
+    import spark.implicits._
+    val winPlan = Seq((2, 100L, 40L), (5, 250L, 80L), (10, 500L, 95L), (20, 1000L, 100L))
+      .toDF("win", "candidates", "survivors")
+    for (cov <- Seq(100000L, 400000L, 800000L, 950000L, 1000000L)) {
+      val w = graft.operators.SortedNeighborhood.autoWindow(winPlan, cov)
+      val rows = Seq((2, 40L), (5, 80L), (10, 95L), (20, 100L))
+      val qualifies = rows.filter(_._2 * 1000000L >= cov * 100L).map(_._1)
+      assert(qualifies.contains(w) && w === qualifies.min,
+        s"cov=$cov: $w is not the smallest qualifying window of $qualifies")
+    }
+  }
+
   test("autoWindow: smallest window at 95% survivor coverage; query agrees") {
     import spark.implicits._
     // synthetic law check: coverage floor slides the choice
