@@ -231,6 +231,34 @@ object DedupQueries {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterComponents(spark, dir).orderBy(col("node"))
 
+  /** LEAKAGE-SAFE train/eval split: every document joins its near-dup
+    * CLUSTER (the memoized connected components; singletons are their
+    * own group), and the split is assigned per GROUP, never per
+    * document — two near-duplicate documents can therefore never land
+    * on opposite sides, the contamination mode a naive per-doc split
+    * invites (an eval doc whose near-copy sits in train is a leaked
+    * answer). Assignment is an md5 parity pair on the group id
+    * (engine-neutral, deterministic, ~25% eval), so the whole relation
+    * sits under the DuckDB hash gate; the leakage LAW (no group spans
+    * splits) is additionally spec-pinned. At 100 TB this is one
+    * broadcast-or-shuffle join against the cluster signal plus a
+    * map-side hash — the clusters are the expensive part and they are
+    * already the memoized/written `dedup_clusters` signal. */
+  def dedupLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = clusterComponents(spark, dir)
+      .withColumnRenamed("node", "doc_id")
+    val g = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("group_id"))
+    val h = md5(col("group_id").cast("string"))
+    g.withColumn("split",
+        when((ascii(substring(h, 1, 1)) % 2 === 0) &&
+             (ascii(substring(h, 2, 1)) % 2 === 0), "eval")
+          .otherwise("train"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact substring dedup at 10-token passage granularity: which spans
     * of each document are copied text anywhere in the corpus, and how
     * many tokens survive removing them. */
@@ -505,6 +533,7 @@ object DedupQueries {
     "dedup_allpairs_jaccard" -> (dedupAllpairsJaccard _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_best_survivor" -> (dedupBestSurvivor _),
+    "dedup_leakage_split" -> (dedupLeakageSplit _),
     "dedup_passages" -> (dedupPassages _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
@@ -902,6 +931,20 @@ object DedupQueries {
       s"""WITH RECURSIVE $neardupGraphCtes,
          |$clusterCteSql
          |SELECT node, component FROM comp ORDER BY node""".stripMargin,
+    // the cluster CTE chain verbatim, then GROUP-level split assignment
+    // (md5 parity pair on the group id): near-dups can never straddle
+    // the train/eval boundary
+    "dedup_leakage_split" ->
+      s"""WITH RECURSIVE $neardupGraphCtes,
+         |$clusterCteSql,
+         |grouped AS (
+         |  SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS group_id
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT doc_id, group_id,
+         |       CASE WHEN ascii(substr(md5(CAST(group_id AS VARCHAR)), 1, 1)) % 2 = 0
+         |             AND ascii(substr(md5(CAST(group_id AS VARCHAR)), 2, 1)) % 2 = 0
+         |            THEN 'eval' ELSE 'train' END AS split
+         |FROM grouped ORDER BY doc_id""".stripMargin,
     // the dedup_clusters CTE chain verbatim + the shared quality
     // formula; survivor = row_number 1 under (q DESC, node ASC)
     "dedup_best_survivor" ->

@@ -21,8 +21,20 @@ object DocSync {
   private[tools] def reportedTests(dir: java.io.File): Option[Int] = {
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".xml"))
-    if (files.isEmpty) None
-    else Some(files.map { f =>
+    // STALE-MIX guard: sbt clears target/test-reports at the start of
+    // every test task, so after a `testOnly` the directory holds only
+    // that subset's suites — summing it would under-claim. Only trust
+    // a report set that covers (at least) every *Spec.scala source.
+    // −2: *Spec.scala sources that are traits/bases (SparkSpec) emit no
+    // report file; a genuine testOnly leftover set is far below this
+    val suites = Option(new java.io.File("src/test/scala/graft").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith("Spec.scala")) - 2
+    if (files.isEmpty || files.length < suites) {
+      if (files.nonEmpty) println(
+        s"[docsync] test reports cover ${files.length} of $suites suites " +
+          "(testOnly leftovers?) — test-count claim left untouched; run after a FULL `sbt test`")
+      None
+    } else Some(files.map { f =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try """tests="(\d+)"""".r.findFirstMatchIn(src.mkString)
         .map(_.group(1).toInt).getOrElse(0)

@@ -331,6 +331,30 @@ class DedupSpec extends SparkSpec {
     assert(auto === explicit)
   }
 
+  test("leakage-safe split: no near-dup group straddles train/eval; singletons covered") {
+    import org.apache.spark.sql.functions._
+    val split = graft.queries.DedupQueries.dedupLeakageSplit(spark, sf)
+    val rows = split.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // total: every document assigned exactly once
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // THE leakage law: a group never spans splits — near-duplicate
+    // documents land on the same side, always
+    val spanning = rows.groupBy(_._2).filter(_._2.map(_._3).distinct.length > 1)
+    assert(spanning.isEmpty, s"groups spanning splits: ${spanning.keys.take(5)}")
+    // the split actually splits (both sides populated at fixture scale)
+    val sides = rows.map(_._3).distinct.sorted
+    assert(sides === Array("eval", "train"))
+    // group ids are real: every clustered doc carries its component id,
+    // singletons carry themselves
+    val comp = graft.queries.DedupQueries.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (doc, group, _) =>
+      assert(group === comp.getOrElse(doc, doc), s"doc $doc group $group")
+    }
+  }
+
   test("selector laws hold across swept floors (totality + optimality)") {
     val bandPlan = graft.queries.DedupQueries.dedupLshBandPlan(spark, sf)
     val bandRows = bandPlan.collect().map(r =>
