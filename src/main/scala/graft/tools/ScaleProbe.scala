@@ -24,12 +24,15 @@ import org.apache.spark.sql.SparkSession
   * writes the full observation table (default sf0.01, k=10) as a
   * driver-visible JSON artifact.
   *
-  * Deliberately NOT probed: `sim_neardup_lsh`'s static 6×3 embedding
-  * banding, whose candidate mass is KNOWN quadratic beyond its
-  * declared envelope — that family is guarded by an explicit candidate
-  * budget that fails loudly with the autoBitsPerBand re-banding
-  * suggestion (SimilarityQueries.NearDupCandidateBudget) rather than
-  * claiming linearity; probing it would just trip its own guard.
+  * Deliberately NOT probed as-registered: `sim_neardup_lsh`'s static
+  * 6×3 embedding banding, whose candidate mass is KNOWN quadratic
+  * beyond its declared envelope — that family is guarded by an
+  * explicit candidate budget that fails loudly with the
+  * autoBitsPerBand re-banding suggestion rather than claiming
+  * linearity; probing the static config would just trip its own
+  * guard. The RE-BANDED form IS probed: [[bandedFamilies]]'s
+  * `sim_neardup_autoband` re-derives `bitsPerBand` per corpus and
+  * carries the k=30 receipt (`SCALE_r12_banded.json`).
   */
 object ScaleProbe {
 
