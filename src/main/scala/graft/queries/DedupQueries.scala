@@ -259,6 +259,37 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** DECONTAMINATION AUDIT over the leakage-safe split: train-side
+    * documents that still share winnowing fingerprints with eval-side
+    * documents. The cluster-aware split already pins NEAR-DUPLICATES
+    * to one side; what can still straddle the boundary is PARTIAL
+    * overlap below the near-dup threshold — quotations, shared
+    * boilerplate, copied passages — which is precisely eval
+    * contamination a deployment must audit before training. Same
+    * fingerprint eligibility as `dedup_winnowing_candidates`
+    * (window-4 winnowing over 3-gram md5s, posting cap 100) but a
+    * LOWER sharing floor (≥2 fingerprints): the split already pins
+    * everything at near-dup strength to one side, so contamination
+    * that crosses it is by construction weaker overlap — auditing at
+    * the near-dup floor would be vacuously empty. Pairs are oriented
+    * (train_doc, eval_doc) across the split. At scale: the
+    * fingerprint pass is map-side, the pair join
+    * is bounded by the capped postings, and the split join is against
+    * the cluster-signal-sized relation. */
+  def decontamEvalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val split = dedupLeakageSplit(spark, dir).select(col("doc_id"), col("split"))
+    Dedup.winnowingCandidates(Tables.documents(spark, dir), "doc_id", "text",
+        k = 3, window = 4, minShared = 2, maxBucket = 100)
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(
+        when(col("split_a") === "train", col("id_a")).otherwise(col("id_b")).as("train_doc"),
+        when(col("split_a") === "eval", col("id_a")).otherwise(col("id_b")).as("eval_doc"),
+        col("n_shared_fps"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   /** Exact substring dedup at 10-token passage granularity: which spans
     * of each document are copied text anywhere in the corpus, and how
     * many tokens survive removing them. */
@@ -534,6 +565,7 @@ object DedupQueries {
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_best_survivor" -> (dedupBestSurvivor _),
     "dedup_leakage_split" -> (dedupLeakageSplit _),
+    "decontam_eval_overlap" -> (decontamEvalOverlap _),
     "dedup_passages" -> (dedupPassages _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
@@ -613,6 +645,23 @@ object DedupQueries {
     * [[dedupClusters]]' Spark side), shared by the `dedup_clusters`
     * and `dedup_best_survivor` oracles. Consumes `edges` from
     * [[neardupEdgesCteSql]]; ends with `comp(node, component)`. */
+  /** The cluster chain + group-level split assignment, shared verbatim
+    * by the `dedup_leakage_split` and `decontam_eval_overlap` oracles
+    * (a hand-rolled copy in either would let the split definitions
+    * drift apart). Callers prefix with `WITH RECURSIVE`. */
+  private def leakageSplitCtes: String =
+    s"""$neardupGraphCtes,
+       |$clusterCteSql,
+       |grouped AS (
+       |  SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS group_id
+       |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+       |sp AS (
+       |  SELECT doc_id, group_id,
+       |         CASE WHEN ascii(substr(md5(CAST(group_id AS VARCHAR)), 1, 1)) % 2 = 0
+       |               AND ascii(substr(md5(CAST(group_id AS VARCHAR)), 2, 1)) % 2 = 0
+       |              THEN 'eval' ELSE 'train' END AS split
+       |  FROM grouped)""".stripMargin
+
   private val clusterCteSql =
     """nodes AS (SELECT DISTINCT src AS node FROM edges),
       |reach(node, label) AS (
@@ -935,16 +984,46 @@ object DedupQueries {
     // (md5 parity pair on the group id): near-dups can never straddle
     // the train/eval boundary
     "dedup_leakage_split" ->
-      s"""WITH RECURSIVE $neardupGraphCtes,
-         |$clusterCteSql,
-         |grouped AS (
-         |  SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS group_id
-         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
-         |SELECT doc_id, group_id,
-         |       CASE WHEN ascii(substr(md5(CAST(group_id AS VARCHAR)), 1, 1)) % 2 = 0
-         |             AND ascii(substr(md5(CAST(group_id AS VARCHAR)), 2, 1)) % 2 = 0
-         |            THEN 'eval' ELSE 'train' END AS split
-         |FROM grouped ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $leakageSplitCtes
+         |SELECT doc_id, group_id, split FROM sp ORDER BY doc_id""".stripMargin,
+    // the split CTEs + the winnowing-candidates chain verbatim, joined
+    // ACROSS the boundary: partial-overlap contamination the
+    // cluster-aware split cannot pin to one side
+    "decontam_eval_overlap" ->
+      s"""WITH RECURSIVE $leakageSplitCtes,
+         |wt AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wd FROM documents),
+         |wh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(wd) >= 3
+         |              THEN list_transform(range(len(wd)-2),
+         |                     i -> md5(array_to_string(wd[i+1:i+3], ' ')))
+         |              ELSE [] END AS hs
+         |  FROM wt),
+         |wfp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(hs) >= 4
+         |              THEN list_distinct(list_transform(range(len(hs)-3),
+         |                     j -> list_min(hs[j+1:j+4])))
+         |              WHEN len(hs) > 0 THEN [list_min(hs)]
+         |              ELSE [] END AS fps
+         |  FROM wh),
+         |we AS (SELECT doc_id, unnest(fps) AS fp FROM wfp),
+         |wcounts AS (SELECT fp, COUNT(*) AS n FROM we GROUP BY fp),
+         |welig AS (SELECT we.* FROM we JOIN wcounts c USING (fp)
+         |         WHERE c.n BETWEEN 2 AND 100),
+         |agg AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_fps
+         |  FROM welig a JOIN welig b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2)
+         |SELECT CASE WHEN sa.split = 'train' THEN agg.id_a ELSE agg.id_b END AS train_doc,
+         |       CASE WHEN sa.split = 'eval' THEN agg.id_a ELSE agg.id_b END AS eval_doc,
+         |       agg.n_shared_fps
+         |FROM agg
+         |JOIN sp sa ON sa.doc_id = agg.id_a
+         |JOIN sp sb ON sb.doc_id = agg.id_b
+         |WHERE sa.split <> sb.split
+         |ORDER BY train_doc, eval_doc""".stripMargin,
     // the dedup_clusters CTE chain verbatim + the shared quality
     // formula; survivor = row_number 1 under (q DESC, node ASC)
     "dedup_best_survivor" ->

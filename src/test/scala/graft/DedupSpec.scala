@@ -355,6 +355,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontam audit: pairs straddle the split, oriented, below near-dup strength") {
+    val split = graft.queries.DedupQueries.dedupLeakageSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val rows = graft.queries.DedupQueries.decontamEvalOverlap(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the fixture must exercise the audit — an always-empty audit
+    // proves nothing (sf0.001 carries 25 cross-split partial overlaps)
+    assert(rows.nonEmpty)
+    rows.foreach { case (train, eval, shared) =>
+      // orientation law: column names are the split sides
+      assert(split(train) === "train", s"doc $train on train_doc side")
+      assert(split(eval) === "eval", s"doc $eval on eval_doc side")
+      assert(shared >= 2L)
+    }
+    // the audit flags only sub-near-dup overlap: no flagged pair may be
+    // a near-dup pair (those are pinned to one side by the split — if
+    // one appeared here the split itself would be broken)
+    val nd = graft.queries.DedupQueries.dedupMinhashPairs(spark, sf)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (a, b, _) =>
+      assert(!nd.contains(Set(a, b)), s"near-dup pair ($a,$b) crossed the split")
+    }
+  }
+
   test("selector laws hold across swept floors (totality + optimality)") {
     val bandPlan = graft.queries.DedupQueries.dedupLshBandPlan(spark, sf)
     val bandRows = bandPlan.collect().map(r =>

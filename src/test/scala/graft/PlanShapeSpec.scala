@@ -47,6 +47,11 @@ class PlanShapeSpec extends SparkSpec {
     // SemDeDup's within-cell self-join: both sides ARE the corpus,
     // repartitioned by cell — the O(n²/k) intra-cluster sweep
     "sim_semdedup" -> 1,
+    // candidate pairs ⋈ split (×2 on id_a/id_b): the split relation is
+    // documents-sized — corpus-keyed, NOT a broadcastable dim at scale —
+    // so shuffle joins are the intended shape (at fixture scale Spark
+    // broadcasts the capped pair side of the first, leaving one SMJ)
+    "decontam_eval_overlap" -> 2,
     // docs ⋈ per-doc weights: both sides corpus-sized by design
     "text_importance_weights" -> 1,
     // docs ⋈ cell assignments: both sides corpus-sized by design
