@@ -124,6 +124,12 @@ object ScaleProbe {
     Family("text_tfidf", "per-(doc, term) postings, linear in corpus tokens"),
     Family("dedup_winnowing_candidates",
       "winnowing fingerprints hash-banded, ids-only shuffle"),
+    Family("dedup_leakage_split",
+      "per-cluster split: one join against the components signal + map-side md5 parity",
+      knob = "consumes the neardup_clusters signal memoized by dedup_clusters (listed earlier); this row's tally is the split join alone"),
+    Family("decontam_eval_overlap",
+      "cross-split winnowing overlap: capped postings bound the pair join; split joins keyed, linear",
+      knob = "shares the memoized split inputs with dedup_leakage_split; the fingerprint pass is map-side"),
     Family("scd2_history", "per-key ordered windows, one keyed shuffle"),
     Family("budget_select_tokens",
       "two-pass distributed prefix sum; output bounded by the token budget"),
