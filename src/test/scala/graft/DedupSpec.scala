@@ -355,6 +355,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("split stability: append-only disjoint growth preserves existing assignments") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val before = graft.queries.DedupQueries.dedupLeakageSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // appended docs: ids above the corpus max, texts whose every token
+    // embeds the new id — shingle-disjoint from the corpus AND from
+    // each other, so they can only enter as singleton groups
+    val extras = docs.orderBy(col("doc_id")).limit(40)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1L))
+      .withColumn("text", concat_ws(" ",
+        (0 until 12).map(j =>
+          concat(lit(s"zq${j}w"), col("doc_id").cast("string"))): _*))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val extraIds = extras.select("doc_id").collect().map(_.getLong(0))
+    val aug = java.nio.file.Files.createTempDirectory("graft_split_aug").toString
+    docs.unionByName(extras).coalesce(1)
+      .write.mode("overwrite").parquet(s"$aug/documents.parquet")
+    val after = graft.queries.DedupQueries.dedupLeakageSplit(spark, aug)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    // THE operational law: growing the corpus with non-near-dup data
+    // never moves an existing document's group or side — a published
+    // eval set stays eval across ingestion increments
+    before.foreach { case (doc, ga) =>
+      assert(after(doc) === ga, s"doc $doc moved: $ga -> ${after(doc)}")
+    }
+    // the appended docs enter as singletons (group = own id), assigned
+    extraIds.foreach { id =>
+      assert(after(id)._1 === id, s"appended doc $id not a singleton group")
+    }
+  }
+
   test("decontam audit: pairs straddle the split, oriented, below near-dup strength") {
     val split = graft.queries.DedupQueries.dedupLeakageSplit(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap

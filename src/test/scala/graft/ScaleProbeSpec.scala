@@ -65,6 +65,65 @@ class ScaleProbeSpec extends SparkSpec {
     assert(obs.exists(o => o.query == "sim_neardup_autoband" && o.knob.contains("autoBitsPerBand")))
   }
 
+  test("measureTotal sees construction-time shuffles the plan walk is blind to") {
+    // ADVICE r11 (medium) in regression form: a family that runs its
+    // heavy shuffle EAGERLY at build time and returns a checkpointed
+    // scan must still be charged for it. measure() (executed-plan walk)
+    // sees ~nothing; measureTotal() (listener window) sees the groupBy
+    // exchange — if this inverts, every eager family's probe row is
+    // vacuous again.
+    import org.apache.spark.sql.functions._
+    def build() = spark.range(0, 50000)
+      .select((col("id") % 997).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val eager = build()
+    try {
+      val walk = graft.tools.ShuffleAudit.measure(eager)
+      assert(walk.shuffleBytes === 0L,
+        "fixture drifted: the checkpointed scan should hide its build shuffle")
+    } finally eager.rdd.unpersist(true)
+    var eager2: org.apache.spark.sql.DataFrame = null
+    val window = graft.tools.ShuffleAudit.measureTotal(spark) {
+      eager2 = build(); eager2
+    }
+    try assert(window.shuffleBytes > 0L,
+      "listener window missed the construction-time shuffle")
+    finally eager2.rdd.unpersist(true)
+  }
+
+  test("negative control: a genuinely quadratic workload fails linearOk end-to-end") {
+    // The probe machinery must be ABLE to fail: run a real all-pairs
+    // blowup (every row pairs with every row, pair keys distinct so
+    // map-side combine cannot collapse them) through the same
+    // measureTotal + Obs.linearOk path the artifact rows use, at k=3.
+    // bytes/shuffle-rows grow ~k² = 9 > the allowed 2k = 6 — the law
+    // must reject it, and the same shape joined on a UNIQUE key (linear
+    // pair volume) must pass.
+    import org.apache.spark.sql.functions._
+    def pairs(n: Long, quadratic: Boolean) = {
+      val key: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (quadratic) _ => lit(1L) else identity
+      val l = spark.range(0, n).select(key(col("id")).as("b"), col("id").as("x"))
+      val r = spark.range(0, n).select(key(col("id")).as("b"), col("id").as("y"))
+      l.join(r, "b").select((col("x") * 1000000L + col("y")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .groupBy().agg(count(lit(1)).as("n_pairs"))
+    }
+    def obs(quadratic: Boolean) = {
+      val v1 = graft.tools.ShuffleAudit.measureTotal(spark)(pairs(1000, quadratic))
+      val vK = graft.tools.ShuffleAudit.measureTotal(spark)(pairs(3000, quadratic))
+      ScaleProbe.Obs("control", "negative control", coupled = false, 3,
+        v1.outputRows, vK.outputRows, v1.shuffleBytes, vK.shuffleBytes,
+        v1.shuffleRows, vK.shuffleRows, 0.0, 0.0)
+    }
+    val quad = obs(quadratic = true)
+    assert(quad.srowsK > 5 * quad.srows1,
+      s"fixture drifted: expected ~k² pair-row growth, got ${quad.srows1} -> ${quad.srowsK}")
+    assert(!quad.linearOk(), "the law accepted a quadratic workload")
+    assert(obs(quadratic = false).linearOk(), "the law rejected a linear workload")
+  }
+
   test("growth law: coupled workload factor is the known k, not the observed rows ratio") {
     // ADVICE r11: rowsRatio as the workload factor was self-referencing
     // (bound scaled with the signal it constrains) and rows1 == 0 gave
