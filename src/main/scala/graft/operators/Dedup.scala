@@ -143,6 +143,47 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shinglesCol, s => xxhash64(i, s))))
 
+  /** One (id, band, bh) row per document per band — the banded
+    * SIGNATURE INDEX rows [[lshCandidates]] buckets and
+    * [[incrementalNearDupComponents]] probes. Shared so the batch and
+    * incremental paths can never disagree on the band-hash encoding. */
+  def bandedRows(
+      withSig: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int, useMd5: Boolean = true): DataFrame = {
+    val bandHash = (b: Int) => {
+      val sliceCol = slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)
+      if (useMd5) md5(concat_ws(",", sliceCol))
+      else xxhash64(sliceCol).cast("string")
+    }
+    withSig.select(
+      col(idCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("e"))
+      .select(col(idCol).as("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  /** The per-doc shingle store (id, sh) — [[minhashNearDups]]' first
+    * stage, exposed because a deployment PERSISTS it (it is the verify
+    * side of every incremental probe). Empty-shingle docs are excluded,
+    * matching the batch pipeline. */
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** The persisted banded signature index (id, band, bh) for a corpus —
+    * built once at ingest; [[incrementalNearDupComponents]] probes it
+    * without touching the corpus texts again. At 100 TB this table is
+    * written bucketed by (band, bh) so probe joins co-locate. */
+  def bandedIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      useMd5: Boolean = true): DataFrame = {
+    val sig = if (useMd5) minhashSignatureMd5(col("sh"), numHashes)
+              else minhashSignatureFast(col("sh"), numHashes)
+    bandedRows(shingleFrame(df, idCol, textCol, k).withColumn("sig", sig),
+      "id", "sig", bands, numHashes / bands, useMd5)
+  }
+
   /** LSH banding: docs sharing any (band index, band hash) become
     * candidate pairs. One row per (doc, band); ONE shuffle groups rows
     * into buckets and pairs are exploded bucket-locally — no self-join,
@@ -154,16 +195,7 @@ object Dedup {
       withSig: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int, maxBucket: Int = 1000,
       useMd5: Boolean = true): DataFrame = {
-    val bandHash = (b: Int) => {
-      val sliceCol = slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)
-      if (useMd5) md5(concat_ws(",", sliceCol))
-      else xxhash64(sliceCol).cast("string")
-    }
-    val banded = withSig.select(
-      col(idCol),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("e"))
-      .select(col(idCol).as("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val banded = bandedRows(withSig, idCol, sigCol, bands, rowsPerBand, useMd5)
     val buckets = banded
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("ids"))
@@ -453,6 +485,106 @@ object Dedup {
     sym.unpersist()
     p.unpersist()
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** INCREMENTAL near-dup maintenance — the ingest-batch path. At
+    * 100 TB nothing re-shingles or re-bands the existing corpus per
+    * batch: the deployment persists three tables at ingest — the
+    * cluster state (`priorComp`, [[connectedComponents]] output), the
+    * banded signature index (`existingIndex`, [[bandedIndex]] output,
+    * written bucketed by (band, bh)), and the shingle store
+    * (`existingShingles`, [[shingleFrame]] output) — and each arriving
+    * batch:
+    *
+    *  1. shingles + signs + bands ONLY the batch (map-side,
+    *     batch-sized);
+    *  2. probes the index: batch band rows join existing buckets on
+    *     (band, bh) — with the index bucketed the probe shuffles batch
+    *     rows only. Candidates = (new × old) + (new × new) within
+    *     buckets whose UNION size obeys the same [2, maxBucket] guard
+    *     as [[lshCandidates]];
+    *  3. verifies candidates by exact Jaccard against the shingle
+    *     stores (candidates are batch-bounded → broadcast);
+    *  4. merges components on the CONTRACTED graph: each verified-edge
+    *     endpoint maps to its prior component label (arriving and
+    *     never-clustered docs label themselves), so the delta graph is
+    *     bounded by the batch's matches, not the corpus. New labels
+    *     then relabel prior members via one join against the
+    *     node-sized cluster state — the "cluster merge" event
+    *     DEPLOYMENT.md's split-stability note warns about is exactly a
+    *     delta row landing on a prior label.
+    *
+    * Output (node, component) equals recomputing [[minhashNearDups]] +
+    * [[connectedComponents]] on the union corpus (the min-label
+    * convention survives contraction: a merged component's min
+    * contracted label IS the min member id, because every prior label
+    * is itself the min of its members). One caveat: if an increment
+    * pushes an LSH bucket across `maxBucket`, the batch recompute drops
+    * that bucket's candidates while the incremental path keeps its
+    * prior edges — the cap is a skew guardrail and crossing it changes
+    * which candidates either path considers. The registered query's
+    * DuckDB oracle recomputes from scratch, holding the equality
+    * cross-engine at gate scale. Ids are 64-bit longs (the empty-bucket
+    * coalesce is typed). The batch's shingle frame is deliberately NOT
+    * persisted: it is evaluated twice (index + verify), both
+    * batch-sized scans — recomputing beats pinning blocks for the
+    * session lifetime. */
+  def incrementalNearDupComponents(
+      priorComp: DataFrame, existingIndex: DataFrame,
+      existingShingles: DataFrame, arriving: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8, maxBucket: Int = 1000,
+      useMd5: Boolean = true): DataFrame = {
+    val arSh = shingleFrame(arriving, idCol, textCol, k)
+    val sig = if (useMd5) minhashSignatureMd5(col("sh"), numHashes)
+              else minhashSignatureFast(col("sh"), numHashes)
+    val arIdx = bandedRows(arSh.withColumn("sig", sig),
+      "id", "sig", bands, numHashes / bands, useMd5)
+    val arBuckets = arIdx.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("new_ids"))
+    val exBuckets = existingIndex.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("old_ids"))
+    val touched = arBuckets.join(exBuckets, Seq("band", "bh"), "left")
+      .select(col("new_ids"),
+        coalesce(col("old_ids"), array().cast("array<bigint>")).as("old_ids"))
+      .filter((size(col("new_ids")) + size(col("old_ids")))
+        .between(2, maxBucket))
+    val cross = touched.select(explode(expr(
+      """flatten(transform(new_ids,
+        |  n -> transform(old_ids,
+        |    o -> struct(least(n, o) AS id_a, greatest(n, o) AS id_b))))"""
+        .stripMargin)).as("p"))
+    val within = touched.filter(size(col("new_ids")) >= 2).select(explode(expr(
+      """flatten(transform(sequence(0, size(new_ids)-2),
+        |  i -> transform(sequence(i+1, size(new_ids)-1),
+        |    j -> struct(least(new_ids[i], new_ids[j]) AS id_a,
+        |                greatest(new_ids[i], new_ids[j]) AS id_b))))"""
+        .stripMargin)).as("p"))
+    val cands = cross.unionByName(within)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).distinct()
+    val newEdges = jaccardVerify(
+      cands, existingShingles.unionByName(arSh), "id", "sh", threshold)
+    val lblA = priorComp.select(col("node").as("id_a"), col("component").as("la"))
+    val lblB = priorComp.select(col("node").as("id_b"), col("component").as("lb"))
+    val contracted = newEdges.select(col("id_a"), col("id_b"))
+      .join(lblA, Seq("id_a"), "left").join(lblB, Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("a"),
+        coalesce(col("lb"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"))
+      .distinct()
+    val delta = connectedComponents(contracted)
+    // relabel prior members whose label merged; delta nodes that are
+    // NOT prior labels are doc ids entering the cluster state directly
+    val merged = delta.select(col("node").as("component"), col("component").as("m"))
+    val rePrior = priorComp.join(merged, Seq("component"), "left")
+      .select(col("node"), coalesce(col("m"), col("component")).as("component"))
+    val direct = delta.join(
+      priorComp.select(col("component").as("node")).distinct(),
+      Seq("node"), "left_anti")
+    rePrior.unionByName(direct.select(col("node"), col("component")))
   }
 
   /** Exact n-gram Jaccard with blocking: all pairs within a blocking key

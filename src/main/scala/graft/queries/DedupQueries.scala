@@ -231,6 +231,43 @@ object DedupQueries {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterComponents(spark, dir).orderBy(col("node"))
 
+  /** INCREMENTAL near-dup maintenance, gated against the batch answer:
+    * `source = 'src0'` plays today's arriving crawl, everything else is
+    * the already-ingested corpus whose persisted state (cluster labels,
+    * banded signature index, shingle store) the batch probes — the
+    * existing texts are never re-shingled or re-banded. The oracle is a
+    * FULL DuckDB recompute over the union corpus, so the hash gate
+    * proves incremental == batch cross-engine (the gold-standard law
+    * for any incremental-view operator; see
+    * [[graft.operators.Dedup.incrementalNearDupComponents]] for the
+    * maxBucket-crossing caveat). At scale: batch-sized map work, a
+    * keyed probe into the bucketed index, broadcast verify, and a
+    * batch-bounded component delta relabeling the node-sized state. */
+  def dedupIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val arriving = docs.filter(col("source") === "src0")
+    def existing = docs.filter(col("source") =!= "src0")
+    // the three tables a deployment persists at ingest, memoized as
+    // signals (each IS the batch pipeline's own stage output; the memo
+    // is what makes them written-once state instead of per-invocation
+    // rebuilds — minhashNearDups pins its shingle frame, so an
+    // unmemoized build would accumulate one per invocation)
+    val priorComp = SignalMemo.cached(spark, dir, "incr_prior_comp") {
+      Dedup.connectedComponents(
+        Dedup.minhashNearDups(existing, "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true))
+    }
+    val exIdx = SignalMemo.cached(spark, dir, "incr_band_index") {
+      Dedup.bandedIndex(existing, "doc_id", "text")
+    }
+    val exSh = SignalMemo.cached(spark, dir, "incr_shingle_store") {
+      Dedup.shingleFrame(existing, "doc_id", "text")
+    }
+    Dedup.incrementalNearDupComponents(priorComp, exIdx, exSh, arriving,
+        "doc_id", "text")
+      .orderBy(col("node"))
+  }
+
   /** LEAKAGE-SAFE train/eval split: every document joins its near-dup
     * CLUSTER (the memoized connected components; singletons are their
     * own group), and the split is assigned per GROUP, never per
@@ -568,6 +605,7 @@ object DedupQueries {
     "decontam_eval_overlap" -> (decontamEvalOverlap _),
     "dedup_passages" -> (dedupPassages _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
     "prep_pipeline" -> (prepPipeline _),
     "corpus_pipeline_full" -> (corpusPipelineFull _),
@@ -977,6 +1015,13 @@ object DedupQueries {
     // then min-reachable-label per node (UNION set semantics terminate
     // the recursion at the fixpoint)
     "dedup_clusters" ->
+      s"""WITH RECURSIVE $neardupGraphCtes,
+         |$clusterCteSql
+         |SELECT node, component FROM comp ORDER BY node""".stripMargin,
+    // incremental == batch: the oracle is the dedup_clusters recompute
+    // over the UNION corpus, verbatim — the Spark side arrives at the
+    // same rows through the persisted-state probe + contracted merge
+    "dedup_incremental_neardup" ->
       s"""WITH RECURSIVE $neardupGraphCtes,
          |$clusterCteSql
          |SELECT node, component FROM comp ORDER BY node""".stripMargin,

@@ -130,6 +130,9 @@ object ScaleProbe {
     Family("decontam_eval_overlap",
       "cross-split winnowing overlap: capped postings bound the pair join; split joins keyed, linear",
       knob = "shares the memoized split inputs with dedup_leakage_split; the fingerprint pass is map-side"),
+    Family("dedup_incremental_neardup",
+      "ingest-batch probe into the banded index: batch-sized map work, keyed bucket join, component delta bounded by the batch's matches",
+      knob = "prior state (cluster labels, band index, shingle store) is memoized per corpus, so each scale's tally includes its own one-time state build — the probe itself is the marginal cost"),
     Family("scd2_history", "per-key ordered windows, one keyed shuffle"),
     Family("budget_select_tokens",
       "two-pass distributed prefix sum; output bounded by the token budget"),

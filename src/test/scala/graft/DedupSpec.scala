@@ -355,6 +355,66 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup equals the batch recompute; a bridge merges two prior clusters") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // two prior clusters ({1,2} and {10,11}), one never-matching doc
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (10L, "red orange yellow green blue indigo violet umber black"),
+      (11L, "red orange yellow green blue indigo violet umber white"),
+      (30L, "lonely words that match nothing else at all here")
+    ).toDF("doc_id", "text")
+    // doc 20 BRIDGES both clusters (its text embeds doc 1's and doc
+    // 10's verbatim: jaccard 7/16 ≈ 0.44 to each at k=3); doc 21
+    // matches nothing
+    val arriving = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "red orange yellow green blue indigo violet umber black"),
+      (21L, "completely unrelated arriving document with no matches")
+    ).toDF("doc_id", "text")
+    def full(df: org.apache.spark.sql.DataFrame) = Dedup.connectedComponents(
+      Dedup.minhashNearDups(df, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35, useMd5 = true))
+    val prior = full(existing)
+    val priorMap = prior.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(priorMap === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"fixture drifted: $priorMap")
+    val got = Dedup.incrementalNearDupComponents(
+        prior,
+        Dedup.bandedIndex(existing, "doc_id", "text", 3, 16, 16),
+        Dedup.shingleFrame(existing, "doc_id", "text", 3),
+        arriving, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = full(existing.unionByName(arriving))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // THE incremental-view law: probe + contracted merge == recompute
+    assert(got === batch, "incremental must equal the batch recompute")
+    // the merge event: both prior clusters relabel to the global min,
+    // including members the increment never touched (11 rides its label)
+    assert(Seq(2L, 10L, 11L, 20L).forall(got(_) === 1L), s"merge broke: $got")
+    assert(!got.contains(21L) && !got.contains(30L),
+      "non-matching docs must stay out of the cluster state")
+  }
+
+  test("incremental near-dup on the fixture: arriving source exercises the probe") {
+    // the registered query's oracle is the full recompute (hash-gated
+    // driver-side); here pin Spark-side equality AND that the fixture
+    // actually sends arriving docs through the probe path
+    val inc = graft.queries.DedupQueries.dedupIncrementalNeardup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.queries.DedupQueries.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === batch, "incremental must equal dedup_clusters on the union")
+    val arriving = graft.sources.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(inc.exists(n => arriving.contains(n._1)),
+      "fixture drifted: no arriving doc reaches the cluster state — the probe path is untested")
+  }
+
   test("split stability: append-only disjoint growth preserves existing assignments") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf)
