@@ -184,6 +184,18 @@ object Dedup {
       "id", "sig", bands, numHashes / bands, useMd5)
   }
 
+  /** [[bandedIndex]] collapsed to its PROBE layout — one row per
+    * (band, bh) bucket with the member id list. This is the form a
+    * deployment actually persists (the bucket-collect shuffle runs once
+    * at ingest, not once per arriving batch), and the form
+    * [[incrementalNearDupComponents]] consumes. */
+  def bucketedIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      useMd5: Boolean = true): DataFrame =
+    bandedIndex(df, idCol, textCol, k, numHashes, bands, useMd5)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("old_ids"))
+
   /** LSH banding: docs sharing any (band index, band hash) become
     * candidate pairs. One row per (doc, band); ONE shuffle groups rows
     * into buckets and pairs are exploded bucket-locally — no self-join,
@@ -491,10 +503,11 @@ object Dedup {
     * 100 TB nothing re-shingles or re-bands the existing corpus per
     * batch: the deployment persists three tables at ingest — the
     * cluster state (`priorComp`, [[connectedComponents]] output), the
-    * banded signature index (`existingIndex`, [[bandedIndex]] output,
-    * written bucketed by (band, bh)), and the shingle store
-    * (`existingShingles`, [[shingleFrame]] output) — and each arriving
-    * batch:
+    * bucket-collected signature index (`existingBuckets`,
+    * [[bucketedIndex]] output, written bucketed by (band, bh) so its
+    * one collect shuffle runs at ingest, never per batch), and the
+    * shingle store (`existingShingles`, [[shingleFrame]] output) — and
+    * each arriving batch:
     *
     *  1. shingles + signs + bands ONLY the batch (map-side,
     *     batch-sized);
@@ -530,7 +543,7 @@ object Dedup {
     * batch-sized scans — recomputing beats pinning blocks for the
     * session lifetime. */
   def incrementalNearDupComponents(
-      priorComp: DataFrame, existingIndex: DataFrame,
+      priorComp: DataFrame, existingBuckets: DataFrame,
       existingShingles: DataFrame, arriving: DataFrame,
       idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
@@ -543,9 +556,7 @@ object Dedup {
       "id", "sig", bands, numHashes / bands, useMd5)
     val arBuckets = arIdx.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("new_ids"))
-    val exBuckets = existingIndex.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("id")).as("old_ids"))
-    val touched = arBuckets.join(exBuckets, Seq("band", "bh"), "left")
+    val touched = arBuckets.join(existingBuckets, Seq("band", "bh"), "left")
       .select(col("new_ids"),
         coalesce(col("old_ids"), array().cast("array<bigint>")).as("old_ids"))
       .filter((size(col("new_ids")) + size(col("old_ids")))

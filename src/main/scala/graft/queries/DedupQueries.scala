@@ -243,29 +243,68 @@ object DedupQueries {
     * maxBucket-crossing caveat). At scale: batch-sized map work, a
     * keyed probe into the bucketed index, broadcast verify, and a
     * batch-bounded component delta relabeling the node-sized state. */
+  /** The prior cluster state (existing corpus = everything but the
+    * src0 batch), memoized as the signal a deployment would have
+    * persisted at the previous ingest. The memo is what makes it
+    * written-once state instead of a per-invocation rebuild —
+    * minhashNearDups pins its shingle frame, so an unmemoized build
+    * would accumulate one per invocation. */
+  private def incrPriorComp(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "incr_prior_comp") {
+      Dedup.connectedComponents(
+        Dedup.minhashNearDups(
+          Tables.documents(spark, dir).filter(col("source") =!= "src0"),
+          "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true))
+    }
+
   def dedupIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val arriving = docs.filter(col("source") === "src0")
     def existing = docs.filter(col("source") =!= "src0")
-    // the three tables a deployment persists at ingest, memoized as
-    // signals (each IS the batch pipeline's own stage output; the memo
-    // is what makes them written-once state instead of per-invocation
-    // rebuilds — minhashNearDups pins its shingle frame, so an
-    // unmemoized build would accumulate one per invocation)
-    val priorComp = SignalMemo.cached(spark, dir, "incr_prior_comp") {
-      Dedup.connectedComponents(
-        Dedup.minhashNearDups(existing, "doc_id", "text",
-          k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true))
-    }
-    val exIdx = SignalMemo.cached(spark, dir, "incr_band_index") {
-      Dedup.bandedIndex(existing, "doc_id", "text")
+    // the remaining two ingest-persisted tables (see [[incrPriorComp]]);
+    // the index is stored BUCKET-COLLECTED — its one shuffle runs at
+    // ingest, so the per-batch probe only exchanges batch rows
+    val exIdx = SignalMemo.cached(spark, dir, "incr_bucket_index") {
+      Dedup.bucketedIndex(existing, "doc_id", "text")
     }
     val exSh = SignalMemo.cached(spark, dir, "incr_shingle_store") {
       Dedup.shingleFrame(existing, "doc_id", "text")
     }
-    Dedup.incrementalNearDupComponents(priorComp, exIdx, exSh, arriving,
-        "doc_id", "text")
+    Dedup.incrementalNearDupComponents(
+        incrPriorComp(spark, dir), exIdx, exSh, arriving, "doc_id", "text")
       .orderBy(col("node"))
+  }
+
+  /** CLUSTER DELTA LOG of the increment: one row per updated component
+    * the src0 batch touched — how many docs were already clustered
+    * (`n_docs_prior`), how many entered with the increment
+    * (`n_docs_new`: arriving docs plus existing docs clustered for the
+    * first time through an arriving bridge), how many PRIOR groups the
+    * component absorbed (`n_prior_groups` > 1 ⇒ a merge), and whether
+    * any prior member's label moved (`relabeled` — the exact
+    * reassignment event the train/eval split's stability note in
+    * DEPLOYMENT.md tells operators to watch: a relabeled group's
+    * md5-parity split side moves on re-derivation). Oracle: the
+    * union-graph recompute AND its existing-only restriction closed
+    * side by side (the parameterized cluster CTEs), outer-joined per
+    * member — the hash gate checks prior state, updated state, and the
+    * diff in one relation. */
+  def dedupClusterDelta(spark: SparkSession, dir: String): DataFrame = {
+    val prior = incrPriorComp(spark, dir)
+      .select(col("node"), col("component").as("old_c"))
+    dedupIncrementalNeardup(spark, dir)
+      .join(prior, Seq("node"), "left")
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("old_c")).as("n_docs_prior"),
+        (count(lit(1)) - count(col("old_c"))).as("n_docs_new"),
+        countDistinct(col("old_c")).as("n_prior_groups"),
+        max(when(col("old_c").isNotNull && col("old_c") =!= col("component"),
+          lit(1)).otherwise(lit(0))).as("relabeled"))
+      .filter(col("n_docs_new") > 0 || col("relabeled") === 1)
+      .orderBy(col("component"))
   }
 
   /** LEAKAGE-SAFE train/eval split: every document joins its near-dup
@@ -606,6 +645,7 @@ object DedupQueries {
     "dedup_passages" -> (dedupPassages _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
+    "dedup_cluster_delta" -> (dedupClusterDelta _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
     "prep_pipeline" -> (prepPipeline _),
     "corpus_pipeline_full" -> (corpusPipelineFull _),
@@ -700,13 +740,21 @@ object DedupQueries {
        |              THEN 'eval' ELSE 'train' END AS split
        |  FROM grouped)""".stripMargin
 
-  private val clusterCteSql =
-    """nodes AS (SELECT DISTINCT src AS node FROM edges),
-      |reach(node, label) AS (
-      |  SELECT node, node FROM nodes
-      |  UNION
-      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-      |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)""".stripMargin
+  /** [[clusterCteSql]] with renamable CTE identifiers and edge
+    * relation, so one oracle can close components over two DIFFERENT
+    * edge sets (the union graph and its existing-only restriction,
+    * `dedup_merge_events`) without name collisions. `clusterCteSql` is
+    * the ("edges", "") instance every other consumer shares. */
+  private def clusterCtesNamed(edges: String, sfx: String): String =
+    s"""nodes$sfx AS (SELECT DISTINCT src AS node FROM $edges),
+       |reach$sfx(node, label) AS (
+       |  SELECT node, node FROM nodes$sfx
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach$sfx r JOIN $edges e ON e.src = r.node),
+       |comp$sfx AS (SELECT node, MIN(label) AS component FROM reach$sfx GROUP BY node)"""
+      .stripMargin
+
+  private val clusterCteSql = clusterCtesNamed("edges", "")
 
   private val langScoreCols =
     """len(list_filter(w, t -> t IN ('the','a','and','of'))) AS c_en,
@@ -1025,6 +1073,34 @@ object DedupQueries {
       s"""WITH RECURSIVE $neardupGraphCtes,
          |$clusterCteSql
          |SELECT node, component FROM comp ORDER BY node""".stripMargin,
+    // prior state = the union graph restricted to existing-existing
+    // edges, closed with the renamed cluster CTEs; delta = per updated
+    // component, membership accounting vs the prior closure
+    "dedup_cluster_delta" ->
+      s"""WITH RECURSIVE $neardupGraphCtes,
+         |$clusterCteSql,
+         |edges_prior AS (
+         |  SELECT e.src, e.dst FROM edges e
+         |  JOIN documents da ON da.doc_id = e.src
+         |  JOIN documents db ON db.doc_id = e.dst
+         |  WHERE da.source <> 'src0' AND db.source <> 'src0'),
+         |${clusterCtesNamed("edges_prior", "_p")},
+         |joined AS (
+         |  SELECT c.node, c.component, p.component AS old_c
+         |  FROM comp c LEFT JOIN comp_p p ON p.node = c.node)
+         |SELECT component,
+         |       COUNT(*) AS n_docs,
+         |       COUNT(old_c) AS n_docs_prior,
+         |       COUNT(*) - COUNT(old_c) AS n_docs_new,
+         |       COUNT(DISTINCT old_c) AS n_prior_groups,
+         |       MAX(CASE WHEN old_c IS NOT NULL AND old_c <> component
+         |                THEN 1 ELSE 0 END) AS relabeled
+         |FROM joined
+         |GROUP BY component
+         |HAVING COUNT(*) - COUNT(old_c) > 0
+         |    OR MAX(CASE WHEN old_c IS NOT NULL AND old_c <> component
+         |            THEN 1 ELSE 0 END) = 1
+         |ORDER BY component""".stripMargin,
     // the cluster CTE chain verbatim, then GROUP-level split assignment
     // (md5 parity pair on the group id): near-dups can never straddle
     // the train/eval boundary

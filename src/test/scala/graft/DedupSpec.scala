@@ -383,7 +383,7 @@ class DedupSpec extends SparkSpec {
       s"fixture drifted: $priorMap")
     val got = Dedup.incrementalNearDupComponents(
         prior,
-        Dedup.bandedIndex(existing, "doc_id", "text", 3, 16, 16),
+        Dedup.bucketedIndex(existing, "doc_id", "text", 3, 16, 16),
         Dedup.shingleFrame(existing, "doc_id", "text", 3),
         arriving, "doc_id", "text",
         k = 3, numHashes = 16, bands = 16, threshold = 0.35)
@@ -397,6 +397,28 @@ class DedupSpec extends SparkSpec {
     assert(Seq(2L, 10L, 11L, 20L).forall(got(_) === 1L), s"merge broke: $got")
     assert(!got.contains(21L) && !got.contains(30L),
       "non-matching docs must stay out of the cluster state")
+  }
+
+  test("cluster delta log: accounting laws hold and the fixture logs all event shapes") {
+    val rows = graft.queries.DedupQueries.dedupClusterDelta(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty, "fixture drifted: the increment touched no cluster")
+    rows.foreach { case (comp, n, nPrior, nNew, nGroups, relabeled) =>
+      assert(n === nPrior + nNew, s"membership accounting broke at $comp")
+      assert(nNew > 0 || relabeled === 1, "untouched component leaked into the log")
+      if (nGroups > 1)
+        assert(relabeled === 1,
+          s"$comp absorbed $nGroups prior groups without relabeling the non-min one")
+      assert(nPrior === 0 || nGroups >= 1)
+    }
+    // the log agrees with the two states it summarizes
+    val updated = graft.queries.DedupQueries.dedupIncrementalNeardup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byComp = updated.groupBy(_._2)
+    rows.foreach { case (comp, n, _, _, _, _) =>
+      assert(byComp(comp).length.toLong === n, s"row $comp counts wrong members")
+    }
   }
 
   test("incremental near-dup on the fixture: arriving source exercises the probe") {
