@@ -399,6 +399,38 @@ class DedupSpec extends SparkSpec {
       "non-matching docs must stay out of the cluster state")
   }
 
+  test("incremental near-dup boundary laws: empty batch is identity, empty state is bootstrap") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (10L, "red orange yellow green blue indigo violet umber black"),
+      (11L, "red orange yellow green blue indigo violet umber white")
+    ).toDF("doc_id", "text")
+    val empty = docs.limit(0)
+    def comps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def full(df: org.apache.spark.sql.DataFrame) = comps(Dedup.connectedComponents(
+      Dedup.minhashNearDups(df, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35, useMd5 = true)))
+    def incr(existing: org.apache.spark.sql.DataFrame,
+        prior: Map[Long, Long], arriving: org.apache.spark.sql.DataFrame) =
+      comps(Dedup.incrementalNearDupComponents(
+        prior.toSeq.toDF("node", "component"),
+        Dedup.bucketedIndex(existing, "doc_id", "text", 3, 16, 16),
+        Dedup.shingleFrame(existing, "doc_id", "text", 3),
+        arriving, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35))
+    val state = full(docs)
+    // identity law: an empty batch changes nothing
+    assert(incr(docs, state, empty) === state)
+    // bootstrap law: from empty state, the increment IS the batch
+    // pipeline — the incremental path subsumes the batch path at the
+    // empty-state boundary instead of being a separate code universe
+    assert(incr(empty, Map.empty, docs) === state)
+  }
+
   test("cluster delta log: accounting laws hold and the fixture logs all event shapes") {
     val rows = graft.queries.DedupQueries.dedupClusterDelta(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
