@@ -598,6 +598,50 @@ object Dedup {
     rePrior.unionByName(direct.select(col("node"), col("component")))
   }
 
+  /** RETRACTION from the cluster state — the takedown / deletion path
+    * (the other half of incremental maintenance, and the reason a
+    * deployment persists the verified EDGE list, not just labels:
+    * deleting a document can SPLIT its component, and labels alone
+    * cannot tell which side survives). Given the persisted state
+    * (`priorComp` labels + `priorEdges` verified pairs) and the doc ids
+    * to remove:
+    *
+    *  1. affected components = those containing a removed doc — every
+    *     other component's rows pass through VERBATIM (an anti-join,
+    *     no recompute);
+    *  2. surviving edges of the affected components (drop every edge
+    *     touching a removed doc) are re-closed with
+    *     [[connectedComponents]] — work bounded by the affected
+    *     clusters' sizes, never the corpus;
+    *  3. members that lost their last edge drop out of the state, like
+    *     a from-scratch run would drop them.
+    *
+    * Output equals recomputing the batch pipeline on the post-delete
+    * corpus, with the mirror of the insert path's caveat: deletions can
+    * pull an over-`maxBucket` LSH bucket back under the cap, creating
+    * candidates the prior state never evaluated — the incremental path
+    * cannot manufacture those edges. The registered query's oracle is
+    * the full from-scratch DuckDB recompute over the remaining
+    * documents, holding the equality cross-engine at gate scale. */
+  def retractFromClusters(
+      priorComp: DataFrame, priorEdges: DataFrame,
+      removed: DataFrame, removedIdCol: String): DataFrame = {
+    val rem = removed.select(col(removedIdCol).as("rid")).distinct()
+    val affected = priorComp
+      .join(rem, priorComp("node") === rem("rid"))
+      .select(col("component")).distinct()
+    val untouched = priorComp.join(affected.withColumnRenamed("component", "c"),
+      priorComp("component") === col("c"), "left_anti")
+    val affEdges = priorEdges.select(col("id_a"), col("id_b"))
+      .join(priorComp.select(col("node").as("id_a"), col("component").as("ca")),
+        Seq("id_a"))
+      .join(affected.withColumnRenamed("component", "ca"), Seq("ca"))
+      .join(rem.withColumnRenamed("rid", "id_a"), Seq("id_a"), "left_anti")
+      .join(rem.withColumnRenamed("rid", "id_b"), Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+    untouched.unionByName(connectedComponents(affEdges))
+  }
+
   /** Exact n-gram Jaccard with blocking: all pairs within a blocking key
     * (quadratic per block — the demo/verification path; MinHash is the
     * scale path and the blocking key bounds the quadratic term). */

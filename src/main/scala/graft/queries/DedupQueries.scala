@@ -276,6 +276,26 @@ object DedupQueries {
       .orderBy(col("node"))
   }
 
+  /** RETRACTION (takedown / right-to-be-forgotten): `source = 'src10'`
+    * plays the removal set; the persisted full-corpus state (the
+    * memoized cluster labels AND the verified edge list — deletes are
+    * why a deployment stores edges, not just labels) is updated by
+    * dropping the removed docs' edges and re-closing ONLY the affected
+    * components: untouched clusters pass through verbatim, members that
+    * lost their last edge drop out, and a component whose bridge was
+    * removed SPLITS. Oracle: the full DuckDB recompute from scratch
+    * over `documents WHERE source <> 'src10'` (the shingle CTE is
+    * parameterized by document relation), so the hash gate proves
+    * retract == recompute cross-engine — the deletion mirror of
+    * `dedup_incremental_neardup`'s insert law. */
+  def dedupRetractClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.retractFromClusters(
+        clusterComponents(spark, dir),
+        neardupPairs(spark, dir),
+        Tables.documents(spark, dir).filter(col("source") === "src10"),
+        "doc_id")
+      .orderBy(col("node"))
+
   /** CLUSTER DELTA LOG of the increment: one row per updated component
     * the src0 batch touched — how many docs were already clustered
     * (`n_docs_prior`), how many entered with the increment
@@ -646,6 +666,7 @@ object DedupQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "dedup_cluster_delta" -> (dedupClusterDelta _),
+    "dedup_retract_clusters" -> (dedupRetractClusters _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
     "prep_pipeline" -> (prepPipeline _),
     "corpus_pipeline_full" -> (corpusPipelineFull _),
@@ -676,15 +697,22 @@ object DedupQueries {
 
   /** Shared shingle CTE: distinct word 3-shingles, mirroring
     * TextFunctions.shingles(text, 3). */
-  private val shingleCte =
-    """sh AS (
-      |  SELECT doc_id,
-      |         list_distinct(list_transform(range(len(w)-2),
-      |           i -> array_to_string(w[i+1:i+3], ' '))) AS s
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-      |        FROM documents)
-      |  WHERE len(w) >= 3
-      |)""".stripMargin
+  /** [[shingleCte]] over a caller-chosen document relation, so the
+    * retraction oracle can run the WHOLE chain from scratch on the
+    * post-delete corpus (`dedup_retract_clusters`). The plain
+    * `shingleCte` is the ("documents") instance every other consumer
+    * shares. */
+  private def shingleCteOver(docsRel: String): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(len(w)-2),
+       |           i -> array_to_string(w[i+1:i+3], ' '))) AS s
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |        FROM $docsRel)
+       |  WHERE len(w) >= 3
+       |)""".stripMargin
+
+  private val shingleCte = shingleCteOver("documents")
 
   /** The LSH→Jaccard→symmetrized-edges chain (the SQL mirror of
     * [[graft.operators.Dedup.minhashNearDups]] with this module's
@@ -1071,6 +1099,17 @@ object DedupQueries {
     // same rows through the persisted-state probe + contracted merge
     "dedup_incremental_neardup" ->
       s"""WITH RECURSIVE $neardupGraphCtes,
+         |$clusterCteSql
+         |SELECT node, component FROM comp ORDER BY node""".stripMargin,
+    // retract == recompute: the WHOLE chain from scratch over the
+    // post-delete corpus (the shingle CTE parameterized by relation) —
+    // the Spark side arrives there by re-closing only the affected
+    // components of the persisted state
+    "dedup_retract_clusters" ->
+      s"""WITH RECURSIVE remaining AS (
+         |  SELECT * FROM documents WHERE source <> 'src10'),
+         |${shingleCteOver("remaining")},
+         |$neardupEdgesCteSql,
          |$clusterCteSql
          |SELECT node, component FROM comp ORDER BY node""".stripMargin,
     // prior state = the union graph restricted to existing-existing

@@ -133,6 +133,9 @@ object ScaleProbe {
     Family("dedup_incremental_neardup",
       "ingest-batch probe into the banded index: batch-sized map work, keyed bucket join, component delta bounded by the batch's matches",
       knob = "prior state (cluster labels, band index, shingle store) is memoized per corpus, so each scale's tally includes its own one-time state build — the probe itself is the marginal cost"),
+    Family("dedup_retract_clusters",
+      "takedown path: anti-joins on the persisted state + re-closing only the affected components",
+      knob = "consumes the neardup_pairs/neardup_clusters signals memoized by dedup_clusters (listed earlier); this row's tally is the retraction alone"),
     Family("scd2_history", "per-key ordered windows, one keyed shuffle"),
     Family("budget_select_tokens",
       "two-pass distributed prefix sum; output bounded by the token budget"),

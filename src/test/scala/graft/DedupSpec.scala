@@ -431,6 +431,42 @@ class DedupSpec extends SparkSpec {
     assert(incr(empty, Map.empty, docs) === state)
   }
 
+  test("retraction: untouched clusters survive verbatim, a removed bridge splits, last-edge members drop") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // one path-shaped cluster 1–2–3–4 held together by bridge doc 2
+    // (its text embeds doc 1's and doc 3's), one unrelated cluster
+    // {10, 11}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "red orange yellow green blue indigo violet umber black"),
+      (3L, "red orange yellow green blue indigo violet umber black"),
+      (4L, "red orange yellow green blue indigo violet umber white"),
+      (10L, "one two three four five six seven eight nine"),
+      (11L, "one two three four five six seven eight ten")
+    ).toDF("doc_id", "text")
+    def full(df: org.apache.spark.sql.DataFrame) = Dedup.connectedComponents(
+      Dedup.minhashNearDups(df, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35, useMd5 = true))
+    val prior = full(docs)
+    val priorMap = prior.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(priorMap.filterKeys(Set(1L, 2L, 3L, 4L)).values.toSet === Set(1L) &&
+      priorMap(10L) === 10L && priorMap(11L) === 10L, s"fixture drifted: $priorMap")
+    val priorEdges = Dedup.minhashNearDups(docs, "doc_id", "text",
+      k = 3, numHashes = 16, bands = 16, threshold = 0.35, useMd5 = true)
+    val got = Dedup.retractFromClusters(
+        prior, priorEdges, Seq(2L).toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 lost its only edge and drops; {3,4} survives as a NEW
+    // cluster under its own min; {10,11} passes through untouched
+    assert(got === Map(3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L), s"got $got")
+    // and the law: retract == from-scratch recompute on the remainder
+    val scratch = full(docs.filter(col("doc_id") =!= 2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === scratch)
+  }
+
   test("cluster delta log: accounting laws hold and the fixture logs all event shapes") {
     val rows = graft.queries.DedupQueries.dedupClusterDelta(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
