@@ -258,23 +258,32 @@ object DedupQueries {
           k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true))
     }
 
-  def dedupIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val arriving = docs.filter(col("source") === "src0")
-    def existing = docs.filter(col("source") =!= "src0")
-    // the remaining two ingest-persisted tables (see [[incrPriorComp]]);
-    // the index is stored BUCKET-COLLECTED — its one shuffle runs at
-    // ingest, so the per-batch probe only exchanges batch rows
-    val exIdx = SignalMemo.cached(spark, dir, "incr_bucket_index") {
-      Dedup.bucketedIndex(existing, "doc_id", "text")
-    }
-    val exSh = SignalMemo.cached(spark, dir, "incr_shingle_store") {
-      Dedup.shingleFrame(existing, "doc_id", "text")
-    }
-    Dedup.incrementalNearDupComponents(
+  /** The UPDATED cluster state after the src0 increment, memoized: it
+    * has two registered consumers (`dedup_incremental_neardup` and the
+    * delta log) and — the deployment reading — it IS the next ingest's
+    * `incr_prior_comp`: incremental maintenance exists precisely so
+    * each state is written once and read forward. */
+  private def incrUpdatedComp(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "incr_updated_comp") {
+      val docs = Tables.documents(spark, dir)
+      val arriving = docs.filter(col("source") === "src0")
+      def existing = docs.filter(col("source") =!= "src0")
+      // the remaining two ingest-persisted tables (see
+      // [[incrPriorComp]]); the index is stored BUCKET-COLLECTED — its
+      // one shuffle runs at ingest, so the per-batch probe only
+      // exchanges batch rows
+      val exIdx = SignalMemo.cached(spark, dir, "incr_bucket_index") {
+        Dedup.bucketedIndex(existing, "doc_id", "text")
+      }
+      val exSh = SignalMemo.cached(spark, dir, "incr_shingle_store") {
+        Dedup.shingleFrame(existing, "doc_id", "text")
+      }
+      Dedup.incrementalNearDupComponents(
         incrPriorComp(spark, dir), exIdx, exSh, arriving, "doc_id", "text")
-      .orderBy(col("node"))
-  }
+    }
+
+  def dedupIncrementalNeardup(spark: SparkSession, dir: String): DataFrame =
+    incrUpdatedComp(spark, dir).orderBy(col("node"))
 
   /** RETRACTION (takedown / right-to-be-forgotten): `source = 'src10'`
     * plays the removal set; the persisted full-corpus state (the
@@ -313,7 +322,7 @@ object DedupQueries {
   def dedupClusterDelta(spark: SparkSession, dir: String): DataFrame = {
     val prior = incrPriorComp(spark, dir)
       .select(col("node"), col("component").as("old_c"))
-    dedupIncrementalNeardup(spark, dir)
+    incrUpdatedComp(spark, dir)
       .join(prior, Seq("node"), "left")
       .groupBy(col("component"))
       .agg(
