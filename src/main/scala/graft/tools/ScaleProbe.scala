@@ -238,6 +238,9 @@ object ScaleProbe {
     Family("dedup_allpairs_jaccard",
       "Bayardo prefix filter: candidates bounded by rare-token postings",
       knob = "no knob: prefix length adapts per-record from the global token-frequency order"),
+    Family("dedup_incremental_neardup",
+      "ingest-batch probe into the banded index at 30x: batch work and bucket-join mass stay corpus-linear",
+      knob = "registered 4-band/16-hash minhash banding — bucket keys are minhash tuples (entropy grows with content, same no-derivation argument as dedup_minhash_pairs); each scale's tally includes its own one-time prior-state build"),
     Family("sim_neardup_autoband",
       "hyperplane LSH near-dup with bits re-derived per corpus: bucket size pinned, candidates linear",
       builder = Some { (s: SparkSession, d: String) =>
