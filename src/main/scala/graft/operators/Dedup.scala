@@ -537,7 +537,12 @@ object Dedup {
     * prior edges — the cap is a skew guardrail and crossing it changes
     * which candidates either path considers. The registered query's
     * DuckDB oracle recomputes from scratch, holding the equality
-    * cross-engine at gate scale. Ids are 64-bit longs (the empty-bucket
+    * cross-engine at gate scale. If a batch RE-INGESTS an existing id,
+    * the arriving text is authoritative for the verify step (the stale
+    * shingles are anti-joined away), but edges the OLD text already
+    * contributed to the prior state are not retracted here — route a
+    * content replacement through [[retractFromClusters]] then re-ingest
+    * if retraction semantics matter. Ids are 64-bit longs (the empty-bucket
     * coalesce is typed). The batch's shingle frame is deliberately NOT
     * persisted: it is evaluated twice (index + verify), both
     * batch-sized scans — recomputing beats pinning blocks for the
@@ -574,8 +579,18 @@ object Dedup {
         .stripMargin)).as("p"))
     val cands = cross.unionByName(within)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).distinct()
-    val newEdges = jaccardVerify(
-      cands, existingShingles.unionByName(arSh), "id", "sh", threshold)
+    // Re-ingest safety (ADVICE r12): if a batch carries an id the
+    // corpus already holds, a naive union keeps TWO shingle rows for
+    // it and the verify join fans out, scoring candidates against the
+    // stale text. Prefer the arriving row: drop the existing shingles
+    // for re-ingested ids before the union, so every id verifies
+    // against exactly one (the freshest) text. The anti-join's right
+    // side is batch-sized — broadcast at any corpus scale.
+    val arIds = arSh.select(col("id")).distinct()
+    val shingleState = existingShingles
+      .join(broadcast(arIds), Seq("id"), "left_anti")
+      .unionByName(arSh)
+    val newEdges = jaccardVerify(cands, shingleState, "id", "sh", threshold)
     val lblA = priorComp.select(col("node").as("id_a"), col("component").as("la"))
     val lblB = priorComp.select(col("node").as("id_b"), col("component").as("lb"))
     val contracted = newEdges.select(col("id_a"), col("id_b"))

@@ -66,10 +66,18 @@ object SortedNeighborhood {
     * widest window and the selection is always non-empty. Mirrored
     * verbatim by the `dedup_snm_autowindow` DuckDB oracle. */
   def autoWindow(plan: DataFrame, coverageMicro: Long): Int = {
+    // micro-fractions live in [0, 1e6]; above 1e6 no window can ever
+    // qualify and .min would throw an opaque empty-collection error
+    require(coverageMicro >= 0L && coverageMicro <= 1000000L,
+      s"coverageMicro must be a micro-fraction in [0, 1000000], got $coverageMicro")
     val rows = plan.collect()
     require(rows.nonEmpty, "autoWindow needs a non-empty window-plan table")
     val maxSurv = rows.map(_.getAs[Long]("survivors")).max
-    rows.filter(_.getAs[Long]("survivors") * 1000000L >= coverageMicro * maxSurv)
+    // BigInt: survivors*1e6 overflows Long past ~9.2e12 survivors, a
+    // count a 100 TB corpus plan can reach
+    rows.filter(r =>
+        BigInt(r.getAs[Long]("survivors")) * 1000000 >=
+          BigInt(coverageMicro) * BigInt(maxSurv))
       .map(_.getAs[Int]("win")).min
   }
 }

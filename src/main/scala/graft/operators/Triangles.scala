@@ -43,22 +43,26 @@ object Triangles {
     // builder plan this materializes.
     val (out, handles) = LocalCheckpoints.tracked(result)
     pins.foreach(_.unpersist(false))
-    // Replace-on-reinvoke (ADVICE r11): the result checkpoint itself
-    // would otherwise accumulate one node-sized pin per invocation
-    // across a long session (Bench runs each query runs+1 times,
-    // Verify re-invokes per engine). Keyed by (session, canonicalized
-    // input plan): a repeat invocation over the SAME input frees the
-    // superseded result's blocks — bounding the session to one live
-    // result per distinct input — while still executing fresh (bench
-    // numbers stay honest; this is hygiene, not memoization). The
-    // previously returned frame becomes unusable after its successor
-    // lands, which every current caller satisfies (the registry frame
-    // is consumed before the query is re-invoked). Entries evict with
-    // the session via the application-end listener.
+    // Replace-on-reinvoke (ADVICE r11, hardened r13): the result
+    // checkpoint itself would otherwise accumulate one node-sized pin
+    // per invocation across a long session (Bench runs each query
+    // runs+1 times, Verify re-invokes per engine). Keyed by (session,
+    // canonicalized input plan), the map keeps the TWO most recent
+    // results per key and frees only the grand-predecessor — so the
+    // frame a caller was handed stays valid until two successors land,
+    // and `compute`'s per-key atomicity means concurrent invocations
+    // cannot free blocks the other is about to return (the r12 ADVICE
+    // race on the bare put). Still executes fresh every time (bench
+    // numbers stay honest; this is hygiene, not memoization). Entries
+    // evict with the session via the application-end listener.
     val spark = pairs.sparkSession
     val key = (spark, pairs.queryExecution.analyzed.canonicalized.toString +
       s"|$aCol|$bCol")
-    Option(lastResult.put(key, handles)).foreach(LocalCheckpoints.free)
+    lastResult.compute(key, (_, old) => {
+      val prior = if (old == null) Nil else old
+      prior.drop(1).foreach(LocalCheckpoints.free)
+      handles :: prior.take(1)
+    })
     if (evictionRegistered.add(spark)) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
@@ -72,7 +76,8 @@ object Triangles {
   }
 
   private val lastResult = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), Seq[org.apache.spark.rdd.RDD[_]]]()
+    (org.apache.spark.sql.SparkSession, String),
+    List[Seq[org.apache.spark.rdd.RDD[_]]]]()
   private val evictionRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 

@@ -593,6 +593,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("autoWindow: bounds enforced; no Long overflow at 100TB-scale survivor counts") {
+    import spark.implicits._
+    // ADVICE r12: survivors * 1e6 overflows Long above ~9.2e12; BigInt
+    // keeps the comparison exact at deployment-scale counts
+    val plan = Seq((2, 100L, 5000000000000L), (20, 1000L, 9300000000000L))
+      .toDF("win", "candidates", "survivors")
+    assert(graft.operators.SortedNeighborhood.autoWindow(plan, 1000000L) === 20)
+    assert(graft.operators.SortedNeighborhood.autoWindow(plan, 500000L) === 2)
+    // out-of-range micro-fractions fail loudly, not with an empty .min
+    intercept[IllegalArgumentException] {
+      graft.operators.SortedNeighborhood.autoWindow(plan, 1000001L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.SortedNeighborhood.autoWindow(plan, -1L)
+    }
+  }
+
+  test("incremental near-dup: re-ingesting an existing id verifies against the ARRIVING text") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // doc 30 exists in the corpus as an unrelated singleton (no prior
+    // cluster), then re-arrives with text near-identical to doc 1.
+    // ADVICE r12: the naive shingle union kept BOTH rows for id 30, so
+    // the verify join fanned out and could score the stale text.
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (30L, "totally unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+    val arriving = Seq(
+      (30L, "alpha beta gamma delta epsilon zeta eta theta lambda")
+    ).toDF("doc_id", "text")
+    def full(df: org.apache.spark.sql.DataFrame) = Dedup.connectedComponents(
+      Dedup.minhashNearDups(df, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35, useMd5 = true))
+    val prior = full(existing)
+    val got = Dedup.incrementalNearDupComponents(
+        prior,
+        Dedup.bucketedIndex(existing, "doc_id", "text", 3, 16, 16),
+        Dedup.shingleFrame(existing, "doc_id", "text", 3),
+        arriving, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // oracle: batch recompute over the corpus with 30's text REPLACED
+    val replaced = existing.filter($"doc_id" =!= 30L).unionByName(arriving)
+    val batch = full(replaced)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === batch,
+      "re-ingest must treat the arriving text as authoritative")
+    assert(got.get(30L) === Some(1L), s"30 must join cluster 1: $got")
+  }
+
   test("autoWindow: smallest window at 95% survivor coverage; query agrees") {
     import spark.implicits._
     // synthetic law check: coverage floor slides the choice

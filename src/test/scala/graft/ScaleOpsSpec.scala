@@ -84,6 +84,19 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("triangles: re-invocation defers freeing — the prior frame survives its successor") {
+    // ADVICE r12: the bare put-and-free invalidated the previously
+    // returned frame the moment its successor landed. The two-generation
+    // queue keeps it collectable until TWO successors land.
+    val df = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val r1 = graft.operators.Triangles.perNode(df)
+    val r2 = graft.operators.Triangles.perNode(df)
+    // r1's localCheckpoint blocks must still exist (lineage is
+    // truncated, so a freed checkpoint cannot be recomputed)
+    assert(r1.collect().length === 3)
+    assert(r2.collect().length === 3)
+  }
+
   test("triangles: lcc is exact for the shared-node double triangle") {
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
     val rows = graft.operators.Triangles.perNode(g.toDF("id_a", "id_b"))
