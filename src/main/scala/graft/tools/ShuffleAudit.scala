@@ -96,6 +96,57 @@ object ShuffleAudit {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** Per-STAGE shuffle-read concentration: max single-task read vs the
+    * stage total, the signal that exposes KEY SKEW. Total shuffle volume
+    * ([[measureTotal]]) is blind to it — a hot key moves zero extra
+    * bytes, it just lands them all on ONE task, and at 100 TB that one
+    * task IS the job's wall clock. [[SkewProbe]] measures join arms with
+    * this and asserts the mitigation laws. */
+  final case class StageSkew(stageId: Int, tasks: Int,
+      maxTaskRows: Long, totalRows: Long,
+      maxTaskBytes: Long, totalBytes: Long) {
+    def rowShare: Double =
+      if (totalRows <= 0) 0.0 else maxTaskRows.toDouble / totalRows
+    def byteShare: Double =
+      if (totalBytes <= 0) 0.0 else maxTaskBytes.toDouble / totalBytes
+  }
+
+  /** Runs the frame and records per-stage shuffle-READ task metrics.
+    * Returns (stages sorted by read rows desc, collected output). Same
+    * context-global listener caveat as [[measureTotal]]: callers run
+    * serially on an idle session. */
+  def measureTaskSkew(spark: org.apache.spark.sql.SparkSession)(
+      build: => DataFrame): (Seq[StageSkew], Array[org.apache.spark.sql.Row]) = {
+    val per = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          val rows = m.shuffleReadMetrics.recordsRead
+          val bytes = m.shuffleReadMetrics.totalBytesRead
+          if (rows > 0 || bytes > 0) {
+            per.compute(e.stageId, (_, old) => {
+              val a = if (old == null) Array(0L, 0L, 0L, 0L, 0L) else old
+              Array(math.max(a(0), rows), a(1) + rows,
+                math.max(a(2), bytes), a(3) + bytes, a(4) + 1)
+            }): Unit
+          }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = build.collect()
+      org.apache.spark.GraftListenerFlush.waitUntilEmpty(spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      val stages = per.asScala.toSeq.map { case (sid, a) =>
+        StageSkew(sid, a(4).toInt, a(0), a(1), a(2), a(3))
+      }.sortBy(-_.totalRows)
+      (stages, out)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** Dev probe: `runMain graft.tools.ShuffleAudit [sfDir] [q1 q2 ...]` —
     * one volumes line per query, the discovery pass behind
     * ShuffleBudgetSpec's budgets. */

@@ -1,0 +1,251 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Salting
+
+/** ADVERSARIAL-SKEW scale probe: the inflation probes ([[ScaleProbe]])
+  * grow the corpus UNIFORMLY, but a real 100 TB corpus is skewed — one
+  * domain is 20% of the documents, one user is 30% of the events, one
+  * empty-string key carries half a table. A hot key moves no extra
+  * bytes (total-volume accounting is blind to it); it lands them all on
+  * ONE reduce task, and that task becomes the job's wall clock. This
+  * probe injects a hot key at a controlled share and MEASURES per-task
+  * shuffle-read concentration ([[ShuffleAudit.measureTaskSkew]]) across
+  * four arms, converting the repo's skew story (diag_key_skew,
+  * Salting.advise, advised_salted_join, the DEPLOYMENT.md AQE notes)
+  * into executed receipts:
+  *
+  *  1. `agg_partial`    — groupBy(hot key) + partial aggregation: the
+  *                        map-side combine collapses the hot key to one
+  *                        partial per map task, so the reduce-side read
+  *                        stays flat. Aggregation is skew-IMMUNE by
+  *                        plan shape; no mitigation needed.
+  *  2. `join_plain`     — shuffled equi-join on the hot key with AQE
+  *                        off: the POSITIVE CONTROL. Worst-task share
+  *                        ≈ hot share — the hazard, manifest.
+  *  3. `join_aqe_skew`  — the same join under AQE skew-join handling
+  *                        (thresholds lowered to engage at probe scale;
+  *                        on the cluster the 256 MB defaults engage at
+  *                        real partition sizes): Spark splits the hot
+  *                        partition into sub-range tasks.
+  *  4. `join_salted`    — [[Salting.saltedJoin]] with the salt factor
+  *                        PRESCRIBED by [[Salting.advise]] (CMS +
+  *                        freqItems sketches, bounded state): the hot
+  *                        key spreads across `salts` tasks.
+  *
+  * All three join arms compute the identical aggregate over the join
+  * result, asserted row-equal — mitigation must not change semantics.
+  * The artifact (`SCALE_r13_skew.json`) records per-arm worst-stage
+  * task shares and the mitigation laws; [[graft.SkewProbeSpec]] asserts
+  * the laws in CI at sf0.001.
+  */
+object SkewProbe {
+
+  /** The injected hot key — negative, disjoint from every real and
+    * every [[Inflate]]-shifted user id. */
+  val hotUser: Long = -7L
+
+  /** Events inflated k-fold with a `hotMicro`-microfraction of ALL rows
+    * reassigned to [[hotUser]] (deterministic on event_id, so the share
+    * is exact in expectation and reproducible run-to-run). */
+  def skewedEvents(spark: SparkSession, dir: String, k: Int, hotMicro: Long): DataFrame =
+    Inflate.table(spark, dir, "events", k)
+      .withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(1000000L)) < lit(hotMicro),
+          lit(hotUser)).otherwise(col("user_id")))
+
+  /** The join's dimension side: one row per user (referentially
+    * complete — includes the hot key), with a coarse segment column the
+    * post-join aggregate groups by. */
+  def userDim(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(10L)))
+
+  /** The semantics every join arm must agree on: join each event to its
+    * user's segment, then aggregate per segment. Integer micro-units so
+    * row equality across arms is exact. */
+  def armQuery(events: DataFrame, dim: DataFrame, salts: Int): DataFrame = {
+    val joined =
+      if (salts <= 1) events.join(dim, Seq("user_id"), "inner")
+      else Salting.saltedJoin(events, dim, "user_id", salts)
+    joined.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_micro"))
+      .orderBy(col("segment"))
+  }
+
+  final case class Arm(name: String, note: String,
+      worstShareRows: Double, worstShareBytes: Double,
+      worstStage: Option[ShuffleAudit.StageSkew],
+      result: Seq[(Long, Long, Long)], wall: Double)
+
+  /** Stages small enough to be all fixed overhead certify nothing;
+    * qualify on read volume and on having enough tasks that a share has
+    * meaning (a 1-task collect stage is trivially share 1.0). */
+  def worstQualifying(stages: Seq[ShuffleAudit.StageSkew], minRows: Long = 1000L,
+      minTasks: Int = 4): Option[ShuffleAudit.StageSkew] = {
+    val q = stages.filter(s => s.totalRows >= minRows && s.tasks >= minTasks)
+    if (q.isEmpty) None else Some(q.maxBy(_.rowShare))
+  }
+
+  private def withConfs[A](spark: SparkSession, confs: Map[String, String])(
+      body: => A): A = {
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Join arms pin the plan: no broadcast (a broadcast join is the
+    * degenerate fix — the probe exists for dims too big to broadcast),
+    * and AQE off unless the arm IS the AQE arm. */
+  private val plainConfs = Map(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.enabled" -> "false")
+
+  private def aqeConfs(thresholdBytes: Long, advisoryBytes: Long) = Map(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> s"$thresholdBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> s"$advisoryBytes",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+
+  def runArm(spark: SparkSession, name: String, note: String,
+      confs: Map[String, String])(build: => DataFrame): Arm =
+    withConfs(spark, confs) {
+      val t0 = System.nanoTime()
+      val (stages, out) = ShuffleAudit.measureTaskSkew(spark)(build)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val worst = worstQualifying(stages)
+      Arm(name, note,
+        worst.map(_.rowShare).getOrElse(0.0),
+        worst.map(_.byteShare).getOrElse(0.0),
+        worst,
+        out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+        wall)
+    }
+
+  final case class Probe(k: Int, hotMicro: Long, injectedShare: Double,
+      advice: Salting.SkewAdvice, arms: Seq[Arm])
+
+  /** AQE skew thresholds scaled to the hot partition's MEASURED
+    * compressed bytes (taken from the plain arm's worst stage — a row
+    * -size guess missed shuffle compression by ~8× and silently
+    * disarmed detection): threshold < hot-partition size engages the
+    * split, advisory sets the fan-out (~hot/advisory sub-tasks). On a
+    * real cluster the 256 MB defaults serve the same role at real
+    * partition sizes. */
+  def aqeKnobs(hotPartitionBytes: Long): (Long, Long) = {
+    val threshold = math.max(1L << 10, hotPartitionBytes / 3)
+    val advisory = math.max(1L << 10, hotPartitionBytes / 6)
+    (threshold, advisory)
+  }
+
+  def run(spark: SparkSession, sfDir: String, k: Int, hotMicro: Long): Probe = {
+    val events = skewedEvents(spark, sfDir, k, hotMicro)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = events.count()
+      val hotRows = events.filter(col("user_id") === hotUser).count()
+      val injected = hotRows.toDouble / total
+      // dim read back from PARQUET, not cached: (a) building it inline
+      // leaves the distinct()'s HashAggregate between the shuffle stage
+      // and the join-side sort, so OptimizeSkewedJoin's pattern (bare
+      // ShuffleQueryStage under each SortExec) never matches; (b)
+      // CACHING it instead preserves its hashpartitioning(user_id)
+      // output partitioning, the planner then elides the dim-side
+      // exchange altogether, and the rule — which needs shuffle stages
+      // on BOTH sides — again never fires. A real deployment's dim is a
+      // table scanned from storage; reproduce exactly that shape.
+      val dimPath = java.nio.file.Files.createTempDirectory("graft_skew_dim").toString
+      userDim(events).write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // the advisor's sketches see the full skewed table, bounded state
+      val advice = Salting.advise(events, "user_id", parts)
+      val agg = runArm(spark, "agg_partial",
+        "groupBy(user_id) with map-side combine: reduce read is per-map partials, skew-immune by plan shape",
+        plainConfs) {
+        events.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("value_micro"))
+          .groupBy(pmod(col("user_id"), lit(10L)).as("segment"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("value_micro")).as("value_micro"))
+          .orderBy(col("segment"))
+      }
+      // the positive control runs FIRST: its measured hot-partition
+      // bytes calibrate the AQE thresholds (compressed shuffle sizes
+      // are ~8x smaller than a row-size guess suggests)
+      val plain = runArm(spark, "join_plain",
+        "shuffled equi-join on the hot key, AQE off: positive control — worst task reads ~ the hot share",
+        plainConfs) { armQuery(events, dim, salts = 1) }
+      val hotBytes = plain.worstStage.map(_.maxTaskBytes).getOrElse(64L << 10)
+      val (thr, adv) = aqeKnobs(hotBytes)
+      val arms = Seq(agg, plain,
+        runArm(spark, "join_aqe_skew",
+          s"AQE skew-join split (threshold=$thr advisory=$adv, calibrated to the measured hot partition; cluster defaults 256MB)",
+          aqeConfs(thr, adv)) { armQuery(events, dim, salts = 1) },
+        runArm(spark, "join_salted",
+          s"Salting.saltedJoin with advise()-prescribed salts=${advice.salts}: hot key spread across salts tasks",
+          plainConfs) { armQuery(events, dim, salts = advice.salts) })
+      ScaleProbe.cleanup(dimPath)
+      Probe(k, hotMicro, injected, advice, arms)
+    } finally { events.unpersist(false): Unit }
+  }
+
+  def json(p: Probe, sfDir: String): String = {
+    val armRows = p.arms.map { a =>
+      val ws = a.worstStage.map(s =>
+        s""""worst_stage":{"tasks":${s.tasks},"max_task_rows":${s.maxTaskRows},""" +
+          s""""total_rows":${s.totalRows},"max_task_bytes":${s.maxTaskBytes},""" +
+          s""""total_bytes":${s.totalBytes}},""").getOrElse("")
+      f"""{"arm":"${a.name}","note":"${a.note}",$ws""" +
+        f""""worst_share_rows":${a.worstShareRows}%.4f,""" +
+        f""""worst_share_bytes":${a.worstShareBytes}%.4f,""" +
+        f""""wall_s":${a.wall}%.3f,"result_rows":${a.result.size}}"""
+    }.mkString("[", ",", "]")
+    val byName = p.arms.map(a => a.name -> a).toMap
+    val plain = byName("join_plain")
+    val laws =
+      s""""hazard_manifest":${plain.worstShareRows >= 0.5 * p.injectedShare},""" +
+        s""""aqe_mitigates":${byName("join_aqe_skew").worstShareRows <= plain.worstShareRows / 2},""" +
+        s""""salting_mitigates":${byName("join_salted").worstShareRows <= plain.worstShareRows / 2},""" +
+        s""""agg_immune":${byName("agg_partial").worstShareRows <= 0.25},""" +
+        s""""arms_row_equal":${p.arms.filter(_.name.startsWith("join")).map(_.result).distinct.size == 1}"""
+    f"""{"probe":"skew","sf":"$sfDir","k":${p.k},"hot_micro":${p.hotMicro},""" +
+      f""""injected_share":${p.injectedShare}%.4f,""" +
+      f""""advice":{"total_rows":${p.advice.totalRows},"hottest_rows":${p.advice.hottestKeyRows},""" +
+      f""""max_share":${p.advice.maxShare}%.4f,"salts":${p.advice.salts}},""" +
+      s""""note":"per-task shuffle-READ concentration per arm: worst qualifying stage's max-task/total share (rows primary, bytes secondary); a hot key moves no extra bytes, it concentrates them — total-volume probes are blind to this, so the inflation receipts get this adversarial companion; join arms are row-equal by law","laws":{$laws},"arms":$armRows}"""
+  }
+
+  /** `runMain graft.tools.SkewProbe [sfDir] [k] [hotMicro] [outPath]` */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val k = args.lift(1).map(_.toInt).getOrElse(30)
+    val hotMicro = args.lift(2).map(_.toLong).getOrElse(300000L)
+    val outPath = args.lift(3).getOrElse("SCALE_r13_skew.json")
+    val spark = graft.sources.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val p = run(spark, sfDir, k, hotMicro)
+    val out = json(p, sfDir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (out + "\n").getBytes("UTF-8"))
+    p.arms.foreach(a => println(
+      f"[skew] ${a.name}%-16s worst_share rows=${a.worstShareRows}%.3f " +
+        f"bytes=${a.worstShareBytes}%.3f wall=${a.wall}%5.2f s  (${a.note.take(60)})"))
+    println(s"[skew] injected=${p.injectedShare} advice_share=${p.advice.maxShare} " +
+      s"salts=${p.advice.salts}; artifact written to $outPath")
+    spark.stop()
+  }
+}

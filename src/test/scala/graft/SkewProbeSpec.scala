@@ -1,0 +1,89 @@
+package graft
+
+import graft.tools.SkewProbe
+
+/** The adversarial-skew laws, in CI form: [[graft.tools.SkewProbe]]
+  * injects a hot key at a controlled share and measures per-TASK
+  * shuffle-read concentration per mitigation arm. The inflation probes
+  * (ScaleProbeSpec) bound total volume growth; this suite bounds volume
+  * CONCENTRATION — the failure mode total accounting cannot see,
+  * because a hot key moves no extra bytes, it just lands them all on
+  * one task.
+  *
+  * Everything asserted here is deterministic: the hot assignment is
+  * xxhash64(event_id), partitioning is murmur over a pinned partition
+  * count, and the salt is a row-hash — the shares reproduce exactly
+  * run-to-run, so the bounds are laws, not tolerances.
+  */
+class SkewProbeSpec extends SparkSpec {
+
+  private def withParts[A](n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, saved)
+  }
+
+  test("hot-key probe: hazard manifests unmitigated; AQE split and advised salting both halve it; partial agg immune") {
+    // 16 partitions, not the suite's 4: the skew geometry needs enough
+    // reduce tasks that the background share (~(1-hot)/parts) does not
+    // drown the hot key's share
+    val p = withParts(16) {
+      SkewProbe.run(spark, sf, k = 10, hotMicro = 300000L)
+    }
+    val byName = p.arms.map(a => a.name -> a).toMap
+    val plain = byName("join_plain")
+    val aqe = byName("join_aqe_skew")
+    val salted = byName("join_salted")
+    val agg = byName("agg_partial")
+
+    // the injection itself: ~30% of rows on one key, and the advisor's
+    // bounded-state sketches (CMS + freqItems) see it accurately
+    assert(p.injectedShare > 0.25 && p.injectedShare < 0.36,
+      s"injection drifted: ${p.injectedShare}")
+    assert(math.abs(p.advice.maxShare - p.injectedShare) < 0.05,
+      s"advise() mis-measured the hot share: ${p.advice.maxShare} vs ${p.injectedShare}")
+    assert(p.advice.salts >= 3, s"advise() under-prescribed: ${p.advice.salts}")
+
+    // POSITIVE CONTROL — the hazard must actually manifest, or the
+    // mitigation assertions certify nothing
+    assert(plain.worstShareRows >= 0.5 * p.injectedShare,
+      s"plain join did not concentrate: ${plain.worstShareRows}")
+
+    // AQE skew-join split: worst task at most half the unmitigated one
+    assert(aqe.worstShareRows <= plain.worstShareRows / 2,
+      s"AQE split did not engage: ${aqe.worstShareRows} vs plain ${plain.worstShareRows}")
+
+    // advised salting: hot key spread across `salts` tasks (bound is
+    // 0.6x, not the asymptotic hot/salts, because at 16 partitions two
+    // salt buckets can land on the same reduce task)
+    assert(salted.worstShareRows <= plain.worstShareRows * 0.6,
+      s"salting did not spread the hot key: ${salted.worstShareRows} vs plain ${plain.worstShareRows}")
+
+    // partial aggregation is skew-immune by plan shape: the map-side
+    // combine collapses the hot key to one partial per map task
+    assert(agg.worstShareRows <= 0.25,
+      s"partial agg concentrated unexpectedly: ${agg.worstShareRows}")
+
+    // mitigation must not change semantics: all three join arms
+    // produced the identical aggregate
+    val joinResults = p.arms.filter(_.name.startsWith("join")).map(_.result)
+    assert(joinResults.distinct.size === 1, "join arms disagree on results")
+    assert(joinResults.head.nonEmpty, "join arms produced no rows")
+  }
+
+  test("committed skew artifact parses and every law holds") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val f = new java.io.File("SCALE_r13_skew.json")
+    assert(f.isFile, "committed artifact SCALE_r13_skew.json missing from repo root")
+    val root = om.readTree(f)
+    val laws = root.get("laws")
+    for (law <- Seq("hazard_manifest", "aqe_mitigates", "salting_mitigates",
+        "agg_immune", "arms_row_equal")) {
+      assert(laws.get(law).asBoolean(), s"committed skew artifact: $law false")
+    }
+    assert(root.get("arms").size() === 4, "committed skew artifact: arm missing")
+    assert(root.get("injected_share").asDouble() > 0.2,
+      "committed skew artifact: injection too weak to certify anything")
+  }
+}
