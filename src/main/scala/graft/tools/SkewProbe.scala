@@ -137,6 +137,99 @@ object SkewProbe {
   final case class Probe(k: Int, hotMicro: Long, injectedShare: Double,
       advice: Salting.SkewAdvice, arms: Seq[Arm])
 
+  /** Writes `df` as `<destDir>/<name>.parquet` — a single plain FILE,
+    * the layout [[graft.sources.Tables.eventsStream]]'s pathGlobFilter
+    * selects (same contract as [[Inflate.corpus]]). */
+  private def writeSingleParquet(df: DataFrame, destDir: String, name: String): Unit = {
+    val scratch = s"$destDir/_build_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $scratch"))
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(destDir, s"$name.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(scratch).listFiles().foreach(_.delete())
+    new java.io.File(scratch).delete(): Unit
+  }
+
+  /** The STREAMING mirror of the batch arms — the hot key hits the
+    * micro-batch exchanges exactly like a batch job's, so the same
+    * three laws get streamed receipts:
+    *
+    *  - streamed stateful aggregation is skew-immune the same way batch
+    *    aggregation is (map-side partial agg collapses the hot key to
+    *    one partial per map task BEFORE the state-store shuffle; the
+    *    hot USER's state row is one row like any other);
+    *  - a stream-static enrichment join concentrates per micro-batch
+    *    exactly like the batch join (stateless, planned as a batch
+    *    join each batch);
+    *  - [[Salting.saltedJoin]] applies UNCHANGED to the stream-static
+    *    shape (the salt is a deterministic row hash, legal in a
+    *    streaming plan) and spreads the hot key the same way.
+    *
+    * All three run AvailableNow to completion on the same skewed
+    * corpus, so their complete-mode results are directly row-comparable
+    * to the batch arms'. */
+  private def streamArms(spark: SparkSession, streamDir: String, dim: DataFrame,
+      maxShare: Double, stateParts: Int): Seq[Arm] = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Tables
+    import graft.streaming.StreamGate
+    val streamConfs = plainConfs +
+      (StreamGate.statePartitionsKey -> stateParts.toString)
+    def sinkName() =
+      "skew_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def runStream(q: DataFrame, name: String): Unit =
+      StreamGate.runToCompletion(spark) {
+        q.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      }
+    val streamSalts = math.max(1, math.ceil(maxShare * stateParts).toInt)
+    Seq(
+      runArm(spark, "stream_agg_hot",
+        "streamed stateful per-user agg: map-side partial agg collapses the hot key before the state shuffle — immune like batch",
+        streamConfs) {
+        val name = sinkName()
+        runStream(
+          Tables.eventsStream(spark, streamDir)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 1e6).cast("long")).as("value_micro")),
+          name)
+        spark.table(name)
+          .groupBy(pmod(col("user_id"), lit(10L)).as("segment"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("value_micro")).as("value_micro"))
+          .orderBy(col("segment"))
+      },
+      runArm(spark, "stream_join_plain",
+        "stream-static enrichment join, unmitigated: each micro-batch concentrates like the batch join",
+        streamConfs) {
+        val name = sinkName()
+        runStream(
+          Tables.eventsStream(spark, streamDir)
+            .join(dim, Seq("user_id"), "inner")
+            .groupBy(col("segment"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("value") * 1e6).cast("long")).as("value_micro")),
+          name)
+        spark.table(name).orderBy(col("segment"))
+      },
+      runArm(spark, "stream_join_salted",
+        s"stream-static join through Salting.saltedJoin (salts=$streamSalts for $stateParts state partitions): same mitigation, streaming plan",
+        streamConfs) {
+        val name = sinkName()
+        runStream(
+          Salting.saltedJoin(
+              Tables.eventsStream(spark, streamDir), dim, "user_id", streamSalts)
+            .groupBy(col("segment"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("value") * 1e6).cast("long")).as("value_micro")),
+          name)
+        spark.table(name).orderBy(col("segment"))
+      })
+  }
+
   /** AQE skew thresholds scaled to the hot partition's MEASURED
     * compressed bytes (taken from the plain arm's worst stage — a row
     * -size guess missed shuffle compression by ~8× and silently
@@ -190,14 +283,21 @@ object SkewProbe {
         plainConfs) { armQuery(events, dim, salts = 1) }
       val hotBytes = plain.worstStage.map(_.maxTaskBytes).getOrElse(64L << 10)
       val (thr, adv) = aqeKnobs(hotBytes)
+      // the streamed mirror reads the same skewed corpus as a file
+      // stream — eventsStream selects by leaf filename, so write the
+      // single-file layout it expects
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_skew_stream").toString
+      writeSingleParquet(events, streamDir, "events")
       val arms = Seq(agg, plain,
         runArm(spark, "join_aqe_skew",
           s"AQE skew-join split (threshold=$thr advisory=$adv, calibrated to the measured hot partition; cluster defaults 256MB)",
           aqeConfs(thr, adv)) { armQuery(events, dim, salts = 1) },
         runArm(spark, "join_salted",
           s"Salting.saltedJoin with advise()-prescribed salts=${advice.salts}: hot key spread across salts tasks",
-          plainConfs) { armQuery(events, dim, salts = advice.salts) })
+          plainConfs) { armQuery(events, dim, salts = advice.salts) }) ++
+        streamArms(spark, streamDir, dim, advice.maxShare, stateParts = 16)
       ScaleProbe.cleanup(dimPath)
+      ScaleProbe.cleanup(streamDir)
       Probe(k, hotMicro, injected, advice, arms)
     } finally { events.unpersist(false): Unit }
   }
@@ -215,12 +315,20 @@ object SkewProbe {
     }.mkString("[", ",", "]")
     val byName = p.arms.map(a => a.name -> a).toMap
     val plain = byName("join_plain")
+    val sPlain = byName("stream_join_plain")
     val laws =
       s""""hazard_manifest":${plain.worstShareRows >= 0.5 * p.injectedShare},""" +
         s""""aqe_mitigates":${byName("join_aqe_skew").worstShareRows <= plain.worstShareRows / 2},""" +
         s""""salting_mitigates":${byName("join_salted").worstShareRows <= plain.worstShareRows / 2},""" +
         s""""agg_immune":${byName("agg_partial").worstShareRows <= 0.25},""" +
-        s""""arms_row_equal":${p.arms.filter(_.name.startsWith("join")).map(_.result).distinct.size == 1}"""
+        s""""arms_row_equal":${p.arms.filter(_.name.startsWith("join")).map(_.result).distinct.size == 1},""" +
+        s""""stream_hazard_manifest":${sPlain.worstShareRows >= 0.5 * p.injectedShare},""" +
+        s""""stream_salting_mitigates":${byName("stream_join_salted").worstShareRows <= sPlain.worstShareRows * 0.6},""" +
+        s""""stream_agg_immune":${byName("stream_agg_hot").worstShareRows <= 0.25},""" +
+        s""""stream_batch_equal":${
+          byName("stream_join_plain").result == plain.result &&
+            byName("stream_join_salted").result == plain.result &&
+            byName("stream_agg_hot").result == byName("agg_partial").result}"""
     f"""{"probe":"skew","sf":"$sfDir","k":${p.k},"hot_micro":${p.hotMicro},""" +
       f""""injected_share":${p.injectedShare}%.4f,""" +
       f""""advice":{"total_rows":${p.advice.totalRows},"hottest_rows":${p.advice.hottestKeyRows},""" +

@@ -70,6 +70,23 @@ class SkewProbeSpec extends SparkSpec {
     val joinResults = p.arms.filter(_.name.startsWith("join")).map(_.result)
     assert(joinResults.distinct.size === 1, "join arms disagree on results")
     assert(joinResults.head.nonEmpty, "join arms produced no rows")
+
+    // THE STREAMING MIRROR: the hot key hits micro-batch exchanges
+    // exactly like batch ones — hazard, mitigation, and immunity all
+    // reproduce, and the complete-mode results equal the batch arms'
+    val sPlain = byName("stream_join_plain")
+    val sSalted = byName("stream_join_salted")
+    val sAgg = byName("stream_agg_hot")
+    assert(sPlain.worstShareRows >= 0.5 * p.injectedShare,
+      s"streamed join did not concentrate: ${sPlain.worstShareRows}")
+    assert(sSalted.worstShareRows <= sPlain.worstShareRows * 0.6,
+      s"salting did not carry over to the streaming plan: ${sSalted.worstShareRows}")
+    assert(sAgg.worstShareRows <= 0.25,
+      s"streamed stateful agg concentrated: ${sAgg.worstShareRows} — partial agg missing?")
+    assert(sPlain.result === plain.result && sSalted.result === plain.result,
+      "streamed join arms must equal the batch join result")
+    assert(sAgg.result === agg.result,
+      "streamed agg rollup must equal the batch agg result")
   }
 
   test("committed skew artifact parses and every law holds") {
@@ -79,10 +96,11 @@ class SkewProbeSpec extends SparkSpec {
     val root = om.readTree(f)
     val laws = root.get("laws")
     for (law <- Seq("hazard_manifest", "aqe_mitigates", "salting_mitigates",
-        "agg_immune", "arms_row_equal")) {
+        "agg_immune", "arms_row_equal", "stream_hazard_manifest",
+        "stream_salting_mitigates", "stream_agg_immune", "stream_batch_equal")) {
       assert(laws.get(law).asBoolean(), s"committed skew artifact: $law false")
     }
-    assert(root.get("arms").size() === 4, "committed skew artifact: arm missing")
+    assert(root.get("arms").size() === 7, "committed skew artifact: arm missing")
     assert(root.get("injected_share").asDouble() > 0.2,
       "committed skew artifact: injection too weak to certify anything")
   }
