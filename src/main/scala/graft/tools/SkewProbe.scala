@@ -83,11 +83,18 @@ object SkewProbe {
 
   /** Stages small enough to be all fixed overhead certify nothing;
     * qualify on read volume and on having enough tasks that a share has
-    * meaning (a 1-task collect stage is trivially share 1.0). */
+    * meaning (a 1-task collect stage is trivially share 1.0). The worst
+    * stage is picked by the LARGER of its row- and byte-share: the
+    * payload arms concentrate bytes while row counts stay flat (a
+    * partial collect_list shrinks row counts but not data), and the
+    * row-only pick would read right past that hazard. */
   def worstQualifying(stages: Seq[ShuffleAudit.StageSkew], minRows: Long = 1000L,
-      minTasks: Int = 4): Option[ShuffleAudit.StageSkew] = {
-    val q = stages.filter(s => s.totalRows >= minRows && s.tasks >= minTasks)
-    if (q.isEmpty) None else Some(q.maxBy(_.rowShare))
+      minBytes: Long = 32L << 10, minTasks: Int = 4): Option[ShuffleAudit.StageSkew] = {
+    // rows OR bytes may carry the volume: a payload exchange can be 160
+    // partial-buffer rows and still move most of the job's data
+    val q = stages.filter(s =>
+      (s.totalRows >= minRows || s.totalBytes >= minBytes) && s.tasks >= minTasks)
+    if (q.isEmpty) None else Some(q.maxBy(s => math.max(s.rowShare, s.byteShare)))
   }
 
   private def withConfs[A](spark: SparkSession, confs: Map[String, String])(
@@ -125,6 +132,10 @@ object SkewProbe {
       val t0 = System.nanoTime()
       val (stages, out) = ShuffleAudit.measureTaskSkew(spark)(build)
       val wall = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("SPARK_GRAFT_SKEW_DEBUG"))
+        stages.foreach(s => System.err.println(
+          s"[skew-debug] $name stage=${s.stageId} tasks=${s.tasks} " +
+            s"rows=${s.maxTaskRows}/${s.totalRows} bytes=${s.maxTaskBytes}/${s.totalBytes}"))
       val worst = worstQualifying(stages)
       Arm(name, note,
         worst.map(_.rowShare).getOrElse(0.0),
@@ -151,6 +162,51 @@ object SkewProbe {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     new java.io.File(scratch).listFiles().foreach(_.delete())
     new java.io.File(scratch).delete(): Unit
+  }
+
+  /** The BOUNDARY of the aggregation-immunity law: partial aggregation
+    * rescues a hot key only when partials SHRINK. A payload-preserving
+    * aggregate — collect_list and friends, the "gather every example
+    * per user" shape every training pipeline runs — reduces row counts
+    * map-side but not DATA: the hot key's entire payload still lands on
+    * one reduce task as bytes, invisible to row accounting. Arms:
+    *
+    *  - `agg_payload_hot`: top-100 event ids per user via a direct
+    *    sort_array(collect_list(...)) — byte-share ≈ the hot share;
+    *  - `agg_payload_salted`: the standard fix — a two-level salted
+    *    aggregate where level 1 groups by (user, salt) and CAPS its
+    *    partial to the top-100, so level 2 receives ≤ salts×100 values
+    *    per user. EXACTLY output-equal: each level-1 bucket's top-100
+    *    is a superset of that bucket's contribution to the global
+    *    top-100 (min-k is a semilattice), so the capped merge loses
+    *    nothing.
+    */
+  private def payloadArms(events: DataFrame, salts: Int): Seq[(String, String,
+      () => DataFrame)] = {
+    def rollup(perUser: DataFrame): DataFrame =
+      perUser.groupBy(pmod(col("user_id"), lit(10L)).as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          // order-insensitive checksum of the per-user lists; modded so
+          // the ANSI sum cannot overflow (≤ n_users * 2^40 << 2^63)
+          sum(pmod(xxhash64(concat_ws(",", col("top_ids"))), lit(1L << 40)))
+            .as("value_micro"))
+        .orderBy(col("segment"))
+    val direct = () => rollup(
+      events.groupBy(col("user_id"))
+        .agg(slice(sort_array(collect_list(col("event_id"))), 1, 100).as("top_ids")))
+    val salted = () => rollup(
+      events
+        .groupBy(col("user_id"), pmod(xxhash64(col("event_id")), lit(salts)).as("__salt"))
+        .agg(slice(sort_array(collect_list(col("event_id"))), 1, 100).as("part"))
+        .groupBy(col("user_id"))
+        .agg(slice(sort_array(flatten(collect_list(col("part")))), 1, 100).as("top_ids")))
+    Seq(
+      ("agg_payload_hot",
+        "payload-preserving agg (collect_list top-100 per user): partials shrink rows but NOT bytes — the hot key's payload concentrates on one task",
+        direct),
+      ("agg_payload_salted",
+        s"two-level salted agg, level-1 capped at 100 per (user, salt=$salts): exact same output, hot payload spread across salts tasks",
+        salted))
   }
 
   /** The STREAMING mirror of the batch arms — the hot key hits the
@@ -295,6 +351,9 @@ object SkewProbe {
         runArm(spark, "join_salted",
           s"Salting.saltedJoin with advise()-prescribed salts=${advice.salts}: hot key spread across salts tasks",
           plainConfs) { armQuery(events, dim, salts = advice.salts) }) ++
+        payloadArms(events, advice.salts).map { case (name, note, build) =>
+          runArm(spark, name, note, plainConfs)(build())
+        } ++
         streamArms(spark, streamDir, dim, advice.maxShare, stateParts = 16)
       ScaleProbe.cleanup(dimPath)
       ScaleProbe.cleanup(streamDir)
@@ -328,7 +387,14 @@ object SkewProbe {
         s""""stream_batch_equal":${
           byName("stream_join_plain").result == plain.result &&
             byName("stream_join_salted").result == plain.result &&
-            byName("stream_agg_hot").result == byName("agg_partial").result}"""
+            byName("stream_agg_hot").result == byName("agg_partial").result},""" +
+        s""""payload_hazard_manifest":${
+          byName("agg_payload_hot").worstShareBytes >= 0.5 * p.injectedShare},""" +
+        s""""payload_salting_mitigates":${
+          byName("agg_payload_salted").worstShareBytes <=
+            byName("agg_payload_hot").worstShareBytes / 2},""" +
+        s""""payload_arms_equal":${
+          byName("agg_payload_hot").result == byName("agg_payload_salted").result}"""
     f"""{"probe":"skew","sf":"$sfDir","k":${p.k},"hot_micro":${p.hotMicro},""" +
       f""""injected_share":${p.injectedShare}%.4f,""" +
       f""""advice":{"total_rows":${p.advice.totalRows},"hottest_rows":${p.advice.hottestKeyRows},""" +

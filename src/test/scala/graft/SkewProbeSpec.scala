@@ -87,6 +87,22 @@ class SkewProbeSpec extends SparkSpec {
       "streamed join arms must equal the batch join result")
     assert(sAgg.result === agg.result,
       "streamed agg rollup must equal the batch agg result")
+
+    // THE BOUNDARY of aggregation immunity: a payload-preserving agg
+    // (collect_list) shrinks row counts map-side but not DATA — the
+    // hazard reappears in the BYTE share while rows stay flat, and the
+    // two-level capped salted aggregate spreads it, output-equal
+    val pHot = byName("agg_payload_hot")
+    val pSalted = byName("agg_payload_salted")
+    assert(pHot.worstShareBytes >= 0.5 * p.injectedShare,
+      s"payload agg did not concentrate bytes: ${pHot.worstShareBytes}")
+    assert(pHot.worstShareRows <= 0.25,
+      s"payload rows unexpectedly concentrated too: ${pHot.worstShareRows} — " +
+        "the byte-vs-row contrast is the point of this arm")
+    assert(pSalted.worstShareBytes <= pHot.worstShareBytes / 2,
+      s"two-level salted agg did not spread the payload: ${pSalted.worstShareBytes}")
+    assert(pHot.result === pSalted.result,
+      "capped two-level agg must be output-equal to the direct agg")
   }
 
   test("committed skew artifact parses and every law holds") {
@@ -97,10 +113,12 @@ class SkewProbeSpec extends SparkSpec {
     val laws = root.get("laws")
     for (law <- Seq("hazard_manifest", "aqe_mitigates", "salting_mitigates",
         "agg_immune", "arms_row_equal", "stream_hazard_manifest",
-        "stream_salting_mitigates", "stream_agg_immune", "stream_batch_equal")) {
+        "stream_salting_mitigates", "stream_agg_immune", "stream_batch_equal",
+        "payload_hazard_manifest", "payload_salting_mitigates",
+        "payload_arms_equal")) {
       assert(laws.get(law).asBoolean(), s"committed skew artifact: $law false")
     }
-    assert(root.get("arms").size() === 7, "committed skew artifact: arm missing")
+    assert(root.get("arms").size() === 9, "committed skew artifact: arm missing")
     assert(root.get("injected_share").asDouble() > 0.2,
       "committed skew artifact: injection too weak to certify anything")
   }
