@@ -69,6 +69,36 @@ object Salting {
     else saltedJoin(big, small, key, a.salts, joinType)
   }
 
+  /** Per-key top-k smallest values, as exploded (key, rank, value)
+    * rows, via a TWO-LEVEL SALTED aggregate — the payload-aggregation
+    * skew mitigation the probe receipts (`SCALE_r13_skew.json`,
+    * `agg_payload_*` arms). A direct
+    * `collect_list`-then-sort-then-slice is a payload-preserving
+    * aggregate: its partials shrink ROW counts but not DATA, so a hot
+    * key's entire payload still lands on one reduce task (measured
+    * byte share ≈ the hot share at flat row share). Here level 1
+    * groups by (key, salt-of-value) and caps its partial at k, so the
+    * hot key's payload spreads across `salts` tasks and level 2 merges
+    * ≤ salts·k values per key. Output-EQUAL to the direct form: each
+    * salt bucket's min-k is a superset of the bucket's contribution to
+    * the global min-k (min-k is a semilattice), so the capped merge
+    * loses nothing. At 100 TB this is how "top examples per user/
+    * domain" runs without a single-task hot key or a full per-key
+    * window sort. */
+  def topKPerKey(df: DataFrame, keyCol: String, valueCol: String, k: Int,
+      salts: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!df.columns.exists(Set("__salt", "__part").contains),
+      "input must not contain the helper columns __salt, __part")
+    df.groupBy(col(keyCol), pmod(xxhash64(col(valueCol)), lit(salts)).as("__salt"))
+      .agg(slice(sort_array(collect_list(col(valueCol))), 1, k).as("__part"))
+      .groupBy(col(keyCol))
+      .agg(slice(sort_array(flatten(collect_list(col("__part")))), 1, k).as("__topk"))
+      .select(col(keyCol), posexplode(col("__topk")).as(Seq("__pos", valueCol)))
+      .select(col(keyCol), (col("__pos") + 1).cast("long").as("rank"), col(valueCol))
+  }
+
   /** Equi-join `big ⋈ small` on `key` with the big side salted `salts`
     * ways. Semantics identical to `big.join(small, key)`; cost is a
     * `salts`× replication of the (small) build side. */

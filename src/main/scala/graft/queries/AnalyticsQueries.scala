@@ -349,6 +349,19 @@ object AnalyticsQueries {
         size(array_distinct(col("embedding"))).as("n_distinct"))
       .orderBy(col("vec_id"))
 
+  /** Per-user 25 earliest event ids (k below the ~67 events/user fixture density, so the cap BINDS at gate scale) through the two-level salted
+    * top-k aggregate ([[graft.operators.Salting.topKPerKey]]) — the
+    * hot-key-proof form of "gather the top examples per key"
+    * (skew-probe-receipted: the direct collect_list form concentrates
+    * the hot key's BYTES on one task; this one spreads them across the
+    * salt buckets with every merge input capped at salts·k). The DuckDB
+    * oracle is the windowed row_number form, so the hash gate certifies
+    * the semilattice cap argument cross-engine on real data. */
+  def aggTopKPerKeySalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting.topKPerKey(
+        Tables.events(spark, dir), "user_id", "event_id", k = 25, salts = 8)
+      .orderBy(col("user_id"), col("rank"))
+
   /** Explicit small×small cross join (the deliberate cartesian — every
     * other cartesian in the library is a broadcast-query ANN scan). */
   def crossJoinRegions(spark: SparkSession, dir: String): DataFrame =
@@ -461,7 +474,8 @@ object AnalyticsQueries {
     "unpivot_profile" -> (unpivotProfile _),
     "part_promo_revenue" -> (partPromoRevenue _),
     "array_funcs" -> (arrayFuncs _),
-    "cross_join" -> (crossJoinRegions _)
+    "cross_join" -> (crossJoinRegions _),
+    "agg_topk_per_key_salted" -> (aggTopKPerKeySalted _)
   )
 
   /** DSIR importance-weight CTE chain (ends in `pd`: doc_id →
@@ -716,6 +730,14 @@ object AnalyticsQueries {
     "cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "agg_topk_per_key_salted" ->
+      """SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |            AS BIGINT) AS rank,
+        |       event_id
+        |FROM events
+        |QUALIFY rank <= 25
+        |ORDER BY user_id, rank""".stripMargin,
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

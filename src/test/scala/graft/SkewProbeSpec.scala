@@ -105,6 +105,31 @@ class SkewProbeSpec extends SparkSpec {
       "capped two-level agg must be output-equal to the direct agg")
   }
 
+  test("topKPerKey: output-equal to the direct window form, at any salts/k geometry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a hot key with many values, keys with fewer values than k, and a
+    // 1-value key — the cap and the semilattice merge must be invisible
+    val rows = (1L to 500L).map(v => (1L, v * 7 % 501)) ++ // hot key, shuffled values
+      (1L to 30L).map(v => (2L, v)) ++ Seq((3L, 42L))
+    val df = rows.toDF("key", "value")
+    def direct(k: Int) = df
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key").orderBy("value"))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("key", "rank", "value")
+      .orderBy("key", "rank").collect().toSeq
+    for (k <- Seq(1, 5, 100); salts <- Seq(1, 3, 8)) {
+      val got = graft.operators.Salting.topKPerKey(df, "key", "value", k, salts)
+        .orderBy("key", "rank").collect().toSeq
+      assert(got === direct(k), s"topKPerKey diverged at k=$k salts=$salts")
+    }
+    // degenerate input: empty frame yields empty output, not an error
+    assert(graft.operators.Salting.topKPerKey(
+      df.limit(0), "key", "value", 5, 4).count() === 0L)
+  }
+
   test("committed skew artifact parses and every law holds") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val f = new java.io.File("SCALE_r13_skew.json")
