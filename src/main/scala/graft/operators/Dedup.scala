@@ -539,10 +539,16 @@ object Dedup {
     * DuckDB oracle recomputes from scratch, holding the equality
     * cross-engine at gate scale. If a batch RE-INGESTS an existing id,
     * the arriving text is authoritative for the verify step (the stale
-    * shingles are anti-joined away), but edges the OLD text already
+    * shingles are anti-joined away — keyed on the arriving ids, so a
+    * content-scrubbing re-ingest whose new text has no k-grams still
+    * retires the old shingles), but edges the OLD text already
     * contributed to the prior state are not retracted here — route a
     * content replacement through [[retractFromClusters]] then re-ingest
-    * if retraction semantics matter. Ids are 64-bit longs (the empty-bucket
+    * if retraction semantics matter. PRECONDITION: ids are unique
+    * WITHIN a batch (the standard CDC-upsert contract; collapse
+    * multiple updates per key to the latest before calling — two texts
+    * for one id in a single batch would both enter the verify state
+    * and the output is defined for neither). Ids are 64-bit longs (the empty-bucket
     * coalesce is typed). The batch's shingle frame is deliberately NOT
     * persisted: it is evaluated twice (index + verify), both
     * batch-sized scans — recomputing beats pinning blocks for the
@@ -584,9 +590,13 @@ object Dedup {
     // it and the verify join fans out, scoring candidates against the
     // stale text. Prefer the arriving row: drop the existing shingles
     // for re-ingested ids before the union, so every id verifies
-    // against exactly one (the freshest) text. The anti-join's right
+    // against exactly one (the freshest) text. Keyed on ARRIVING ids,
+    // not arSh's: shingleFrame drops empty-shingle docs, so a re-ingest
+    // that scrubs a doc's content (k-gram-less text) would otherwise be
+    // absent from the anti-join key set and its STALE shingles would
+    // keep forming edges from the old content. The anti-join's right
     // side is batch-sized — broadcast at any corpus scale.
-    val arIds = arSh.select(col("id")).distinct()
+    val arIds = arriving.select(col(idCol).as("id")).distinct()
     val shingleState = existingShingles
       .join(broadcast(arIds), Seq("id"), "left_anti")
       .unionByName(arSh)

@@ -91,7 +91,13 @@ object Salting {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(!df.columns.exists(Set("__salt", "__part").contains),
       "input must not contain the helper columns __salt, __part")
-    df.groupBy(col(keyCol), pmod(xxhash64(col(valueCol)), lit(salts)).as("__salt"))
+    // Null values are EXCLUDED from ranking, explicitly: collect_list
+    // would silently skip them anyway, which diverges from a windowed
+    // row_number (engines rank nulls, each with its own null order).
+    // Filtering makes the contract engine-neutral — mirror it in any
+    // SQL oracle with `WHERE valueCol IS NOT NULL`.
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), pmod(xxhash64(col(valueCol)), lit(salts)).as("__salt"))
       .agg(slice(sort_array(collect_list(col(valueCol))), 1, k).as("__part"))
       .groupBy(col(keyCol))
       .agg(slice(sort_array(flatten(collect_list(col("__part")))), 1, k).as("__topk"))

@@ -736,6 +736,7 @@ object AnalyticsQueries {
         |            AS BIGINT) AS rank,
         |       event_id
         |FROM events
+        |WHERE event_id IS NOT NULL
         |QUALIFY rank <= 25
         |ORDER BY user_id, rank""".stripMargin,
     "mm_resize" ->

@@ -117,16 +117,20 @@ object ShuffleAudit {
     * serially on an idle session. */
   def measureTaskSkew(spark: org.apache.spark.sql.SparkSession)(
       build: => DataFrame): (Seq[StageSkew], Array[org.apache.spark.sql.Row]) = {
-    val per = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    val per = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
-        if (m != null) {
+        // SUCCESSFUL tasks only, keyed by (stage, attempt): failed/
+        // speculative ends and stage retries would otherwise inflate the
+        // per-stage totals and deflate the measured share — masking
+        // exactly the concentration this exists to expose
+        if (m != null && e.reason == org.apache.spark.Success) {
           val rows = m.shuffleReadMetrics.recordsRead
           val bytes = m.shuffleReadMetrics.totalBytesRead
           if (rows > 0 || bytes > 0) {
-            per.compute(e.stageId, (_, old) => {
+            per.compute((e.stageId, e.stageAttemptId), (_, old) => {
               val a = if (old == null) Array(0L, 0L, 0L, 0L, 0L) else old
               Array(math.max(a(0), rows), a(1) + rows,
                 math.max(a(2), bytes), a(3) + bytes, a(4) + 1)
@@ -140,7 +144,7 @@ object ShuffleAudit {
       val out = build.collect()
       org.apache.spark.GraftListenerFlush.waitUntilEmpty(spark.sparkContext)
       import scala.jdk.CollectionConverters._
-      val stages = per.asScala.toSeq.map { case (sid, a) =>
+      val stages = per.asScala.toSeq.map { case ((sid, _), a) =>
         StageSkew(sid, a(4).toInt, a(0), a(1), a(2), a(3))
       }.sortBy(-_.totalRows)
       (stages, out)

@@ -194,18 +194,19 @@ object SkewProbe {
     val direct = () => rollup(
       events.groupBy(col("user_id"))
         .agg(slice(sort_array(collect_list(col("event_id"))), 1, 100).as("top_ids")))
+    // the SHIPPED operator, not an inline re-implementation: these
+    // receipts must certify Salting.topKPerKey itself, so a future
+    // change to its salt function or cap placement stays covered
     val salted = () => rollup(
-      events
-        .groupBy(col("user_id"), pmod(xxhash64(col("event_id")), lit(salts)).as("__salt"))
-        .agg(slice(sort_array(collect_list(col("event_id"))), 1, 100).as("part"))
+      Salting.topKPerKey(events, "user_id", "event_id", k = 100, salts = salts)
         .groupBy(col("user_id"))
-        .agg(slice(sort_array(flatten(collect_list(col("part")))), 1, 100).as("top_ids")))
+        .agg(sort_array(collect_list(col("event_id"))).as("top_ids")))
     Seq(
       ("agg_payload_hot",
         "payload-preserving agg (collect_list top-100 per user): partials shrink rows but NOT bytes — the hot key's payload concentrates on one task",
         direct),
       ("agg_payload_salted",
-        s"two-level salted agg, level-1 capped at 100 per (user, salt=$salts): exact same output, hot payload spread across salts tasks",
+        s"Salting.topKPerKey (two-level salted agg, level-1 capped at 100 per (user, salt=$salts)): exact same output, hot payload spread across salts tasks",
         salted))
   }
 
@@ -316,6 +317,8 @@ object SkewProbe {
       // on BOTH sides — again never fires. A real deployment's dim is a
       // table scanned from storage; reproduce exactly that shape.
       val dimPath = java.nio.file.Files.createTempDirectory("graft_skew_dim").toString
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_skew_stream").toString
+      try {
       userDim(events).write.mode("overwrite").parquet(dimPath)
       val dim = spark.read.parquet(dimPath)
       val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -342,7 +345,6 @@ object SkewProbe {
       // the streamed mirror reads the same skewed corpus as a file
       // stream — eventsStream selects by leaf filename, so write the
       // single-file layout it expects
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_skew_stream").toString
       writeSingleParquet(events, streamDir, "events")
       val arms = Seq(agg, plain,
         runArm(spark, "join_aqe_skew",
@@ -355,9 +357,12 @@ object SkewProbe {
           runArm(spark, name, note, plainConfs)(build())
         } ++
         streamArms(spark, streamDir, dim, advice.maxShare, stateParts = 16)
-      ScaleProbe.cleanup(dimPath)
-      ScaleProbe.cleanup(streamDir)
       Probe(k, hotMicro, injected, advice, arms)
+      } finally {
+        // scratch corpora must not outlive a failed arm either
+        ScaleProbe.cleanup(dimPath)
+        ScaleProbe.cleanup(streamDir)
+      }
     } finally { events.unpersist(false): Unit }
   }
 

@@ -645,6 +645,45 @@ class DedupSpec extends SparkSpec {
     assert(got.get(30L) === Some(1L), s"30 must join cluster 1: $got")
   }
 
+  test("incremental near-dup: a content-scrubbing re-ingest retires the STALE shingles") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // r13 review finding: the anti-join was keyed on arSh ids, and
+    // shingleFrame drops k-gram-less docs — so a re-ingest that scrubs
+    // a doc's content left its OLD shingles live, and a new doc could
+    // still form an edge against text the corpus no longer holds.
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (30L, "red orange yellow green blue indigo violet umber black")
+    ).toDF("doc_id", "text")
+    val arriving = Seq(
+      (30L, "x"), // scrubbed: no word-3-grams, shingleFrame drops it
+      (31L, "red orange yellow green blue indigo violet umber black")
+    ).toDF("doc_id", "text")
+    def full(df: org.apache.spark.sql.DataFrame) = Dedup.connectedComponents(
+      Dedup.minhashNearDups(df, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35, useMd5 = true))
+    val got = Dedup.incrementalNearDupComponents(
+        full(existing),
+        Dedup.bucketedIndex(existing, "doc_id", "text", 3, 16, 16),
+        Dedup.shingleFrame(existing, "doc_id", "text", 3),
+        arriving, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val replaced = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (30L, "x"),
+      (31L, "red orange yellow green blue indigo violet umber black")
+    ).toDF("doc_id", "text")
+    val batch = full(replaced)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === batch, "scrubbed re-ingest must equal the batch recompute")
+    assert(!got.contains(31L) && !got.contains(30L),
+      s"31 must NOT cluster against 30's retired text: $got")
+  }
+
   test("autoWindow: smallest window at 95% survivor coverage; query agrees") {
     import spark.implicits._
     // synthetic law check: coverage floor slides the choice

@@ -128,6 +128,15 @@ class SkewProbeSpec extends SparkSpec {
     // degenerate input: empty frame yields empty output, not an error
     assert(graft.operators.Salting.topKPerKey(
       df.limit(0), "key", "value", 5, 4).count() === 0L)
+    // null values are excluded by contract (engine-neutral: window
+    // ranking would order nulls differently per engine)
+    val withNulls = df.unionByName(Seq((2L, Option.empty[Long]), (4L, Option.empty[Long]))
+      .toDF("key", "value"))
+    val nulled = graft.operators.Salting.topKPerKey(withNulls, "key", "value", 5, 3)
+      .orderBy("key", "rank").collect().toSeq
+    assert(nulled === graft.operators.Salting.topKPerKey(df, "key", "value", 5, 3)
+      .orderBy("key", "rank").collect().toSeq,
+      "null values must not rank, and an all-null key must not appear")
   }
 
   test("committed skew artifact parses and every law holds") {
