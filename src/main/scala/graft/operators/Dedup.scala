@@ -567,9 +567,21 @@ object Dedup {
       "id", "sig", bands, numHashes / bands, useMd5)
     val arBuckets = arIdx.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("new_ids"))
+    // A re-ingested id can sit in BOTH sides of a touched bucket (its
+    // new banding often matches its old one): drop it from old_ids so
+    // (a) the cap guard counts the bucket's TRUE distinct population —
+    // double-counting could push a bucket past maxBucket and silently
+    // drop candidates the batch recompute keeps — and (b) the cross
+    // product cannot emit (X, X) self-pairs that waste verify work and
+    // would land jaccard-1.0 self-loops in a persisted edge list. Stale
+    // entries of arriving ids in OTHER buckets stay counted until a
+    // retraction/rebuild retires them — that residue is part of the
+    // documented maxBucket caveat.
     val touched = arBuckets.join(existingBuckets, Seq("band", "bh"), "left")
       .select(col("new_ids"),
-        coalesce(col("old_ids"), array().cast("array<bigint>")).as("old_ids"))
+        array_except(
+          coalesce(col("old_ids"), array().cast("array<bigint>")),
+          col("new_ids")).as("old_ids"))
       .filter((size(col("new_ids")) + size(col("old_ids")))
         .between(2, maxBucket))
     val cross = touched.select(explode(expr(

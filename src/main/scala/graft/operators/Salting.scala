@@ -77,7 +77,7 @@ object Salting {
     * aggregate: its partials shrink ROW counts but not DATA, so a hot
     * key's entire payload still lands on one reduce task (measured
     * byte share ≈ the hot share at flat row share). Here level 1
-    * groups by (key, salt-of-value) and caps its partial at k, so the
+    * groups by (key, row-hash salt) and caps its partial at k, so the
     * hot key's payload spreads across `salts` tasks and level 2 merges
     * ≤ salts·k values per key. Output-EQUAL to the direct form: each
     * salt bucket's min-k is a superset of the bucket's contribution to
@@ -89,15 +89,28 @@ object Salting {
       salts: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    require(!df.columns.exists(Set("__salt", "__part").contains),
-      "input must not contain the helper columns __salt, __part")
+    require(!df.columns.exists(Set("__salt", "__part", "__topk", "__pos").contains),
+      "input must not contain the helper columns __salt, __part, __topk, __pos")
+    require(keyCol != "rank" && valueCol != "rank" && keyCol != valueCol,
+      "keyCol/valueCol must be distinct and neither may be named 'rank' " +
+        "(the output rank column would be ambiguous)")
     // Null values are EXCLUDED from ranking, explicitly: collect_list
     // would silently skip them anyway, which diverges from a windowed
     // row_number (engines rank nulls, each with its own null order).
     // Filtering makes the contract engine-neutral — mirror it in any
     // SQL oracle with `WHERE valueCol IS NOT NULL`.
+    //
+    // The salt hashes the WHOLE ROW (same rationale as [[saltedJoin]]):
+    // hashing only the value would send every duplicate of a value to
+    // one salt bucket, re-concentrating a hot key whose values are
+    // low-cardinality (status codes, defaulted scores) — the exact
+    // payload this operator exists to spread. Min-k over a multiset is
+    // a semilattice under ANY partition, so the salt choice never
+    // affects the output.
+    val rowSalt = pmod(
+      xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts))
     df.filter(col(valueCol).isNotNull)
-      .groupBy(col(keyCol), pmod(xxhash64(col(valueCol)), lit(salts)).as("__salt"))
+      .groupBy(col(keyCol), rowSalt.as("__salt"))
       .agg(slice(sort_array(collect_list(col(valueCol))), 1, k).as("__part"))
       .groupBy(col(keyCol))
       .agg(slice(sort_array(flatten(collect_list(col("__part")))), 1, k).as("__topk"))

@@ -48,21 +48,30 @@ object Triangles {
     // per invocation across a long session (Bench runs each query
     // runs+1 times, Verify re-invokes per engine). Keyed by (session,
     // canonicalized input plan), the map keeps the TWO most recent
-    // results per key and frees only the grand-predecessor — so the
-    // frame a caller was handed stays valid until two successors land,
-    // and `compute`'s per-key atomicity means concurrent invocations
-    // cannot free blocks the other is about to return (the r12 ADVICE
-    // race on the bare put). Still executes fresh every time (bench
-    // numbers stay honest; this is hygiene, not memoization). Entries
-    // evict with the session via the application-end listener.
+    // results per key and frees only the grand-predecessor — so a
+    // returned frame stays valid until two successors land. That makes
+    // a pair of racing same-key invocations safe (the r12 ADVICE race
+    // on the bare put-and-free); it is BOUNDED protection, not a full
+    // concurrency contract: with three or more concurrent same-key
+    // callers the oldest frame can still be freed before its caller
+    // consumes it. Every current caller re-invokes sequentially per
+    // key (the registry consumes each frame before re-invoking). The
+    // freeing itself happens AFTER compute returns — unpersist must
+    // not run under the map's bin lock, and a throwing free must not
+    // abort the remapping (which would leak the new handles for the
+    // session). Still executes fresh every time (bench numbers stay
+    // honest; this is hygiene, not memoization). Entries evict with
+    // the session via the application-end listener.
     val spark = pairs.sparkSession
     val key = (spark, pairs.queryExecution.analyzed.canonicalized.toString +
       s"|$aCol|$bCol")
+    var dropped: List[Seq[org.apache.spark.rdd.RDD[_]]] = Nil
     lastResult.compute(key, (_, old) => {
       val prior = if (old == null) Nil else old
-      prior.drop(1).foreach(LocalCheckpoints.free)
+      dropped = prior.drop(1)
       handles :: prior.take(1)
     })
+    dropped.foreach(LocalCheckpoints.free)
     if (evictionRegistered.add(spark)) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(

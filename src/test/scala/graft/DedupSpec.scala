@@ -684,6 +684,41 @@ class DedupSpec extends SparkSpec {
       s"31 must NOT cluster against 30's retired text: $got")
   }
 
+  test("incremental near-dup: re-ingest does not double-count a bucket against maxBucket") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // r13 review finding: a re-ingested id lands in BOTH new_ids and
+    // old_ids of its bucket; the naive size sum pushed a true-size-2
+    // bucket ([new 1, new 31] with 1's stale entry still in old_ids)
+    // to 3 > maxBucket=2, silently dropping the (1, 31) candidate the
+    // batch recompute keeps — 31 then never clusters.
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (30L, "totally unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+    val arriving = Seq( // re-ingest 1 with IDENTICAL text (every band of the
+      // new signature collides with the stale index entry) + a new near-dup
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (31L, "alpha beta gamma delta epsilon zeta eta theta lambda")
+    ).toDF("doc_id", "text")
+    def full(df: org.apache.spark.sql.DataFrame) = Dedup.connectedComponents(
+      Dedup.minhashNearDups(df, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35, useMd5 = true))
+    val got = Dedup.incrementalNearDupComponents(
+        full(existing), // no prior near-dups: prior state empty
+        Dedup.bucketedIndex(existing, "doc_id", "text", 3, 16, 16),
+        Dedup.shingleFrame(existing, "doc_id", "text", 3),
+        arriving, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val replaced = existing.filter($"doc_id" =!= 1L).unionByName(arriving)
+    val batch = full(replaced)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === batch,
+      s"bucket-cap double count: incremental $got != batch $batch")
+    assert(got === Map(1L -> 1L, 31L -> 1L), s"1 and 31 must cluster: $got")
+  }
+
   test("autoWindow: smallest window at 95% survivor coverage; query agrees") {
     import spark.implicits._
     // synthetic law check: coverage floor slides the choice

@@ -137,6 +137,24 @@ class SkewProbeSpec extends SparkSpec {
     assert(nulled === graft.operators.Salting.topKPerKey(df, "key", "value", 5, 3)
       .orderBy("key", "rank").collect().toSeq,
       "null values must not rank, and an all-null key must not appear")
+    // DUPLICATE-HEAVY values (r13 review): a value-hash salt would send
+    // every copy of a value to one bucket, re-concentrating the hot key
+    // this operator exists to spread; the row-hash salt must both
+    // spread them and keep the multiset output exact (duplicates rank
+    // with multiplicity, like the window form)
+    val dupRows = ((1L to 300L).map(i => (7L, 5L, i)) ++ // 300 copies of value 5
+      (1L to 10L).map(i => (7L, i, 1000L + i))).toDF("key", "value", "tag")
+    val dupGot = graft.operators.Salting.topKPerKey(dupRows, "key", "value", 8, 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // 8 smallest with multiplicity: 1,2,3,4, then four of the 5s
+    assert(dupGot === Seq(1L, 2L, 3L, 4L, 5L, 5L, 5L, 5L).zipWithIndex
+      .map { case (v, i) => (i + 1L, v) }, s"duplicate multiset broke: $dupGot")
+    // output-name collisions fail loudly at the door, not with a
+    // downstream AMBIGUOUS_REFERENCE
+    intercept[IllegalArgumentException] {
+      graft.operators.Salting.topKPerKey(
+        df.withColumnRenamed("key", "rank"), "rank", "value", 5, 2)
+    }
   }
 
   test("committed skew artifact parses and every law holds") {
