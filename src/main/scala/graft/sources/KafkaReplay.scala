@@ -152,9 +152,21 @@ object KafkaReplay {
       }
   }
 
-  /** Next offset to be written = number of records in the file. */
+  /** Next offset to be written = number of records in the file.
+    * Memoized on (length, mtime): the count scan is O(file), and the
+    * sink calls this once per EPOCH per partition — uncached, epoch E
+    * re-decodes everything epochs 0..E-1 wrote, O(N²) over a run. An
+    * append invalidates the entry via the length change; `writeLog`'s
+    * wholesale replace via length+mtime. */
+  private val endOffsetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
   private def endOffset(f: File): Long = {
     if (!f.exists()) return 0L
+    val key = f.getAbsolutePath
+    val len = f.length()
+    val mtime = f.lastModified()
+    val cached = endOffsetCache.get(key)
+    if (cached != null && cached._1 == len && cached._2 == mtime) return cached._3
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
     var n = 0L
     try {
@@ -166,6 +178,7 @@ object KafkaReplay {
       }
     } catch { case _: EOFException => }
     finally in.close()
+    endOffsetCache.put(key, (len, mtime, n))
     n
   }
 
@@ -212,6 +225,28 @@ object KafkaReplay {
             case Some(-2L) | None => 0L
             case Some(-1L) => throw new IllegalArgumentException(
               s"$ShortName: startingOffsets -1 (latest) is not allowed for batch reads")
+            case Some(o) => o.max(0L).min(e)
+          })
+        }
+    }
+
+  /** Resolve a STREAMING `startingOffsets` spec — the Kafka streaming
+    * surface: "earliest" (default), "latest" (start at the log's
+    * current end), or a JSON map with -2 = earliest / -1 = latest per
+    * partition; unlisted partitions start at earliest. Only consulted
+    * for a FRESH query — a checkpointed restart resumes from the
+    * checkpoint, same as Kafka. */
+  def resolveStreamStartingOffsets(
+      spec: String, latest: SortedMap[Int, Long]): SortedMap[Int, Long] =
+    spec.trim match {
+      case "earliest" => latest.map { case (p, _) => p -> 0L }
+      case "latest" => latest
+      case json =>
+        val m = parseOffsetSpec(json)
+        latest.map { case (p, e) =>
+          p -> (m.get(p) match {
+            case Some(-2L) | None => 0L
+            case Some(-1L) => e
             case Some(o) => o.max(0L).min(e)
           })
         }
@@ -300,7 +335,7 @@ object KafkaReplay {
     * query start so a bounded run drains exactly the log prefix that
     * existed when it began. */
   final class ReplayMicroBatchStream(path: String, topic: String,
-      maxPerTrigger: Option[Long])
+      maxPerTrigger: Option[Long], startingOffsets: String = "earliest")
       extends MicroBatchStream with SupportsTriggerAvailableNow {
     @volatile private var availableNowEnd: Option[SortedMap[Int, Long]] = None
     @volatile private var committed: Option[ReplayOffset] = None
@@ -315,8 +350,12 @@ object KafkaReplay {
     override def prepareForTriggerAvailableNow(): Unit =
       availableNowEnd = Some(endOffsets(path))
 
+    // honors the user's startingOffsets for a FRESH query (a
+    // checkpointed restart never calls this — the checkpoint is
+    // authoritative, same as Kafka); the pre-r13 form hardwired
+    // earliest and silently ignored a configured start position
     override def initialOffset(): Offset =
-      ReplayOffset(currentEnd.map { case (p, _) => p -> 0L }) // earliest (ST5)
+      ReplayOffset(resolveStreamStartingOffsets(startingOffsets, currentEnd))
 
     override def getDefaultReadLimit: ReadLimit =
       maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -393,8 +432,14 @@ object KafkaReplay {
     override def description(): String = s"$ShortName path=$path"
     override def toBatch: Batch =
       new ReplayBatch(path, topic, startingOffsets, endingOffsets)
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new ReplayMicroBatchStream(path, topic, maxPerTrigger)
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      // endingOffsets is a batch-only concept (Kafka rejects it for
+      // streaming queries too) — failing loudly beats silently reading
+      // past a configured end
+      require(endingOffsets.trim == "latest",
+        s"$ShortName: endingOffsets is not supported for streaming reads")
+      new ReplayMicroBatchStream(path, topic, maxPerTrigger, startingOffsets)
+    }
   }
 
   // ---------------------------------------------------------------- sink
@@ -410,10 +455,16 @@ object KafkaReplay {
 
   private def epochsFile(dir: File) = new File(dir, "_epochs")
 
-  private def committedEpochs(dir: File): Set[Long] = {
+  private def committedEpochs(dir: File): Set[String] = {
     val f = epochsFile(dir)
     if (!f.exists()) Set.empty
-    else scala.io.Source.fromFile(f).getLines().flatMap(_.toLongOption).toSet
+    else {
+      // try/finally: the pre-r13 form leaked one fd per commit (one
+      // call per micro-batch on a long-running stream)
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
+      finally src.close()
+    }
   }
 
   /** The producer half through the REAL DataSource-V2 streaming-write
@@ -467,7 +518,8 @@ object KafkaReplay {
       }
   }
 
-  final class ReplayStreamingWrite(path: String, inputSchema: StructType)
+  final class ReplayStreamingWrite(path: String, inputSchema: StructType,
+      queryId: String = "")
       extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
     import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
     import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -484,7 +536,12 @@ object KafkaReplay {
       val dir = new File(path)
       dir.mkdirs()
       val spools = messages.collect { case m: SpoolMsg => m }.sortBy(_.partitionId)
-      if (committedEpochs(dir).contains(epochId)) {
+      // ledger entries are QUERY-scoped: epoch ids are per-query batch
+      // ids starting at 0, so two queries (or a restart with a fresh
+      // checkpoint) sharing one log dir would collide on bare epoch ids
+      // and the second writer's batches would be silently dropped
+      val ledgerKey = s"$queryId:$epochId"
+      if (committedEpochs(dir).contains(ledgerKey)) {
         spools.foreach(m => new File(m.path).delete()) // replayed epoch: drop
         return
       }
@@ -509,7 +566,7 @@ object KafkaReplay {
       }
       append(path, records.toSeq)
       val w = new java.io.FileWriter(epochsFile(dir), true)
-      try w.write(s"$epochId\n") finally w.close()
+      try w.write(s"$ledgerKey\n") finally w.close()
       spools.foreach(m => new File(m.path).delete())
     }
 
@@ -546,7 +603,7 @@ object KafkaReplay {
           new org.apache.spark.sql.connector.write.Write {
             override def toStreaming
                 : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-              new ReplayStreamingWrite(path, in)
+              new ReplayStreamingWrite(path, in, info.queryId())
           }
       }
     }

@@ -176,19 +176,31 @@ object StreamingPipeline {
     * per micro-batch; to control object size the same way, foreachBatch
     * repartitions each batch to ceil(batchRows / recordsPerObject)
     * files. Object-count parity is approximate (records spread across
-    * partitions), record-level content is identical, and the commit is
-    * still exactly-once via the checkpoint. */
+    * partitions), record-level content is identical. Exactly-once is
+    * the [[avroSink]] pattern: each batch OVERWRITES its own
+    * `batch=<id>/` subdirectory, so a micro-batch replayed after a
+    * crash-before-checkpoint rewrites its output instead of appending a
+    * duplicate copy (a bare `mode("append")` to one directory — the
+    * pre-r13 form — double-writes exactly then). Readers glob the
+    * directory tree; the `batch` path segment surfaces as a partition
+    * column and is not part of the record payload. */
   def jsonSinkSizedObjects(
       df: DataFrame, outPath: String, checkpoint: String,
       recordsPerObject: Int,
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val n = batch.count()
-        if (n > 0) {
-          val files = math.max(1, math.ceil(n.toDouble / recordsPerObject).toInt)
-          batch.repartition(files).write.mode("append").json(outPath)
-        }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // persist: count() and write would otherwise each recompute the
+        // micro-batch from the source (double decode per trigger)
+        batch.persist()
+        try {
+          val n = batch.count()
+          if (n > 0) {
+            val files = math.max(1, math.ceil(n.toDouble / recordsPerObject).toInt)
+            batch.repartition(files).write.mode("overwrite")
+              .json(s"$outPath/batch=$batchId")
+          }
+        } finally { batch.unpersist(): Unit }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -206,15 +218,18 @@ object StreamingPipeline {
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val n = batch.count()
-        if (n > 0) {
-          val sized =
-            if (recordsPerObject > 0)
-              batch.repartition(math.max(1, math.ceil(n.toDouble / recordsPerObject).toInt))
-            else batch
-          graft.avro.AvroFiles.write(sized.toDF(), schemaJson, s"$outPath/batch=$batchId")
-          ()
-        }
+        batch.persist() // count() + write: one source decode, not two
+        try {
+          val n = batch.count()
+          if (n > 0) {
+            val sized =
+              if (recordsPerObject > 0)
+                batch.repartition(math.max(1, math.ceil(n.toDouble / recordsPerObject).toInt))
+              else batch
+            graft.avro.AvroFiles.write(sized.toDF(), schemaJson, s"$outPath/batch=$batchId")
+            ()
+          }
+        } finally { batch.unpersist(): Unit }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -228,8 +243,14 @@ object StreamingPipeline {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
+      // only COMMITTED versions qualify: a v=<id> directory exists from
+      // the first task file of an in-flight (or crashed) overwrite, and
+      // reading it would violate the snapshot-isolation contract —
+      // _SUCCESS is the FileOutputCommitter's commit marker
       val versions = fs.listStatus(p).filter(_.isDirectory)
-        .map(_.getPath.getName)
+        .map(_.getPath)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+        .map(_.getName)
         .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
         .filter(_ < before)
       if (versions.isEmpty) None
@@ -366,9 +387,17 @@ object StreamingPipeline {
     * it — downstream consumers keep the LAST emission per
     * (user_id, event_id), exactly the last-writer-wins convention the
     * reference's verifier applies. In-batch rows sort by (ts, event_id)
-    * before folding, so batch boundaries never change the intervals;
-    * state per user is ONE open interval — bounded by keys, not stream
-    * length. */
+    * before folding, so batch boundaries never change the intervals AS
+    * LONG AS arrival is ordered per key ACROSS batches; a late row
+    * (older than the open interval's valid_from, delivered in a later
+    * batch) is DROPPED as a stale update — the open row was already
+    * emitted and cannot be retracted, and folding it would mint an
+    * inverted interval (valid_to < valid_from). That is the standard
+    * CDC stale-update policy; the batch `scd2_history` twin, which
+    * sorts globally, would have placed the row earlier in the history —
+    * the stream==batch equality holds exactly on ordered (or
+    * single-replay AvailableNow) delivery. State per user is ONE open
+    * interval — bounded by keys, not stream length. */
   def streamingScd2(events: org.apache.spark.sql.Dataset[VersionEvent])
       : org.apache.spark.sql.Dataset[Scd2Out] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -378,7 +407,12 @@ object StreamingPipeline {
       .flatMapGroupsWithState[Scd2Out, Scd2Out](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[VersionEvent], state: GroupState[Scd2Out]) =>
+          // stale-update guard (r13): an event older than the open
+          // interval's start would close it with valid_to < valid_from
+          val floor = state.getOption.map(o => (o.valid_from.getTime, o.event_id))
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .filter(e => floor.forall(f =>
+              Ordering[(Long, Long)].gt((e.ts.getTime, e.event_id), f)))
           if (sorted.isEmpty) Iterator.empty
           else {
             val out = scala.collection.mutable.ArrayBuffer[Scd2Out]()
@@ -603,10 +637,15 @@ object StreamingPipeline {
           val prior = state.getOption.getOrElse(
             FunnelState(FunnelMachine(0L, 0L, 0L, false, 0L, 0L, false, false, -1L), Nil))
           // late rows cannot fold without breaking the already-emitted
-          // order — drop them, exactly as the engine's stateful ops do
+          // order — drop them, exactly as the engine's stateful ops do.
+          // Ripeness is STRICT (< wm) while admission is inclusive
+          // (>= wm): an event AT the watermark must pend, not fold
+          // immediately — otherwise two at-watermark events landing in
+          // different batches fold in arrival order instead of (ts, id)
+          // order, diverging from the batch oracle's global sort.
           val fresh = rows.filter(_.ts_us >= wmUs)
             .map(e => (e.ts_us, e.event_id, e.event_type)).toList
-          val (ripe, pending) = (prior.buf ++ fresh).partition(_._1 <= wmUs)
+          val (ripe, pending) = (prior.buf ++ fresh).partition(_._1 < wmUs)
           val machine = fold(prior.machine, ripe)
           state.update(FunnelState(machine, pending))
           if (pending.nonEmpty) {

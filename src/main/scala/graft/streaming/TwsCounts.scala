@@ -91,7 +91,13 @@ object TwsCounts {
 
   /** Processing-time variant — the mode that legalizes state TTL (the
     * production bound on abandoned keys): emits superseding snapshots of
-    * the types touched each batch; settle downstream by max(n).
+    * the types touched each batch. Settle downstream by LATEST emission
+    * per (user, type) — e.g. pair each snapshot with its batch id and
+    * keep max-by-batch — NOT by max(n): TTL eviction makes counts
+    * non-monotone (a key expires at n=40, new events restart it at
+    * 1, 2, ...), so max(n) would resurrect the stale pre-expiry count
+    * forever. max(n) settling is sound only for the no-TTL
+    * [[typeCounts]] variant, whose counts are monotone by construction.
     *
     * Engine caveat (Spark 4.1): while TTL'd state exists, ProcessingTime
     * mode reports "another batch needed" indefinitely, so

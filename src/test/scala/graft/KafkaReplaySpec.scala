@@ -100,6 +100,64 @@ class KafkaReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming startingOffsets honored for a fresh query; endingOffsets rejected") {
+    val dir = writeTopic(10) // p0: 6 offsets (incl. tombstone); p1: 5
+    // a fresh stream with a JSON start position must skip the earlier
+    // records (pre-r13: the option was silently dropped and everything
+    // replayed from earliest)
+    val got = {
+      val q = spark.readStream.format(KafkaReplay.ShortName)
+        .option("path", dir).option("topic", "users")
+        .option("startingOffsets", """{"0":4,"1":-1}""")
+        .load()
+        .select($"partition", $"offset")
+        .writeStream.format("memory").queryName("replay_start_spec")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table("replay_start_spec").as[(Int, Long)].collect().sortBy(identity).toSeq
+    }
+    // p0 starts at 4 (offsets 4,5); p1 at latest (nothing)
+    assert(got === Seq((0, 4L), (0, 5L)), s"start position ignored: $got")
+    // endingOffsets is batch-only — a streaming read must fail loudly
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format(KafkaReplay.ShortName)
+        .option("path", dir).option("endingOffsets", """{"0":3}""")
+        .load()
+        .writeStream.format("memory").queryName("replay_end_spec")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("sink epoch ledger is query-scoped: two queries sharing a log dir never drop batches") {
+    val dir = Files.createTempDirectory("graft_replay_multiq").toString
+    def spool(name: String, recs: Seq[(Int, Array[Byte])]): KafkaReplay.SpoolMsg = {
+      val f = new java.io.File(dir, name); f.getParentFile.mkdirs()
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      recs.foreach { case (p, v) =>
+        out.writeInt(p); out.writeLong(0L); out.writeInt(-1)
+        out.writeInt(v.length); out.write(v)
+      }
+      out.close()
+      KafkaReplay.SpoolMsg(f.getPath, 0)
+    }
+    val wA = new KafkaReplay.ReplayStreamingWrite(dir, KafkaReplay.sinkSchema, "queryA")
+    val wB = new KafkaReplay.ReplayStreamingWrite(dir, KafkaReplay.sinkSchema, "queryB")
+    // both queries commit THEIR OWN epoch 0 — pre-r13 the bare epoch-id
+    // ledger made B's commit a silent no-op
+    wA.commit(0L, Array(spool(".epoch-0-task-a-0.spool", Seq((0, "a".getBytes)))))
+    wB.commit(0L, Array(spool(".epoch-0-task-b-0.spool", Seq((0, "b".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir) ===
+      scala.collection.immutable.SortedMap(0 -> 2L),
+      "second query's epoch 0 was dropped by a cross-query ledger hit")
+    // while replaying A's OWN epoch 0 stays a no-op
+    wA.commit(0L, Array(spool(".epoch-0-task-a-1.spool", Seq((0, "a2".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir) ===
+      scala.collection.immutable.SortedMap(0 -> 2L))
+  }
+
   test("micro-batch replay-from-earliest == batch pipeline over the same wire bytes") {
     val dir = writeTopic(4)
     val t = ProfileTransform(clock = Some(Instant.parse("2024-01-01T00:00:00Z")))

@@ -117,6 +117,36 @@ class StreamingSpec extends SparkSpec {
       Scd2Out(2L, 20L, t(1), None, 9.0, is_current = true)))
   }
 
+  test("streaming SCD2 drops a stale cross-batch update instead of minting an inverted interval") {
+    import graft.streaming.{Scd2Out, VersionEvent}
+    def t(m: Int) = Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60L))
+    val stream = MemoryStream[VersionEvent]
+    val q = StreamingPipeline.streamingScd2(stream.toDS())
+      .writeStream.format("memory").queryName("scd2_late_out")
+      .outputMode("append").start()
+    stream.addData(VersionEvent(1L, 10L, t(60), 1.0)) // open interval from 01:00
+    q.processAllAvailable()
+    // a LATE event (00:00, earlier batch missed it) arrives in batch 2:
+    // pre-r13 it closed the open interval with valid_to=00:00 <
+    // valid_from=01:00 — corrupt history no batch run would emit
+    stream.addData(VersionEvent(1L, 9L, t(0), 0.5))
+    q.processAllAvailable()
+    stream.addData(VersionEvent(1L, 11L, t(120), 2.0)) // normal successor
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("scd2_late_out").as[Scd2Out].collect()
+    // every emitted interval is well-formed
+    rows.foreach(r => r.valid_to.foreach(to =>
+      assert(!to.before(r.valid_from), s"inverted interval: $r")))
+    // the stale event contributed nothing; the real history stands
+    assert(!rows.exists(_.event_id == 9L), s"stale update folded: ${rows.toSeq}")
+    val settled = rows.groupBy(_.event_id)
+      .map { case (_, v) => v.find(_.valid_to.isDefined).getOrElse(v.head) }
+      .toSeq.sortBy(_.event_id)
+    assert(settled === Seq(
+      Scd2Out(1L, 10L, t(60), Some(t(120)), 1.0, is_current = false),
+      Scd2Out(1L, 11L, t(120), None, 2.0, is_current = true)))
+  }
+
   test("ST4 dropDuplicatesWithinWatermark: dups suppressed, late rows dropped, state store planned") {
     // Two-batch event-time scenario for the dedup_late_streamed
     // operator: batch 1 advances the watermark to 11:00 (max 12:00 −
@@ -421,10 +451,27 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingPipeline.jsonSinkSizedObjects(
       stream.toDF(), out, ckpt, recordsPerObject = 25).start()
     q.processAllAvailable(); q.stop()
-    val files = new java.io.File(out).listFiles()
+    // r13: each batch owns a batch=<id>/ subdirectory (idempotent
+    // overwrite — the exactly-once delivery pattern); objects live there
+    def jsonFiles() = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
       .filter(f => f.getName.endsWith(".json") && f.length() > 0)
-    assert(files.length === 4, s"expected 4 objects of ~25 records, got ${files.length}")
+    assert(jsonFiles().length === 4,
+      s"expected 4 objects of ~25 records, got ${jsonFiles().length}")
     assert(spark.read.json(out).count() === 100)
+    // replay idempotence: re-running the same committed batch (fresh
+    // checkpoint, same data, same batch id) rewrites batch=0 wholesale
+    // instead of appending a duplicate copy — the pre-r13 bare append
+    // double-counted exactly here
+    val ckpt2 = Files.createTempDirectory("graft_sized_ckpt2").toString
+    val stream2 = MemoryStream[Ev]
+    stream2.addData((1 to 100).map(i => ev(i, "a", i.toDouble)): _*)
+    val q2 = StreamingPipeline.jsonSinkSizedObjects(
+      stream2.toDF(), out, ckpt2, recordsPerObject = 25).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.json(out).count() === 100,
+      "a replayed batch must overwrite its own directory, not append")
   }
 
   test("checkpointed sink is exactly-once across restarts (ST1)") {
