@@ -110,7 +110,15 @@ object AvroCodec {
               if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
           }.asJava)
       case StringType  => Schema.create(Schema.Type.STRING)
-      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      // Short/Byte must NOT silently map to Avro INT: the write path's
+      // typed getters are driven by the AVRO type, so an INT-slot read
+      // against a 2-byte UnsafeRow slot zero-extends (-1: Short becomes
+      // 65535 on disk) — silent corruption. Fail loudly; callers cast.
+      case ShortType | ByteType => throw new UnsupportedOperationException(
+        s"avro encoding of ${dt.simpleString} is not supported: cast the " +
+          "column to int first (a silent int-slot read would corrupt " +
+          "negative values)")
       case LongType    => Schema.create(Schema.Type.LONG)
       case FloatType   => Schema.create(Schema.Type.FLOAT)
       case DoubleType  => Schema.create(Schema.Type.DOUBLE)
@@ -160,19 +168,24 @@ object AvroCodec {
     * layout is the READER schema's. */
   def decodeEvolved(bytes: Array[Byte], writerJson: String, readerJson: String,
       permissive: Boolean): InternalRow = {
+    // schema parsing and reader construction live OUTSIDE the permissive
+    // catch: a malformed reader/writer schema JSON is a CONFIGURATION
+    // error, and swallowing it per-row would null every record — the
+    // downstream malformed-skip filter then silently drops the whole
+    // dataset instead of failing fast on the typo
+    val st = state.get()
+    val readerSchema = parsedSchema(readerJson)
+    val cacheKey = writerJson + "\u0000" + readerJson
+    var reader = st.readers.get(cacheKey)
+    if (reader == null) {
+      reader = new GenericDatumReader[GenericRecord](
+        parsedSchema(writerJson), readerSchema)
+      st.readers.put(cacheKey, reader)
+    }
     try {
       if (bytes.length < 5 || bytes(0) != MagicByte)
         throw new IllegalArgumentException(
           s"not a Confluent-framed Avro payload (len=${bytes.length})")
-      val st = state.get()
-      val readerSchema = parsedSchema(readerJson)
-      val cacheKey = writerJson + "\u0000" + readerJson
-      var reader = st.readers.get(cacheKey)
-      if (reader == null) {
-        reader = new GenericDatumReader[GenericRecord](
-          parsedSchema(writerJson), readerSchema)
-        st.readers.put(cacheKey, reader)
-      }
       st.decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, st.decoder)
       val rec = reader.read(null, st.decoder)
       toCatalyst(rec, readerSchema).asInstanceOf[InternalRow]

@@ -40,7 +40,7 @@ import org.apache.spark.sql.graft.InternalDf
   */
 object AvroFiles {
 
-  private def codecFactory(name: String): CodecFactory = name match {
+  private[avro] def codecFactory(name: String): CodecFactory = name match {
     case "null"    => CodecFactory.nullCodec()
     case "deflate" => CodecFactory.deflateCodec(6)
     case "snappy"  => CodecFactory.snappyCodec()
@@ -66,19 +66,35 @@ object AvroFiles {
       if (!rows.hasNext) Iterator.empty
       else {
         val schema = AvroCodec.parsedSchema(schemaJson)
-        val p = new Path(outDir, f"part-$pid%05d.avro")
-        val out = p.getFileSystem(confAccess()).create(p, true)
+        // task-commit protocol (r13): stream to an attempt-unique _tmp-
+        // spool and atomically rename on completion — a retried or
+        // speculative duplicate attempt writing the FINAL name directly
+        // would interleave bytes with the original (corrupt container);
+        // with the rename the last finisher wins wholesale, and readers
+        // never see a half-written file (_tmp- is planner-excluded)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val fs = new Path(outDir).getFileSystem(confAccess())
+        val tmp = new Path(outDir, f"_tmp-part-$pid%05d-$attempt.avro")
+        val fin = new Path(outDir, f"part-$pid%05d.avro")
+        val out = fs.create(tmp, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(codecFactory(codecName))
         w.setSyncInterval(syncIntervalBytes)
         w.create(schema, out)
         var n = 0L
+        var ok = false
         try {
           while (rows.hasNext) {
             w.append(AvroCodec.rowToAvro(rows.next(), schema))
             n += 1
           }
-        } finally w.close()
+          ok = true
+        } finally {
+          w.close()
+          if (ok) { fs.delete(fin, false); fs.rename(tmp, fin); () }
+          else { fs.delete(tmp, false); () }
+        }
         Iterator.single(n)
       }
     }.collect()
@@ -93,7 +109,11 @@ object AvroFiles {
     * returned DataFrame. Task retries, speculative duplicates, or a
     * second action re-executing the scan will increment again — this is
     * inherent to Spark accumulators in transformations; treat the values
-    * as a per-run diagnostic, not an exactly-once ledger. */
+    * as a per-run diagnostic, not an exactly-once ledger. Granularity:
+    * `truncatedFiles` increments once per affected SPLIT — a corrupt
+    * tail of a container planned as k byte-ranges can count up to k
+    * (each range independently hits the mangled region), so read it as
+    * "truncation events observed", not distinct files. */
   final case class ReadMetrics(
       corruptHeaderFiles: org.apache.spark.util.LongAccumulator,
       truncatedFiles: org.apache.spark.util.LongAccumulator)
@@ -128,7 +148,13 @@ object AvroFiles {
     val it = fs.listFiles(dirPath, true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".avro") && st.getLen > 0)
+      // _tmp- spools are in-flight (or orphaned by a hard-crashed task
+      // that never reached abort): half-written containers that would
+      // fail a strict read or inflate permissive corrupt counts — the
+      // DSv2 commit explicitly excludes the prefix, so must the planner
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".avro") && !name.startsWith("_tmp-") &&
+          st.getLen > 0)
         files += st.getPath.toString -> st.getLen
     }
     val splits = files.sortBy(_._1).flatMap { case (p, len) =>
@@ -220,6 +246,15 @@ object AvroFiles {
     opened match {
       case None => Iterator.empty
       case Some(r) =>
+        // early-terminated scans (limit(n), take, a failed downstream
+        // task) abandon the iterator before exhaustion and the on-done
+        // close below never runs — the task-completion listener closes
+        // the reader (and its FS input stream) then; a second close
+        // after normal exhaustion is a safe no-op
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try r.close()
+            catch { case scala.util.control.NonFatal(_) => }))
         val splitEnd = sp.start + sp.length
         // seek to the first block at-or-after our range start; a file
         // mangled badly enough that the seek itself fails is a
@@ -274,7 +309,8 @@ object AvroFiles {
     val it = fs.listFiles(dirPath, true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".avro") && st.getLen > 0) {
+      if (st.isFile && st.getPath.getName.endsWith(".avro") &&
+          !st.getPath.getName.startsWith("_tmp-") && st.getLen > 0) {
         val in = new FsInput(st.getPath, conf)
         try {
           val r = DataFileReader.openReader(in,

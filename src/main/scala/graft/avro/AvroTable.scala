@@ -126,12 +126,10 @@ object AvroTable {
           val fs = tmp.getFileSystem(conf.value)
           writer = new org.apache.avro.file.DataFileWriter(
             new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
-          writer.setCodec(codec match {
-            case "null" => org.apache.avro.file.CodecFactory.nullCodec()
-            case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
-            case "zstandard" => org.apache.avro.file.CodecFactory.zstandardCodec(3)
-            case _ => org.apache.avro.file.CodecFactory.deflateCodec(6)
-          })
+          // one codec table (AvroFiles.codecFactory) for every writer:
+          // the inline copy this replaces mapped any unknown name to
+          // deflate, so a typo ("zstd") silently changed the codec
+          writer.setCodec(AvroFiles.codecFactory(codec))
           writer.create(schema, fs.create(tmp, true))
         }
         override def write(row: InternalRow): Unit = {
@@ -246,6 +244,13 @@ object AvroTable {
         return
       }
       val epochDir = new org.apache.hadoop.fs.Path(dir, s"batch=$epochId")
+      // a replay whose ORIGINAL attempt crashed between the renames and
+      // the ledger write finds batch=<e> populated but un-ledgered: the
+      // two attempts' parts carry different task ids (different final
+      // names), so a bare re-rename would leave BOTH attempts' files —
+      // duplicated rows. The epoch owns its directory: rewrite it
+      // wholesale, exactly like the foreachBatch avroSink pattern.
+      if (fs.exists(epochDir)) fs.delete(epochDir, true)
       fs.mkdirs(epochDir)
       parts.foreach { m =>
         val tmp = new org.apache.hadoop.fs.Path(m.tmpPath)
@@ -254,11 +259,18 @@ object AvroTable {
             m.finalName.stripPrefix(s"epoch-$epochId-")))
         else fs.delete(tmp, false)
       }
+      // the ledger rewrite is write-to-temp + atomic rename: a bare
+      // create(truncate) zeroed the file before rewriting, so a crash
+      // mid-write lost EVERY committed-epoch record and every later
+      // replay would re-append
       val prior = committedEpochs(fs)
-      val out = fs.create(epochsPath, true)
+      val ledgerTmp = new org.apache.hadoop.fs.Path(dir, "_epochs.tmp")
+      val out = fs.create(ledgerTmp, true)
       try out.write((prior + epochId).toSeq.sorted.mkString("", "\n", "\n")
         .getBytes("UTF-8"))
       finally out.close()
+      fs.delete(epochsPath, false)
+      fs.rename(ledgerTmp, epochsPath): Unit
     }
 
     override def abort(epochId: Long,
@@ -325,10 +337,20 @@ class GraftAvroProvider extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException(s"${AvroTable.ShortName} requires option 'path'"))
-    val json = Option(opts.get("avroSchema"))
-      .orElse(AvroFiles.firstWriterSchemaJson(
-        SparkSession.active.sparkContext.hadoopConfiguration, path))
-      .getOrElse(AvroCodec.avroSchemaJson(schema, "Record", "graft"))
+    // Precedence (r13): an explicit avroSchema option wins; otherwise a
+    // USER-SUPPLIED .schema(...) must be honored — the pre-r13 chain
+    // preferred the header probe, silently ignoring the user's reader
+    // schema on any non-empty dir. The inferred path is recognized by
+    // shape: when the given schema is exactly the header schema's Spark
+    // form, keep the richer header JSON (field defaults, record names);
+    // anything else is the user's schema and drives the resolution.
+    val json = Option(opts.get("avroSchema")).getOrElse {
+      AvroFiles.firstWriterSchemaJson(
+          SparkSession.active.sparkContext.hadoopConfiguration, path) match {
+        case Some(hj) if AvroCodec.sparkStructType(hj) == schema => hj
+        case _ => AvroCodec.avroSchemaJson(schema, "Record", "graft")
+      }
+    }
     new AvroTable.OcfTable(path, json)
   }
 }

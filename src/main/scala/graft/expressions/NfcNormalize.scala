@@ -38,12 +38,15 @@ case class NfcNormalize(child: Expression, form: String = "NFC")
   override def dataType: DataType = StringType
   override def prettyName: String = "unicode_normalize"
 
+  @transient private lazy val normForm = Normalizer.Form.valueOf(form)
+
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     // Fast path: Normalizer.isNormalized avoids allocating for the
     // (overwhelmingly common in clean corpora) already-normal case.
-    if (Normalizer.isNormalized(s, Normalizer.Form.valueOf(form))) input
-    else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.valueOf(form)))
+    // The Form enum is resolved once, not valueOf'd twice per row.
+    if (Normalizer.isNormalized(s, normForm)) input
+    else UTF8String.fromString(Normalizer.normalize(s, normForm))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -125,8 +125,9 @@ object TextFunctions {
     }
   }
 
-  /** Predicted language: first profile (in declaration order) strictly
-    * greater than all later ones and > 0; else "und". */
+  /** Predicted language: the EARLIEST profile (in declaration order)
+    * whose score equals the maximum and is > 0 — ties resolve to the
+    * earlier-declared language; else "und". */
   def langId(text: Column): Column = {
     val scores = langScores(text)
     val best = scores.foldLeft(lit(0)) { case (acc, (_, s)) => greatest(acc, s) }

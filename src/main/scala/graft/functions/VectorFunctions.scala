@@ -34,8 +34,13 @@ object VectorFunctions {
   def cosineHof(a: Column, b: Column): Column = {
     val na = normSq(a)
     val nb = normSq(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dotHof(a, b) / (sqrt(na) * sqrt(nb)))
+    // the length check comes FIRST, like the fused expression's: a
+    // zero-norm side must not short-circuit a mismatched pair to 0.0
+    // while the fused path nulls it — the two paths are spec-pinned
+    // value-identical on every input class
+    when(size(a) =!= size(b), lit(null).cast("double"))
+      .otherwise(when(na === 0.0 || nb === 0.0, lit(0.0))
+        .otherwise(dotHof(a, b) / (sqrt(na) * sqrt(nb))))
   }
 
   /** Signed random-hyperplane bit: sign of v · h_p where plane p has
@@ -43,7 +48,12 @@ object VectorFunctions {
     * the LSH index and query paths. */
   def hyperplaneBit(vec: Column, plane: Int): Column = {
     val dim = size(vec)
-    val dot = aggregate(sequence(lit(0), dim - 1), lit(0.0),
+    // guard the empty vector: sequence(0, -1) DESCENDS (default step -1)
+    // and element_at(vec, 0) then throws — the fused kernel computes
+    // dot = 0.0 and emits bit 1, so the reference must too
+    val idx = when(dim >= 1, sequence(lit(0), dim - 1))
+      .otherwise(array().cast("array<int>"))
+    val dot = aggregate(idx, lit(0.0),
       (acc, d) => acc +
         element_at(vec, d + 1).cast("double") *
           when(xxhash64(lit(plane), d).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0)))
@@ -54,7 +64,11 @@ object VectorFunctions {
     * aggregate lambdas per row (kept as the bit-identity baseline for
     * the fused expression below). */
   def hyperplaneSignatureHof(vec: Column, planes: Int): Column =
-    array((0 until planes).map(p => hyperplaneBit(vec, p)): _*)
+    // null vector -> null signature, like the fused expression's
+    // nullSafeEval (the bare bit would read null dot >= 0 as false and
+    // mint an all-zeros signature for null input)
+    when(vec.isNotNull,
+      array((0 until planes).map(p => hyperplaneBit(vec, p)): _*))
 
   /** Full signature as an int array (planes bits) — fused single-pass
     * expression, bit-identical to `hyperplaneSignatureHof`. */
@@ -67,7 +81,9 @@ object VectorFunctions {
     * fused twin below — and the exact formula a DuckDB oracle replays. */
   def hyperplaneBitMd5(vec: Column, plane: Int): Column = {
     val dim = size(vec)
-    val dot = aggregate(sequence(lit(0), dim - 1), lit(0.0),
+    val idx = when(dim >= 1, sequence(lit(0), dim - 1)) // empty-vec guard, see hyperplaneBit
+      .otherwise(array().cast("array<int>"))
+    val dot = aggregate(idx, lit(0.0),
       (acc, d) => acc +
         element_at(vec, d + 1).cast("double") *
           when(ascii(substring(md5(
@@ -77,7 +93,8 @@ object VectorFunctions {
   }
 
   def hyperplaneSignatureMd5Hof(vec: Column, planes: Int): Column =
-    array((0 until planes).map(p => hyperplaneBitMd5(vec, p)): _*)
+    when(vec.isNotNull, // null-in null-out, matching the fused twin
+      array((0 until planes).map(p => hyperplaneBitMd5(vec, p)): _*))
 
   /** Fused md5-family signature — bit-identical to the HOF reference and
     * recomputable in SQL (the oracle path for LSH operators). */

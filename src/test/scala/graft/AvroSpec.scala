@@ -211,4 +211,25 @@ class AvroSpec extends SparkSpec {
       l.contains("Project") && l.trim.startsWith("+- *(") || l.trim.startsWith("*(")), plan)
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("permissive decode fails fast on a malformed SCHEMA (config vs data errors, r13)") {
+    // a schema typo is a configuration error: swallowing it per-row
+    // would null every record and the malformed-skip filter would
+    // silently drop the whole dataset
+    intercept[Exception] {
+      graft.avro.AvroCodec.decodeEvolved(
+        Array[Byte](0, 0, 0, 0, 7, 1), "{not json", "{not json",
+        permissive = true)
+    }
+  }
+
+  test("avro schema derivation rejects short/byte instead of corrupting them (r13)") {
+    // the write path's typed getters are avro-type-driven: a silent
+    // short->INT mapping zero-extends negative values on disk
+    val ex = intercept[UnsupportedOperationException] {
+      graft.avro.AvroCodec.avroType(
+        org.apache.spark.sql.types.ShortType, nullable = false, "R", "graft")
+    }
+    assert(ex.getMessage.contains("cast the column to int"))
+  }
 }

@@ -149,6 +149,40 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("fused/HOF parity on the degenerate input classes (r13 review)") {
+    // empty vector: sequence(0,-1) DESCENDS in Spark, so the unguarded
+    // HOF threw while the fused kernel emitted all-ones; null vector:
+    // the unguarded HOF minted all-zeros while the fused kernel nulled
+    val vecs = Seq(
+      Some(Array.empty[Float]),
+      None,
+      Some(Array(1.0f, -2.0f))).toDF("v")
+    for ((f, h) <- Seq(
+        (VectorFunctions.hyperplaneSignature($"v", 6),
+          VectorFunctions.hyperplaneSignatureHof($"v", 6)),
+        (VectorFunctions.hyperplaneSignatureMd5($"v", 6),
+          VectorFunctions.hyperplaneSignatureMd5Hof($"v", 6)))) {
+      val diff = vecs.select(f.as("f"), h.as("h"))
+        .filter(not($"f" <=> $"h")).count()
+      assert(diff === 0, "hyperplane fused/HOF diverge on empty/null vectors")
+    }
+    // cosine: a zero-norm side of a LENGTH-MISMATCHED pair must not
+    // short-circuit the HOF to 0.0 while the fused path nulls it
+    val pairs = Seq(
+      (Array(0.0f, 0.0f), Array(0.0f)),          // zero-norm + mismatch -> null
+      (Array(1.0f, 2.0f), Array(1.0f)),          // plain mismatch -> null
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)))    // zero-norm, equal length -> 0.0
+      .toDF("a", "b")
+    val cdiff = pairs.select(
+      VectorFunctions.cosine($"a", $"b").as("f"),
+      VectorFunctions.cosineHof($"a", $"b").as("h"))
+      .filter(not($"f" <=> $"h")).count()
+    assert(cdiff === 0, "cosine fused/HOF diverge on mismatched/zero-norm pairs")
+    val got = pairs.select(VectorFunctions.cosine($"a", $"b")).collect()
+      .map(r => Option(r.get(0)))
+    assert(got.toSeq === Seq(None, None, Some(0.0)))
+  }
+
   test("SortedIntersectSize == size(array_intersect) on sorted-distinct arrays") {
     import org.apache.spark.sql.graft.ExprBridge
     // arbitrary token multisets, incl. empties, unicode, shared and

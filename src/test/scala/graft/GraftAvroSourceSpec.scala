@@ -56,6 +56,35 @@ class GraftAvroSourceSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("active"))
   }
 
+  test("user-supplied .schema(...) is honored over the header probe (r13 review)") {
+    val dir = tmp()
+    AvroFiles.write(usersDf(6, 1), schema, dir)
+    // a reader schema narrowed to a top-level subset, passed as a SPARK
+    // schema (not the avroSchema option): pre-r13 the header probe won
+    // the orElse chain and the user's schema was silently ignored
+    val narrowed = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("age",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val got = spark.read.format("graft-avro").schema(narrowed).load(dir)
+    assert(got.schema.fieldNames.toSeq === Seq("user_id", "age"),
+      s"user schema ignored: ${got.schema.fieldNames.toSeq}")
+    assert(got.count() === 6)
+  }
+
+  test("planner and schema probe skip in-flight _tmp- spools (r13 review)") {
+    val dir = tmp()
+    AvroFiles.write(usersDf(6, 1), schema, dir)
+    // simulate a hard-crashed task's orphaned spool: garbage bytes under
+    // the writer's temp prefix — strict reads must not see it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_tmp-part-00099-7.avro"),
+      Array.fill[Byte](64)(0x5a))
+    assert(spark.read.format("graft-avro").load(dir).count() === 6,
+      "orphaned _tmp- spool leaked into the strict scan")
+  }
+
   test("splitBytes option fans one container across multiple input partitions") {
     val dir = tmp()
     AvroFiles.write(usersDf(4000, 1), schema, dir, codec = "null",
