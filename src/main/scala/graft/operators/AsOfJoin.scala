@@ -34,6 +34,11 @@ object AsOfJoin {
     val dedupW = Window.partitionBy(col(rightKey), col(rightTs))
       .orderBy(col(tiebreak).desc)
     val r = right
+      // a NULL right timestamp can never satisfy "at or before" — but
+      // nulls sort FIRST ascending, so an unfiltered null-ts row would
+      // lead its key's partition and be carried forward as a phantom
+      // match for every left row before the first real right row
+      .filter(col(rightTs).isNotNull)
       .withColumn("__rn", row_number().over(dedupW))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -27,7 +27,12 @@ import graft.functions.TextFunctions
   */
 object Bpe {
 
-  private def sqlLit(s: String): String = s.replace("'", "''")
+  /** Spark SQL string-literal escaping: BACKSLASH escapes, not SQL-92
+    * quote doubling — Spark concatenates adjacent string literals, so
+    * 'a''b' parses as "ab" and an apostrophe-bearing BPE symbol (every
+    * English contraction) would silently never match its merge rule. */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
 
   /** The greedy merge fold for a BATCH of rules: symbols `sym` ->
     * space-joined merged string, applying every rule in one left-to-right
@@ -40,7 +45,7 @@ object Bpe {
       val (qa, qb, qm) = (sqlLit(a), sqlLit(b), sqlLit(merged))
       s"""    WHEN x = '$qb' AND (acc = '$qa' OR endswith(acc, concat(' ', '$qa')))
          |    THEN CASE WHEN acc = '$qa' THEN '$qm'
-         |         ELSE concat(left(acc, length(acc) - ${a.length + 1}), ' ', '$qm') END""".stripMargin
+         |         ELSE concat(left(acc, length(acc) - ${a.codePointCount(0, a.length) + 1}), ' ', '$qm') END""".stripMargin
     }.mkString("\n")
     s"""aggregate(slice(sym, 2, size(sym) - 1), element_at(sym, 1),
        |  (acc, x) -> CASE
@@ -84,6 +89,10 @@ object Bpe {
     require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
     val words = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      // tokens("") yields [""], and sequence(1, length("")) = sequence(1, 0)
+      // DESCENDS — the empty word would mint a phantom 2-symbol " " pair
+      // whose count equals the blank-document count, hijacking merge steps
+      .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"), array_join(
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),

@@ -100,6 +100,11 @@ object Dedup {
     // clearCache-between-queries drops it afterwards)
     val occ = docs.select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
       .persist()
+    // registry-tracked (r13): the pin must outlive this call (the
+    // returned plan consumes occ twice, lazily), so it cannot unpersist
+    // here — the registry frees the grand-predecessor on re-invocation
+    // instead of leaking one corpus-scale cache per call
+    PinRegistry.replace("dedup.substringSpans", Seq(occ))
     val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minOcc).select(col("h"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -249,6 +254,10 @@ object Dedup {
     val withSh = df.select(col(idCol), TextFunctions.shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registry-tracked like substringSpans' gram pin: the shingle frame
+    // feeds both the banding and the verify join of the LAZY result, so
+    // it cannot unpersist here — re-invocation frees the superseded pin
+    PinRegistry.replace("dedup.minhashNearDups", Seq(withSh))
     val sig = if (useMd5) minhashSignatureMd5(col("sh"), numHashes)
               else minhashSignatureFast(col("sh"), numHashes)
     val withSig = withSh.withColumn("sig", sig)
@@ -384,9 +393,14 @@ object Dedup {
     * conversion: the edge list is counted once (it is persisted either
     * way — both strategies consume it), and
     *
-    *  - ≤ `driverEdgeLimit` edges (default 4M ≈ 64 MB of longs — small
-    *    against any driver heap): a local union-find with path
-    *    compression closes the components in milliseconds. An LSH
+    *  - ≤ `driverEdgeLimit` edges (default 4M): a local union-find with
+    *    path compression closes the components in milliseconds. Honest
+    *    footprint at the limit (r13): the raw longs are 64 MB, but the
+    *    transient collected Rows, the boxed mutable.HashMap of up to
+    *    ~8M nodes, and the result Seq put the real peak at roughly
+    *    0.5–1 GB — fine for the multi-GB driver this library assumes
+    *    (Bench runs 8 GB), but a 1 GB-driver deployment should lower
+    *    the limit; the distributed path below is always correct. An LSH
     *    near-dup graph is SPARSE by construction (edges ≈ surviving
     *    candidate pairs, bounded by the banding budget), so this is the
     *    common case even for large corpora — and it deletes ~10 rounds

@@ -40,3 +40,38 @@ object LocalCheckpoints {
   def free(handles: Seq[RDD[_]]): Unit =
     handles.foreach(_.unpersist(false))
 }
+
+/** Two-generation replace-on-reinvoke hygiene for `persist()` pins that
+  * must stay cached until the LAZY returned plan executes (a frame
+  * consumed twice within one returned plan — substringSpans' gram pass,
+  * minhashNearDups' shingle frame — cannot unpersist before execution,
+  * and without a registry every invocation leaks one corpus-scale cache
+  * for the session lifetime). Same contract as Triangles' result
+  * registry: re-invoking over the same input frees the
+  * grand-predecessor's pins, bounding a long-lived session to two live
+  * generations per (call site, input) while the returned frame of the
+  * previous invocation stays usable until two successors land. */
+object PinRegistry {
+
+  private val pins = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    List[Seq[Dataset[_]]]]()
+
+  /** Register `newPins` (already persisted) under `tag` + their
+    * canonicalized plans; frees the two-generations-old pins for the
+    * same key. Freeing happens after the map update returns (never
+    * under the bin lock). */
+  def replace(tag: String, newPins: Seq[Dataset[_]]): Unit = {
+    if (newPins.isEmpty) return
+    val spark = newPins.head.sparkSession
+    val key = (spark, tag + "|" + newPins.map(
+      _.queryExecution.analyzed.canonicalized.toString).mkString("\u0000"))
+    var dropped: List[Seq[Dataset[_]]] = Nil
+    pins.compute(key, (_, old) => {
+      val prior = if (old == null) Nil else old
+      dropped = prior.drop(1)
+      newPins :: prior.take(1)
+    })
+    dropped.foreach(_.foreach(_.unpersist(false)))
+  }
+}

@@ -168,15 +168,23 @@ object Pq {
       .join(broadcast(cb), Seq("blk"))
       .select(col("query_id"), col("blk"), col("code"),
         qd2(col("qv"), col("qc")).as("qd2"))
-    val adcRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("neighbor_id"))
+    // shortlist via the map-side TopKByScore aggregate on NEGATED
+    // distance ((-adc desc, id asc) == (adc asc, id asc), the window's
+    // exact order): raw PQ has no cell pruning, so the ADC stage scores
+    // the whole corpus per query and a row_number window would funnel
+    // every |corpus| candidate of a query into ONE task to sort —
+    // partial top-k buffers collapse that map-side (the Ivf/Similarity
+    // rerank pattern)
     val short = codes.join(lut, Seq("blk", "code"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("qd2")).as("adc"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("r", row_number().over(adcRank))
-      .filter(col("r") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topk(
+        // long->double is EXACT below 2^53; the micro-unit quantization
+        // (1e6 x |v|<=10 floats, summed over dim) keeps adc under ~7e15
+        -col("adc").cast("double"), col("neighbor_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
     val qfull = quantized(queries, idCol, vecCol).withColumnsRenamed(
       Map("id" -> "query_id", "qfull" -> "qq"))
     val nfull = quantized(emb, idCol, vecCol).withColumnsRenamed(
@@ -279,21 +287,25 @@ object Pq {
       .join(broadcast(cb), Seq("blk"))
       .select(col("query_id"), col("cell"), col("blk"), col("code"),
         qd2(col("qv"), col("qc")).as("qd2"))
-    val adcRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("neighbor_id"))
     // query-derived sides (lut/short/qfull) carry NO forced broadcast
     // hint — see adcTopKWith: a fixed production batch broadcasts via
     // size stats / AQE; a corpus-growing query split (the registered
     // %-splits) degrades to a shuffle join instead of an unbounded
     // forced broadcast. Model-sized sides (cents, cb) stay hinted.
+    // Shortlist via map-side TopKByScore on -adc (see adcTopKWith):
+    // nProbe bounds the candidates here, but a hot cell still lands
+    // a query's whole candidate set on one window task without it.
     val short = codes.join(lut, Seq("cell", "blk", "code"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("qd2")).as("adc"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .filter(corpusPred)
-      .withColumn("r", row_number().over(adcRank))
-      .filter(col("r") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topk(
+        // long->double is EXACT below 2^53; the micro-unit quantization
+        // (1e6 x |v|<=10 floats, summed over dim) keeps adc under ~7e15
+        -col("adc").cast("double"), col("neighbor_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
     val qfull = quantized(queries, idCol, vecCol).withColumnsRenamed(
       Map("id" -> "query_id", "qfull" -> "qq"))
     val nfull = quantized(rerankCorpus, idCol, vecCol).withColumnsRenamed(

@@ -37,6 +37,14 @@ object RunningTotal {
     val reserved = Seq("_rt_v", "_rt_pid", "_rt_off", "_rt_t")
     require(!df.columns.exists(reserved.contains),
       s"input must not contain the helper columns ${reserved.mkString(", ")}")
+    // the accumulator is exact LONG arithmetic (order-independent across
+    // partitions); a fractional value would be silently truncated by the
+    // cast below — reject it and let the caller quantize explicitly
+    // (the repo convention: round(x * 1e6).cast("long") micro-units)
+    val vType = df.select(value.as("_rt_v")).schema.head.dataType
+    require(Seq("byte", "short", "int", "bigint").contains(vType.simpleString),
+      s"withRunningSum needs an integral value column, got ${vType.simpleString}: " +
+        "quantize first (e.g. round(x * 1e6).cast(\"long\"))")
     val nParts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions

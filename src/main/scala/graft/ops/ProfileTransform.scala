@@ -67,7 +67,13 @@ final case class ProfileTransform(
 
   private def processedTs: Column = clock match {
     case Some(instant) => lit(instant.toString)
-    case None          => date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    // date_format renders in the SESSION timezone; shift the instant so
+    // that rendering IS its UTC wall time before stamping the literal
+    // 'Z' — on a non-UTC session the bare form labeled local time as
+    // UTC, hours off the true instant (Instant.toString semantics, T8)
+    case None => date_format(
+      to_utc_timestamp(current_timestamp(), expr("current_timezone()")),
+      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
   }
 }
 

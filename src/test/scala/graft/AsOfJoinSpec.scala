@@ -37,6 +37,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) === Some(104L))
   }
 
+  test("a null right timestamp is never an as-of match (r13 review)") {
+    // nulls sort FIRST ascending: pre-r13 the null-ts row led its key's
+    // partition and was carried forward as a phantom match for every
+    // left row before the first real right row
+    val rWithNull = right.unionByName(
+      Seq((999L, "a", Option.empty[Timestamp], 9.0)).toDF("rid", "k", "ts", "v"))
+    val out = AsOfJoin.joinAsOf(left, rWithNull, "k", "k", "ts", "ts", tiebreak = "rid")
+      .select("id", "r_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(3L) === None, s"null-ts right row matched as-of: ${out(3L)}")
+    assert(out(1L) === Some(100L) && out(2L) === Some(102L),
+      "real matches must be unaffected by the null-ts row")
+  }
+
   test("cosine_similarity is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val sim = spark.sql(

@@ -719,6 +719,27 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 31L -> 1L), s"1 and 31 must cluster: $got")
   }
 
+  test("pin registry bounds the session to two live caches per call site (r13)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa")
+    ).toDF("doc_id", "text")
+    def livePins(): Int = spark.sparkContext.getPersistentRDDs.size
+    // settle whatever other suites left behind
+    val base = livePins()
+    for (_ <- 1 to 4) {
+      Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35).count()
+      Dedup.substringSpans(docs, "doc_id", "text", k = 3).count()
+    }
+    // pre-r13: +1 corpus cache per invocation (8 new pins here); the
+    // two-generation registry caps each call site at 2
+    assert(livePins() - base <= 4,
+      s"pin leak: $base -> ${livePins()} after 4 re-invocations")
+  }
+
   test("autoWindow: smallest window at 95% survivor coverage; query agrees") {
     import spark.implicits._
     // synthetic law check: coverage floor slides the choice

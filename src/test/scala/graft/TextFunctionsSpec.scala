@@ -155,4 +155,23 @@ class TextFunctionsSpec extends SparkSpec {
     // only the two-char word 'xy' has a pair
     assert(m.toSeq === Seq(("x y", 1L)))
   }
+
+  test("BPE handles apostrophe symbols and blank documents (r13 review)") {
+    // apostrophes: Spark concatenates adjacent string literals, so the
+    // pre-r13 quote-DOUBLING escape made a rule with a='\'' silently
+    // never match — the same top pair re-won every scan and the merge
+    // list filled with duplicate no-op rules
+    val docs = Seq((1L, "a'b a'b a'b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val learned = graft.operators.Bpe.learn(docs, "text", steps = 3, batchSize = 1)
+    val pairs = learned.merges.map(m => (m._2, m._3))
+    assert(pairs.distinct.size === pairs.size,
+      s"duplicate no-op rules learned (broken escaping): $pairs")
+    // the apostrophe-bearing word fully merges across the 3 steps
+    val segs = graft.operators.Bpe.segmentsDf(learned)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(segs("a'b") === "a'b", s"apostrophe merge failed: $segs")
+    // blank documents must not mint a phantom '<empty> <empty>' pair
+    assert(!learned.merges.exists(m => m._2.trim.isEmpty || m._3.trim.isEmpty),
+      s"phantom empty-symbol rule: ${learned.merges}")
+  }
 }
