@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization (the BPE-ish regex variant is `tokensBpe`). */
+  /** Whitespace tokenization (the BPE-ish regex variant is `tokensBpe`).
+    *
+    * CONTRACT for empty input: split(trim("")) yields [""] — ONE empty
+    * token, so tokenCount("") = 1, not 0. Every DuckDB oracle renders
+    * the same artifact (string_split of "" gives [""]), so the parity
+    * gates hold by construction; it also keeps qualityScore's
+    * stop/n and avgLen/n divisions total. Where emptiness matters,
+    * guard explicitly (Bpe.learn filters length(word) >= 1). Changing
+    * this to [] would shift every token-counting oracle — a
+    * coordinated cross-engine migration, not a local fix. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** First 4 md5 hex nibbles of a string column as a 16-bit int — THE
@@ -112,8 +121,13 @@ object TextFunctions {
   /** Language-ID by marker-token counting (n-gram heuristic): count
     * profile hits with multiplicity, argmax with a fixed precedence.
     * Deterministic and SQL-renderable; real profiles are swappable. */
+  /** The English marker set — single home, shared by [[langProfiles]]
+    * and [[qualityScore]] (two literal copies had already been declared
+    * once; an edit to one would silently diverge the other). */
+  val enStopwords: Seq[String] = Seq("the", "a", "and", "of")
+
   val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and", "of"),
+    "en" -> enStopwords,
     "de" -> Seq("der", "die", "das", "und"),
     "es" -> Seq("el", "la", "los", "y"),
     "fr" -> Seq("le", "les", "et", "je"))
@@ -142,7 +156,7 @@ object TextFunctions {
   def qualityScore(text: Column): Column = {
     val n = tokenCount(text).cast("double")
     val stop = size(filter(tokens(text),
-      t => t.isInCollection(Seq("the", "a", "and", "of")))).cast("double")
+      t => t.isInCollection(enStopwords))).cast("double")
     val avgLen = length(normalized(text)).cast("double") / n
     least(n / lit(50.0), lit(1.0)) * lit(0.5) +
       (stop / n) * lit(0.3) +

@@ -28,6 +28,37 @@ case class SessEvent(user_id: Long, event_id: Long,
   * answer "does this row extend the session" exactly. */
 case class SessAcc(start_us: Long, last_us: Long, n: Long)
 case class SessState(sessions: List[SessAcc])
+
+/** THE gap-session interval merge — the single home shared by the fMGWS
+  * formulation ([[StreamingPipeline.gapSessions]]) and the
+  * transformWithState one ([[TwsSessions.GapSessionLogic]]). The two
+  * processors are spec-pinned output-equal; keeping the fold in one
+  * place makes that equality true by construction instead of by
+  * copy-paste discipline (r13 review). */
+object GapMerge {
+  /** Sort by start, coalesce while the next interval starts within
+    * `gapUs` of the previous end. */
+  def merge(prior: List[SessAcc], fresh: List[SessAcc], gapUs: Long): List[SessAcc] =
+    (prior ++ fresh).sortBy(s => (s.start_us, s.last_us))
+      .foldLeft(List.empty[SessAcc]) {
+        case (prev :: tail, cur) if cur.start_us - prev.last_us < gapUs =>
+          SessAcc(prev.start_us,
+            math.max(prev.last_us, cur.last_us), prev.n + cur.n) :: tail
+        case (acc, cur) => cur :: acc
+      }.reverse
+
+  /** The closable/open split against a watermark (microseconds). */
+  def split(merged: List[SessAcc], gapUs: Long, wmUs: Long): (List[SessAcc], List[SessAcc]) =
+    merged.partition(_.last_us + gapUs <= wmUs)
+
+  /** The next wake timestamp (ms) for the open set: earliest closable
+    * instant, ceil'd to ms and clamped past the current watermark (the
+    * engine rejects timeouts at or before it). */
+  def nextTimerMs(open: List[SessAcc], gapUs: Long, wmMs: Long): Long = {
+    val nextUs = open.map(_.last_us + gapUs).min
+    math.max(wmMs + 1L, (nextUs + 999L) / 1000L)
+  }
+}
 case class SessionOut(user_id: Long, session_start_us: Long,
     session_last_us: Long, n_events: Long)
 /** Streamed-funnel input: `ts` carries the watermark, the match
@@ -552,22 +583,13 @@ object StreamingPipeline {
           // drop them, exactly as the engine's stateful ops do
           val fresh = rows.filter(_.ts_us >= wmUs)
             .map(e => SessAcc(e.ts_us, e.ts_us, 1L)).toList
-          val merged = (prior ++ fresh).sortBy(s => (s.start_us, s.last_us))
-            .foldLeft(List.empty[SessAcc]) {
-              case (prev :: tail, cur) if cur.start_us - prev.last_us < gapUs =>
-                SessAcc(prev.start_us,
-                  math.max(prev.last_us, cur.last_us), prev.n + cur.n) :: tail
-              case (acc, cur) => cur :: acc
-            }.reverse
-          val (closed, open) = merged.partition(_.last_us + gapUs <= wmUs)
+          val merged = GapMerge.merge(prior, fresh, gapUs)
+          val (closed, open) = GapMerge.split(merged, gapUs, wmUs)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessState(open))
-            // wake this key when its earliest session becomes closable;
-            // ceil to ms and clamp past the current watermark (the API
-            // rejects timeouts at or before it)
-            val nextUs = open.map(_.last_us + gapUs).min
-            state.setTimeoutTimestamp(math.max(wmMs + 1L, (nextUs + 999L) / 1000L))
+            // wake this key when its earliest session becomes closable
+            state.setTimeoutTimestamp(GapMerge.nextTimerMs(open, gapUs, wmMs))
           }
           closed.iterator.map(s =>
             SessionOut(uid, s.start_us, s.last_us, s.n))

@@ -53,11 +53,18 @@ object TwsCounts {
 
     override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
         timers: TimerValues): Iterator[TypeCount] = {
-      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
-      rows.foreach { e =>
-        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
-        counts.updateValue(e.event_type, cur + 1L)
-        touched += e.event_type
+      // fold the batch into LOCAL deltas first: per-row store traffic
+      // (containsKey + getValue + updateValue per input row) is 3×|rows|
+      // RocksDB point ops, where one read + one write per TOUCHED TYPE
+      // suffices — the write-amplification argument this processor
+      // exists to make, applied to its own loop
+      val deltas = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach(e => deltas.update(e.event_type,
+        deltas.getOrElse(e.event_type, 0L) + 1L))
+      val touched = deltas.keySet
+      deltas.foreach { case (tpe, d) =>
+        val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+        counts.updateValue(tpe, cur + d)
       }
       if (eventTime) {
         // quiet-period emission: re-arm to watermark+1; only a batch

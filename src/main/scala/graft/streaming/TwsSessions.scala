@@ -50,25 +50,18 @@ object TwsSessions {
       sessions = getHandle.getValueState[SessState](
         "sessions", Encoders.product[SessState], TTLConfig.NONE)
 
-    /** Interval merge shared with the fMGWS twin: sort by start, coalesce
-      * while the next interval starts within `gap` of the previous end. */
+    /** Interval merge shared with the fMGWS twin — ONE implementation
+      * ([[GapMerge.merge]]), so the documented output-equality of the
+      * two processors is true by construction. */
     protected def merge(prior: List[SessAcc], fresh: List[SessAcc]): List[SessAcc] =
-      (prior ++ fresh).sortBy(s => (s.start_us, s.last_us))
-        .foldLeft(List.empty[SessAcc]) {
-          case (prev :: tail, cur) if cur.start_us - prev.last_us < gapUs =>
-            SessAcc(prev.start_us,
-              math.max(prev.last_us, cur.last_us), prev.n + cur.n) :: tail
-          case (acc, cur) => cur :: acc
-        }.reverse
+      GapMerge.merge(prior, fresh, gapUs)
 
     /** Re-arm the single per-key timer to the earliest closable session,
       * clamped past the current watermark. */
     protected def rearm(open: List[SessAcc], wmMs: Long): Unit = {
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      if (open.nonEmpty) {
-        val nextUs = open.map(_.last_us + gapUs).min
-        getHandle.registerTimer(math.max(wmMs + 1L, (nextUs + 999L) / 1000L))
-      }
+      if (open.nonEmpty)
+        getHandle.registerTimer(GapMerge.nextTimerMs(open, gapUs, wmMs))
     }
 
     /** Emit closable sessions against the current watermark, persist the
@@ -78,7 +71,7 @@ object TwsSessions {
       val wmMs = timers.getCurrentWatermarkInMs()
       val wmUs = wmMs * 1000L
       val prior = if (sessions.exists()) sessions.get().sessions else Nil
-      val (closed, open) = merge(prior, fresh).partition(_.last_us + gapUs <= wmUs)
+      val (closed, open) = GapMerge.split(merge(prior, fresh), gapUs, wmUs)
       if (open.isEmpty) sessions.clear()
       else sessions.update(SessState(open))
       rearm(open, wmMs)

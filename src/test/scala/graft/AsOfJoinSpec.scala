@@ -67,4 +67,35 @@ class AsOfJoinSpec extends SparkSpec {
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(top.map(_.getLong(1)) === Seq(11L, 12L))
   }
+
+  test("SQL surface fails with usage messages, not raw JVM errors (r13 review)") {
+    GraftExtensions.register(spark)
+    Seq((1L, 0.3, 10L)).toDF("g", "score", "id").createOrReplaceTempView("tk2")
+    // wrong arity: a usage message, not IndexOutOfBoundsException
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(score, id) FROM tk2 GROUP BY g").collect()
+    }
+    assert(e1.getMessage.contains("usage") || e1.getMessage.contains("argument"),
+      s"unhelpful arity error: ${e1.getMessage.take(200)}")
+    // NULL k: rejected with the literal-int message, not an NPE
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(score, id, NULL) FROM tk2 GROUP BY g").collect()
+    }
+    assert(e2.getMessage.contains("literal int"),
+      s"unhelpful null-k error: ${e2.getMessage.take(200)}")
+    // the Spark-conventional mode names work (the label suggested them;
+    // pre-r13 'PERMISSIVE'.toBoolean threw)
+    val ok = spark.sql(
+      "SELECT from_avro_confluent(cast(null as binary), " +
+        "'{\"type\":\"record\",\"name\":\"R\",\"fields\":[]}', 'PERMISSIVE') AS v")
+      .head()
+    assert(ok.isNullAt(0)) // null input decodes to null, no parse error
+    val e3 = intercept[Exception] {
+      spark.sql(
+        "SELECT from_avro_confluent(cast(null as binary), " +
+          "'{\"type\":\"record\",\"name\":\"R\",\"fields\":[]}', 'LENIENT')").collect()
+    }
+    assert(e3.getMessage.contains("PERMISSIVE/FAILFAST"),
+      s"unhelpful mode error: ${e3.getMessage.take(200)}")
+  }
 }
