@@ -92,8 +92,26 @@ object AvroFiles {
           ok = true
         } finally {
           w.close()
-          if (ok) { fs.delete(fin, false); fs.rename(tmp, fin); () }
-          else { fs.delete(tmp, false); () }
+          if (ok) {
+            // first-finisher-wins (r14): no pre-delete — deleting then
+            // renaming lets a speculative duplicate B delete A's
+            // COMMITTED file and die before its own rename, silently
+            // losing the partition while Spark records the task done.
+            // Without the delete, a rename onto an existing final file
+            // fails BENIGNLY (a sibling attempt already committed this
+            // partition; our identical _tmp spool is just dropped). A
+            // false return with NO committed file is a real commit
+            // failure and must fail the task, not be ignored — the
+            // classic unchecked-fs.rename Hadoop pitfall.
+            if (!fs.rename(tmp, fin)) {
+              fs.delete(tmp, false)
+              if (!fs.exists(fin))
+                throw new java.io.IOException(
+                  s"avro task commit failed: rename $tmp -> $fin returned " +
+                    "false and no committed file exists")
+            }
+            ()
+          } else { fs.delete(tmp, false); () }
         }
         Iterator.single(n)
       }

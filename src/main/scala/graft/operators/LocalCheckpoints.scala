@@ -57,6 +57,15 @@ object PinRegistry {
     (org.apache.spark.sql.SparkSession, String),
     List[Seq[Dataset[_]]]]()
 
+  // one end-of-application listener per session (ADVICE r13): without
+  // it every distinct (call site, input) pins up to two corpus-scale
+  // caches for the session LIFETIME, and the static map strongly
+  // retains dead SparkSessions across sessions in a long-lived JVM
+  // (test suites, notebooks) — same hygiene as Triangles' registry
+  private val evictionRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[
+      org.apache.spark.sql.SparkSession]()
+
   /** Register `newPins` (already persisted) under `tag` + their
     * canonicalized plans; frees the two-generations-old pins for the
     * same key. Freeing happens after the map update returns (never
@@ -73,5 +82,26 @@ object PinRegistry {
       newPins :: prior.take(1)
     })
     dropped.foreach(_.foreach(_.unpersist(false)))
+    if (evictionRegistered.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evict(spark)
+      })
+    }
+  }
+
+  /** Drops every entry of `spark` and unpersists its pins (non-blocking).
+    * Called by the application-end listener; exposed for tests. */
+  def evict(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = pins.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        e.getValue.foreach(_.foreach(_.unpersist(false)))
+        it.remove()
+      }
+    }
+    evictionRegistered.remove(spark): Unit
   }
 }

@@ -42,7 +42,17 @@ object RunningTotal {
     // cast below — reject it and let the caller quantize explicitly
     // (the repo convention: round(x * 1e6).cast("long") micro-units)
     val vType = df.select(value.as("_rt_v")).schema.head.dataType
-    require(Seq("byte", "short", "int", "bigint").contains(vType.simpleString),
+    // match on the DataType, not simpleString: Spark renders ByteType as
+    // "tinyint" and ShortType as "smallint", so a name list with "byte"/
+    // "short" falsely rejected valid narrow integrals (ADVICE r13)
+    val integral = vType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
       s"withRunningSum needs an integral value column, got ${vType.simpleString}: " +
         "quantize first (e.g. round(x * 1e6).cast(\"long\"))")
     val nParts =

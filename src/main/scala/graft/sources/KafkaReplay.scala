@@ -541,7 +541,15 @@ object KafkaReplay {
       // checkpoint) sharing one log dir would collide on bare epoch ids
       // and the second writer's batches would be silently dropped
       val ledgerKey = s"$queryId:$epochId"
-      if (committedEpochs(dir).contains(ledgerKey)) {
+      // migration shim (ADVICE r13): ledgers written before the
+      // query-scoped key change hold BARE epoch ids — an epoch committed
+      // to the sink just before upgrade but not yet checkpointed would
+      // never match the new "$queryId:$epochId" key and be re-appended
+      // on the post-upgrade replay. A bare line equal to this epoch id
+      // counts as committed too (legacy lines contain no ':', so the
+      // formats cannot collide).
+      val ledger = committedEpochs(dir)
+      if (ledger.contains(ledgerKey) || ledger.contains(epochId.toString)) {
         spools.foreach(m => new File(m.path).delete()) // replayed epoch: drop
         return
       }

@@ -76,7 +76,9 @@ object TwsCounts {
         // ProcessingTime (the TTL-capable mode) has no watermark to
         // define a quiet period — emit superseding snapshots of the
         // types touched this batch instead; downstream settles by
-        // max(n) exactly as for late event-time re-emissions
+        // LATEST emission per (user, type) — NOT max(n), which TTL'd
+        // non-monotone counts break (see the scaladoc on
+        // [[typeCountsProcessingTime]])
         touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
       }
     }

@@ -158,6 +158,33 @@ class KafkaReplaySpec extends SparkSpec {
       scala.collection.immutable.SortedMap(0 -> 2L))
   }
 
+  test("sink ledger migration: a bare legacy epoch line still counts as committed") {
+    // ADVICE r13: ledgers written before the query-scoped key change hold
+    // bare epoch ids; an epoch committed just before upgrade but not yet
+    // checkpointed must NOT be double-appended by the post-upgrade replay
+    val dir = Files.createTempDirectory("graft_replay_legacy").toString
+    def spool(name: String, recs: Seq[(Int, Array[Byte])]): KafkaReplay.SpoolMsg = {
+      val f = new java.io.File(dir, name); f.getParentFile.mkdirs()
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      recs.foreach { case (p, v) =>
+        out.writeInt(p); out.writeLong(0L); out.writeInt(-1)
+        out.writeInt(v.length); out.write(v)
+      }
+      out.close()
+      KafkaReplay.SpoolMsg(f.getPath, 0)
+    }
+    new java.io.File(dir).mkdirs()
+    val legacy = new java.io.FileWriter(new java.io.File(dir, "_epochs"), true)
+    try legacy.write("3\n") finally legacy.close()
+    val w = new KafkaReplay.ReplayStreamingWrite(dir, KafkaReplay.sinkSchema, "queryX")
+    w.commit(3L, Array(spool(".epoch-3-task-x-0.spool", Seq((0, "dup".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir).getOrElse(0, 0L) === 0L,
+      "legacy-committed epoch was replayed and double-appended")
+    // a genuinely new epoch still appends
+    w.commit(4L, Array(spool(".epoch-4-task-x-1.spool", Seq((0, "new".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir).getOrElse(0, 0L) === 1L)
+  }
+
   test("micro-batch replay-from-earliest == batch pipeline over the same wire bytes") {
     val dir = writeTopic(4)
     val t = ProfileTransform(clock = Some(Instant.parse("2024-01-01T00:00:00Z")))

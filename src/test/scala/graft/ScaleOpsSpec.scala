@@ -203,6 +203,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.last.getAs[Long]("cum") === (1 to 100).map(_ % 7).sum.toLong)
   }
 
+  test("running total: accepts tinyint/smallint value columns, still rejects fractional") {
+    // ADVICE r13: the guard compared simpleString against "byte"/"short",
+    // but Spark renders those types as "tinyint"/"smallint" — valid
+    // narrow integral columns were falsely rejected
+    val expect = (1 to 20).map(i => (1 to i).map(_ % 3).sum.toLong)
+    val byteDf = (1 to 20).map(i => (i.toLong, (i % 3).toByte)).toDF("id", "v")
+    val gotB = RunningTotal.withRunningSum(byteDf, Seq($"id"), $"v", "cum",
+        numPartitions = 3)
+      .orderBy($"id").collect().map(_.getAs[Long]("cum")).toSeq
+    assert(gotB === expect)
+    val shortDf = (1 to 20).map(i => (i.toLong, (i % 3).toShort)).toDF("id", "v")
+    val gotS = RunningTotal.withRunningSum(shortDf, Seq($"id"), $"v", "cum",
+        numPartitions = 3)
+      .orderBy($"id").collect().map(_.getAs[Long]("cum")).toSeq
+    assert(gotS === expect)
+    val e = intercept[IllegalArgumentException] {
+      RunningTotal.withRunningSum(Seq((1L, 1.5)).toDF("id", "v"),
+        Seq($"id"), $"v", "cum")
+    }
+    assert(e.getMessage.contains("quantize"))
+  }
+
+  test("pin registry: evict unpersists a session's pins") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s").persist()
+    df.count()
+    graft.operators.PinRegistry.replace("spec.pinEvict", Seq(df))
+    assert(df.storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+    graft.operators.PinRegistry.evict(spark)
+    assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "evict must unpersist registered pins (ADVICE r13: session-lifetime leak)")
+  }
+
   test("running total: rejects inputs that carry its helper columns") {
     val df = Seq((1L, 2L)).toDF("_rt_pid", "v")
     val e = intercept[IllegalArgumentException] {
