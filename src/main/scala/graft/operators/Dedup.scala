@@ -552,13 +552,17 @@ object Dedup {
     * which candidates either path considers. The registered query's
     * DuckDB oracle recomputes from scratch, holding the equality
     * cross-engine at gate scale. If a batch RE-INGESTS an existing id,
-    * the arriving text is authoritative for the verify step (the stale
-    * shingles are anti-joined away — keyed on the arriving ids, so a
+    * the arriving text is authoritative throughout: the stale shingles
+    * are anti-joined away (keyed on the arriving ids, so a
     * content-scrubbing re-ingest whose new text has no k-grams still
-    * retires the old shingles), but edges the OLD text already
-    * contributed to the prior state are not retracted here — route a
-    * content replacement through [[retractFromClusters]] then re-ingest
-    * if retraction semantics matter. PRECONDITION: ids are unique
+    * retires the old shingles), and the id's stale BAND entries are
+    * scrubbed from every probed bucket (r14) — so the maxBucket cap
+    * counts only live ids and a banding-changing re-ingest cannot make
+    * the probe consider candidates the batch recompute would not.
+    * Edges the OLD text already contributed to the prior state are
+    * still not retracted here — route a content replacement through
+    * [[retractFromClusters]] then re-ingest if retraction semantics
+    * matter. PRECONDITION: ids are unique
     * WITHIN a batch (the standard CDC-upsert contract; collapse
     * multiple updates per key to the latest before calling — two texts
     * for one id in a single batch would both enter the verify state
@@ -581,21 +585,35 @@ object Dedup {
       "id", "sig", bands, numHashes / bands, useMd5)
     val arBuckets = arIdx.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("new_ids"))
-    // A re-ingested id can sit in BOTH sides of a touched bucket (its
-    // new banding often matches its old one): drop it from old_ids so
-    // (a) the cap guard counts the bucket's TRUE distinct population —
-    // double-counting could push a bucket past maxBucket and silently
-    // drop candidates the batch recompute keeps — and (b) the cross
-    // product cannot emit (X, X) self-pairs that waste verify work and
-    // would land jaccard-1.0 self-loops in a persisted edge list. Stale
-    // entries of arriving ids in OTHER buckets stay counted until a
-    // retraction/rebuild retires them — that residue is part of the
-    // documented maxBucket caveat.
-    val touched = arBuckets.join(existingBuckets, Seq("band", "bh"), "left")
+    // Stale-entry retirement (r14, closes the r13 residue): the batch
+    // recompute bands every id exactly once, by its NEWEST text, so ANY
+    // old_ids entry for an arriving id is stale by definition — not just
+    // the same-bucket re-ingest case (where its new banding matches the
+    // old), but also the banding-CHANGED case, where the stale entry
+    // sits in a bucket the id's new signature no longer maps to. Leaving
+    // those: (a) inflates the cap guard's population with dead ids, so a
+    // bucket the recompute keeps crosses maxBucket and silently drops
+    // its candidates; (b) emits (new, stale) candidates the recompute
+    // never considers; (c) could emit (X, X) self-pairs. Scrub by
+    // exploding the PROBED buckets' member lists and anti-joining the
+    // batch's id set out — linear in the probed index entries with one
+    // batch-bounded shuffle (a per-row array_except against the whole
+    // batch-id array would be O(|batch|) per bucket row, quadratic per
+    // ingest). The id set is batch-sized → broadcast at any corpus
+    // scale. Stale entries in UNPROBED buckets are unreachable this
+    // batch (no candidates form there) and get scrubbed whenever a
+    // later batch probes them.
+    val probed = arBuckets.join(existingBuckets, Seq("band", "bh"), "left")
+    val liveOld = probed
+      .select(col("band"), col("bh"),
+        explode(coalesce(col("old_ids"), array().cast("array<bigint>"))).as("oid"))
+      .join(broadcast(arriving.select(col(idCol).cast("bigint").as("oid")).distinct()),
+        Seq("oid"), "left_anti")
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("oid")).as("old_ids"))
+    val touched = arBuckets.join(liveOld, Seq("band", "bh"), "left")
       .select(col("new_ids"),
-        array_except(
-          coalesce(col("old_ids"), array().cast("array<bigint>")),
-          col("new_ids")).as("old_ids"))
+        coalesce(col("old_ids"), array().cast("array<bigint>")).as("old_ids"))
       .filter((size(col("new_ids")) + size(col("old_ids")))
         .between(2, maxBucket))
     val cross = touched.select(explode(expr(

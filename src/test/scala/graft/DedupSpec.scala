@@ -719,6 +719,46 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 31L -> 1L), s"1 and 31 must cluster: $got")
   }
 
+  test("incremental near-dup: a banding-CHANGING re-ingest retires stale index entries (cap counts live ids)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // r13 residue (VERDICT task 2): doc 5's OLD text banded it into the
+    // alpha-buckets; its re-ingested text bands elsewhere, but the stale
+    // {5} entries stayed in the persisted index, inflating the probed
+    // buckets' population past maxBucket — so arriving near-dup 6 lost
+    // the candidates the batch recompute keeps and never clustered.
+    // Identical texts pin bucket membership deterministically (same
+    // signature => every band collides).
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val existing = Seq((1L, tA), (2L, tA), (5L, tA)).toDF("doc_id", "text")
+    val arriving = Seq(
+      (5L, "totally unrelated replacement content about something else"),
+      (6L, tA)
+    ).toDF("doc_id", "text")
+    def full(df: org.apache.spark.sql.DataFrame) = Dedup.connectedComponents(
+      Dedup.minhashNearDups(df, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35, useMd5 = true))
+    // label state AFTER 5's content replacement was routed through
+    // retraction (the documented flow for edge-bearing re-ingests); the
+    // INDEX and SHINGLE store still hold 5's stale rows — exactly the
+    // persisted-state shape retraction leaves behind
+    val priorAfterRetract = full(existing.filter($"doc_id" =!= 5L))
+    val got = Dedup.incrementalNearDupComponents(
+        priorAfterRetract,
+        Dedup.bucketedIndex(existing, "doc_id", "text", 3, 16, 16),
+        Dedup.shingleFrame(existing, "doc_id", "text", 3),
+        arriving, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 16, threshold = 0.35, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val replaced = existing.filter($"doc_id" =!= 5L).unionByName(arriving)
+    val batch = full(replaced)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === batch,
+      s"stale band entries must not count against maxBucket: $got != $batch")
+    assert(got === Map(1L -> 1L, 2L -> 1L, 6L -> 1L),
+      s"6 must join the cluster, 5 must leave it: $got")
+  }
+
   test("pin registry bounds the session to two live caches per call site (r13)") {
     import spark.implicits._
     import graft.operators.Dedup
