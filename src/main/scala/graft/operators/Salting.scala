@@ -86,14 +86,23 @@ object Salting {
     * domain" runs without a single-task hot key or a full per-key
     * window sort. */
   def topKPerKey(df: DataFrame, keyCol: String, valueCol: String, k: Int,
+      salts: Int): DataFrame =
+    explodeRanked(
+      topKPartials(df, keyCol, valueCol, k, salts)
+        .groupBy(col(keyCol))
+        .agg(slice(sort_array(flatten(collect_list(col("__part")))), 1, k)
+          .as("__topk")),
+      keyCol, valueCol)
+
+  /** Level 1 of [[topKPerKey]] in isolation: the k-capped per-(key,
+    * salt) partials the level-2 merge consumes — one row per touched
+    * (key, salt) with a `__part` array of ≤ k values. Exposed so scale
+    * probes can MEASURE the merge-input bound (≤ salts rows and
+    * ≤ salts·k values per key) rather than assert it. */
+  def topKPartials(df: DataFrame, keyCol: String, valueCol: String, k: Int,
       salts: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    validateTopK(df, keyCol, valueCol, k)
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    require(!df.columns.exists(Set("__salt", "__part", "__topk", "__pos").contains),
-      "input must not contain the helper columns __salt, __part, __topk, __pos")
-    require(keyCol != "rank" && valueCol != "rank" && keyCol != valueCol,
-      "keyCol/valueCol must be distinct and neither may be named 'rank' " +
-        "(the output rank column would be ambiguous)")
     // Null values are EXCLUDED from ranking, explicitly: collect_list
     // would silently skip them anyway, which diverges from a windowed
     // row_number (engines rank nulls, each with its own null order).
@@ -112,11 +121,53 @@ object Salting {
     df.filter(col(valueCol).isNotNull)
       .groupBy(col(keyCol), rowSalt.as("__salt"))
       .agg(slice(sort_array(collect_list(col(valueCol))), 1, k).as("__part"))
-      .groupBy(col(keyCol))
-      .agg(slice(sort_array(flatten(collect_list(col("__part")))), 1, k).as("__topk"))
+  }
+
+  /** Single-level direct form of [[topKPerKey]] (no salt split) — same
+    * output contract (nulls excluded, ascending values, rank 1..k) and
+    * still map-side-capped at k per key by the slice partial, but a hot
+    * key's level-0 partials all merge on ONE reduce task. The adaptive
+    * path uses it when [[advise]] says no key is hot enough to matter —
+    * the salt split would be a pure extra exchange then. */
+  def directTopKPerKey(
+      df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
+    validateTopK(df, keyCol, valueCol, k)
+    explodeRanked(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(keyCol))
+        .agg(slice(sort_array(collect_list(col(valueCol))), 1, k).as("__topk")),
+      keyCol, valueCol)
+  }
+
+  /** [[topKPerKey]] with the salt factor chosen by [[advise]] from the
+    * observed key histogram — the prescriptive advise→execute path for
+    * payload aggregates, mirroring [[adaptiveSaltedJoin]], so a
+    * deployment never hand-picks salts for "top examples per key".
+    * advice = 1 short-circuits to [[directTopKPerKey]]; output-equal
+    * either way (min-k is a semilattice under any partition). Like
+    * `advise`, this runs two sketch jobs at construction time. */
+  def adaptiveTopKPerKey(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int, shufflePartitions: Int): DataFrame = {
+    val a = advise(df, keyCol, shufflePartitions)
+    if (a.salts <= 1) directTopKPerKey(df, keyCol, valueCol, k)
+    else topKPerKey(df, keyCol, valueCol, k, a.salts)
+  }
+
+  private def validateTopK(
+      df: DataFrame, keyCol: String, valueCol: String, k: Int): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.exists(Set("__salt", "__part", "__topk", "__pos").contains),
+      "input must not contain the helper columns __salt, __part, __topk, __pos")
+    require(keyCol != "rank" && valueCol != "rank" && keyCol != valueCol,
+      "keyCol/valueCol must be distinct and neither may be named 'rank' " +
+        "(the output rank column would be ambiguous)")
+  }
+
+  private def explodeRanked(
+      grouped: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    grouped
       .select(col(keyCol), posexplode(col("__topk")).as(Seq("__pos", valueCol)))
       .select(col(keyCol), (col("__pos") + 1).cast("long").as("rank"), col(valueCol))
-  }
 
   /** Equi-join `big ⋈ small` on `key` with the big side salted `salts`
     * ways. Semantics identical to `big.join(small, key)`; cost is a

@@ -362,6 +362,26 @@ object AnalyticsQueries {
         Tables.events(spark, dir), "user_id", "event_id", k = 25, salts = 8)
       .orderBy(col("user_id"), col("rank"))
 
+  /** The advise→salt→aggregate loop END TO END for PAYLOAD aggregates
+    * (VERDICT r13 task 3 — `advised_salted_join`'s twin for the
+    * "gather top examples per key" shape, cf. the reference verifier's
+    * per-status example table, verifier_ui.py:163-173): the CMS +
+    * freqItems sketch pass measures event_type's histogram — 5 types at
+    * ≈20% each, so ceil(0.2 × 32) ≈ 7 salts — and
+    * [[graft.operators.Salting.adaptiveTopKPerKey]] splits each hot
+    * key's payload across that many level-1 buckets, merging ≤ salts·k
+    * values per key at level 2. Salting is output-preserving (min-k is
+    * a semilattice), so the oracle is the windowed row_number form —
+    * the hash gate certifies the whole prescriptive path cross-engine.
+    * Like `advised_salted_join`, the advise sketch jobs run at
+    * DataFrame-construction time. */
+  def advisedTopKPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.operators.Salting.adaptiveTopKPerKey(
+        Tables.events(spark, dir), "event_type", "event_id", k = 25, parts)
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** Explicit small×small cross join (the deliberate cartesian — every
     * other cartesian in the library is a broadcast-query ANN scan). */
   def crossJoinRegions(spark: SparkSession, dir: String): DataFrame =
@@ -475,7 +495,8 @@ object AnalyticsQueries {
     "part_promo_revenue" -> (partPromoRevenue _),
     "array_funcs" -> (arrayFuncs _),
     "cross_join" -> (crossJoinRegions _),
-    "agg_topk_per_key_salted" -> (aggTopKPerKeySalted _)
+    "agg_topk_per_key_salted" -> (aggTopKPerKeySalted _),
+    "advised_topk_per_key" -> (advisedTopKPerKey _)
   )
 
   /** DSIR importance-weight CTE chain (ends in `pd`: doc_id →
@@ -739,6 +760,15 @@ object AnalyticsQueries {
         |WHERE event_id IS NOT NULL
         |QUALIFY rank <= 25
         |ORDER BY user_id, rank""".stripMargin,
+    "advised_topk_per_key" ->
+      """SELECT event_type,
+        |       CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+        |            AS BIGINT) AS rank,
+        |       event_id
+        |FROM events
+        |WHERE event_id IS NOT NULL
+        |QUALIFY rank <= 25
+        |ORDER BY event_type, rank""".stripMargin,
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -210,6 +210,121 @@ object SkewProbe {
         salted))
   }
 
+  /** The WINDOW-FUNCTION face of the hazard (VERDICT r13 task 6): the
+    * families that shuffle on `partitionBy(key)` — per-key rank
+    * (`window_rank`), last-writer-wins keying (reference J2,
+    * verifier_ui.py:103-104), and frameless window aggregates. The
+    * probe's first finding is NEGATIVE and worth the receipt: Spark
+    * 4.1's `WindowGroupLimit` rewrite prunes `row_number() <= k`
+    * filters MAP-SIDE (a partial per-key top-k before the exchange,
+    * the same shape as a partial agg), so the rank-≤-k and LWW (= rank
+    * ≤ 1) families are natively skew-mitigated — measured share ≈ the
+    * background, not the hot share. The hazard DOES manifest for
+    * window shapes group-limit cannot prune — any frameless aggregate
+    * (`sum() over (partition by key)`), full unfiltered ranking,
+    * percent_rank — where the hot key's entire partition still sorts
+    * on one task. Arms:
+    *
+    *  - `window_rank_hot`: row_number pruned to rank ≤ 100 — measures
+    *    the NATIVE WindowGroupLimit mitigation (expected low);
+    *  - `window_rank_salted`: [[Salting.topKPerKey]] — the output-equal
+    *    two-level salted rank, the portable form for shapes/engines
+    *    without a group-limit rewrite;
+    *  - `window_agg_hot`: sum() over (partition by user_id), frameless
+    *    — group-limit CANNOT prune it; the hazard, manifest;
+    *  - `window_agg_rewrite`: the pre-agg rewrite — groupBy partial
+    *    agg (hot key collapses map-side) broadcast-joined back onto
+    *    the events; output-equal, and the big side never shuffles;
+    *  - `lww_window_hot`: last-writer-wins via row_number DESC = 1 —
+    *    natively pruned like the rank arm (expected low);
+    *  - `lww_max_by`: the partial-agg rewrite — max over the
+    *    lexicographic (ts, event_id, payload) struct, output-equal
+    *    because event_id breaks ties deterministically — the form that
+    *    stays immune on engines without the group-limit rewrite.
+    *
+    * All pairs are asserted row-equal: the mitigation is a REWRITE of
+    * the window form, never a semantic change. */
+  private def windowArms(events: DataFrame, salts: Int): Seq[(String, String,
+      () => DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    def rankRollup(ranked: DataFrame): DataFrame =
+      ranked.groupBy(pmod(col("user_id"), lit(10L)).as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          // order-insensitive checksum over (user, rank, event_id);
+          // modded so the ANSI sum cannot overflow
+          sum(pmod(xxhash64(concat_ws(",",
+            col("user_id"), col("rank"), col("event_id"))), lit(1L << 40)))
+            .as("value_micro"))
+        .orderBy(col("segment"))
+    val rankHot = () => rankRollup(
+      events.withColumn("rank",
+          row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id")))
+            .cast("long"))
+        .filter(col("rank") <= 100)
+        .select(col("user_id"), col("rank"), col("event_id")))
+    // the SHIPPED operator (same discipline as the payload arms)
+    val rankSalted = () => rankRollup(
+      Salting.topKPerKey(events, "user_id", "event_id", k = 100, salts = salts))
+    def lwwRollup(latest: DataFrame): DataFrame =
+      latest.groupBy(pmod(col("user_id"), lit(10L)).as("segment"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_micro")).as("value_micro"))
+        .orderBy(col("segment"))
+    val lwwHot = () => lwwRollup(
+      events.withColumn("value_micro", round(col("value") * 1e6).cast("long"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("value_micro")))
+    val lwwMaxBy = () => lwwRollup(
+      events.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"),
+          round(col("value") * 1e6).cast("long").as("value_micro"))).as("m"))
+        .select(col("user_id"), col("m.value_micro").as("value_micro")))
+    // the frameless window aggregate: every event row carries its
+    // user's total — group-limit has nothing to prune, the full hot
+    // partition sorts on one task
+    def aggRollup(withTotal: DataFrame): DataFrame =
+      withTotal.groupBy(pmod(col("user_id"), lit(10L)).as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(pmod(xxhash64(concat_ws(",",
+            col("event_id"), col("user_total_micro"))), lit(1L << 40)))
+            .as("value_micro"))
+        .orderBy(col("segment"))
+    val windowAggHot = () => aggRollup(
+      events.withColumn("user_total_micro",
+        sum(round(col("value") * 1e6).cast("long")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+        .select(col("user_id"), col("event_id"), col("user_total_micro")))
+    val windowAggRewrite = () => aggRollup(
+      events.join(
+          broadcast(events.groupBy(col("user_id"))
+            .agg(sum(round(col("value") * 1e6).cast("long"))
+              .as("user_total_micro"))),
+          Seq("user_id"), "inner")
+        .select(col("user_id"), col("event_id"), col("user_total_micro")))
+    Seq(
+      ("window_rank_hot",
+        "row_number over partitionBy(user_id) pruned to rank<=100: Spark 4.1's WindowGroupLimit prunes the hot partition MAP-SIDE (partial per-key top-k before the exchange) — the native mitigation, measured",
+        rankHot),
+      ("window_rank_salted",
+        s"Salting.topKPerKey (two-level salted rank, salts=$salts): output-equal portable form for shapes/engines without a group-limit rewrite",
+        rankSalted),
+      ("window_agg_hot",
+        "frameless sum() over (partition by user_id): group-limit cannot prune a window aggregate — the hot partition sorts on ONE task, hazard manifest",
+        windowAggHot),
+      ("window_agg_rewrite",
+        "pre-agg rewrite: groupBy partial agg (hot key collapses map-side) broadcast-joined back — output-equal, big side never shuffles",
+        windowAggRewrite),
+      ("lww_window_hot",
+        "last-writer-wins via row_number DESC = 1 (reference J2 keying): rank<=1, natively pruned by WindowGroupLimit like the rank arm",
+        lwwHot),
+      ("lww_max_by",
+        "last-writer-wins via max(lexicographic struct): partial-agg rewrite, output-equal, immune on any engine",
+        lwwMaxBy))
+  }
+
   /** The STREAMING mirror of the batch arms — the hot key hits the
     * micro-batch exchanges exactly like a batch job's, so the same
     * three laws get streamed receipts:
@@ -356,6 +471,9 @@ object SkewProbe {
         payloadArms(events, advice.salts).map { case (name, note, build) =>
           runArm(spark, name, note, plainConfs)(build())
         } ++
+        windowArms(events, advice.salts).map { case (name, note, build) =>
+          runArm(spark, name, note, plainConfs)(build())
+        } ++
         streamArms(spark, streamDir, dim, advice.maxShare, stateParts = 16)
       Probe(k, hotMicro, injected, advice, arms)
       } finally {
@@ -399,7 +517,23 @@ object SkewProbe {
           byName("agg_payload_salted").worstShareBytes <=
             byName("agg_payload_hot").worstShareBytes / 2},""" +
         s""""payload_arms_equal":${
-          byName("agg_payload_hot").result == byName("agg_payload_salted").result}"""
+          byName("agg_payload_hot").result == byName("agg_payload_salted").result},""" +
+        s""""window_grouplimit_prunes":${
+          byName("window_rank_hot").worstShareRows <= 0.25},""" +
+        s""""window_rank_arms_equal":${
+          byName("window_rank_hot").result == byName("window_rank_salted").result},""" +
+        s""""window_hazard_manifest":${
+          byName("window_agg_hot").worstShareRows >= 0.5 * p.injectedShare},""" +
+        s""""window_rewrite_mitigates":${
+          byName("window_agg_rewrite").worstShareRows <=
+            byName("window_agg_hot").worstShareRows / 2},""" +
+        s""""window_agg_arms_equal":${
+          byName("window_agg_hot").result == byName("window_agg_rewrite").result},""" +
+        s""""lww_grouplimit_prunes":${
+          byName("lww_window_hot").worstShareRows <= 0.25},""" +
+        s""""lww_max_by_immune":${byName("lww_max_by").worstShareRows <= 0.25},""" +
+        s""""lww_arms_equal":${
+          byName("lww_window_hot").result == byName("lww_max_by").result}"""
     f"""{"probe":"skew","sf":"$sfDir","k":${p.k},"hot_micro":${p.hotMicro},""" +
       f""""injected_share":${p.injectedShare}%.4f,""" +
       f""""advice":{"total_rows":${p.advice.totalRows},"hottest_rows":${p.advice.hottestKeyRows},""" +
@@ -412,7 +546,7 @@ object SkewProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val k = args.lift(1).map(_.toInt).getOrElse(30)
     val hotMicro = args.lift(2).map(_.toLong).getOrElse(300000L)
-    val outPath = args.lift(3).getOrElse("SCALE_r13_skew.json")
+    val outPath = args.lift(3).getOrElse("SCALE_r14_skew.json")
     val spark = graft.sources.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")

@@ -103,6 +103,36 @@ class SkewProbeSpec extends SparkSpec {
       s"two-level salted agg did not spread the payload: ${pSalted.worstShareBytes}")
     assert(pHot.result === pSalted.result,
       "capped two-level agg must be output-equal to the direct agg")
+
+    // THE WINDOW-FUNCTION FACE (VERDICT r13 task 6). Measured finding:
+    // Spark 4.1's WindowGroupLimit prunes row_number<=k (and LWW's
+    // rank<=1) MAP-SIDE, so the rank families are NATIVELY mitigated —
+    // the receipts pin that, and pin where the hazard survives: a
+    // frameless window aggregate has nothing to prune, its hot
+    // partition sorts on one task, and the pre-agg + broadcast-join
+    // rewrite is the output-equal escape
+    val wHot = byName("window_rank_hot")
+    val wSalted = byName("window_rank_salted")
+    assert(wHot.worstShareRows <= 0.25,
+      s"rank<=k window concentrated — WindowGroupLimit regressed? ${wHot.worstShareRows}")
+    assert(wHot.result === wSalted.result,
+      "salted two-level rank must be output-equal to the window form")
+    val aHot = byName("window_agg_hot")
+    val aRewrite = byName("window_agg_rewrite")
+    assert(aHot.worstShareRows >= 0.5 * p.injectedShare,
+      s"frameless window agg did not concentrate: ${aHot.worstShareRows}")
+    assert(aRewrite.worstShareRows <= aHot.worstShareRows / 2,
+      s"pre-agg rewrite did not spread: ${aRewrite.worstShareRows} vs ${aHot.worstShareRows}")
+    assert(aHot.result === aRewrite.result,
+      "pre-agg + broadcast join back must be output-equal to the window agg")
+    val lHot = byName("lww_window_hot")
+    val lMaxBy = byName("lww_max_by")
+    assert(lHot.worstShareRows <= 0.25,
+      s"LWW rank<=1 window concentrated — group-limit regressed? ${lHot.worstShareRows}")
+    assert(lMaxBy.worstShareRows <= 0.25,
+      s"max_by LWW concentrated: ${lMaxBy.worstShareRows} — partial agg missing?")
+    assert(lHot.result === lMaxBy.result,
+      "max_by LWW must be output-equal to the window row_number form")
   }
 
   test("topKPerKey: output-equal to the direct window form, at any salts/k geometry") {
@@ -157,20 +187,55 @@ class SkewProbeSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveTopKPerKey: advise picks the salts; both branches output-equal the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def direct(df: org.apache.spark.sql.DataFrame, k: Int) = df
+      .filter(col("value").isNotNull)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key").orderBy("value"))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("key", "rank", "value")
+      .orderBy("key", "rank").collect().toSeq
+    // skewed: one key holds 90% of rows -> advise prescribes salts > 1
+    val hot = ((1L to 900L).map(v => (1L, v)) ++
+      (1L to 100L).map(v => (2L, v))).toDF("key", "value")
+    val adviceHot = graft.operators.Salting.advise(hot, "key", 32)
+    assert(adviceHot.salts > 1, s"fixture not skewed enough: $adviceHot")
+    assert(graft.operators.Salting.adaptiveTopKPerKey(hot, "key", "value", 7, 32)
+      .orderBy("key", "rank").collect().toSeq === direct(hot, 7))
+    // flat: 100 keys x 10 rows -> advise says 1, the direct branch runs
+    val flat = (1L to 1000L).map(v => (v % 100, v)).toDF("key", "value")
+    val adviceFlat = graft.operators.Salting.advise(flat, "key", 32)
+    assert(adviceFlat.salts === 1, s"flat fixture advised salting: $adviceFlat")
+    assert(graft.operators.Salting.adaptiveTopKPerKey(flat, "key", "value", 3, 32)
+      .orderBy("key", "rank").collect().toSeq === direct(flat, 3))
+    // the direct form exposed by the adaptive path obeys the same contract
+    assert(graft.operators.Salting.directTopKPerKey(hot, "key", "value", 7)
+      .orderBy("key", "rank").collect().toSeq === direct(hot, 7))
+    intercept[IllegalArgumentException] {
+      graft.operators.Salting.directTopKPerKey(hot, "key", "key", 3)
+    }
+  }
+
   test("committed skew artifact parses and every law holds") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val f = new java.io.File("SCALE_r13_skew.json")
-    assert(f.isFile, "committed artifact SCALE_r13_skew.json missing from repo root")
+    val f = new java.io.File("SCALE_r14_skew.json")
+    assert(f.isFile, "committed artifact SCALE_r14_skew.json missing from repo root")
     val root = om.readTree(f)
     val laws = root.get("laws")
     for (law <- Seq("hazard_manifest", "aqe_mitigates", "salting_mitigates",
         "agg_immune", "arms_row_equal", "stream_hazard_manifest",
         "stream_salting_mitigates", "stream_agg_immune", "stream_batch_equal",
         "payload_hazard_manifest", "payload_salting_mitigates",
-        "payload_arms_equal")) {
+        "payload_arms_equal", "window_grouplimit_prunes",
+        "window_rank_arms_equal", "window_hazard_manifest",
+        "window_rewrite_mitigates", "window_agg_arms_equal",
+        "lww_grouplimit_prunes", "lww_max_by_immune", "lww_arms_equal")) {
       assert(laws.get(law).asBoolean(), s"committed skew artifact: $law false")
     }
-    assert(root.get("arms").size() === 9, "committed skew artifact: arm missing")
+    assert(root.get("arms").size() === 15, "committed skew artifact: arm missing")
     assert(root.get("injected_share").asDouble() > 0.2,
       "committed skew artifact: injection too weak to certify anything")
   }
