@@ -201,6 +201,64 @@ object Dedup {
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("old_ids"))
 
+  /** INDEX MAINTENANCE for the incremental path (r14) — the write half
+    * of [[incrementalNearDupComponents]]'s probe-side stale scrubbing:
+    * given the persisted id-keyed [[bandedIndex]] (the source of truth
+    * a deployment keeps alongside the probe layout) and the persisted
+    * [[bucketedIndex]], returns the `(banded', buckets')` pair the NEXT
+    * ingest should persist. Arriving ids' OLD rows are retired
+    * EVERYWHERE — including buckets the probe never touches, the
+    * residue the probe-side scrub leaves by design — and the batch's
+    * new band rows land in (or create) their buckets. A
+    * content-scrubbing re-ingest (no k-grams) retires the id from the
+    * whole index, same as a rebuild would.
+    *
+    * LAW (spec-pinned): both outputs equal rebuilding
+    * [[bandedIndex]]/[[bucketedIndex]] from the replaced corpus
+    * (existing minus arriving ids, plus the arriving batch), with
+    * bucket member order unspecified.
+    *
+    * Cost shape at 100 TB: the stale and new row sets are ids-probes
+    * keyed on the batch (broadcast-sized); bucket rewrites touch only
+    * the affected (band, bh) keys via broadcast joins and per-bucket
+    * array edits bounded by that bucket's size; every other bucket row
+    * passes through verbatim with one anti-join. No full-index
+    * re-collect — the one shuffle the probe layout exists to avoid. */
+  def updatedBandedState(
+      existingBanded: DataFrame, existingBuckets: DataFrame,
+      arriving: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      useMd5: Boolean = true): (DataFrame, DataFrame) = {
+    val arIds = arriving.select(col(idCol).cast("bigint").as("id")).distinct()
+    val arBanded = bandedIndex(arriving, idCol, textCol, k, numHashes, bands, useMd5)
+    val stale = existingBanded.join(broadcast(arIds), Seq("id"), "left_semi")
+    val newBanded = existingBanded
+      .join(broadcast(arIds), Seq("id"), "left_anti")
+      .unionByName(arBanded)
+    // rewrite only the buckets a stale or new row names; starting from
+    // the KEY set (not the old buckets) lets brand-new buckets appear
+    val affectedKeys = stale.select(col("band"), col("bh"))
+      .unionByName(arBanded.select(col("band"), col("bh"))).distinct()
+    val staleSets = stale.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("stale_ids"))
+    val addSets = arBanded.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("add_ids"))
+    val empty = array().cast("array<bigint>")
+    val rewritten = affectedKeys
+      .join(existingBuckets, Seq("band", "bh"), "left")
+      .join(broadcast(staleSets), Seq("band", "bh"), "left")
+      .join(broadcast(addSets), Seq("band", "bh"), "left")
+      .select(col("band"), col("bh"),
+        array_union(
+          array_except(coalesce(col("old_ids"), empty),
+            coalesce(col("stale_ids"), empty)),
+          coalesce(col("add_ids"), empty)).as("old_ids"))
+      .filter(size(col("old_ids")) > 0)
+    val untouched = existingBuckets
+      .join(broadcast(affectedKeys), Seq("band", "bh"), "left_anti")
+    (newBanded, untouched.unionByName(rewritten))
+  }
+
   /** LSH banding: docs sharing any (band index, band hash) become
     * candidate pairs. One row per (doc, band); ONE shuffle groups rows
     * into buckets and pairs are exploded bucket-locally — no self-join,

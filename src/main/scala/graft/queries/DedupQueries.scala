@@ -285,6 +285,53 @@ object DedupQueries {
   def dedupIncrementalNeardup(spark: SparkSession, dir: String): DataFrame =
     incrUpdatedComp(spark, dir).orderBy(col("node"))
 
+  /** TWO-BATCH incremental chain (r14): ingest `src0`, carry the FULL
+    * persisted state forward — labels from the probe, the banded/bucket
+    * index via [[graft.operators.Dedup.updatedBandedState]], the
+    * shingle store via the same ids-anti-join the probe applies — then
+    * ingest `src1` against the CARRIED state. The oracle is the full
+    * DuckDB recompute over the union corpus, so the hash gate certifies
+    * the state-forwarding law ("each state is written once and IS the
+    * next ingest's prior") across two generations cross-engine, not
+    * just the single-step law `dedup_incremental_neardup` pins. At
+    * scale this is the steady-state shape of a daily ingest: all three
+    * state updates are batch-keyed probes; nothing rescans the prior
+    * corpus. */
+  private def incr2Updated(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "incr2_updated_comp") {
+      val docs = Tables.documents(spark, dir)
+      def existing = docs.filter(!col("source").isin("src0", "src1"))
+      val batch0 = docs.filter(col("source") === "src0")
+      val batch1 = docs.filter(col("source") === "src1")
+      val comp0 = SignalMemo.cached(spark, dir, "incr2_prior_comp") {
+        Dedup.connectedComponents(
+          Dedup.minhashNearDups(existing, "doc_id", "text",
+            k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true))
+      }
+      val banded0 = SignalMemo.cached(spark, dir, "incr2_banded0") {
+        Dedup.bandedIndex(existing, "doc_id", "text")
+      }
+      val buckets0 = SignalMemo.cached(spark, dir, "incr2_buckets0") {
+        banded0.groupBy(col("band"), col("bh"))
+          .agg(collect_list(col("id")).as("old_ids"))
+      }
+      val sh0 = SignalMemo.cached(spark, dir, "incr2_shingles0") {
+        Dedup.shingleFrame(existing, "doc_id", "text")
+      }
+      val comp1 = Dedup.incrementalNearDupComponents(
+        comp0, buckets0, sh0, batch0, "doc_id", "text")
+      val (_, buckets1) = Dedup.updatedBandedState(
+        banded0, buckets0, batch0, "doc_id", "text")
+      val b0ids = batch0.select(col("doc_id").cast("bigint").as("id")).distinct()
+      val sh1 = sh0.join(broadcast(b0ids), Seq("id"), "left_anti")
+        .unionByName(Dedup.shingleFrame(batch0, "doc_id", "text"))
+      Dedup.incrementalNearDupComponents(
+        comp1, buckets1, sh1, batch1, "doc_id", "text")
+    }
+
+  def dedupIncremental2Batch(spark: SparkSession, dir: String): DataFrame =
+    incr2Updated(spark, dir).orderBy(col("node"))
+
   /** RETRACTION (takedown / right-to-be-forgotten): `source = 'src10'`
     * plays the removal set; the persisted full-corpus state (the
     * memoized cluster labels AND the verified edge list — deletes are
@@ -674,6 +721,7 @@ object DedupQueries {
     "dedup_passages" -> (dedupPassages _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
+    "dedup_incremental_2batch" -> (dedupIncremental2Batch _),
     "dedup_cluster_delta" -> (dedupClusterDelta _),
     "dedup_retract_clusters" -> (dedupRetractClusters _),
     "dedup_winnowing_candidates" -> (dedupWinnowing _),
@@ -1107,6 +1155,14 @@ object DedupQueries {
     // over the UNION corpus, verbatim — the Spark side arrives at the
     // same rows through the persisted-state probe + contracted merge
     "dedup_incremental_neardup" ->
+      s"""WITH RECURSIVE $neardupGraphCtes,
+         |$clusterCteSql
+         |SELECT node, component FROM comp ORDER BY node""".stripMargin,
+    // two-generation chain == batch: the same union-corpus recompute —
+    // the Spark side carries labels + banded/bucket index + shingle
+    // store forward across TWO ingests (src0 then src1) and must land
+    // on identical rows
+    "dedup_incremental_2batch" ->
       s"""WITH RECURSIVE $neardupGraphCtes,
          |$clusterCteSql
          |SELECT node, component FROM comp ORDER BY node""".stripMargin,

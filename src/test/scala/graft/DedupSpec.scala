@@ -759,6 +759,45 @@ class DedupSpec extends SparkSpec {
       s"6 must join the cluster, 5 must leave it: $got")
   }
 
+  test("index maintenance: updatedBandedState equals a rebuild from the replaced corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // every re-ingest shape at once: 5 changes banding, 30 is
+    // content-scrubbed (must vanish from the whole index), 6 duplicates
+    // an existing doc's text (joins its buckets), 7 is brand new
+    // (creates buckets)
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val existing = Seq(
+      (1L, tA), (2L, tA), (5L, tA),
+      (30L, "red orange yellow green blue indigo violet umber black")
+    ).toDF("doc_id", "text")
+    val arriving = Seq(
+      (5L, "totally unrelated replacement content about something else"),
+      (30L, "x"),
+      (6L, tA),
+      (7L, "completely fresh arriving document with brand new words")
+    ).toDF("doc_id", "text")
+    val (banded2, buckets2) = Dedup.updatedBandedState(
+      Dedup.bandedIndex(existing, "doc_id", "text", 3, 16, 16),
+      Dedup.bucketedIndex(existing, "doc_id", "text", 3, 16, 16),
+      arriving, "doc_id", "text", 3, 16, 16)
+    val replaced = existing.filter(!$"doc_id".isin(5L, 30L)).unionByName(arriving)
+    def bandedSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def bucketMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getString(1)),
+        r.getSeq[Long](2).sorted.toList)).toMap
+    assert(bandedSet(banded2) ===
+      bandedSet(Dedup.bandedIndex(replaced, "doc_id", "text", 3, 16, 16)),
+      "updated banded index must equal the rebuild")
+    assert(bucketMap(buckets2) ===
+      bucketMap(Dedup.bucketedIndex(replaced, "doc_id", "text", 3, 16, 16)),
+      "updated bucket index must equal the rebuild (stale rows retired everywhere)")
+    // the scrubbed id is gone from the ENTIRE index, not just probed buckets
+    assert(banded2.filter($"id" === 30L).count() === 0L)
+    assert(buckets2.filter(array_contains($"old_ids", 30L)).count() === 0L)
+  }
+
   test("pin registry bounds the session to two live caches per call site (r13)") {
     import spark.implicits._
     import graft.operators.Dedup
