@@ -244,8 +244,16 @@ object Dedup {
     val addSets = arBanded.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("add_ids"))
     val empty = array().cast("array<bigint>")
+    // reduce the corpus-scale index to the affected rows with a
+    // broadcast SEMI join first: a direct `affectedKeys LEFT JOIN
+    // existingBuckets` cannot broadcast its small (left) side — Spark
+    // builds on the right of a left-outer join — so it would shuffle
+    // the ENTIRE index on (band, bh) every ingest. The semi join is a
+    // scan; everything after it is batch-bounded.
+    val affectedOld = existingBuckets
+      .join(broadcast(affectedKeys), Seq("band", "bh"), "left_semi")
     val rewritten = affectedKeys
-      .join(existingBuckets, Seq("band", "bh"), "left")
+      .join(broadcast(affectedOld), Seq("band", "bh"), "left")
       .join(broadcast(staleSets), Seq("band", "bh"), "left")
       .join(broadcast(addSets), Seq("band", "bh"), "left")
       .select(col("band"), col("bh"),
@@ -659,8 +667,10 @@ object Dedup {
     // batch-id array would be O(|batch|) per bucket row, quadratic per
     // ingest). The id set is batch-sized → broadcast at any corpus
     // scale. Stale entries in UNPROBED buckets are unreachable this
-    // batch (no candidates form there) and get scrubbed whenever a
-    // later batch probes them.
+    // batch (no candidates form there); the persisted index retires
+    // them at state-update time via [[updatedBandedState]], and any
+    // that survive a lagging state get scrubbed here when a later
+    // batch probes them.
     val probed = arBuckets.join(existingBuckets, Seq("band", "bh"), "left")
     val liveOld = probed
       .select(col("band"), col("bh"),
