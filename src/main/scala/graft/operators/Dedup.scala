@@ -197,9 +197,37 @@ object Dedup {
   def bucketedIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
       useMd5: Boolean = true): DataFrame =
-    bandedIndex(df, idCol, textCol, k, numHashes, bands, useMd5)
-      .groupBy(col("band"), col("bh"))
+    collectBuckets(bandedIndex(df, idCol, textCol, k, numHashes, bands, useMd5))
+
+  /** Collapse [[bandedIndex]] rows to the probe layout — exposed so a
+    * state writer that already persists the banded rows derives the
+    * bucket form from THEM (one groupBy) instead of re-shingling the
+    * corpus through [[bucketedIndex]]. */
+  def collectBuckets(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("old_ids"))
+
+  /** The shingle-store update shared by the probe
+    * ([[incrementalNearDupComponents]]) and the chained state writer:
+    * arriving ids' stale rows anti-joined out — keyed on the ARRIVING
+    * ids, not the shingled ids, so a content-scrubbing re-ingest whose
+    * new text has no k-grams still retires its old rows (the r12
+    * re-ingest-safety law lives HERE, in one place) — then the batch's
+    * fresh shingles unioned in. The id set is batch-sized → broadcast
+    * at any corpus scale. */
+  def updatedShingleStore(existingShingles: DataFrame, arriving: DataFrame,
+      idCol: String, textCol: String, k: Int = 3): DataFrame =
+    updatedShingleStore(existingShingles,
+      arriving.select(col(idCol).cast("bigint").as("id")).distinct(),
+      shingleFrame(arriving, idCol, textCol, k))
+
+  /** [[updatedShingleStore]] over precomputed batch frames (the probe
+    * already holds both and must not shingle the batch twice). */
+  def updatedShingleStore(existingShingles: DataFrame, arrivingIds: DataFrame,
+      arrivingShingles: DataFrame): DataFrame =
+    existingShingles
+      .join(broadcast(arrivingIds), Seq("id"), "left_anti")
+      .unionByName(arrivingShingles)
 
   /** INDEX MAINTENANCE for the incremental path (r14) — the write half
     * of [[incrementalNearDupComponents]]'s probe-side stale scrubbing:
@@ -249,11 +277,17 @@ object Dedup {
     // existingBuckets` cannot broadcast its small (left) side — Spark
     // builds on the right of a left-outer join — so it would shuffle
     // the ENTIRE index on (band, bh) every ingest. The semi join is a
-    // scan; everything after it is batch-bounded.
+    // scan. affectedOld's ROW count is batch-bounded but its member
+    // ARRAYS are bucket-sized — the index is uncapped, so a degenerate
+    // boilerplate mega-bucket named by the batch can hold millions of
+    // ids; it must stream executor-side, NEVER broadcast (a broadcast
+    // collects it to the driver). The plain join below shuffles only
+    // the batch-bounded affected rows. staleSets/addSets arrays are
+    // subsets of the batch's ids — those broadcasts are safe.
     val affectedOld = existingBuckets
       .join(broadcast(affectedKeys), Seq("band", "bh"), "left_semi")
     val rewritten = affectedKeys
-      .join(broadcast(affectedOld), Seq("band", "bh"), "left")
+      .join(affectedOld, Seq("band", "bh"), "left")
       .join(broadcast(staleSets), Seq("band", "bh"), "left")
       .join(broadcast(addSets), Seq("band", "bh"), "left")
       .select(col("band"), col("bh"),
@@ -700,18 +734,14 @@ object Dedup {
     // Re-ingest safety (ADVICE r12): if a batch carries an id the
     // corpus already holds, a naive union keeps TWO shingle rows for
     // it and the verify join fans out, scoring candidates against the
-    // stale text. Prefer the arriving row: drop the existing shingles
-    // for re-ingested ids before the union, so every id verifies
-    // against exactly one (the freshest) text. Keyed on ARRIVING ids,
-    // not arSh's: shingleFrame drops empty-shingle docs, so a re-ingest
-    // that scrubs a doc's content (k-gram-less text) would otherwise be
-    // absent from the anti-join key set and its STALE shingles would
-    // keep forming edges from the old content. The anti-join's right
-    // side is batch-sized — broadcast at any corpus scale.
-    val arIds = arriving.select(col(idCol).as("id")).distinct()
-    val shingleState = existingShingles
-      .join(broadcast(arIds), Seq("id"), "left_anti")
-      .unionByName(arSh)
+    // stale text. Prefer the arriving row — the shared
+    // [[updatedShingleStore]] anti-joins the existing shingles out
+    // keyed on the ARRIVING ids (so a content-scrubbing re-ingest
+    // still retires its old rows) and unions the batch's fresh
+    // shingles in. arSh is passed precomputed: the batch must not
+    // shingle twice.
+    val shingleState = updatedShingleStore(existingShingles,
+      arriving.select(col(idCol).cast("bigint").as("id")).distinct(), arSh)
     val newEdges = jaccardVerify(cands, shingleState, "id", "sh", threshold)
     val lblA = priorComp.select(col("node").as("id_a"), col("component").as("la"))
     val lblB = priorComp.select(col("node").as("id_b"), col("component").as("lb"))

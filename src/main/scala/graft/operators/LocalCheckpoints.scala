@@ -85,23 +85,34 @@ object PinRegistry {
     if (evictionRegistered.add(spark)) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           evict(spark)
+          // only the end-of-life path deregisters: a MANUAL evict must
+          // leave the session marked, or the next replace() would
+          // install a second identical listener per evict/replace
+          // cycle — an unbounded listener-bus leak on long sessions
+          evictionRegistered.remove(spark): Unit
+        }
       })
     }
   }
 
   /** Drops every entry of `spark` and unpersists its pins (non-blocking).
-    * Called by the application-end listener; exposed for tests. */
+    * Called by the application-end listener; exposed for tests and for
+    * callers that want to release a session's pins early. Idempotent;
+    * the session's listener registration stays (see above). */
   def evict(spark: org.apache.spark.sql.SparkSession): Unit = {
     val it = pins.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq spark) {
-        e.getValue.foreach(_.foreach(_.unpersist(false)))
+        // the listener fires while the context is tearing down: a
+        // too-late unpersist may throw on a stopped context — dropping
+        // the registry entry is the part that must still happen
+        e.getValue.foreach(_.foreach(d =>
+          scala.util.Try(d.unpersist(false)): Unit))
         it.remove()
       }
     }
-    evictionRegistered.remove(spark): Unit
   }
 }

@@ -124,11 +124,14 @@ object Salting {
   }
 
   /** Single-level direct form of [[topKPerKey]] (no salt split) — same
-    * output contract (nulls excluded, ascending values, rank 1..k) and
-    * still map-side-capped at k per key by the slice partial, but a hot
-    * key's level-0 partials all merge on ONE reduce task. The adaptive
-    * path uses it when [[advise]] says no key is hot enough to matter —
-    * the salt split would be a pure extra exchange then. */
+    * output contract (nulls excluded, ascending values, rank 1..k).
+    * NOT capped map-side: the `slice` applies AFTER the aggregate
+    * merges, so the collect_list partials are payload-preserving — a
+    * key's full value payload buffers on its one reduce task. That is
+    * exactly why this form is gated behind [[advise]]: it is safe (and
+    * one exchange cheaper) precisely when the sketch pass confirms no
+    * key is hot; with a hot key, use the salted [[topKPerKey]], whose
+    * level-1 cap is what actually bounds the buffers. */
   def directTopKPerKey(
       df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
     validateTopK(df, keyCol, valueCol, k)

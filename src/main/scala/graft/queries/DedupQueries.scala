@@ -312,8 +312,7 @@ object DedupQueries {
         Dedup.bandedIndex(existing, "doc_id", "text")
       }
       val buckets0 = SignalMemo.cached(spark, dir, "incr2_buckets0") {
-        banded0.groupBy(col("band"), col("bh"))
-          .agg(collect_list(col("id")).as("old_ids"))
+        Dedup.collectBuckets(banded0)
       }
       val sh0 = SignalMemo.cached(spark, dir, "incr2_shingles0") {
         Dedup.shingleFrame(existing, "doc_id", "text")
@@ -322,9 +321,7 @@ object DedupQueries {
         comp0, buckets0, sh0, batch0, "doc_id", "text")
       val (_, buckets1) = Dedup.updatedBandedState(
         banded0, buckets0, batch0, "doc_id", "text")
-      val b0ids = batch0.select(col("doc_id").cast("bigint").as("id")).distinct()
-      val sh1 = sh0.join(broadcast(b0ids), Seq("id"), "left_anti")
-        .unionByName(Dedup.shingleFrame(batch0, "doc_id", "text"))
+      val sh1 = Dedup.updatedShingleStore(sh0, batch0, "doc_id", "text")
       Dedup.incrementalNearDupComponents(
         comp1, buckets1, sh1, batch1, "doc_id", "text")
     }

@@ -541,15 +541,29 @@ object KafkaReplay {
       // checkpoint) sharing one log dir would collide on bare epoch ids
       // and the second writer's batches would be silently dropped
       val ledgerKey = s"$queryId:$epochId"
-      // migration shim (ADVICE r13): ledgers written before the
-      // query-scoped key change hold BARE epoch ids — an epoch committed
-      // to the sink just before upgrade but not yet checkpointed would
-      // never match the new "$queryId:$epochId" key and be re-appended
-      // on the post-upgrade replay. A bare line equal to this epoch id
-      // counts as committed too (legacy lines contain no ':', so the
-      // formats cannot collide).
+      // One-time legacy migration (ADVICE r13, narrowed r14): ledgers
+      // written before the query-scoped key change hold BARE epoch ids
+      // — an epoch committed to the sink just before upgrade but not
+      // yet checkpointed would never match the scoped key and be
+      // double-appended on the post-upgrade replay. But honoring bare
+      // lines for EVERY query forever reintroduces the cross-query
+      // silent drop the scoped key exists to fix (a NEW query's epoch 0
+      // matching some old query's bare "0"). The pre-r13 format was
+      // single-writer by construction (bare ids made shared dirs
+      // collide), so the FIRST post-upgrade committer is that writer's
+      // continuation: it alone honors the bare lines, and it CLAIMS
+      // them — the ledger is rewritten fully query-scoped below, so no
+      // later query ever consults them. Ambiguity window: a brand-new
+      // query that commits to a legacy dir before the old query resumes
+      // would claim the lines — give new queries fresh log dirs during
+      // the migration window. A mixed ledger (scoped lines already
+      // present alongside bare ones — an r13-era dir) cannot attribute
+      // its bare lines; they are ignored (worst case is the documented
+      // one-time re-ingest, never a silent drop).
       val ledger = committedEpochs(dir)
-      if (ledger.contains(ledgerKey) || ledger.contains(epochId.toString)) {
+      val (scoped, legacy) = ledger.partition(_.contains(':'))
+      val effLegacy = if (scoped.isEmpty) legacy else Set.empty[String]
+      if (scoped.contains(ledgerKey) || effLegacy.contains(epochId.toString)) {
         spools.foreach(m => new File(m.path).delete()) // replayed epoch: drop
         return
       }
@@ -573,8 +587,21 @@ object KafkaReplay {
         }
       }
       append(path, records.toSeq)
-      val w = new java.io.FileWriter(epochsFile(dir), true)
-      try w.write(s"$ledgerKey\n") finally w.close()
+      if (effLegacy.nonEmpty) {
+        // claim-and-migrate: rewrite the whole ledger query-scoped via
+        // temp + atomic move so a crash mid-rewrite cannot lose
+        // committed epochs (the AvroTable ledger discipline)
+        val all = legacy.map(l => s"$queryId:$l") + ledgerKey
+        val tmp = new File(dir, "_epochs.tmp")
+        val w = new java.io.FileWriter(tmp, false)
+        try w.write(all.toSeq.sorted.mkString("", "\n", "\n")) finally w.close()
+        java.nio.file.Files.move(tmp.toPath, epochsFile(dir).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      } else {
+        val w = new java.io.FileWriter(epochsFile(dir), true)
+        try w.write(s"$ledgerKey\n") finally w.close()
+      }
       spools.foreach(m => new File(m.path).delete())
     }
 

@@ -256,8 +256,13 @@ object SkewProbe {
             col("user_id"), col("rank"), col("event_id"))), lit(1L << 40)))
             .as("value_micro"))
         .orderBy(col("segment"))
+    // both rank arms exclude null values explicitly: topKPerKey's
+    // contract filters them, while row_number would rank them
+    // (nulls-first) — without the pin a testdata regeneration that
+    // introduces nulls would flip the equality law on data, not code
     val rankHot = () => rankRollup(
-      events.withColumn("rank",
+      events.filter(col("event_id").isNotNull)
+        .withColumn("rank",
           row_number().over(
             Window.partitionBy(col("user_id")).orderBy(col("event_id")))
             .cast("long"))
@@ -292,14 +297,18 @@ object SkewProbe {
             col("event_id"), col("user_total_micro"))), lit(1L << 40)))
             .as("value_micro"))
         .orderBy(col("segment"))
+    // both agg arms exclude null keys explicitly: the rewrite's inner
+    // join drops a null user_id the frameless window form keeps —
+    // another on-data equality flip waiting for a testdata change
+    val aggBase = events.filter(col("user_id").isNotNull)
     val windowAggHot = () => aggRollup(
-      events.withColumn("user_total_micro",
+      aggBase.withColumn("user_total_micro",
         sum(round(col("value") * 1e6).cast("long")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
         .select(col("user_id"), col("event_id"), col("user_total_micro")))
     val windowAggRewrite = () => aggRollup(
-      events.join(
-          broadcast(events.groupBy(col("user_id"))
+      aggBase.join(
+          broadcast(aggBase.groupBy(col("user_id"))
             .agg(sum(round(col("value") * 1e6).cast("long"))
               .as("user_total_micro"))),
           Seq("user_id"), "inner")

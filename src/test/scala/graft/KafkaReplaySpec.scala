@@ -180,9 +180,23 @@ class KafkaReplaySpec extends SparkSpec {
     w.commit(3L, Array(spool(".epoch-3-task-x-0.spool", Seq((0, "dup".getBytes)))))
     assert(KafkaReplay.endOffsets(dir).getOrElse(0, 0L) === 0L,
       "legacy-committed epoch was replayed and double-appended")
-    // a genuinely new epoch still appends
+    // a genuinely new epoch still appends — and CLAIMS the legacy lines:
+    // the ledger must be fully query-scoped afterwards
     w.commit(4L, Array(spool(".epoch-4-task-x-1.spool", Seq((0, "new".getBytes)))))
     assert(KafkaReplay.endOffsets(dir).getOrElse(0, 0L) === 1L)
+    val migrated = {
+      val src = scala.io.Source.fromFile(new java.io.File(dir, "_epochs"))
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toSet finally src.close()
+    }
+    assert(migrated === Set("queryX:3", "queryX:4"),
+      s"legacy lines not migrated to query-scoped form: $migrated")
+    // the narrowed shim (r14): once migrated, a DIFFERENT query's epoch
+    // matching an old bare id must NOT be suppressed — the cross-query
+    // silent drop the scoped key exists to prevent
+    val wB = new KafkaReplay.ReplayStreamingWrite(dir, KafkaReplay.sinkSchema, "queryB")
+    wB.commit(3L, Array(spool(".epoch-3-task-b-0.spool", Seq((0, "b3".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir).getOrElse(0, 0L) === 2L,
+      "a new query's epoch was suppressed by a claimed legacy line")
   }
 
   test("micro-batch replay-from-earliest == batch pipeline over the same wire bytes") {
