@@ -117,7 +117,10 @@ object Bench {
     catch { case _: Throwable => () }
 
     // Dev escape hatch: SPARK_GRAFT_ONLY=q1,q2 times a subset in isolation.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // same parser as Verify's: trimmed + empties dropped, so
+    // "q1, q2" selects q2 instead of silently not timing it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val timed = selected.map(n => n -> materialize(n))
@@ -203,16 +206,22 @@ object Bench {
     // reference era's times are first samples, so a best-of-N min would
     // read as a phantom host speedup and skew the normalizer.
     val resultMap = firsts.toMap
+    // ONE calibration implementation (trim = 0 is the untrimmed form;
+    // its JSON elides the trim fields so artifact shape is unchanged);
+    // the median returns AS A NUMBER alongside the JSON — the headline
+    // must not regex-reparse a string this function just built.
     def trimmedCalibration(refName: String, refs: Map[String, Double],
-        trim: Int): String =
+        trim: Int): (String, Option[Double]) =
+      // exact basename match: a substring test would rate sf0.15 or
+      // sf0.1_v2 against the wrong-scale reference as applicable
       if (new java.io.File(sfDir.stripSuffix("/")).getName != "sf0.1")
-        s"""{"reference":"$refName","applicable":false}"""
+        (s"""{"reference":"$refName","applicable":false}""", None)
       else {
         val ratios = refs.toSeq.sorted.flatMap { case (k, ref) =>
           resultMap.get(k).filter(_ > 0).map(v => k -> v / ref)
         }
         if (ratios.size < 2 * trim + 1)
-          s"""{"reference":"$refName","applicable":false}"""
+          (s"""{"reference":"$refName","applicable":false}""", None)
         else {
           val sortedR = ratios.map(_._2).sorted
           val mid = sortedR.slice(trim, sortedR.size - trim)
@@ -220,33 +229,20 @@ object Bench {
             if (mid.size % 2 == 1) mid(mid.size / 2)
             else (mid(mid.size / 2 - 1) + mid(mid.size / 2)) / 2
           val per = ratios.map { case (k, r) => f""""$k":$r%.3f""" }.mkString("{", ",", "}")
-          f"""{"reference":"$refName%s","applicable":true,"trim":$trim,""" +
-            f""""median_ratio":$med%.3f,"trimmed_min":${mid.head}%.3f,""" +
-            f""""trimmed_max":${mid.last}%.3f,"ratios":$per}"""
+          val trimFields =
+            if (trim == 0) f""""median_ratio":$med%.3f,"""
+            else f""""trim":$trim,"median_ratio":$med%.3f,""" +
+              f""""trimmed_min":${mid.head}%.3f,"trimmed_max":${mid.last}%.3f,"""
+          (f"""{"reference":"$refName%s","applicable":true,""" +
+            trimFields + s""""ratios":$per}""", Some(med))
         }
       }
-    def calibrationAgainst(refName: String, refs: Map[String, Double]): String =
-      if (new java.io.File(sfDir.stripSuffix("/")).getName != "sf0.1")
-        // exact basename match: a substring test would rate sf0.15 or
-        // sf0.1_v2 against the wrong-scale reference as applicable
-        s"""{"reference":"$refName","applicable":false}"""
-      else {
-        val ratios = refs.toSeq.sorted.flatMap { case (k, ref) =>
-          resultMap.get(k).filter(_ > 0).map(v => k -> v / ref)
-        }
-        if (ratios.isEmpty) s"""{"reference":"$refName","applicable":false}"""
-        else {
-          val sortedR = ratios.map(_._2).sorted
-          val med =
-            if (sortedR.size % 2 == 1) sortedR(sortedR.size / 2)
-            else (sortedR(sortedR.size / 2 - 1) + sortedR(sortedR.size / 2)) / 2
-          val per = ratios.map { case (k, r) => f""""$k":$r%.3f""" }.mkString("{", ",", "}")
-          f"""{"reference":"$refName%s","applicable":true,"median_ratio":$med%.3f,"ratios":$per}"""
-        }
-      }
-    val calibration = calibrationAgainst("r6@sf0.1", canaryRefR6)
-    val calibrationR9 = calibrationAgainst("r9@sf0.1", canaryRefR9)
-    val calibrationR10 = trimmedCalibration("r9driver@sf0.1", canaryRefR10, trim = 3)
+    def calibrationAgainst(refName: String, refs: Map[String, Double])
+        : (String, Option[Double]) = trimmedCalibration(refName, refs, trim = 0)
+    val (calibration, calibrationMed) = calibrationAgainst("r6@sf0.1", canaryRefR6)
+    val (calibrationR9, _) = calibrationAgainst("r9@sf0.1", canaryRefR9)
+    val (calibrationR10, calibrationR10Med) =
+      trimmedCalibration("r9driver@sf0.1", canaryRefR10, trim = 3)
 
     val runCountsJson = runCounts
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -294,11 +290,11 @@ object Bench {
     val perQ = if (n > 0) total / n else 0.0
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    def medianOf(block: String): String =
-      """"median_ratio":([0-9.]+)""".r.findFirstMatchIn(block)
-        .map(_.group(1)).getOrElse("null")
-    val medianRatio = medianOf(calibration)
-    val medianRatioR10 = medianOf(calibrationR10)
+    // medians carried as NUMBERS from the calibration builders — the
+    // old regex-over-own-JSON reparse silently printed null on any
+    // format drift (the r1-r8 parsed:null failure mode, field-level)
+    val medianRatio = calibrationMed.map(m => f"$m%.3f").getOrElse("null")
+    val medianRatioR10 = calibrationR10Med.map(m => f"$m%.3f").getOrElse("null")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,""" +
       f""""s_per_query":$perQ%.4f,"runs":$runs,""" +
       f""""prep":{"posting_index_build_s":$prep%.2f,"session_index_build_s":$sessPrep%.2f},""" +

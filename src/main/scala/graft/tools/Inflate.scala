@@ -109,17 +109,23 @@ object Inflate {
     * directory of part-files would silently stream zero rows. Probe
     * corpora are small enough that the single-file coalesce is free. */
   def corpus(spark: SparkSession, srcDir: String, destDir: String, k: Int): Unit =
-    Tables.names.foreach { name =>
-      val scratch = s"$destDir/_build_$name"
-      table(spark, srcDir, name, k).coalesce(1)
-        .write.mode("overwrite").parquet(scratch)
-      val part = new java.io.File(scratch).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $scratch"))
-      val target = new java.io.File(destDir, s"$name.parquet")
-      java.nio.file.Files.move(part.toPath, target.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      new java.io.File(scratch).listFiles().foreach(_.delete())
-      new java.io.File(scratch).delete(): Unit
-    }
+    Tables.names.foreach(name =>
+      writeSingleParquet(table(spark, srcDir, name, k), destDir, name))
+
+  /** Writes `df` as `<destDir>/<name>.parquet` — ONE plain file in the
+    * testdata layout (see [[corpus]]); shared with [[SkewProbe]]'s
+    * streamed-corpus writer so the layout contract has one home. */
+  def writeSingleParquet(df: org.apache.spark.sql.DataFrame,
+      destDir: String, name: String): Unit = {
+    val scratch = s"$destDir/_build_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $scratch"))
+    val target = new java.io.File(destDir, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(scratch).listFiles().foreach(_.delete())
+    new java.io.File(scratch).delete(): Unit
+  }
 }

@@ -83,9 +83,14 @@ object ScaleProbe {
       * is meant to constrain.) Output rows are NOT workload-scaled even
       * when coupled — top-k per query grows the output by k, not k².
       * An empty 1× baseline certifies nothing: rows1 == 0 with rowsK > 0
-      * is a probe failure, not an infinite allowance. */
+      * is a probe failure, not an infinite allowance — and SYMMETRICALLY
+      * an empty k× observation (rowsK == 0 with rows1 > 0, e.g. a copy-0
+      * pin applied to the wrong side so the inflated corpus contributes
+      * nothing) measured nothing at scale and must read as FAIL, not as
+      * trivially-under-the-bound. */
     def linearOk(margin: Double = 2.0): Boolean = {
       if (rows1 <= 0 && rowsK > 0) return false
+      if (rows1 > 0 && rowsK <= 0) return false
       val workload = if (coupled) k.toDouble else 1.0
       def ok(base: Long, big: Long, floor: Long, w: Double): Boolean =
         big.toDouble <= base.toDouble * margin * k * w + floor
@@ -244,7 +249,7 @@ object ScaleProbe {
     * `bitsPerBand = autoBitsPerBand(n)` the same operator probes
     * linear, demonstrating the re-banding discipline DEPLOYMENT.md
     * prescribes rather than asserting it. */
-  def bandedFamilies(spark: SparkSession): Seq[Family] = Seq(
+  val bandedFamilies: Seq[Family] = Seq(
     Family("dedup_minhash_pairs",
       "banded MinHash LSH: bucket keys are minhash tuples, collision mass similarity-driven not size-driven",
       knob = "registered 4-band/16-hash banding; bucket key entropy grows with corpus, no derivation needed"),
@@ -342,8 +347,8 @@ object ScaleProbe {
   def json(obs: Seq[Obs], sfDir: String, margin: Double): String = {
     val rows = obs.map { o =>
       val knobField =
-        if (o.knob.isEmpty) "" else s""""knob":"${o.knob}","""
-      f"""{"query":"${o.query}","claim":"${o.claim}","coupled":${o.coupled},"k":${o.k},""" +
+        if (o.knob.isEmpty) "" else s""""knob":${JsonText.str(o.knob)},"""
+      f"""{"query":${JsonText.str(o.query)},"claim":${JsonText.str(o.claim)},"coupled":${o.coupled},"k":${o.k},""" +
         knobField +
         f""""rows":[${o.rows1},${o.rowsK}],"shuffle_bytes":[${o.bytes1},${o.bytesK}],""" +
         f""""shuffle_rows":[${o.srows1},${o.srowsK}],""" +
@@ -373,9 +378,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir1 = inflateTo(spark, sfDir, 1)
     val dirK = inflateTo(spark, sfDir, k)
-    val only = sel.filter(_ != "banded").map(_.split(",").toSet)
+    val only = sel.filter(_ != "banded")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val families =
-      if (sel.contains("banded")) bandedFamilies(spark)
+      if (sel.contains("banded")) bandedFamilies
       else (batchFamilies ++ streamedFamilies)
         .filter(f => only.forall(_.contains(f.query)))
     val obs =

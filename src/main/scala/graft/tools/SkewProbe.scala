@@ -148,21 +148,10 @@ object SkewProbe {
   final case class Probe(k: Int, hotMicro: Long, injectedShare: Double,
       advice: Salting.SkewAdvice, arms: Seq[Arm])
 
-  /** Writes `df` as `<destDir>/<name>.parquet` — a single plain FILE,
-    * the layout [[graft.sources.Tables.eventsStream]]'s pathGlobFilter
-    * selects (same contract as [[Inflate.corpus]]). */
-  private def writeSingleParquet(df: DataFrame, destDir: String, name: String): Unit = {
-    val scratch = s"$destDir/_build_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(scratch)
-    val part = new java.io.File(scratch).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $scratch"))
-    java.nio.file.Files.move(part.toPath,
-      new java.io.File(destDir, s"$name.parquet").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    new java.io.File(scratch).listFiles().foreach(_.delete())
-    new java.io.File(scratch).delete(): Unit
-  }
+  // single-file corpus writes share Inflate's layout contract
+  // (pathGlobFilter selects leaf FILE names) — one implementation home
+  private def writeSingleParquet(df: DataFrame, destDir: String, name: String): Unit =
+    Inflate.writeSingleParquet(df, destDir, name)
 
   /** The BOUNDARY of the aggregation-immunity law: partial aggregation
     * rescues a hot key only when partials SHRINK. A payload-preserving
@@ -183,6 +172,12 @@ object SkewProbe {
     */
   private def payloadArms(events: DataFrame, salts: Int): Seq[(String, String,
       () => DataFrame)] = {
+    // same null pin as the window arms: topKPerKey filters null values
+    // BEFORE grouping (an all-null-value user vanishes), while a bare
+    // groupBy keeps that user with an empty list — filter both arms so
+    // the equality law can only flip on code, never on a testdata
+    // regeneration that introduces nulls
+    val base = events.filter(col("event_id").isNotNull)
     def rollup(perUser: DataFrame): DataFrame =
       perUser.groupBy(pmod(col("user_id"), lit(10L)).as("segment"))
         .agg(count(lit(1)).as("n_rows"),
@@ -192,13 +187,13 @@ object SkewProbe {
             .as("value_micro"))
         .orderBy(col("segment"))
     val direct = () => rollup(
-      events.groupBy(col("user_id"))
+      base.groupBy(col("user_id"))
         .agg(slice(sort_array(collect_list(col("event_id"))), 1, 100).as("top_ids")))
     // the SHIPPED operator, not an inline re-implementation: these
     // receipts must certify Salting.topKPerKey itself, so a future
     // change to its salt function or cap placement stays covered
     val salted = () => rollup(
-      Salting.topKPerKey(events, "user_id", "event_id", k = 100, salts = salts)
+      Salting.topKPerKey(base, "user_id", "event_id", k = 100, salts = salts)
         .groupBy(col("user_id"))
         .agg(sort_array(collect_list(col("event_id"))).as("top_ids")))
     Seq(
@@ -499,7 +494,7 @@ object SkewProbe {
         s""""worst_stage":{"tasks":${s.tasks},"max_task_rows":${s.maxTaskRows},""" +
           s""""total_rows":${s.totalRows},"max_task_bytes":${s.maxTaskBytes},""" +
           s""""total_bytes":${s.totalBytes}},""").getOrElse("")
-      f"""{"arm":"${a.name}","note":"${a.note}",$ws""" +
+      f"""{"arm":${JsonText.str(a.name)},"note":${JsonText.str(a.note)},$ws""" +
         f""""worst_share_rows":${a.worstShareRows}%.4f,""" +
         f""""worst_share_bytes":${a.worstShareBytes}%.4f,""" +
         f""""wall_s":${a.wall}%.3f,"result_rows":${a.result.size}}"""

@@ -54,7 +54,7 @@ class ScaleProbeSpec extends SparkSpec {
     val dir1 = ScaleProbe.inflateTo(spark, sf, 1)
     val dirK = ScaleProbe.inflateTo(spark, sf, k)
     val obs =
-      try ScaleProbe.observe(spark, dir1, dirK, k, ScaleProbe.bandedFamilies(spark))
+      try ScaleProbe.observe(spark, dir1, dirK, k, ScaleProbe.bandedFamilies)
       finally { ScaleProbe.cleanup(dir1); ScaleProbe.cleanup(dirK) }
     val bad = obs.filterNot(_.linearOk(margin = 2.0)).map(o =>
       s"${o.query}: rows ${o.rows1}->${o.rowsK}, shuffleBytes ${o.bytes1}->" +
