@@ -455,9 +455,13 @@ object AnalyticsQueries {
     val ev = Tables.events(spark, dir)
     val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
     ev.crossJoin(broadcast(bounds))
-      .select(least(
+      // zero-span guard: an all-equal (or single-value) column makes
+      // (value-lo)/((hi-lo)/20) = 0/0 = NaN, and ANSI floor→int on NaN
+      // THROWS — everything lands in bin 0 instead (mirrored in the
+      // oracle SQL; invisible on fixture data, fatal on degenerate)
+      .select(when(col("hi") === col("lo"), lit(0)).otherwise(least(
         floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 20)).cast("int"),
-        lit(19)).as("bin"))
+        lit(19))).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
       .orderBy(col("bin"))
   }
@@ -724,7 +728,9 @@ object AnalyticsQueries {
         |GROUP BY col_name ORDER BY col_name""".stripMargin,
     "histogram_values" ->
       """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
-        |SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS INT), 19) AS bin,
+        |SELECT CASE WHEN hi = lo THEN 0
+        |            ELSE least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS INT), 19)
+        |       END AS bin,
         |       COUNT(*) AS n
         |FROM events, b GROUP BY bin ORDER BY bin""".stripMargin,
     "agg_weighted_mean" ->

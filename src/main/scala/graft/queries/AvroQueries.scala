@@ -269,10 +269,6 @@ object AvroQueries {
     * proves every record landed exactly once, on its routed partition,
     * with dense offsets and lossless payload bytes. */
   def kafkaSinkPipeline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
-      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
-    import spark.implicits._
     val log = ocfDir(dir, "sink_log")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -280,20 +276,25 @@ object AvroQueries {
     }
     rm(new java.io.File(log)) // the sink appends; each run produces afresh
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
-    val recs = userStruct(spark, dir).select(
-        (col("user.user_id").cast("long") % 4).cast("int").as("partition"),
-        encode(col("user.user_id"), "UTF-8").as("key"),
-        to_avro_confluent(col("user"), userSchemaJson, SchemaId).as("value"))
-      .as[(Int, Array[Byte], Array[Byte])].collect().toSeq
-    val mem = MemoryStream[(Int, Array[Byte], Array[Byte])]
-    mem.addData(recs: _*)
-    val q = mem.toDF().toDF("partition", "key", "value")
+    // the wire rows stage through a FILE stream, not a MemoryStream: a
+    // MemoryStream needs the whole encoded fixture collect()ed to the
+    // driver — an unbounded driver copy at scale, and the only streamed
+    // gate query that didn't stream from files (r14 review). The
+    // staging write + readStream keeps every row executor-side.
+    val wireDir = java.nio.file.Files.createTempDirectory("graft_sink_wire").toString
+    val wire = userStruct(spark, dir).select(
+      (col("user.user_id").cast("long") % 4).cast("int").as("partition"),
+      encode(col("user.user_id"), "UTF-8").as("key"),
+      to_avro_confluent(col("user"), userSchemaJson, SchemaId).as("value"))
+    wire.write.mode("overwrite").parquet(wireDir)
+    val q = spark.readStream.schema(wire.schema).parquet(wireDir)
       .select(col("key"), col("value"), col("partition"),
         lit(java.sql.Timestamp.from(FixedClock)).as("timestamp"))
       .writeStream.format(graft.sources.KafkaReplay.ShortName)
       .option("path", log).option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
+    rm(new java.io.File(wireDir))
     val raw = spark.read.format(graft.sources.KafkaReplay.ShortName)
       .option("path", log).load()
       .select(col("partition"), col("offset"),

@@ -112,7 +112,12 @@ object DedupQueries {
       .join(broadcast(bits), Seq("bit"), "left")
       .groupBy(col("doc_id"), col("s"))
       .agg((count(col("hit")) === 4).cast("int").as("maybe"))
-      .join(broadcast(hist.withColumn("exact", lit(1))), Seq("s"), "left")
+      // NO broadcast hint on hist: unlike `bits` (≤ m rows by
+      // construction), the distinct-shingle set grows with the corpus —
+      // a forced broadcast has no AQE escape and OOMs at scale. This
+      // exact semi-join is the oracle-only verification arm anyway
+      // (dropped in production, see scaladoc); let stats/AQE choose.
+      .join(hist.withColumn("exact", lit(1)), Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("maybe")).as("n_maybe_hist"),
@@ -176,13 +181,18 @@ object DedupQueries {
     import graft.functions.TextFunctions
     // the filtered frame feeds the dedup group-by AND the survivor
     // join-back — persist so the interpreted quality/lang lambdas run
-    // one scan, not one per branch
+    // one scan, not one per branch. The pin is consumed by the RETURNED
+    // lazy plan, so it cannot unpersist here; PinRegistry bounds a
+    // session to two live generations instead of leaking one
+    // corpus-scale cache per invocation (the Dedup operators'
+    // discipline, operators/LocalCheckpoints.scala)
     val docs = Tables.documents(spark, dir)
       .withColumn("q", TextFunctions.qualityScore(col("text")))
       .filter(col("q") >= 0.5)
       .filter(TextFunctions.langId(col("text")) === "en")
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.PinRegistry.replace("queries.corpusPipelineFull", Seq(docs))
     val survivors = Dedup.exact(docs, "doc_id", "text")
       .select(col("survivor_id").as("doc_id"))
       .join(docs, "doc_id")

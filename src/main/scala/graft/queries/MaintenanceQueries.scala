@@ -91,13 +91,15 @@ object MaintenanceQueries {
       col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
       col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
       col("l_extendedprice").as("price_raw"))
-    def partialState(half: Int): DataFrame =
-      l.filter(col("half") === half)
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty_d"),
-          sum(col("price")).as("sum_price_d"),
-          min(col("price_raw")).as("min_price"), max(col("price_raw")).as("max_price"))
-    partialState(0).unionByName(partialState(1))
+    // ONE scan: both partial states come from a single pass grouped by
+    // (flag, half) — the independence demonstration lives in the MERGE
+    // algebra, not in scanning the fact table once per state (the old
+    // two-filtered-scans shape paid a full extra fact-table read, the
+    // dominant cost at 100 TB)
+    l.groupBy(col("l_returnflag"), col("half"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty_d"),
+        sum(col("price")).as("sum_price_d"),
+        min(col("price_raw")).as("min_price"), max(col("price_raw")).as("max_price"))
       .groupBy(col("l_returnflag"))
       .agg(sum(col("n")).as("n"),
         sum(col("sum_qty_d")).cast("double").as("sum_qty"),
@@ -125,11 +127,9 @@ object MaintenanceQueries {
   def aggSketchMerge(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).select(
       col("l_returnflag"), (col("l_orderkey") % 2).as("half"), col("l_partkey"))
-    def partialSketch(half: Int): DataFrame =
-      l.filter(col("half") === half)
-        .groupBy(col("l_returnflag"))
-        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
-    val merged = partialSketch(0).unionByName(partialSketch(1))
+    // one scan for both HLL partials (see [[aggIncrementalMerge]])
+    val merged = l.groupBy(col("l_returnflag"), col("half"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
       .groupBy(col("l_returnflag"))
       .agg(hll_union_agg(col("sk")).as("sk"))
       .select(col("l_returnflag"),

@@ -230,9 +230,13 @@ object RelationalQueries {
     * identity (source-vs-sink reconciliation, `verifier_ui.py:103-111`)
     * generalized to the whole schema graph: for every FK edge, count
     * rows and orphans (left-anti join against the referenced key set).
-    * Dim-side edges broadcast; the two fact edges shuffle on the join
-    * key — per-edge cost is one anti-join, the cheapest possible
-    * containment check at 100 TB (no distinct, no sort). */
+    * Dim-side edges broadcast; the fact edges shuffle on the join key —
+    * per-edge cost is ONE left-outer join producing both counts in a
+    * single child-table pass (count(*) + count of null parent keys; the
+    * r14 review killed the two-scan shape, which read each child twice —
+    * three avoidable full lineitem scans in one query). Parent keys are
+    * primary keys, so the left join cannot fan out and the null-count
+    * equals the anti-join count exactly. */
   def auditReferential(spark: SparkSession, dir: String): DataFrame = {
     val edges: Seq[(String, DataFrame, String, DataFrame, String)] = Seq(
       ("orders->customer", Tables.orders(spark, dir), "o_custkey",
@@ -250,9 +254,12 @@ object RelationalQueries {
       ("nation->region", Tables.nation(spark, dir), "n_regionkey",
         Tables.region(spark, dir), "r_regionkey"))
     edges.map { case (name, child, fk, parent, pk) =>
-      val orphans = child.join(parent, child(fk) === parent(pk), "left_anti")
-      child.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      child.select(col(fk).as("_fk"))
+        .join(parent.select(col(pk).as("_pk")),
+          col("_fk") === col("_pk"), "left_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col("_pk").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"))
         .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
     }.reduce(_.union(_)).orderBy(col("edge"))
   }

@@ -106,17 +106,20 @@ object TextQueries {
 
   /** Benchmark-contamination scan (train/test overlap): corpus docs
     * sharing any 5-shingle with the benchmark set (every 37th doc plays
-    * the benchmark). Scale shape: the benchmark's distinct shingle set
-    * is tiny by construction and broadcast; the corpus explodes
-    * scan-side and semi-aggregates — the 100 TB side never shuffles
-    * whole documents, only matched (doc_id, shingle) rows. */
+    * the benchmark). Scale shape: the corpus explodes scan-side and
+    * semi-aggregates — the 100 TB side never shuffles whole documents,
+    * only matched (doc_id, shingle) rows. The benchmark side carries NO
+    * broadcast hint: under the registered %37 split it is a fixed
+    * FRACTION of the corpus, not a fixed size, and a forced broadcast
+    * has no AQE escape (a real deployment's benchmark set IS small and
+    * stats/AQE will broadcast it unhinted). */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bench = docs.filter(col("doc_id") % 37 === 0)
       .select(explode(shingles(col("text"), 5)).as("sng")).distinct()
     val corpus = docs.filter(col("doc_id") % 37 =!= 0)
       .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sng"))
-    corpus.join(broadcast(bench), Seq("sng"))
+    corpus.join(bench, Seq("sng"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sng")).as("n_shared"))
       .orderBy(col("doc_id"))
@@ -368,7 +371,13 @@ object TextQueries {
         (col("u16").cast("double") / 65536.0 < col("rate")).as("mix_kept"))
     docs.select(col("doc_id"))
       .join(survivors, "doc_id")
-      .join(ppl, "doc_id")
+      // LEFT: a doc with fewer than 3 chars has no trigrams, hence no
+      // perplexity row — an inner join would emit NO decision for it at
+      // all (neither keep nor drop), undefined behavior for a loader
+      // filtering against this table. No LM evidence ⇒ classify "tail"
+      // (dropped as perplexity_tail), mirrored in the oracle SQL.
+      .join(ppl, Seq("doc_id"), "left")
+      .withColumn("ppl_bucket", coalesce(col("ppl_bucket"), lit("tail")))
       .join(imp, "doc_id")
       .join(mix, "doc_id")
       .select(col("doc_id"), col("is_survivor"), col("ppl_bucket"),
@@ -446,19 +455,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   private def perplexityBucketsBuild(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     // collapse the occurrence stream to per-doc trigram counts FIRST —
     // the natural materialized intermediate of a two-phase LM build (at
     // 100 TB this table is written once and feeds both phases); the
     // persist makes the reuse explicit instead of re-exploding the
-    // corpus for the scoring pass
+    // corpus for the scoring pass. The pin is consumed by the RETURNED
+    // plan (memoization materializes it after this function returns),
+    // so PinRegistry bounds the corpus-scale cache to two generations
+    // instead of leaking it for the session lifetime.
     val triCnt = docs.select(col("doc_id"),
       explode(when(length(col("text")) >= 3,
         expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))
         .otherwise(array().cast("array<string>"))).as("tri"))
       .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.PinRegistry.replace("queries.perplexityBuckets", Seq(triCnt))
     // LM: trigram counts, context counts (= Σ trigram counts per 2-char
     // prefix), smoothing vocabulary V = distinct continuation chars
     val cnt3 = triCnt.groupBy(col("tri")).agg(sum(col("cnt")).as("c3"))
@@ -476,10 +488,24 @@ object TextQueries {
       .agg(sum(col("cnt")).as("n_tri"), sum(col("cnt") * col("lp_q")).as("lp_sum"))
       .select(col("doc_id"), col("n_tri"),
         round(col("lp_sum").cast("double") / col("n_tri") / 1e6, 6).as("logprob_char"))
-    val pr = percent_rank().over(
-      Window.orderBy(col("logprob_char").desc, col("doc_id")))
-    scored
-      .withColumn("pr", pr)
+    // percent_rank WITHOUT the single-partition window funnel: the
+    // order carries a unique tiebreak (doc_id), so rank == row_number
+    // and percent_rank == (row_number - 1) / (N - 1) EXACTLY — and a
+    // global row_number is a distributed two-pass prefix sum of 1s
+    // (RunningTotal: range-partition on the order, local sums, one
+    // partition-count-sized offset broadcast). A bare
+    // `percent_rank().over(Window.orderBy(...))` sorts every per-doc
+    // row into ONE task — the funnel this memoized signal (consumed by
+    // three registered queries) must not ship at 100 TB.
+    val ranked = graft.operators.RunningTotal.withRunningSum(
+      scored, Seq(col("logprob_char").desc, col("doc_id")), lit(1), "rn")
+    val n = scored.agg(count(lit(1)).as("n_docs"))
+    ranked
+      .crossJoin(broadcast(n))
+      .withColumn("pr",
+        when(col("n_docs") > 1,
+          (col("rn") - 1).cast("double") / (col("n_docs") - 1).cast("double"))
+          .otherwise(lit(0.0)))
       .select(col("doc_id"), col("n_tri"), col("logprob_char"),
         when(col("pr") < 1.0 / 3.0, lit("head"))
           .when(col("pr") < 2.0 / 3.0, lit("middle"))
@@ -529,7 +555,9 @@ object TextQueries {
       .select(explode(shingles(col("text"), 5)).as("sng")).distinct()
     val contaminated = docs.filter(col("doc_id") % 37 =!= 0)
       .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sng"))
-      .join(broadcast(bench), Seq("sng"))
+      // no broadcast hint: the %37 benchmark split grows with the
+      // corpus (see [[contamination]]) — let stats/AQE choose
+      .join(bench, Seq("sng"))
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
     val fpw = Window.partitionBy(col("fp"))
@@ -1047,18 +1075,20 @@ object TextQueries {
         |              WHEN p < 2.0/3.0 THEN 'middle'
         |              ELSE 'tail' END AS ppl_bucket
         |  FROM pr)
-        |SELECT d.doc_id, surv.is_survivor, pplb.ppl_bucket, impw.imp_weight,
+        |SELECT d.doc_id, surv.is_survivor,
+        |       COALESCE(pplb.ppl_bucket, 'tail') AS ppl_bucket,
+        |       impw.imp_weight,
         |       mw.mix_kept,
-        |       (surv.is_survivor AND pplb.ppl_bucket <> 'tail'
+        |       (surv.is_survivor AND COALESCE(pplb.ppl_bucket, 'tail') <> 'tail'
         |        AND impw.on_domain AND mw.mix_kept) AS keep,
         |       CASE WHEN NOT surv.is_survivor THEN 'duplicate'
-        |            WHEN pplb.ppl_bucket = 'tail' THEN 'perplexity_tail'
+        |            WHEN COALESCE(pplb.ppl_bucket, 'tail') = 'tail' THEN 'perplexity_tail'
         |            WHEN NOT impw.on_domain THEN 'off_domain'
         |            WHEN NOT mw.mix_kept THEN 'mix_sampled_out'
         |            ELSE 'kept' END AS drop_reason
         |FROM documents d
         |JOIN surv ON surv.doc_id = d.doc_id
-        |JOIN pplb ON pplb.doc_id = d.doc_id
+        |LEFT JOIN pplb ON pplb.doc_id = d.doc_id
         |JOIN impw ON impw.doc_id = d.doc_id
         |JOIN mw ON mw.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin),

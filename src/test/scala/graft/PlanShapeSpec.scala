@@ -188,9 +188,11 @@ class PlanShapeSpec extends SparkSpec {
     // r8 funnel: three step scans each push their event_type equality
     // into parquet (the fourth, lifetime-count scan reads user_id only)
     "events_sequence_match" -> 3,
-    // r9: each partial-state arm pushes its half-split predicate
-    // (l_orderkey % 2 = h) into its lineitem scan
-    "agg_incremental_merge" -> 2,
+    // agg_incremental_merge dropped off this map in r14: the two
+    // filtered-scan arms (each pushing its half-split predicate) were
+    // replaced by ONE unfiltered scan grouped by (flag, half) — the
+    // partial states now come from the group-by, so there is no
+    // predicate to push and the fact table is read once, not twice
     // r9 TPC-H shapes: every scan keeps its dim/date predicate
     "q3_shipping_priority" -> 3, "q5_local_supplier_volume" -> 6,
     "q10_returned_items" -> 4, "q18_large_volume_customer" -> 4,
