@@ -192,7 +192,8 @@ object AvroTable {
     * writer, plus an `_epochs` ledger so a REPLAYED epoch (restart after
     * a sink-side failure) is dropped wholesale — exactly-once object
     * contents without coordination beyond the driver. */
-  final class OcfStreamingWrite(path: String, schemaJson: String, codec: String)
+  final class OcfStreamingWrite(path: String, schemaJson: String, codec: String,
+      queryId: String = "")
       extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
     import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
     private def conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -223,12 +224,12 @@ object AvroTable {
 
     private def epochsPath = new org.apache.hadoop.fs.Path(path, "_epochs")
 
-    private def committedEpochs(fs: org.apache.hadoop.fs.FileSystem): Set[Long] =
+    private def committedLines(fs: org.apache.hadoop.fs.FileSystem): Set[String] =
       if (!fs.exists(epochsPath)) Set.empty
       else {
         val in = fs.open(epochsPath)
         try scala.io.Source.fromInputStream(in).getLines()
-          .flatMap(_.toLongOption).toSet
+          .map(_.trim).filter(_.nonEmpty).toSet
         finally in.close()
       }
 
@@ -238,11 +239,30 @@ object AvroTable {
       val fs = dir.getFileSystem(conf)
       fs.mkdirs(dir)
       val parts = messages.collect { case m: OcfPartMsg => m }
-      if (committedEpochs(fs).contains(epochId)) {
+      // QUERY-scoped ledger (r14, the KafkaReplay r13 fix applied to
+      // this sink too): bare epoch ids made a fresh-checkpoint rerun
+      // SILENTLY DROP its first epochs (its batch 0 matched the dead
+      // run's ledgered 0). The first scoped committer claims any bare
+      // legacy lines, so they are consulted exactly once.
+      val ledgerKey = s"$queryId:$epochId"
+      val lines = committedLines(fs)
+      val (scoped, legacy) = lines.partition(_.contains(':'))
+      val effLegacy = if (scoped.isEmpty) legacy else Set.empty[String]
+      if (scoped.contains(ledgerKey) || effLegacy.contains(epochId.toString)) {
         parts.foreach(m =>
           fs.delete(new org.apache.hadoop.fs.Path(m.tmpPath), false))
         return
       }
+      // incarnation sweep: batch= dirs ABOVE this epoch cannot belong
+      // to this run (the checkpoint guarantees later epochs never
+      // committed) — they are a dead incarnation's leftovers, and glob
+      // readers over the archive would double-count them
+      fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+        .filter { d =>
+          val n = d.getName
+          n.startsWith("batch=") && n.stripPrefix("batch=").toLong > epochId
+        }
+        .foreach(d => fs.delete(d, true))
       val epochDir = new org.apache.hadoop.fs.Path(dir, s"batch=$epochId")
       // a replay whose ORIGINAL attempt crashed between the renames and
       // the ledger write finds batch=<e> populated but un-ledgered: the
@@ -263,10 +283,10 @@ object AvroTable {
       // create(truncate) zeroed the file before rewriting, so a crash
       // mid-write lost EVERY committed-epoch record and every later
       // replay would re-append
-      val prior = committedEpochs(fs)
+      val all = scoped ++ legacy.map(l => s"$queryId:$l") + ledgerKey
       val ledgerTmp = new org.apache.hadoop.fs.Path(dir, "_epochs.tmp")
       val out = fs.create(ledgerTmp, true)
-      try out.write((prior + epochId).toSeq.sorted.mkString("", "\n", "\n")
+      try out.write(all.toSeq.sorted.mkString("", "\n", "\n")
         .getBytes("UTF-8"))
       finally out.close()
       fs.delete(epochsPath, false)
@@ -308,7 +328,7 @@ object AvroTable {
             new OcfBatchWrite(target, json, codec, doTruncate)
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new OcfStreamingWrite(target, json, codec)
+            new OcfStreamingWrite(target, json, codec, info.queryId())
         }
       }
   }

@@ -211,13 +211,14 @@ object TemporalQueries {
     val sessions = graft.streaming.TwsSessions.gapSessionsTws(
       events, gapUs = 30L * 60L * 1000000L)
     val name = "session_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.TwsSessions.withRocksDb(spark) {
-      graft.streaming.StreamGate.runToCompletion(spark) {
+    // rocksdb conf rides INSIDE the gate's locked start window (the
+    // Verify pool races a naked set/restore — see TwsSessions.rocksDbConfs)
+    graft.streaming.StreamGate.runToCompletion(spark,
+        extraConfs = graft.streaming.TwsSessions.rocksDbConfs) {
         sessions.writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-      }
     }
     spark.table(name)
       .filter(col("user_id") >= 0)
@@ -264,13 +265,14 @@ object TemporalQueries {
     val sessions = graft.streaming.TwsSessions.gapSessionsTwsBootstrapped(
       streamHalf, gapUs, seed)
     val name = "session_boot_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.TwsSessions.withRocksDb(spark) {
-      graft.streaming.StreamGate.runToCompletion(spark) {
+    // rocksdb conf rides INSIDE the gate's locked start window (the
+    // Verify pool races a naked set/restore — see TwsSessions.rocksDbConfs)
+    graft.streaming.StreamGate.runToCompletion(spark,
+        extraConfs = graft.streaming.TwsSessions.rocksDbConfs) {
         sessions.writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-      }
     }
     // the completed replay consumed the seed (initial state loaded in
     // micro-batch 0); its blocks would otherwise stay pinned for the
@@ -304,13 +306,14 @@ object TemporalQueries {
       .as[graft.streaming.TypedEvent]
     val counts = graft.streaming.TwsCounts.typeCounts(events)
     val name = "type_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.TwsSessions.withRocksDb(spark) {
-      graft.streaming.StreamGate.runToCompletion(spark) {
+    // rocksdb conf rides INSIDE the gate's locked start window (the
+    // Verify pool races a naked set/restore — see TwsSessions.rocksDbConfs)
+    graft.streaming.StreamGate.runToCompletion(spark,
+        extraConfs = graft.streaming.TwsSessions.rocksDbConfs) {
         counts.writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-      }
     }
     spark.table(name)
       .filter(col("user_id") >= 0)
@@ -364,13 +367,14 @@ object TemporalQueries {
       .as[graft.streaming.RecentIn]
     val recent = graft.streaming.TwsRecent.recentEvents(events, 3)
     val name = "recent_events_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.TwsSessions.withRocksDb(spark) {
-      graft.streaming.StreamGate.runToCompletion(spark) {
+    // rocksdb conf rides INSIDE the gate's locked start window (the
+    // Verify pool races a naked set/restore — see TwsSessions.rocksDbConfs)
+    graft.streaming.StreamGate.runToCompletion(spark,
+        extraConfs = graft.streaming.TwsSessions.rocksDbConfs) {
         recent.writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-      }
     }
     spark.table(name)
       .filter(col("user_id") >= 0)

@@ -150,36 +150,201 @@ object KafkaReplay {
           finishCurrent()
         } finally if (out != null) { out.close(); tmp.delete(); () }
       }
+    // a wholesale replace can land the same byte length within the fs
+    // mtime granularity — the (len, mtime) validation would then serve
+    // a stale count; drop the entries outright
+    invalidateUnder(dir)
   }
 
-  /** Next offset to be written = number of records in the file.
-    * Memoized on (length, mtime): the count scan is O(file), and the
-    * sink calls this once per EPOCH per partition — uncached, epoch E
+  /** Records per sparse-index slot: the framing scan that counts a log
+    * also records the byte position of every `IndexStride`-th record,
+    * so later range reads SEEK near their start offset instead of
+    * re-framing the whole prefix (a paced replay re-reading the prefix
+    * per trigger is O(N²/k) total I/O without this). */
+  private val IndexStride = 1024L
+
+  /** (record count, sparse byte positions of offsets 0, stride, 2·stride…)
+    * memoized on (length, mtime): the scan is O(file), and the sink
+    * calls this once per EPOCH per partition — uncached, epoch E
     * re-decodes everything epochs 0..E-1 wrote, O(N²) over a run. An
-    * append invalidates the entry via the length change; `writeLog`'s
-    * wholesale replace via length+mtime. */
-  private val endOffsetCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
-  private def endOffset(f: File): Long = {
-    if (!f.exists()) return 0L
+    * append invalidates the entry via the length change; `writeLog` and
+    * truncation recovery invalidate explicitly (a same-length replace
+    * within the fs mtime granularity would otherwise return a stale
+    * count). */
+  private val posCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Array[Long])]()
+  private[sources] def invalidateUnder(dir: File): Unit = {
+    val prefix = dir.getAbsolutePath + File.separator
+    posCache.keySet.removeIf(_.startsWith(prefix)): Unit
+  }
+  private def positionIndex(f: File): (Long, Array[Long]) = {
+    if (!f.exists()) return (0L, Array.empty[Long])
     val key = f.getAbsolutePath
     val len = f.length()
     val mtime = f.lastModified()
-    val cached = endOffsetCache.get(key)
-    if (cached != null && cached._1 == len && cached._2 == mtime) return cached._3
+    val cached = posCache.get(key)
+    if (cached != null && cached._1 == len && cached._2 == mtime)
+      return (cached._3, cached._4)
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
     var n = 0L
+    var pos = 0L
+    val marks = scala.collection.mutable.ArrayBuffer.empty[Long]
     try {
       while (true) {
+        if (n % IndexStride == 0L) marks += pos
         in.readLong(); in.readLong()
         val kl = in.readInt(); if (kl >= 0) in.skipNBytes(kl.toLong)
         val vl = in.readInt(); if (vl >= 0) in.skipNBytes(vl.toLong)
+        // frame = offset(8) + ts(8) + klen(4) + key + vlen(4) + value
+        pos += 24L + (if (kl > 0) kl else 0L) + (if (vl > 0) vl else 0L)
         n += 1
       }
-    } catch { case _: EOFException => }
+    } catch { case _: EOFException =>
+      // the mark for a record is only valid if the record parsed whole:
+      // a torn tail must not leave a mark pointing into garbage — marks
+      // are appended BEFORE the parse, so drop the last mark if the
+      // parse died inside its slot's first record
+      if (marks.nonEmpty && n % IndexStride == 0L && marks.last == pos)
+        marks.dropRightInPlace(1)
+    }
     finally in.close()
-    endOffsetCache.put(key, (len, mtime, n))
-    n
+    val positions = marks.toArray
+    posCache.put(key, (len, mtime, n, positions))
+    (n, positions)
+  }
+  private def endOffset(f: File): Long = positionIndex(f)._1
+
+  /** Byte position to seek to before skip-decoding toward `start` — the
+    * greatest indexed mark at-or-before it. Computed DRIVER-side at
+    * planning and shipped in the InputPartition, so executors benefit
+    * without holding the index. */
+  private def seekPosFor(f: File, start: Long): Long = {
+    if (start <= 0L) return 0L
+    val (_, positions) = positionIndex(f)
+    if (positions.isEmpty) 0L
+    else positions(math.min(start / IndexStride, (positions.length - 1).toLong).toInt)
+  }
+
+  // ---- sink-commit atomicity (r14) -------------------------------------
+  // The partition logs are append-only plain files: an append is not
+  // atomic, and the ledger mark follows it — so a driver crash inside
+  // commit() could either re-append a whole epoch on replay (appended,
+  // not yet marked) or leave a torn record at a log tail. The commit
+  // protocol below makes that window recoverable: an exclusive lock
+  // (per-dir monitor for same-JVM writers + flock for cross-process,
+  // since the query-scoped ledger explicitly supports two queries
+  // sharing one log dir), a crash manifest written atomically BEFORE
+  // any byte lands (the ledger key + every log's pre-append length),
+  // and recovery-on-next-commit that truncates the torn append away —
+  // unless the manifest's key already reached the ledger, in which case
+  // the crash was after the point of no return and the logs are good.
+
+  private val InflightName = "_commit.inflight"
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withCommitLock[A](dir: File)(body: => A): A = {
+    val mon = commitMonitors.computeIfAbsent(dir.getCanonicalPath,
+      _ => new Object)
+    // same-JVM writers serialize on the monitor (a second FileChannel
+    // lock in one JVM throws OverlappingFileLockException); cross-JVM
+    // writers on the flock
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        new File(dir, "_commit.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lk = ch.lock()
+      try body finally { lk.release(); ch.close() }
+    }
+  }
+
+  private def writeInflight(dir: File, ledgerKey: String): Unit = {
+    val lines = (Seq(s"key $ledgerKey") ++
+      listPartitions(dir).map(p => s"$p ${partFile(dir, p).length()}"))
+      .mkString("", "\n", "\n")
+    val tmp = new File(dir, InflightName + ".tmp")
+    val w = new java.io.FileWriter(tmp, false)
+    try w.write(lines) finally w.close()
+    java.nio.file.Files.move(tmp.toPath, new File(dir, InflightName).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private[graft] def recoverTornAppend(dir: File): Unit = {
+    val mf = new File(dir, InflightName)
+    if (!mf.exists()) return
+    val src = scala.io.Source.fromFile(mf)
+    val lines =
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally src.close()
+    val key = lines.collectFirst {
+      case l if l.startsWith("key ") => l.stripPrefix("key ") }
+    val committed = key.exists(k => committedEpochs(dir).contains(k))
+    if (!committed) {
+      val listed = lines.collect { case l if !l.startsWith("key ") =>
+        val parts = l.split(" "); (parts(0).toInt, parts(1).toLong) }.toMap
+      listPartitions(dir).foreach { p =>
+        val f = partFile(dir, p)
+        listed.get(p) match {
+          case Some(len) =>
+            if (f.length() > len) {
+              val ch = java.nio.channels.FileChannel.open(f.toPath,
+                java.nio.file.StandardOpenOption.WRITE)
+              try ch.truncate(len): Unit finally ch.close()
+            }
+          case None => f.delete(): Unit // created by the torn append
+        }
+      }
+      invalidateUnder(dir)
+    }
+    mf.delete(): Unit
+  }
+
+  /** Stream spool records straight into the partition logs — one record
+    * in memory at a time, so commit heap is O(1) in the epoch's payload
+    * (the pre-r14 path buffered EVERY key/value of the epoch in a
+    * driver-side ArrayBuffer before appending: a few-GB micro-batch the
+    * executors handled fine OOM'd the driver). Traversal order (spools
+    * by partitionId, records in spool order) matches the old
+    * collect-then-append order, so the resulting logs are identical. */
+  private def appendSpools(dir: File, spools: Seq[String]): Unit = {
+    val outs = scala.collection.mutable.Map.empty[Int, DataOutputStream]
+    val nexts = scala.collection.mutable.Map.empty[Int, Long]
+    try {
+      spools.foreach { sp =>
+        val f = new File(sp)
+        if (f.exists()) {
+          val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+          try {
+            while (true) {
+              val p = in.readInt()
+              val ts = in.readLong()
+              val kl = in.readInt()
+              val k = if (kl < 0) null
+                else { val b = new Array[Byte](kl); in.readFully(b); b }
+              val vl = in.readInt()
+              val v = if (vl < 0) null
+                else { val b = new Array[Byte](vl); in.readFully(b); b }
+              val out = outs.getOrElseUpdate(p, {
+                nexts(p) = endOffset(partFile(dir, p))
+                new DataOutputStream(new BufferedOutputStream(
+                  new FileOutputStream(partFile(dir, p), true)))
+              })
+              val off = nexts(p)
+              nexts(p) = off + 1
+              out.writeLong(off); out.writeLong(ts)
+              if (k == null) out.writeInt(-1)
+              else { out.writeInt(k.length); out.write(k) }
+              if (v == null) out.writeInt(-1)
+              else { out.writeInt(v.length); out.write(v) }
+            }
+          } catch { case _: EOFException => }
+          finally in.close()
+        }
+      }
+    } finally outs.values.foreach(o =>
+      try o.close() catch { case _: Throwable => () })
   }
 
   /** Per-partition end offsets (exclusive) — the broker's "latest". */
@@ -271,14 +436,20 @@ object KafkaReplay {
     }
 
   final case class ReplayInputPartition(file: String, partition: Int,
-      start: Long, end: Long, topic: String) extends InputPartition
+      start: Long, end: Long, topic: String,
+      seekPos: Long = 0L) extends InputPartition
 
   /** Streams the framed log, emitting rows for offsets in [start, end).
-    * Records before `start` are skipped without copying their payloads. */
+    * The reader first seeks to `seekPos` (the driver-planned sparse-index
+    * mark at-or-before `start` — frames carry their offsets, so decoding
+    * resumes safely from any mark), then records before `start` are
+    * skipped without copying their payloads. Without the seek a paced
+    * replay re-frames the whole prefix every micro-batch. */
   final class ReplayPartitionReader(ip: ReplayInputPartition)
       extends PartitionReader[InternalRow] {
     private val in = new DataInputStream(new BufferedInputStream(
       new FileInputStream(ip.file)))
+    if (ip.seekPos > 0L) in.skipNBytes(ip.seekPos)
     private val topic = UTF8String.fromString(ip.topic)
     private var row: InternalRow = _
 
@@ -321,9 +492,11 @@ object KafkaReplay {
     val dir = new File(path)
     until.iterator.flatMap { case (p, end) =>
       val start = from.getOrElse(p, 0L)
-      if (end > start)
-        Some(ReplayInputPartition(partFile(dir, p).getPath, p, start, end, topic))
-      else None
+      if (end > start) {
+        val f = partFile(dir, p)
+        Some(ReplayInputPartition(f.getPath, p, start, end, topic,
+          seekPosFor(f, start)))
+      } else None
     }.toArray
   }
 
@@ -536,6 +709,15 @@ object KafkaReplay {
       val dir = new File(path)
       dir.mkdirs()
       val spools = messages.collect { case m: SpoolMsg => m }.sortBy(_.partitionId)
+      withCommitLock(dir) { commitLocked(dir, epochId, spools) }
+    }
+
+    private def commitLocked(dir: File, epochId: Long,
+        spools: Array[SpoolMsg]): Unit = {
+      // undo any torn append a crashed commit left behind BEFORE
+      // consulting the ledger or appending (see the protocol note above
+      // recoverTornAppend)
+      recoverTornAppend(dir)
       // ledger entries are QUERY-scoped: epoch ids are per-query batch
       // ids starting at 0, so two queries (or a restart with a fresh
       // checkpoint) sharing one log dir would collide on bare epoch ids
@@ -567,26 +749,10 @@ object KafkaReplay {
         spools.foreach(m => new File(m.path).delete()) // replayed epoch: drop
         return
       }
-      val records = scala.collection.mutable.ArrayBuffer.empty[Record]
-      spools.foreach { m =>
-        val f = new File(m.path)
-        if (f.exists()) {
-          val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
-          try {
-            while (true) {
-              val p = in.readInt()
-              val ts = in.readLong()
-              val kl = in.readInt()
-              val k = if (kl < 0) null else { val b = new Array[Byte](kl); in.readFully(b); b }
-              val vl = in.readInt()
-              val v = if (vl < 0) null else { val b = new Array[Byte](vl); in.readFully(b); b }
-              records += Record(p, k, v, ts)
-            }
-          } catch { case _: EOFException => }
-          finally in.close()
-        }
-      }
-      append(path, records.toSeq)
+      // crash manifest BEFORE any byte lands; spools stream record-at-
+      // a-time into the logs (O(1) driver heap in the epoch payload)
+      writeInflight(dir, ledgerKey)
+      appendSpools(dir, spools.toIndexedSeq.map(_.path))
       if (effLegacy.nonEmpty) {
         // claim-and-migrate: rewrite the whole ledger query-scoped via
         // temp + atomic move so a crash mid-rewrite cannot lose
@@ -602,6 +768,11 @@ object KafkaReplay {
         val w = new java.io.FileWriter(epochsFile(dir), true)
         try w.write(s"$ledgerKey\n") finally w.close()
       }
+      // the epoch reached the ledger: retire the manifest LAST, so a
+      // crash anywhere earlier is classified correctly by recovery
+      // (manifest + unledgered key => torn append, truncate; manifest +
+      // ledgered key => completed commit, keep the bytes)
+      new File(dir, InflightName).delete()
       spools.foreach(m => new File(m.path).delete())
     }
 

@@ -68,9 +68,18 @@ object StreamGate {
     * checkpoint teardown is about to delete anyway. Leave it enabled
     * (default) for anything watermark-finalized: outer joins, windowed
     * or session aggregations, and dedup-with-watermark all emit their
-    * last rows FROM that batch. */
+    * last rows FROM that batch.
+    *
+    * `extraConfs` are applied INSIDE the same locked set→start→restore
+    * window as the gate's own overrides — the vehicle for per-query
+    * session confs like the RocksDB state-store provider, whose
+    * set/restore OUTSIDE the lock races concurrent gate threads (one
+    * thread's restore landing between another's set and start strips
+    * the provider from that query, and the later restore then pins the
+    * wrong value on the session permanently). */
   def runToCompletion(
-      spark: SparkSession, skipNoDataBatch: Boolean = false)(
+      spark: SparkSession, skipNoDataBatch: Boolean = false,
+      extraConfs: Map[String, String] = Map.empty)(
       start: => StreamingQuery): Unit = {
     val scratch = scratchBase(spark).map { base =>
       val d = new java.io.File(base, java.util.UUID.randomUUID().toString)
@@ -91,9 +100,11 @@ object StreamGate {
       val priorShuffle = spark.conf.getOption(shuffleKey)
       val priorCkpt = spark.conf.getOption(ckptConfKey)
       val priorNoData = spark.conf.getOption(noDataKey)
+      val priorExtra = extraConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
       spark.conf.set(shuffleKey, n)
       scratch.foreach(d => spark.conf.set(ckptConfKey, d.getAbsolutePath))
       if (skipNoDataBatch) spark.conf.set(noDataKey, "false")
+      extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
       def restore(key: String, prior: Option[String]): Unit = prior match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
@@ -103,6 +114,7 @@ object StreamGate {
         restore(shuffleKey, priorShuffle)
         restore(ckptConfKey, priorCkpt)
         restore(noDataKey, priorNoData)
+        priorExtra.foreach { case (k, prior) => restore(k, prior) }
       }
     } catch { case e: Throwable =>
       // a failed start leaves no query to tear the scratch down

@@ -51,12 +51,21 @@ object GapMerge {
   def split(merged: List[SessAcc], gapUs: Long, wmUs: Long): (List[SessAcc], List[SessAcc]) =
     merged.partition(_.last_us + gapUs <= wmUs)
 
-  /** The next wake timestamp (ms) for the open set: earliest closable
-    * instant, ceil'd to ms and clamped past the current watermark (the
-    * engine rejects timeouts at or before it). */
+  /** The next wake timestamp (ms) for the open set: ONE ms before the
+    * ceil'd earliest closable instant, clamped past the current
+    * watermark (the engine rejects timeouts at or before it). The −1 is
+    * the r14 boundary fix: an event-time timer fires only when the
+    * watermark advances strictly PAST it, so arming exactly AT
+    * ceil(closable) never fires when the FINAL watermark lands exactly
+    * on that millisecond (an idle stream or an AvailableNow run without
+    * a later pusher then silently drops the session). Arming one ms
+    * early is safe by construction: every wake handler re-splits
+    * against the CURRENT watermark — a not-yet-closable set emits
+    * nothing and re-arms clamped past the watermark, so either engine
+    * firing semantic converges on the correct emission. */
   def nextTimerMs(open: List[SessAcc], gapUs: Long, wmMs: Long): Long = {
     val nextUs = open.map(_.last_us + gapUs).min
-    math.max(wmMs + 1L, (nextUs + 999L) / 1000L)
+    math.max(wmMs + 1L, (nextUs + 999L) / 1000L - 1L)
   }
 }
 case class SessionOut(user_id: Long, session_start_us: Long,
@@ -177,9 +186,17 @@ object StreamingPipeline {
         col("value"),
         col("topic"), col("partition"), col("offset"), col("timestamp"))
 
-  /** The transform stage over an enforced frame: T1 tombstone passthrough
-    * + T2-T9 on the value fields + T10 re-wrap (key/partition/timestamp
-    * preserved alongside the new value struct). */
+  /** The transform stage over an enforced frame: T2-T9 on the value
+    * fields + T10 re-wrap (key/partition/timestamp preserved alongside
+    * the new value struct). Tombstones: the reference SMT passes them
+    * through UNCHANGED (T1, `UserProfileTransform.java:25`) and leaves
+    * their fate to the sink's null-value policy — this stage folds that
+    * sink policy in and DROPS them (`behavior.on.null.values=ignore`,
+    * the setting a JSON object sink with no delete semantics runs
+    * with), so the T1 passthrough surface in this pipeline is
+    * [[enforceAvro]]'s null structs, not this function's output. A
+    * consumer needing delete propagation should branch on
+    * `v.isNull` BEFORE this stage. */
   def transformed(enforced: DataFrame, t: ProfileTransform): DataFrame = {
     val flat = enforced.select(
       col("key"), col("topic"), col("partition"), col("offset"),
@@ -307,6 +324,24 @@ object StreamingPipeline {
     df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // incarnation guard (r14): versions STRICTLY ABOVE the current
+        // batch id cannot belong to this run — the checkpoint guarantees
+        // batches after `batchId` never committed, so any higher v=
+        // came from a DEAD incarnation (a rerun whose checkpoint was
+        // lost restarts batch ids at 0; without this sweep the dead
+        // run's higher versions survive and currentTotals' max-version
+        // read silently serves the stale snapshot forever)
+        locally {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p))
+            fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+              .filter { d =>
+                val n = d.getName
+                n.startsWith("v=") && n.drop(2).toLong > batchId
+              }
+              .foreach(d => fs.delete(d, true))
+        }
         val agg = batch.groupBy(col(keyCol))
           .agg(sum(col(valueCol)).as("total"), count(lit(1)).as("n_events"))
         val merged = latestStateVersion(spark, stateDir, before = batchId) match {
@@ -438,12 +473,20 @@ object StreamingPipeline {
       .flatMapGroupsWithState[Scd2Out, Scd2Out](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[VersionEvent], state: GroupState[Scd2Out]) =>
+          // FULL-microsecond ordering (r14): getTime is millisecond-
+          // truncated, so two same-user events inside one ms folded in
+          // the wrong order (and the stale floor wrongly dropped the
+          // later one) — the exact precision gap ts_us fixed for
+          // sessions/funnel, applied here; the batch twin and the
+          // oracle order by the untruncated ts column
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
           // stale-update guard (r13): an event older than the open
           // interval's start would close it with valid_to < valid_from
-          val floor = state.getOption.map(o => (o.valid_from.getTime, o.event_id))
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val floor = state.getOption.map(o => (us(o.valid_from), o.event_id))
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
             .filter(e => floor.forall(f =>
-              Ordering[(Long, Long)].gt((e.ts.getTime, e.event_id), f)))
+              Ordering[(Long, Long)].gt((us(e.ts), e.event_id), f)))
           if (sorted.isEmpty) Iterator.empty
           else {
             val out = scala.collection.mutable.ArrayBuffer[Scd2Out]()
@@ -672,8 +715,13 @@ object StreamingPipeline {
           state.update(FunnelState(machine, pending))
           if (pending.nonEmpty) {
             // wake when the earliest buffered event becomes foldable
+            // (ripeness is STRICT ts < wm, and the engine fires a
+            // timeout only when wm moves strictly past it — so arm at
+            // floor(nextUs/1000): the first wm ms beyond it satisfies
+            // wm*1000 > nextUs exactly; a premature wake is harmless,
+            // the body re-splits and re-arms past the watermark)
             val nextUs = pending.map(_._1).min
-            state.setTimeoutTimestamp(math.max(wmMs + 1L, (nextUs + 999L) / 1000L))
+            state.setTimeoutTimestamp(math.max(wmMs + 1L, nextUs / 1000L))
           }
           if (ripe.nonEmpty)
             Iterator.single(FunnelOut(uid, machine.n, machine.matched, machine.frontierUs))

@@ -120,8 +120,18 @@ object TwsSessions {
   private val rocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** The RocksDB provider `transformWithState` requires, applied around a
-    * stream start and restored after: returns the prior setting. */
+  /** The RocksDB provider conf `transformWithState` requires. Apply it
+    * through [[StreamGate.runToCompletion]]'s `extraConfs` in any
+    * concurrent harness, so the set→start→restore happens inside the
+    * gate's lock window (the Verify pool races a naked set/restore:
+    * one thread's restore between another's set and start strips the
+    * provider from that query — the r14 review's finding). */
+  val rocksDbConfs: Map[String, String] = Map(providerKey -> rocksDb)
+
+  /** The RocksDB provider applied around a stream start and restored
+    * after. SINGLE-THREADED harnesses only (the sequential spec suites):
+    * the set/restore window here is not covered by StreamGate's lock —
+    * concurrent callers must pass [[rocksDbConfs]] to the gate instead. */
   def withRocksDb[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val prior = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey, rocksDb)

@@ -199,6 +199,76 @@ class KafkaReplaySpec extends SparkSpec {
       "a new query's epoch was suppressed by a claimed legacy line")
   }
 
+  test("sink commit protocol: a torn append is truncated away on the next commit") {
+    val dir = Files.createTempDirectory("graft_replay_torn").toString
+    def spool(name: String, recs: Seq[(Int, Array[Byte])]): KafkaReplay.SpoolMsg = {
+      val f = new java.io.File(dir, name); f.getParentFile.mkdirs()
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      recs.foreach { case (p, v) =>
+        out.writeInt(p); out.writeLong(0L); out.writeInt(-1)
+        out.writeInt(v.length); out.write(v)
+      }
+      out.close()
+      KafkaReplay.SpoolMsg(f.getPath, 0)
+    }
+    val w = new KafkaReplay.ReplayStreamingWrite(dir, KafkaReplay.sinkSchema, "queryT")
+    w.commit(0L, Array(spool(".epoch-0-task-t-0.spool",
+      Seq((0, "a".getBytes), (0, "b".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir) ===
+      scala.collection.immutable.SortedMap(0 -> 2L))
+    // simulate a crash mid-append of epoch 1: manifest written, one torn
+    // record landed on partition 0, a NEW partition log half-created,
+    // the ledger never reached
+    val log0 = new java.io.File(dir, "partition-0.log")
+    val preLen = log0.length()
+    val mf = new java.io.File(dir, "_commit.inflight")
+    val fw = new java.io.FileWriter(mf)
+    try fw.write(s"key queryT:1\n0 $preLen\n") finally fw.close()
+    val torn = new java.io.DataOutputStream(new java.io.FileOutputStream(log0, true))
+    torn.writeLong(2L); torn.writeLong(0L); torn.writeInt(1); torn.write("c".getBytes)
+    torn.close() // value length/bytes missing: torn frame
+    val created = new java.io.File(dir, "partition-7.log")
+    val cw = new java.io.FileOutputStream(created)
+    try cw.write(Array[Byte](1, 2, 3)) finally cw.close()
+    // the next commit must recover (truncate + delete) then append clean
+    w.commit(1L, Array(spool(".epoch-1-task-t-1.spool", Seq((0, "c".getBytes)))))
+    assert(KafkaReplay.endOffsets(dir) ===
+      scala.collection.immutable.SortedMap(0 -> 3L),
+      "torn bytes survived recovery or the clean append was lost")
+    assert(!created.exists(), "partition log created by the torn append must go")
+    assert(!mf.exists(), "inflight manifest must be retired")
+    val vals = spark.read.format(KafkaReplay.ShortName).option("path", dir).load()
+      .select($"offset", $"value".cast("string")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(vals === Seq((0L, "a"), (1L, "b"), (2L, "c")),
+      s"log contents diverged after recovery: $vals")
+    // the completed-commit manifest shape: key already in the ledger ->
+    // bytes are kept, only the manifest is removed
+    val fw2 = new java.io.FileWriter(mf)
+    try fw2.write(s"key queryT:1\n0 ${log0.length()}\n") finally fw2.close()
+    KafkaReplay.recoverTornAppend(new java.io.File(dir))
+    assert(!mf.exists() && KafkaReplay.endOffsets(dir).getOrElse(0, 0L) === 3L)
+  }
+
+  test("paced reads seek via the sparse position index, same rows as a full scan") {
+    val dir = Files.createTempDirectory("graft_replay_seek").toString
+    val n = 3000
+    val rows = (0 until n).map(i =>
+      (0, s"k$i".getBytes, s"v$i".getBytes, i.toLong, i.toLong))
+    KafkaReplay.writeLog(
+      spark.createDataFrame(rows).toDF("partition", "key", "value", "tsMicros", "seq"),
+      dir)
+    // start offset two index strides in: the planner ships a non-zero
+    // seek hint and the reader must land on exactly the same rows the
+    // full-prefix scan produced
+    val got = spark.read.format(KafkaReplay.ShortName).option("path", dir)
+      .option("startingOffsets", """{"0":2500}""").load()
+      .select($"offset", $"value".cast("string")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.length === 500)
+    assert(got.head === ((2500L, "v2500")) && got.last === ((2999L, "v2999")))
+  }
+
   test("micro-batch replay-from-earliest == batch pipeline over the same wire bytes") {
     val dir = writeTopic(4)
     val t = ProfileTransform(clock = Some(Instant.parse("2024-01-01T00:00:00Z")))

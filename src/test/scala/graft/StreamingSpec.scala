@@ -241,6 +241,35 @@ class StreamingSpec extends SparkSpec {
       s"expected a FlatMapGroupsWithState state store in:\n$planOut")
   }
 
+  test("ST4 session timer fires when the FINAL watermark lands exactly on the closable ms") {
+    import graft.streaming.{SessEvent, SessionOut}
+    // r14 boundary fix: the closable instant here is a WHOLE millisecond
+    // and the last watermark the stream ever reaches lands EXACTLY on it
+    // (pusher ts − delay = last + gap). A timer armed AT that ms fires
+    // only on a watermark strictly beyond it — which never comes — so
+    // the session was silently lost; arming one ms early drains it.
+    val gapUs = 30L * 60L * 1000000L
+    val baseMin = 1440L
+    def ev(uid: Long, eid: Long, min: Long): SessEvent = {
+      val us = (baseMin + min) * 60L * 1000000L
+      SessEvent(uid, eid, new Timestamp(us / 1000L), us)
+    }
+    val stream = MemoryStream[SessEvent]
+    val sessions = StreamingPipeline.gapSessions(
+      stream.toDS().withWatermark("ts", "600 minutes"), gapUs)
+    val q = sessions.writeStream.format("memory").queryName("sess_boundary_spec")
+      .outputMode("append").start()
+    stream.addData(ev(1, 1, 0))
+    q.processAllAvailable() // watermark 0; u1 open, timer armed
+    // watermark -> (630 - 600) min = EXACTLY u1's last + gap
+    stream.addData(ev(99, 2, 630))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_boundary_spec").as[SessionOut].collect().toSeq
+    assert(out.exists(s => s.user_id == 1L && s.n_events == 1L),
+      s"session closable exactly AT the final watermark was not emitted: $out")
+  }
+
   test("ST4 streamed funnel: reorder-buffer fold, cross-batch match, settle, late-drop") {
     import graft.streaming.{FunnelEvent, FunnelOut}
     val baseMin = 1440L
