@@ -298,10 +298,21 @@ object AvroFiles {
                 rec = r.next(rec)
                 pending = AvroCodec.avroToRow(rec, readerSchema)
               } else { done = true; r.close() }
-            } catch { case scala.util.control.NonFatal(e) =>
-              if (!permissive) throw e
-              onTruncated()
-              done = true; r.close()
+            } catch {
+              // config-vs-data split (r14, mirroring AvroCodec
+              // .decodeEvolved's wire-path discipline): a schema-
+              // RESOLUTION failure is a CONFIGURATION error — an
+              // incompatible reader schema fails every record of every
+              // split, and swallowing it as "truncation" silently
+              // returns an EMPTY dataset for the whole read. Only
+              // data-shaped failures (torn blocks, mangled codecs) are
+              // permissive-skippable.
+              case e: org.apache.avro.AvroTypeException =>
+                r.close(); throw e
+              case scala.util.control.NonFatal(e) =>
+                if (!permissive) throw e
+                onTruncated()
+                done = true; r.close()
             }
           def hasNext: Boolean = {
             if (pending == null && !done) advance()

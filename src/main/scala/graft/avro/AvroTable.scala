@@ -175,8 +175,14 @@ object AvroTable {
       }
       messages.collect { case m: OcfPartMsg => m }.foreach { m =>
         val tmp = new org.apache.hadoop.fs.Path(m.tmpPath)
-        if (m.rows > 0L) fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, m.finalName))
-        else fs.delete(tmp, false) // empty task: no zero-record container
+        if (m.rows > 0L) {
+          val dst = new org.apache.hadoop.fs.Path(dir, m.finalName)
+          // unchecked fs.rename silently loses the partition (the
+          // classic Hadoop pitfall AvroFiles.write already guards)
+          if (!fs.rename(tmp, dst) && !fs.exists(dst))
+            throw new java.io.IOException(
+              s"batch commit rename failed: $tmp -> $dst")
+        } else fs.delete(tmp, false) // empty task: no zero-record container
       }
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -233,6 +239,34 @@ object AvroTable {
         finally in.close()
       }
 
+    /** Epochs retained per query in the ledger. Batch ids are
+      * checkpoint-monotone, so a replay can only target the recent
+      * tail; without a bound a per-second micro-batch run re-reads and
+      * rewrites an ever-growing file inside every driver commit —
+      * O(epochs²) cumulative ledger I/O. */
+    private val LedgerRetain = 4096
+
+    /** Atomic, bounded ledger rewrite: per-query tail retention, write
+      * to temp, FileContext OVERWRITE rename (a delete-then-rename pair
+      * leaves a crash window in which the WHOLE committed-epoch record
+      * is lost — and with it every dedupe/sweep protection). */
+    private def writeLedger(dir: org.apache.hadoop.fs.Path,
+        fs: org.apache.hadoop.fs.FileSystem, lines: Set[String]): Unit = {
+      val kept = lines.groupBy(l => l.substring(0, l.lastIndexOf(':')))
+        .values.flatMap { ls =>
+          ls.toSeq.sortBy(l =>
+            -l.substring(l.lastIndexOf(':') + 1).toLong).take(LedgerRetain)
+        }.toSet
+      val ledgerTmp = new org.apache.hadoop.fs.Path(dir, "_epochs.tmp")
+      val out = fs.create(ledgerTmp, true)
+      try out.write(kept.toSeq.sorted.mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+        .rename(ledgerTmp, epochsPath,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
     override def commit(epochId: Long,
         messages: Array[WriterCommitMessage]): Unit = {
       val dir = new org.apache.hadoop.fs.Path(path)
@@ -242,25 +276,36 @@ object AvroTable {
       // QUERY-scoped ledger (r14, the KafkaReplay r13 fix applied to
       // this sink too): bare epoch ids made a fresh-checkpoint rerun
       // SILENTLY DROP its first epochs (its batch 0 matched the dead
-      // run's ledgered 0). The first scoped committer claims any bare
-      // legacy lines, so they are consulted exactly once.
+      // run's ledgered 0). Unlike the append-log sink, THIS sink's
+      // replay is idempotent WITHOUT the ledger — an epoch owns its
+      // batch= dir and the commit rewrites it wholesale — so the skip
+      // is purely a work-saver and bare legacy lines are never worth a
+      // skip decision: they are IGNORED here (a legacy replay just
+      // redundantly rewrites identical contents) and garbage-collected
+      // by the next ledger rewrite. Claiming them under this queryId
+      // instead would fabricate false self-history and re-create the
+      // drop for every colliding epoch of the rerun.
       val ledgerKey = s"$queryId:$epochId"
-      val lines = committedLines(fs)
-      val (scoped, legacy) = lines.partition(_.contains(':'))
-      val effLegacy = if (scoped.isEmpty) legacy else Set.empty[String]
-      if (scoped.contains(ledgerKey) || effLegacy.contains(epochId.toString)) {
+      val scoped = committedLines(fs).filter(_.contains(':'))
+      if (scoped.contains(ledgerKey)) {
         parts.foreach(m =>
           fs.delete(new org.apache.hadoop.fs.Path(m.tmpPath), false))
         return
       }
-      // incarnation sweep: batch= dirs ABOVE this epoch cannot belong
-      // to this run (the checkpoint guarantees later epochs never
-      // committed) — they are a dead incarnation's leftovers, and glob
-      // readers over the archive would double-count them
+      // incarnation sweep — UN-LEDGERED dirs above this epoch only:
+      // those are a dead incarnation's uncommitted leftovers (this
+      // run's checkpoint guarantees ITS later epochs never committed),
+      // and glob readers over the archive would double-count them. A
+      // LEDGERED dir above belongs to another incarnation sharing the
+      // archive — deleting it would destroy committed data. Non-numeric
+      // batch= names (user artifacts) are left alone, not a crash.
+      val committedNums = scoped.flatMap(l =>
+        l.substring(l.lastIndexOf(':') + 1).toLongOption)
       fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
         .filter { d =>
           val n = d.getName
-          n.startsWith("batch=") && n.stripPrefix("batch=").toLong > epochId
+          n.startsWith("batch=") && n.stripPrefix("batch=").toLongOption
+            .exists(x => x > epochId && !committedNums.contains(x))
         }
         .foreach(d => fs.delete(d, true))
       val epochDir = new org.apache.hadoop.fs.Path(dir, s"batch=$epochId")
@@ -274,23 +319,17 @@ object AvroTable {
       fs.mkdirs(epochDir)
       parts.foreach { m =>
         val tmp = new org.apache.hadoop.fs.Path(m.tmpPath)
-        if (m.rows > 0L)
-          fs.rename(tmp, new org.apache.hadoop.fs.Path(epochDir,
-            m.finalName.stripPrefix(s"epoch-$epochId-")))
-        else fs.delete(tmp, false)
+        if (m.rows > 0L) {
+          val dst = new org.apache.hadoop.fs.Path(epochDir,
+            m.finalName.stripPrefix(s"epoch-$epochId-"))
+          // unchecked fs.rename silently loses the partition (the
+          // classic Hadoop pitfall AvroFiles.write already guards)
+          if (!fs.rename(tmp, dst) && !fs.exists(dst))
+            throw new java.io.IOException(
+              s"epoch commit rename failed: $tmp -> $dst")
+        } else fs.delete(tmp, false)
       }
-      // the ledger rewrite is write-to-temp + atomic rename: a bare
-      // create(truncate) zeroed the file before rewriting, so a crash
-      // mid-write lost EVERY committed-epoch record and every later
-      // replay would re-append
-      val all = scoped ++ legacy.map(l => s"$queryId:$l") + ledgerKey
-      val ledgerTmp = new org.apache.hadoop.fs.Path(dir, "_epochs.tmp")
-      val out = fs.create(ledgerTmp, true)
-      try out.write(all.toSeq.sorted.mkString("", "\n", "\n")
-        .getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(epochsPath, false)
-      fs.rename(ledgerTmp, epochsPath): Unit
+      writeLedger(dir, fs, scoped + ledgerKey)
     }
 
     override def abort(epochId: Long,
@@ -350,8 +389,24 @@ class GraftAvroProvider extends TableProvider with DataSourceRegister {
   // writes (and user-supplied .schema(...)) hand their own schema to
   // getTable instead of forcing header inference on a possibly-empty dir
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    AvroCodec.sparkStructType(AvroTable.resolveSchemaJson(options))
+  // per-instance memo of the LAST inference (Spark creates one provider
+  // instance per read): getTable would otherwise re-run the recursive
+  // listing + header open inferSchema just performed — doubling
+  // plan-time latency on exactly the large-prefix case (r14 review)
+  @volatile private var lastInferred: Option[(String, StructType, String)] = None
+  private def headerJson(path: String): Option[String] =
+    lastInferred match {
+      case Some((p, _, j)) if p == path => Some(j)
+      case _ =>
+        AvroFiles.firstWriterSchemaJson(
+          SparkSession.active.sparkContext.hadoopConfiguration, path)
+    }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val json = AvroTable.resolveSchemaJson(options)
+    val st = AvroCodec.sparkStructType(json)
+    Option(options.get("path")).foreach(p => lastInferred = Some((p, st, json)))
+    st
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
@@ -365,8 +420,7 @@ class GraftAvroProvider extends TableProvider with DataSourceRegister {
     // form, keep the richer header JSON (field defaults, record names);
     // anything else is the user's schema and drives the resolution.
     val json = Option(opts.get("avroSchema")).getOrElse {
-      AvroFiles.firstWriterSchemaJson(
-          SparkSession.active.sparkContext.hadoopConfiguration, path) match {
+      headerJson(path) match {
         case Some(hj) if AvroCodec.sparkStructType(hj) == schema => hj
         case _ => AvroCodec.avroSchemaJson(schema, "Record", "graft")
       }

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * mismatched vectors yield NULL — same surfacing as the zip_with HOF
   * reference, which pads the shorter array with nulls and nulls the whole
   * aggregate, so malformed embedding pairs fail identically on both paths
-  * instead of being silently truncated.
+  * instead of being silently truncated. A NULL ELEMENT also yields NULL
+  * (r14): the declared input type admits containsNull arrays, and an
+  * unguarded getFloat reads an UnsafeArrayData null slot as 0.0f under
+  * codegen while NPE-ing interpreted — two paths diverging from each
+  * other and from the HOF reference, which nulls the aggregate.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,6 +55,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -78,14 +83,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = (double) $a.getFloat($i);
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi;
          |    $na += $xi * $xi;
          |    $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |      ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

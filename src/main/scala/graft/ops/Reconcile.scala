@@ -25,9 +25,18 @@ object Reconcile {
     * occurrence of a duplicate key (verifier_ui.py:103-104). Exact parity
     * via `row_number` over (key, order desc) — one shuffle on the key,
     * which the subsequent keyed join reuses.
-    */
+    *
+    * Determinism (r14): `order` alone is not a total order — two records
+    * sharing (key, order) would pick a shuffle-order-dependent winner
+    * that can FLIP across runs and task retries. The remaining columns
+    * (sorted by name) break ties descending; rows identical in every
+    * column are interchangeable, so the output is a pure function of
+    * the data under any partitioning. */
   def lastWriterWins(df: DataFrame, key: String, order: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(order).desc)
+    val tiebreak = df.columns.filter(c => c != key && c != order)
+      .sorted.map(col(_).desc)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(order).desc +: tiebreak.toIndexedSeq: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -181,6 +181,21 @@ class ExpressionPropertySpec extends SparkSpec {
     val got = pairs.select(VectorFunctions.cosine($"a", $"b")).collect()
       .map(r => Option(r.get(0)))
     assert(got.toSeq === Seq(None, None, Some(0.0)))
+    // NULL ELEMENTS (r14): the declared type admits containsNull arrays;
+    // an unguarded getFloat read an UnsafeArrayData null slot as 0.0f
+    // under codegen while NPE-ing interpreted — both must yield NULL,
+    // matching the zip_with HOF (which nulls the aggregate)
+    val withNullElem = Seq(
+      (Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))),
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f), None)))
+      .toDF("a", "b")
+    val nGot = withNullElem.select(
+      VectorFunctions.cosine($"a", $"b").as("f"),
+      VectorFunctions.cosineHof($"a", $"b").as("h")).collect()
+    assert(nGot.forall(r => r.isNullAt(0)),
+      "a null element must null the fused cosine, not read as 0.0f")
+    assert(nGot.forall(r => r.isNullAt(0) == r.isNullAt(1)),
+      "fused/HOF diverge on null elements")
   }
 
   test("SortedIntersectSize == size(array_intersect) on sorted-distinct arrays") {

@@ -191,6 +191,40 @@ class GraftAvroSourceSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp-")))
   }
 
+  test("V2 streaming write: a fresh-checkpoint rerun over a legacy ledger keeps its data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    // r14: a pre-query-scoping ledger holds BARE epoch ids; a new query
+    // (fresh checkpoint => epochs restart at 0) used to match them and
+    // silently DROP its first epochs. The epoch-dir rewrite is already
+    // idempotent, so bare lines must be ignored (and GC'd), never
+    // consulted for a skip.
+    val dir = tmp(); val ckpt = tmp()
+    new java.io.File(dir).mkdirs()
+    val lw = new java.io.FileWriter(new java.io.File(dir, "_epochs"))
+    try lw.write("0\n1\n2\n") finally lw.close()
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((7L, "x"), (8L, "y"))
+    val q = mem.toDF().toDF("id", "name")
+      .writeStream.format("graft-avro")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .option("codec", "null")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.format("graft-avro").load(dir)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((7L, "x"), (8L, "y")),
+      s"fresh run's epoch 0 was dropped against a bare legacy ledger line: $got")
+    val ledger = {
+      val src = scala.io.Source.fromFile(new java.io.File(dir, "_epochs"))
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toSet finally src.close()
+    }
+    assert(ledger.forall(_.contains(':')),
+      s"bare legacy lines must be garbage-collected: $ledger")
+  }
+
   test("empty/absent paths fail with a clear message unless a schema is given") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-avro").load(tmp())
