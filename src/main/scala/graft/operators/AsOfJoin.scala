@@ -31,14 +31,27 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       tiebreak: String): DataFrame = {
 
+    // deterministic dedup even when the tiebreak itself ties: the
+    // remaining right columns (sorted by name) extend the order, so the
+    // surviving payload is a pure function of the data, never of the
+    // input partitioning or a task retry
+    val extraTb = right.columns
+      .filter(c => c != rightKey && c != rightTs && c != tiebreak)
+      .sorted.map(col(_).desc)
     val dedupW = Window.partitionBy(col(rightKey), col(rightTs))
-      .orderBy(col(tiebreak).desc)
+      .orderBy(col(tiebreak).desc +: extraTb.toIndexedSeq: _*)
     val r = right
       // a NULL right timestamp can never satisfy "at or before" — but
       // nulls sort FIRST ascending, so an unfiltered null-ts row would
       // lead its key's partition and be carried forward as a phantom
-      // match for every left row before the first real right row
-      .filter(col(rightTs).isNotNull)
+      // match for every left row before the first real right row.
+      // A NULL right KEY matches nothing under SQL/DuckDB ASOF
+      // semantics, but Window.partitionBy groups null keys TOGETHER —
+      // unfiltered, a null-key left row would phantom-match null-key
+      // right rows (the left side needs no filter: with null-key right
+      // rows gone, its null partition holds only left rows and the
+      // carry-forward correctly yields unmatched left-outer nulls)
+      .filter(col(rightTs).isNotNull && col(rightKey).isNotNull)
       .withColumn("__rn", row_number().over(dedupW))
       .filter(col("__rn") === 1)
       .drop("__rn")

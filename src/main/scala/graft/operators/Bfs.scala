@@ -44,9 +44,15 @@ object Bfs {
     // diff this replaced raced concurrent queries' persists (Verify runs
     // on a thread pool) and could unpersist a sibling's only copy
     import LocalCheckpoints.{tracked, free}
+    // null endpoints are excluded (r14): the visited anti-join can never
+    // match null = null, so an unfiltered null dst would re-enter the
+    // frontier EVERY round — duplicate null-node rows at ascending hops,
+    // violating the exactly-once-at-minimal-hop invariant
     val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     var (visited, visitedRdds) = tracked(
-      seeds.select(col("node")).distinct().withColumn("hop", lit(0)))
+      seeds.select(col("node")).distinct().filter(col("node").isNotNull)
+        .withColumn("hop", lit(0)))
     var frontier = visited
     var frontierRdds = Seq.empty[org.apache.spark.rdd.RDD[_]] // round 0 shares the visited blocks
     for (h <- 1 to maxHops) {

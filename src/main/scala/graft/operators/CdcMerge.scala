@@ -43,9 +43,17 @@ object CdcMerge {
   def latestPerKey(changelog: DataFrame, key: String, seq: String,
       op: String): DataFrame = {
     val payload = changelog.columns.filterNot(Set(key, seq, op)).toSeq
+    // the ordering key is a STRUCT (seq, op, payload...), not bare seq:
+    // max_by compares ONLY its ordering expression — with bare seq, tied
+    // seqs picked whichever partial aggregate merged first (output
+    // flipping across repartitioning/retries/micro-batch slicing). The
+    // lexicographic struct makes the winner a pure function of the data
+    // (fully identical rows are interchangeable), which is what the
+    // scaladoc's tiebreak promise requires.
     changelog
       .groupBy(col(key))
-      .agg(max_by(struct((op +: payload).map(col): _*), col(seq)).as("__c"))
+      .agg(max_by(struct((op +: payload).map(col): _*),
+        struct((seq +: op +: payload).map(col): _*)).as("__c"))
       .select(col(key) +: col(s"__c.$op").as("__op") +:
         payload.map(c => col(s"__c.$c").as(s"__chg_$c")): _*)
   }

@@ -42,7 +42,16 @@ object PageRank {
             massMicro: Long = 1000000000000L,
             checkpointCadence: Int = 4): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(checkpointCadence > 0,
+      s"checkpointCadence must be > 0, got $checkpointCadence " +
+        "(the modulo check divides by it; there is no 'off' value — " +
+        "cadence >= iterations effectively disables checkpointing)")
+    // null endpoints (or a non-numeric id the cast nulls) are excluded:
+    // a null src otherwise mints a phantom node whose mass never flows,
+    // and contributions to a null dst silently vanish — total mass
+    // drifting below massMicro with no error
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     // Node state carries its out-degree so each round is state ⋈ edges
     // (one shuffle) instead of state ⋈ deg ⋈ edges.
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))

@@ -85,7 +85,7 @@ object Skyline {
     *     sweep. */
   def frontier(df: DataFrame, objectives: Seq[Column],
       mergeThreshold: Long = 1L << 17): DataFrame = {
-    val tagged = df.withColumn("_obj", array(objectives.map(_.cast("double")): _*))
+    val tagged = cleanTagged(df, objectives)
     val enc = Encoders.row(tagged.schema)
     val objIdx = tagged.schema.fieldIndex("_obj")
     // handle-exact checkpoint hygiene ([[LocalCheckpoints]]): each
@@ -195,8 +195,19 @@ object Skyline {
 
   /** Per-group skyline: one hash shuffle on the group key, then an exact
     * single-pass prune (each group lives wholly in one partition). */
+  /** Rows with a NULL or NaN objective are EXCLUDED (r14), the way SQL
+    * aggregates skip nulls: Pareto dominance is undefined for them —
+    * Scala's primitive unboxing reads a null array slot as 0.0, which
+    * would FALSELY dominate every positive row, and NaN compares false
+    * on every axis, making the size-gated merge paths (driver prune vs
+    * 2-d sweep) disagree on the same logical input. Impute upstream if
+    * such rows must participate. */
+  private def cleanTagged(df: DataFrame, objectives: Seq[Column]): DataFrame =
+    df.withColumn("_obj", array(objectives.map(_.cast("double")): _*))
+      .filter(!exists(col("_obj"), o => o.isNull || isnan(o)))
+
   def frontierPerGroup(df: DataFrame, groupCol: String, objectives: Seq[Column]): DataFrame = {
-    val tagged = df.withColumn("_obj", array(objectives.map(_.cast("double")): _*))
+    val tagged = cleanTagged(df, objectives)
     val enc = Encoders.row(tagged.schema)
     val objIdx = tagged.schema.fieldIndex("_obj")
     val keyIdx = tagged.schema.fieldIndex(groupCol)

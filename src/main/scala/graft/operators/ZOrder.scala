@@ -20,19 +20,32 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Morton-interleave the low `bits` bits of `x` (even positions) and
-    * `y` (odd positions). Inputs must be non-negative and < 2^bits. */
+    * `y` (odd positions). PRECONDITION (caller-checked): inputs
+    * non-negative and < 2^bits — a violating value aliases onto a
+    * distant z-cell silently, so pair this with [[quantize]] (whose
+    * output is clamped into [0, buckets)) or validate upstream. */
   def interleaveBits(x: Column, y: Column, bits: Int): Column =
     (0 until bits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i).bitwiseOR(
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_.bitwiseOR(_))
 
-  /** Quantize `c` into [0, buckets) by linear min/max scaling.
-    * `floor((c - lo) * buckets / (hi - lo + 1))` in exact double
-    * arithmetic (values far below 2^53), identical in any engine; the
-    * +1 keeps the max value inside the top bucket without a clamp. */
+  /** Quantize `c` into [0, buckets) by linear min/max scaling:
+    * `floor((c - lo) * buckets / (hi - lo))` clamped into the top
+    * bucket (the max value alone would land at `buckets`), with a
+    * zero-span guard (hi == lo → bucket 0). Correct for FRACTIONAL
+    * domains (r14): the previous integer-domain form divided by
+    * `hi - lo + 1`, which silently collapsed the bucket space when the
+    * range is small relative to 1 — a [0, 1] score column used only the
+    * bottom half of its buckets, and a 0.1-wide range crammed
+    * everything into the lowest few, degrading the z-curve toward a
+    * single-dimension layout with no error. Exact-integer callers that
+    * need engine-portable `div` arithmetic keep their inline form
+    * (LayoutQueries.zorderTiles). */
   def quantize(c: Column, lo: Column, hi: Column, buckets: Int): Column =
-    floor((c - lo) * lit(buckets) / (hi - lo + lit(1))).cast("long")
+    when(hi <= lo, lit(0L)).otherwise(
+      least(floor((c - lo) * lit(buckets) / (hi - lo)), lit((buckets - 1).toLong)))
+      .cast("long")
 
   /** Rewrite `df` into `nFiles` z-ordered parquet files: range-partition
     * on the z-value (so files tile the curve in disjoint z-ranges), sort

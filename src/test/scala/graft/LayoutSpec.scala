@@ -164,17 +164,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
-  test("quantize maps min to 0, max to floor(R*B/(R+1)), stays in range") {
+  test("quantize maps min to 0, max into the TOP bucket, full range for fractional domains") {
     val df = graft.sources.Tables.events(spark, sf)
       .select(unix_micros(col("ts")).as("v"))
-    val Row(lo: Long, hi: Long) = df.agg(min($"v"), max($"v")).head()
     val b = df.agg(min($"v").as("lo"), max($"v").as("hi"))
     val q = df.crossJoin(broadcast(b))
       .select(ZOrder.quantize($"v", $"lo", $"hi", 64).as("q"))
       .agg(min($"q"), max($"q")).head()
-    val expectMax = (hi - lo) * 64 / (hi - lo + 1) // floor; 63 when range ≥ 63
-    assert(q.getLong(0) == 0L && q.getLong(1) == expectMax)
-    assert(expectMax == 63L) // the ts range at any sf is micros-wide
+    assert(q.getLong(0) == 0L && q.getLong(1) == 63L,
+      s"min/max must land in the bottom/top bucket: $q")
+    // r14: the old integer-domain form (divide by range+1) collapsed
+    // fractional domains — a [0,1] score used only buckets 0..128 of
+    // 256; the clamped form must reach the top bucket on ANY range
+    import spark.implicits._
+    val frac = (0 to 100).map(_ / 100.0).toDF("v")
+      .crossJoin(broadcast(Seq((0.0, 1.0)).toDF("lo", "hi")))
+      .select(ZOrder.quantize($"v", $"lo", $"hi", 256).as("q"))
+      .agg(min($"q"), max($"q")).head()
+    assert(frac.getLong(0) == 0L && frac.getLong(1) == 255L,
+      s"fractional [0,1] domain must span the full bucket space: $frac")
+    // zero-span guard: a constant column lands wholly in bucket 0
+    val const = Seq(5.0, 5.0).toDF("v")
+      .crossJoin(broadcast(Seq((5.0, 5.0)).toDF("lo", "hi")))
+      .select(ZOrder.quantize($"v", $"lo", $"hi", 16).as("q"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(const == Seq(0L), s"zero-span domain must not NaN/throw: $const")
   }
 
   test("clusteredWrite produces disjoint z-ranges across files") {

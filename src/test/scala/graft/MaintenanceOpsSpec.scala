@@ -36,6 +36,35 @@ class MaintenanceOpsSpec extends SparkSpec {
       (9L, "ins", 90.0, "inserted")))
   }
 
+  test("CdcMerge.latestPerKey: tied seqs pick a deterministic winner under any partitioning") {
+    // r14: max_by compares ONLY its ordering expression — with bare seq,
+    // a tied seq's winner depended on partial-aggregate merge order
+    // (flipping across repartitioning/retries); the struct ordering key
+    // makes it a pure function of the data
+    val rows = Seq((1L, 5L, "U", "a"), (1L, 5L, "D", "b"), (2L, 1L, "I", "c"))
+    for (parts <- Seq(1, 3, 7)) {
+      val got = CdcMerge.latestPerKey(
+          rows.toDF("k", "seq", "op", "v").repartition(parts), "k", "seq", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // lexicographic (seq, op, v): "U" > "D", so the U/a record wins
+      assert(got === Set((1L, "U", "a"), (2L, "I", "c")),
+        s"tied-seq winner not deterministic at parts=$parts: $got")
+    }
+  }
+
+  test("compactBytes sizes from listing metadata: one data scan, expected file count") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cb_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cb_out").toString
+    spark.range(0, 1000).repartition(8).write.mode("overwrite").parquet(in)
+    val (bytes, files) = graft.operators.Maintenance.compactBytes(
+      spark, in, out, "parquet", targetBytesPerFile = 1L << 30)
+    assert(bytes > 0L && files === 1, s"expected one compacted file: ($bytes, $files)")
+    assert(spark.read.parquet(out).count() === 1000L)
+    val (_, files2) = graft.operators.Maintenance.compactBytes(
+      spark, in, out, "parquet", targetBytesPerFile = math.max(1L, bytes / 4))
+    assert(files2 >= 2, s"byte-sized split must grow the file count: $files2")
+  }
+
   test("CdcMerge plan has no window sort: latest-per-key is a hash aggregate") {
     val plan = MaintenanceQueries.cdcMergeSnapshot(spark, sf)
       .queryExecution.executedPlan.toString
