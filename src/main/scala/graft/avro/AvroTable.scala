@@ -38,6 +38,41 @@ object AvroTable {
 
   final case class OcfBin(splits: Seq[AvroFiles.OcfSplit]) extends InputPartition
 
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize epoch commits on the archive dir, same protocol as
+    * KafkaReplay.withCommitLock: two live queries sharing one archive
+    * path would otherwise race the incarnation sweep — writer A's sweep
+    * deletes writer B's mid-commit batch= dir (parts renamed, ledger
+    * line not yet written), then B ledgers the epoch as committed:
+    * silent data loss. Same-JVM writers serialize on the monitor (a
+    * second FileChannel lock in one JVM throws
+    * OverlappingFileLockException); cross-JVM writers on the flock.
+    * Only local paths can flock; non-local filesystems fall back to the
+    * JVM monitor alone (single-driver commits, the common case). */
+  private[graft] def withArchiveLock[A](
+      dir: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem)(body: => A): A = {
+    val mon = commitMonitors.computeIfAbsent(
+      fs.makeQualified(dir).toString, _ => new Object)
+    mon.synchronized {
+      val localDir = if (fs.getScheme == "file")
+        Some(new java.io.File(dir.toUri.getPath)) else None
+      localDir match {
+        case Some(d) =>
+          d.mkdirs()
+          val ch = java.nio.channels.FileChannel.open(
+            new java.io.File(d, "_commit.lock").toPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          val lk = ch.lock()
+          try body finally { lk.release(); ch.close() }
+        case None => body
+      }
+    }
+  }
+
   /** Project the reader schema to `required`'s top-level fields, in
     * `required`'s order — Avro schema resolution then SKIPS every other
     * field during decode (no UTF-8 materialization, no nested-record
@@ -252,10 +287,17 @@ object AvroTable {
       * is lost — and with it every dedupe/sweep protection). */
     private def writeLedger(dir: org.apache.hadoop.fs.Path,
         fs: org.apache.hadoop.fs.FileSystem, lines: Set[String]): Unit = {
+      // toLongOption, NOT toLong: one corrupt/foreign ledger line with a
+      // non-numeric suffix would otherwise throw inside every subsequent
+      // commit() of every query on this path — a permanently wedged
+      // sink. Unparsable lines sort oldest (MinValue) so retention drops
+      // them first; they carry no skip decision anyway (the epoch-dir
+      // rewrite is idempotent without them).
       val kept = lines.groupBy(l => l.substring(0, l.lastIndexOf(':')))
         .values.flatMap { ls =>
-          ls.toSeq.sortBy(l =>
-            -l.substring(l.lastIndexOf(':') + 1).toLong).take(LedgerRetain)
+          ls.toSeq.sortBy(l => l.substring(l.lastIndexOf(':') + 1)
+            .toLongOption.getOrElse(Long.MinValue))(Ordering[Long].reverse)
+            .take(LedgerRetain)
         }.toSet
       val ledgerTmp = new org.apache.hadoop.fs.Path(dir, "_epochs.tmp")
       val out = fs.create(ledgerTmp, true)
@@ -272,6 +314,16 @@ object AvroTable {
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(conf)
       fs.mkdirs(dir)
+      // cross-writer serialization: the incarnation sweep below deletes
+      // UN-LEDGERED batch= dirs above this epoch — racing a concurrent
+      // committer on a shared archive (parts renamed, ledger not yet
+      // written) it would destroy that commit silently
+      AvroTable.withArchiveLock(dir, fs) { commitLocked(dir, fs, epochId, messages) }
+    }
+
+    private def commitLocked(dir: org.apache.hadoop.fs.Path,
+        fs: org.apache.hadoop.fs.FileSystem, epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
       val parts = messages.collect { case m: OcfPartMsg => m }
       // QUERY-scoped ledger (r14, the KafkaReplay r13 fix applied to
       // this sink too): bare epoch ids made a fresh-checkpoint rerun

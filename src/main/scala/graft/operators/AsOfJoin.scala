@@ -35,8 +35,10 @@ object AsOfJoin {
     // remaining right columns (sorted by name) extend the order, so the
     // surviving payload is a pure function of the data, never of the
     // input partitioning or a task retry
-    val extraTb = right.columns
-      .filter(c => c != rightKey && c != rightTs && c != tiebreak)
+    // (non-orderable columns — MapType — are skipped: they cannot
+    // appear in an ORDER BY; ties then break on the orderable remainder)
+    val extraTb = Orderable.columns(right, right.columns.toSeq
+        .filter(c => c != rightKey && c != rightTs && c != tiebreak))
       .sorted.map(col(_).desc)
     val dedupW = Window.partitionBy(col(rightKey), col(rightTs))
       .orderBy(col(tiebreak).desc +: extraTb.toIndexedSeq: _*)

@@ -49,11 +49,15 @@ object CdcMerge {
     // flipping across repartitioning/retries/micro-batch slicing). The
     // lexicographic struct makes the winner a pure function of the data
     // (fully identical rows are interchangeable), which is what the
-    // scaladoc's tiebreak promise requires.
+    // scaladoc's tiebreak promise requires. Non-orderable payload
+    // columns (MapType) are excluded from the ORDERING struct only —
+    // they still ride in the value struct; ties then break on the
+    // orderable columns alone (best-effort determinism, see Orderable).
+    val tiebreak = Orderable.columns(changelog, payload)
     changelog
       .groupBy(col(key))
       .agg(max_by(struct((op +: payload).map(col): _*),
-        struct((seq +: op +: payload).map(col): _*)).as("__c"))
+        struct((seq +: op +: tiebreak).map(col): _*)).as("__c"))
       .select(col(key) +: col(s"__c.$op").as("__op") +:
         payload.map(c => col(s"__c.$c").as(s"__chg_$c")): _*)
   }

@@ -33,7 +33,10 @@ object Reconcile {
     * column are interchangeable, so the output is a pure function of
     * the data under any partitioning. */
   def lastWriterWins(df: DataFrame, key: String, order: String): DataFrame = {
-    val tiebreak = df.columns.filter(c => c != key && c != order)
+    // non-orderable columns (MapType) are skipped — they cannot appear
+    // in an ORDER BY; ties break on the orderable remainder (Orderable)
+    val tiebreak = graft.operators.Orderable
+      .columns(df, df.columns.toSeq.filter(c => c != key && c != order))
       .sorted.map(col(_).desc)
     val w = Window.partitionBy(col(key))
       .orderBy(col(order).desc +: tiebreak.toIndexedSeq: _*)

@@ -311,6 +311,7 @@ object KafkaReplay {
   private def appendSpools(dir: File, spools: Seq[String]): Unit = {
     val outs = scala.collection.mutable.Map.empty[Int, DataOutputStream]
     val nexts = scala.collection.mutable.Map.empty[Int, Long]
+    var primary: Throwable = null
     try {
       spools.foreach { sp =>
         val f = new File(sp)
@@ -343,8 +344,21 @@ object KafkaReplay {
           finally in.close()
         }
       }
-    } finally outs.values.foreach(o =>
-      try o.close() catch { case _: Throwable => () })
+    } catch { case t: Throwable => primary = t } finally {
+      // close() is what flushes each BufferedOutputStream — a flush
+      // failure (ENOSPC, disk error) MUST propagate, or commitLocked
+      // would ledger a torn epoch as committed and the next epoch would
+      // append after the torn bytes, misframing the partition log. Close
+      // every stream, remember the first failure, rethrow it (unless a
+      // write failure is already propagating — that one wins): the
+      // _commit.inflight manifest then survives and recoverTornAppend
+      // truncates the torn append on the next commit.
+      outs.values.foreach { o =>
+        try o.close()
+        catch { case t: Throwable => if (primary == null) primary = t }
+      }
+      if (primary != null) throw primary
+    }
   }
 
   /** Per-partition end offsets (exclusive) — the broker's "latest". */

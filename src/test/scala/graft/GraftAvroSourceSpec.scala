@@ -225,6 +225,55 @@ class GraftAvroSourceSpec extends SparkSpec {
       s"bare legacy lines must be garbage-collected: $ledger")
   }
 
+  test("V2 streaming write: one corrupt ledger line cannot wedge the sink (ADVICE r14)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    // a colon-bearing line with a NON-NUMERIC suffix used to throw
+    // NumberFormatException inside writeLedger's retention sort —
+    // permanently failing every subsequent commit of every query
+    val dir = tmp(); val ckpt = tmp()
+    new java.io.File(dir).mkdirs()
+    val lw = new java.io.FileWriter(new java.io.File(dir, "_epochs"))
+    try lw.write("deadquery:not-a-number\nother:3\n") finally lw.close()
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"))
+    val q = mem.toDF().toDF("id", "name")
+      .writeStream.format("graft-avro")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .option("codec", "null")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.format("graft-avro").load(dir).count() === 1)
+  }
+
+  test("withArchiveLock serializes same-JVM committers on one archive path (ADVICE r14)") {
+    val dir = new org.apache.hadoop.fs.Path(tmp())
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            graft.avro.AvroTable.withArchiveLock(dir, fs) {
+              val n = inside.incrementAndGet()
+              maxInside.updateAndGet(m => math.max(m, n))
+              Thread.sleep(5)
+              inside.decrementAndGet(): Unit
+            }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(maxInside.get() === 1,
+      s"concurrent committers overlapped inside the archive lock (${maxInside.get()})")
+    // and the flock file exists for cross-JVM writers on local paths
+    assert(new java.io.File(dir.toUri.getPath, "_commit.lock").exists())
+  }
+
   test("empty/absent paths fail with a clear message unless a schema is given") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-avro").load(tmp())
