@@ -202,6 +202,32 @@ object Bench {
       "window_lag" -> 0.4483, "session_window" -> 0.9536,
       "dedup_bloom_probe" -> 4.3812, "dedup_exact" -> 0.5847,
       "tumbling_window" -> 0.4637, "set_union" -> 0.3383)
+    // r15 (VERDICT r14 ask #1): the r14 driver run came in 18% over the
+    // round's own closes while the r10 canary set read ~1% host drift —
+    // every canary is a sub-second scan/agg shape, blind to the
+    // multi-second shuffle/state-heavy families that actually moved.
+    // This set = the r10 twenty PLUS six HEAVY anchors (posting-index
+    // retrieval probe, exact prefix-filtered all-pairs join, multi-pass
+    // SNM sort, transformWithState streamed sessions, banded minhash
+    // pair shuffle, TPC-H multi-join) so the trimmed median senses the
+    // heavy tail. References are the committed r14 DRIVER run's FIRST
+    // samples (bench/BENCH_full.json at e2f6d2c — the 187.2 s run
+    // itself), so a ratio of 1.0 means "the same conditions the judge
+    // last measured under". Every anchor is untouched in r15.
+    val canaryRefR14 = Map(
+      "filter_project" -> 0.5513, "date_funcs" -> 0.4692,
+      "string_funcs" -> 1.7676, "q1_pricing_summary" -> 1.2275,
+      "agg_corr_stats" -> 2.3454, "agg_conditional" -> 0.8488,
+      "cube_agg" -> 0.9117, "pivot_segments" -> 0.5607,
+      "join_inner" -> 0.6851, "join_left_outer" -> 2.3729,
+      "join_semi" -> 0.4178, "asof_join" -> 1.5106,
+      "range_join" -> 2.3046, "window_rank" -> 0.5238,
+      "window_lag" -> 0.5218, "session_window" -> 1.0483,
+      "dedup_bloom_probe" -> 3.4953, "dedup_exact" -> 0.533,
+      "tumbling_window" -> 0.5688, "set_union" -> 0.4574,
+      "text_bm25_topk" -> 5.1459, "dedup_allpairs_jaccard" -> 5.5139,
+      "dedup_snm_multipass" -> 3.9897, "session_tws_streamed" -> 2.4583,
+      "dedup_minhash_pairs" -> 2.8543, "q21_waiting_supplier" -> 2.907)
     // Ratios come from the FIRST sample of each canary — every
     // reference era's times are first samples, so a best-of-N min would
     // read as a phantom host speedup and skew the normalizer.
@@ -243,6 +269,8 @@ object Bench {
     val (calibrationR9, _) = calibrationAgainst("r9@sf0.1", canaryRefR9)
     val (calibrationR10, calibrationR10Med) =
       trimmedCalibration("r9driver@sf0.1", canaryRefR10, trim = 3)
+    val (calibrationR14, calibrationR14Med) =
+      trimmedCalibration("r14driver@sf0.1", canaryRefR14, trim = 3)
 
     val runCountsJson = runCounts
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -251,7 +279,8 @@ object Bench {
       s""""sketch_only":$sketchJson,"bracketed":$bracketedJson,""" +
       s""""prep":{"posting_index_build_s":$prep,"session_index_build_s":$sessPrep},""" +
       s""""calibration":$calibration,"calibration_r9":$calibrationR9,""" +
-      s""""calibration_r10":$calibrationR10,"sf":"$sfDir"}"""
+      s""""calibration_r10":$calibrationR10,""" +
+      s""""calibration_r14":$calibrationR14,"sf":"$sfDir"}"""
     println(json)
     // The driver tail-captures only the LAST ~2000 chars of output, so the
     // full per-query map above never survives. Persist the complete
@@ -295,11 +324,13 @@ object Bench {
     // format drift (the r1-r8 parsed:null failure mode, field-level)
     val medianRatio = calibrationMed.map(m => f"$m%.3f").getOrElse("null")
     val medianRatioR10 = calibrationR10Med.map(m => f"$m%.3f").getOrElse("null")
+    val medianRatioR14 = calibrationR14Med.map(m => f"$m%.3f").getOrElse("null")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,""" +
       f""""s_per_query":$perQ%.4f,"runs":$runs,""" +
       f""""prep":{"posting_index_build_s":$prep%.2f,"session_index_build_s":$sessPrep%.2f},""" +
       s""""calibration_median_ratio":$medianRatio,""" +
-      s""""calibration_r10_trimmed_median":$medianRatioR10,"slowest":$slowest,""" +
+      s""""calibration_r10_trimmed_median":$medianRatioR10,""" +
+      s""""calibration_r14_trimmed_median":$medianRatioR14,"slowest":$slowest,""" +
       s""""queries_file":"$outPath","sf":"$sfDir"}""")
     System.out.flush()
   }

@@ -35,8 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * per thread, so the per-row cost is the Avro decode itself with zero
   * setup allocation. Supported type lattice: record, string, int, long,
   * float, double, boolean, bytes, fixed, enum, array, map(string->v),
-  * and 2-branch null unions (producer.py:18-19) — the full surface the
-  * reference's schema can express plus the usual evolution moves.
+  * 2-branch null unions (producer.py:18-19), and the logical types a
+  * production registry estate carries — `date` (int),
+  * `timestamp-micros`/`timestamp-millis` (long), `decimal`
+  * (bytes/fixed) — the full surface the reference's schema can express
+  * plus the usual evolution moves.
   */
 object AvroCodec {
 
@@ -66,21 +69,94 @@ object AvroCodec {
     s.getType == Schema.Type.UNION &&
       s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
 
-  /** Avro schema -> Spark DataType (mirrors spark-avro's public mapping). */
-  def sparkType(s: Schema): DataType = nonNull(s).getType match {
+  // ---- logical types (r15, VERDICT r14 ask #3) ---------------------------
+  // The first real-estate gap a production registry hits: `date` (int),
+  // `timestamp-micros`/`timestamp-millis` (long), and `decimal`
+  // (bytes/fixed, two's-complement unscaled big-endian). Spark's
+  // internal representations line up exactly for date (int days) and
+  // timestamp-micros (long micros); millis scale by 1000; decimal
+  // round-trips through the unscaled BigInteger.
+
+  private def logicalName(s: Schema): String = {
+    val lt = s.getLogicalType
+    if (lt != null) lt.getName else ""
+  }
+
+  private def decimalOf(s: Schema): Option[(Int, Int)] = s.getLogicalType match {
+    case d: org.apache.avro.LogicalTypes.Decimal => Some((d.getPrecision, d.getScale))
+    case _ => None
+  }
+
+  // ---- multi-branch unions (r15, VERDICT r14 ask #6) ---------------------
+  // Beyond ["null", T]: the spark-avro convention. The two numeric
+  // widenings ([int,long] -> long, [float,double] -> double) collapse to
+  // one column; anything else renders as a struct-of-branches
+  // (member0..memberN-1, exactly one non-null per value). DECODE only —
+  // the write path rejects them loudly (a struct-of-branches column is
+  // not round-trippable without a branch-choice policy).
+
+  private def unionBranches(s: Schema): Seq[Schema] =
+    s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+
+  private def isMultiUnion(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION && unionBranches(s).size > 1
+
+  private def multiUnionSparkType(branches: Seq[Schema]): DataType = {
+    val kinds = branches.map(_.getType).toSet
+    if (kinds == Set(Schema.Type.INT, Schema.Type.LONG)) LongType
+    else if (kinds == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE)) DoubleType
+    else StructType(branches.zipWithIndex.map { case (b, i) =>
+      StructField(s"member$i", sparkType(b), nullable = true)
+    }.toArray)
+  }
+
+  private def multiUnionToCatalyst(v: AnyRef, union: Schema,
+      branches: Seq[Schema]): Any = {
+    val kinds = branches.map(_.getType).toSet
+    if (kinds == Set(Schema.Type.INT, Schema.Type.LONG))
+      v.asInstanceOf[Number].longValue()
+    else if (kinds == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE))
+      v.asInstanceOf[Number].doubleValue()
+    else {
+      // the datum's runtime type picks the branch (standard Avro
+      // resolution); all other members stay null
+      val idx = GenericData.get().resolveUnion(union, v)
+      val member = branches.indexOf(union.getTypes.get(idx))
+      val out = new Array[Any](branches.size)
+      out(member) = toCatalyst(v, branches(member))
+      new GenericInternalRow(out)
+    }
+  }
+
+  /** Avro schema -> Spark DataType (mirrors spark-avro's public mapping,
+    * including its multi-branch union rendering). */
+  def sparkType(s: Schema): DataType = if (isMultiUnion(s))
+    multiUnionSparkType(unionBranches(s))
+  else nonNull(s).getType match {
     case Schema.Type.RECORD =>
       StructType(nonNull(s).getFields.asScala.map { f =>
         StructField(f.name, sparkType(f.schema), nullable = isNullable(f.schema))
       }.toArray)
     case Schema.Type.STRING  => StringType
     case Schema.Type.ENUM    => StringType
-    case Schema.Type.INT     => IntegerType
-    case Schema.Type.LONG    => LongType
+    case Schema.Type.INT =>
+      if (logicalName(nonNull(s)) == "date") DateType else IntegerType
+    case Schema.Type.LONG => logicalName(nonNull(s)) match {
+      case "timestamp-micros" | "timestamp-millis" => TimestampType
+      // no-zone wire timestamps map to Spark's no-zone type — both are
+      // "wall-clock micros", so the values pass through untouched
+      case "local-timestamp-micros" | "local-timestamp-millis" => TimestampNTZType
+      case _ => LongType
+    }
     case Schema.Type.FLOAT   => FloatType
     case Schema.Type.DOUBLE  => DoubleType
     case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.BYTES   => BinaryType
-    case Schema.Type.FIXED   => BinaryType
+    case Schema.Type.BYTES =>
+      decimalOf(nonNull(s)).map { case (p, sc) => DecimalType(p, sc) }
+        .getOrElse(BinaryType)
+    case Schema.Type.FIXED =>
+      decimalOf(nonNull(s)).map { case (p, sc) => DecimalType(p, sc) }
+        .getOrElse(BinaryType)
     case Schema.Type.ARRAY =>
       val el = nonNull(s).getElementType
       ArrayType(sparkType(el), containsNull = isNullable(el))
@@ -111,6 +187,18 @@ object AvroCodec {
           }.asJava)
       case StringType  => Schema.create(Schema.Type.STRING)
       case IntegerType => Schema.create(Schema.Type.INT)
+      case DateType =>
+        org.apache.avro.LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        org.apache.avro.LogicalTypes.localTimestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case dt: DecimalType =>
+        org.apache.avro.LogicalTypes.decimal(dt.precision, dt.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       // Short/Byte must NOT silently map to Avro INT: the write path's
       // typed getters are driven by the AVRO type, so an INT-slot read
       // against a 2-byte UnsafeRow slot zero-extends (-1: Short becomes
@@ -212,6 +300,8 @@ object AvroCodec {
 
   private def toCatalyst(v: AnyRef, s0: Schema): Any = {
     if (v == null) return null
+    if (isMultiUnion(s0))
+      return multiUnionToCatalyst(v, s0, unionBranches(s0))
     val s = nonNull(s0)
     s.getType match {
       case Schema.Type.RECORD =>
@@ -226,14 +316,29 @@ object AvroCodec {
         new GenericInternalRow(out)
       case Schema.Type.STRING | Schema.Type.ENUM =>
         UTF8String.fromString(v.toString)
+      case Schema.Type.LONG if logicalName(s) == "timestamp-millis" ||
+          logicalName(s) == "local-timestamp-millis" =>
+        // Spark carries micros (both TZ flavors); the wire carries millis
+        java.lang.Long.valueOf(v.asInstanceOf[java.lang.Long].longValue() * 1000L)
       case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
            Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v
+      // date (int days) and timestamp-micros (long micros) pass through
+      // the INT/LONG arms above — Spark's internal representations are
+      // identical to the Avro wire values.
       case Schema.Type.BYTES =>
         val bb = v.asInstanceOf[ByteBuffer]
         val arr = new Array[Byte](bb.remaining())
         bb.duplicate().get(arr)
-        arr
-      case Schema.Type.FIXED => v.asInstanceOf[GenericFixed].bytes().clone()
+        decimalOf(s) match {
+          case Some((p, sc)) => decimalFromUnscaled(arr, p, sc)
+          case None => arr
+        }
+      case Schema.Type.FIXED =>
+        val arr = v.asInstanceOf[GenericFixed].bytes().clone()
+        decimalOf(s) match {
+          case Some((p, sc)) => decimalFromUnscaled(arr, p, sc)
+          case None => arr
+        }
       case Schema.Type.ARRAY =>
         val el = s.getElementType
         val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
@@ -307,11 +412,23 @@ object AvroCodec {
       case Schema.Type.STRING => new Utf8(v.asInstanceOf[UTF8String].getBytes)
       case Schema.Type.ENUM =>
         new GenericData.EnumSymbol(s, v.asInstanceOf[UTF8String].toString)
+      case Schema.Type.LONG if logicalName(s) == "timestamp-millis" ||
+          logicalName(s) == "local-timestamp-millis" =>
+        // Spark carries micros; the wire wants millis. Sub-ms precision
+        // is truncated (floorDiv: toward negative infinity, so pre-1970
+        // instants truncate the same direction as post-1970).
+        java.lang.Long.valueOf(java.lang.Math.floorDiv(v.asInstanceOf[Long], 1000L))
       case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
            Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v.asInstanceOf[AnyRef]
-      case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-      case Schema.Type.FIXED =>
-        new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+      case Schema.Type.BYTES => decimalOf(s) match {
+        case Some((_, sc)) => ByteBuffer.wrap(unscaledBytes(v, sc))
+        case None => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      }
+      case Schema.Type.FIXED => decimalOf(s) match {
+        case Some((_, sc)) =>
+          new GenericData.Fixed(s, signExtendTo(unscaledBytes(v, sc), s.getFixedSize))
+        case None => new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+      }
       case Schema.Type.ARRAY =>
         val el = s.getElementType
         val arr = v.asInstanceOf[ArrayData]
@@ -341,7 +458,9 @@ object AvroCodec {
     }
   }
 
-  /** Typed InternalRow getter driven by the Avro (not Spark) type. */
+  /** Typed InternalRow getter driven by the Avro (not Spark) type.
+    * Logical types read the matching Spark slot: date is an int slot,
+    * both timestamp flavors a long slot, decimal a Decimal slot. */
   private def get(row: InternalRow, i: Int, s: Schema): Any = s.getType match {
     case Schema.Type.RECORD  => row.getStruct(i, s.getFields.size)
     case Schema.Type.STRING | Schema.Type.ENUM => row.getUTF8String(i)
@@ -350,7 +469,10 @@ object AvroCodec {
     case Schema.Type.FLOAT   => row.getFloat(i)
     case Schema.Type.DOUBLE  => row.getDouble(i)
     case Schema.Type.BOOLEAN => row.getBoolean(i)
-    case Schema.Type.BYTES | Schema.Type.FIXED => row.getBinary(i)
+    case Schema.Type.BYTES | Schema.Type.FIXED => decimalOf(s) match {
+      case Some((p, sc)) => row.getDecimal(i, p, sc)
+      case None => row.getBinary(i)
+    }
     case Schema.Type.ARRAY   => row.getArray(i)
     case Schema.Type.MAP     => row.getMap(i)
     case t => throw new UnsupportedOperationException(s"avro type $t")
@@ -364,9 +486,43 @@ object AvroCodec {
     case Schema.Type.FLOAT   => arr.getFloat(i)
     case Schema.Type.DOUBLE  => arr.getDouble(i)
     case Schema.Type.BOOLEAN => arr.getBoolean(i)
-    case Schema.Type.BYTES | Schema.Type.FIXED => arr.getBinary(i)
+    case Schema.Type.BYTES | Schema.Type.FIXED => decimalOf(s) match {
+      case Some((p, sc)) => arr.getDecimal(i, p, sc)
+      case None => arr.getBinary(i)
+    }
     case Schema.Type.ARRAY   => arr.getArray(i)
     case Schema.Type.MAP     => arr.getMap(i)
     case t => throw new UnsupportedOperationException(s"avro type $t")
+  }
+
+  // ---- decimal plumbing ---------------------------------------------------
+
+  /** Avro decimal body (two's-complement unscaled big-endian) -> Spark
+    * Decimal at the declared (precision, scale). */
+  private def decimalFromUnscaled(bytes: Array[Byte], p: Int, sc: Int)
+      : org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(new java.math.BigInteger(bytes), sc), p, sc)
+
+  /** Spark Decimal -> unscaled big-endian bytes at the schema's scale.
+    * setScale is exact by construction (the Spark value's scale equals
+    * the Avro schema's — both derive from the same DecimalType); a
+    * mismatched writer schema fails loudly rather than rounding. */
+  private def unscaledBytes(v: Any, sc: Int): Array[Byte] =
+    v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+      .toJavaBigDecimal.setScale(sc).unscaledValue().toByteArray
+
+  /** Sign-extend a two's-complement big-endian value to a fixed width. */
+  private def signExtendTo(b: Array[Byte], size: Int): Array[Byte] = {
+    require(b.length <= size,
+      s"decimal unscaled value (${b.length} bytes) exceeds fixed($size)")
+    if (b.length == size) b
+    else {
+      val out = new Array[Byte](size)
+      val pad: Byte = if (b.nonEmpty && b(0) < 0) -1 else 0
+      java.util.Arrays.fill(out, 0, size - b.length, pad)
+      System.arraycopy(b, 0, out, size - b.length, b.length)
+      out
+    }
   }
 }

@@ -493,19 +493,24 @@ object Dedup {
     * conversion: the edge list is counted once (it is persisted either
     * way — both strategies consume it), and
     *
-    *  - ≤ `driverEdgeLimit` edges (default 4M): a local union-find with
-    *    path compression closes the components in milliseconds. Honest
-    *    footprint at the limit (r13): the raw longs are 64 MB, but the
-    *    transient collected Rows, the boxed mutable.HashMap of up to
-    *    ~8M nodes, and the result Seq put the real peak at roughly
-    *    0.5–1 GB — fine for the multi-GB driver this library assumes
-    *    (Bench runs 8 GB), but a 1 GB-driver deployment should lower
-    *    the limit; the distributed path below is always correct. An LSH
-    *    near-dup graph is SPARSE by construction (edges ≈ surviving
-    *    candidate pairs, bounded by the banding budget), so this is the
-    *    common case even for large corpora — and it deletes ~10 rounds
-    *    of per-job scheduling latency that dominated the distributed
-    *    loop at gate scale.
+    *  - ≤ `driverEdgeLimit` edges (default 1M — MEASURED, r15): a
+    *    local union-find with path compression closes the components on
+    *    the driver. The gate is no longer asserted: the
+    *    ComponentsCrossover probe (SCALE_r15_components.json) timed both
+    *    paths on identical LSH-shaped edge sets; the crossover sits in
+    *    the 0.8–1.5M band on the 8 GB bench driver (0.8M: driver wins
+    *    5.8 s vs 8.5 s, mostly by deleting ~10 rounds of per-job
+    *    scheduling latency; 1.5M: 8.8 s vs 5.3 s). Above it, collect +
+    *    boxed-HashMap churn grow linearly (~5 s/M edges) while the
+    *    distributed loop stays nearly flat (4M: 20.1 s vs 6.7 s; 8M:
+    *    40.5 s vs 10.4 s) — the old 4M default was ~4× past the
+    *    measured crossover. Honest footprint at the new limit:
+    *    ~0.1–0.25 GB transient driver heap (raw longs 16 MB; boxed
+    *    HashMap and Rows dominate).
+    *    An LSH near-dup graph is SPARSE by construction (edges ≈
+    *    surviving candidate pairs, bounded by the banding budget), so
+    *    the driver path remains the common case at query scale; the
+    *    distributed path is always correct.
     *  - above the limit: the iterative min-label-propagation loop below
     *    — every round one join + one group-by (data-parallel shuffles on
     *    node id) plus a pointer-jumping compression, converging in
@@ -515,7 +520,7 @@ object Dedup {
     * Output: (node, component) where component = min node id reachable.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      driverEdgeLimit: Long = 4000000L): DataFrame = {
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel
     // Persist the edge list BEFORE symmetrizing: the union has two

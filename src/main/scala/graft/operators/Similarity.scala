@@ -196,8 +196,17 @@ object Similarity {
     * collect is a driver-side planning decision, not data movement. */
   def autoBand(df: DataFrame, idCol: String, vecCol: String,
       configs: Seq[(Int, Int)], budget: Long,
-      maxBucket: Int = 10000): (Int, Int) = {
-    val rows = bucketPlan(df, idCol, vecCol, configs, budget, maxBucket).collect()
+      maxBucket: Int = 10000): (Int, Int) =
+    autoBandFrom(bucketPlan(df, idCol, vecCol, configs, budget, maxBucket))
+
+  /** The [[autoBand]] selection over an ALREADY-MEASURED plan table
+    * (the [[bucketPlan]] shape) — callers holding a memoized/persisted
+    * plan (SignalMemo's `lsh_bucket_plan`) pick without re-sweeping the
+    * corpus. The |configs|-row collect is a driver-side planning
+    * decision, not data movement. */
+  def autoBandFrom(plan: DataFrame): (Int, Int) = {
+    val rows = plan.collect()
+    require(rows.nonEmpty, "autoBand: empty bucket-plan table")
     val best = rows.minBy(r => (
       !r.getAs[Boolean]("within_budget"),
       -r.getAs[Long]("candidate_pairs"),

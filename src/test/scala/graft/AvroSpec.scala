@@ -232,4 +232,191 @@ class AvroSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("cast the column to int"))
   }
+
+  // ---- logical types (r15) -------------------------------------------------
+
+  private val logicalSchema = AvroQueries.logicalSchemaJson
+
+  test("logical types: schema -> Spark mapping (date, both timestamps, decimal)") {
+    val st = AvroCodec.sparkStructType(logicalSchema)
+    assert(st("order_ts").dataType === TimestampType)
+    assert(st("order_ts_ms").dataType === TimestampType)
+    assert(st("order_date").dataType === DateType)
+    assert(st("shipped_ts").dataType === TimestampType)
+    assert(st("shipped_ts").nullable)
+    assert(st("amount").dataType === DecimalType(18, 2))
+  }
+
+  test("logical types: wire round trip incl. negative decimal, pre-1970 ts, null union") {
+    val st = AvroCodec.sparkStructType(logicalSchema)
+    def ts(s: String) = Timestamp.from(Instant.parse(s))
+    val rows = Seq(
+      Row(1L, ts("2024-03-01T12:34:56.789012Z"), ts("2024-03-01T12:34:56.789Z"),
+        java.sql.Date.valueOf("2024-03-01"), ts("2024-03-03T00:00:00Z"),
+        new java.math.BigDecimal("12345.67")),
+      // pre-1970: micros negative; millis floor must truncate toward -inf
+      Row(2L, ts("1969-12-31T23:59:59.000001Z"), ts("1969-12-31T23:59:59.001Z"),
+        java.sql.Date.valueOf("1969-12-31"), null,
+        new java.math.BigDecimal("-0.01")),
+      Row(3L, ts("1970-01-01T00:00:00Z"), ts("1970-01-01T00:00:00Z"),
+        java.sql.Date.valueOf("1970-01-01"), null,
+        new java.math.BigDecimal("0.00")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 2),
+      StructType(Seq(StructField("ev", st))))
+    val back = df
+      .select(to_avro_confluent(col("ev"), logicalSchema, schemaId = 9).as("b"))
+      .select(from_avro_confluent(col("b"), logicalSchema).as("ev"))
+      .select(col("ev.*"))
+      .collect().sortBy(_.getLong(0))
+    assert(back.length === 3)
+    val r1 = back(0)
+    assert(r1.getTimestamp(1) === ts("2024-03-01T12:34:56.789012Z"))
+    assert(r1.getTimestamp(2) === ts("2024-03-01T12:34:56.789Z"))
+    assert(r1.getDate(3) === java.sql.Date.valueOf("2024-03-01"))
+    assert(r1.getTimestamp(4) === ts("2024-03-03T00:00:00Z"))
+    assert(r1.getDecimal(5) === new java.math.BigDecimal("12345.67"))
+    val r2 = back(1)
+    assert(r2.getTimestamp(1) === ts("1969-12-31T23:59:59.000001Z"))
+    assert(r2.getTimestamp(2) === ts("1969-12-31T23:59:59.001Z"),
+      "pre-1970 millis must floor toward -inf, not round toward zero")
+    assert(r2.isNullAt(4), "null union branch of a logical-typed field")
+    assert(r2.getDecimal(5) === new java.math.BigDecimal("-0.01"),
+      "negative decimal two's-complement unscaled bytes")
+    assert(back(2).getDecimal(5) === new java.math.BigDecimal("0.00"))
+  }
+
+  test("logical types: fixed-backed decimal decodes and sign-extends on encode") {
+    val fixedSchema =
+      """{"type": "record", "name": "F", "namespace": "graft",
+        | "fields": [{"name": "amt", "type": {"type": "fixed", "name": "D8",
+        |   "size": 8, "logicalType": "decimal", "precision": 16, "scale": 3}}]}"""
+        .stripMargin
+    val st = AvroCodec.sparkStructType(fixedSchema)
+    assert(st("amt").dataType === DecimalType(16, 3))
+    val rows = Seq(Row(new java.math.BigDecimal("1.500")),
+      Row(new java.math.BigDecimal("-2.125")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1),
+      StructType(Seq(StructField("ev", st))))
+    val back = df
+      .select(to_avro_confluent(col("ev"), fixedSchema, schemaId = 3).as("b"))
+      .select(from_avro_confluent(col("b"), fixedSchema).as("ev"))
+      .select(col("ev.amt")).collect().map(_.getDecimal(0)).toSet
+    assert(back === Set(new java.math.BigDecimal("1.500"),
+      new java.math.BigDecimal("-2.125")),
+      "fixed(8) decimal must sign-extend negative unscaled values")
+  }
+
+  // ---- multi-branch unions (r15) -------------------------------------------
+
+  test("multi-branch unions decode to struct-of-branches; numeric pairs widen") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val unionJson =
+      """{"type": "record", "name": "U", "namespace": "graft", "fields": [
+        |  {"name": "id", "type": "long"},
+        |  {"name": "v", "type": ["null", "string", "long"], "default": null},
+        |  {"name": "n", "type": ["int", "long"]},
+        |  {"name": "x", "type": ["float", "double"]}
+        |]}""".stripMargin
+    // spark-avro convention: v -> struct(member0: string, member1: long),
+    // [int,long] -> long, [float,double] -> double
+    val st = graft.avro.AvroCodec.sparkStructType(unionJson)
+    assert(st("v").dataType === StructType(Seq(
+      StructField("member0", StringType), StructField("member1", LongType))))
+    assert(st("v").nullable)
+    assert(st("n").dataType === LongType)
+    assert(st("x").dataType === DoubleType)
+
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(unionJson)
+    def frame(id: Long, v: AnyRef, n: AnyRef, x: AnyRef): Array[Byte] = {
+      val rec = new GenericData.Record(avroSchema)
+      rec.put("id", java.lang.Long.valueOf(id)); rec.put("v", v)
+      rec.put("n", n); rec.put("x", x)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0, 0, 0, 0, 9), 0, 5) // magic + schema id 9
+      val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](avroSchema).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val frames = Seq(
+      frame(1L, new org.apache.avro.util.Utf8("hello"),
+        java.lang.Integer.valueOf(5), java.lang.Float.valueOf(1.5f)),
+      frame(2L, java.lang.Long.valueOf(77L),
+        java.lang.Long.valueOf(6L), java.lang.Double.valueOf(2.25)),
+      frame(3L, null, java.lang.Integer.valueOf(7),
+        java.lang.Double.valueOf(0.5)))
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(frames.map(Row(_)), 1),
+      StructType(Seq(StructField("value", BinaryType))))
+      .select(from_avro_confluent(col("value"), unionJson).as("r"))
+      .select(col("r.*")).collect().sortBy(_.getLong(0))
+    val r1 = rows(0)
+    assert(r1.getStruct(1).getString(0) === "hello", "string branch -> member0")
+    assert(r1.getStruct(1).isNullAt(1))
+    assert(r1.getLong(2) === 5L, "int branch widened to long")
+    assert(r1.getDouble(3) === 1.5, "float branch widened to double")
+    val r2 = rows(1)
+    assert(r2.getStruct(1).isNullAt(0))
+    assert(r2.getStruct(1).getLong(1) === 77L, "long branch -> member1")
+    assert(r2.getLong(2) === 6L)
+    assert(r2.getDouble(3) === 2.25)
+    assert(rows(2).isNullAt(1), "null branch -> null struct")
+    // ENCODE of a multi-branch union stays loudly unsupported (a
+    // struct-of-branches column has no branch-choice policy) — and it
+    // is a CONFIG error, thrown in permissive mode too
+    val enc = intercept[Exception] {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(frames.take(1).map(Row(_)), 1),
+        StructType(Seq(StructField("value", BinaryType))))
+        .select(from_avro_confluent(col("value"), unionJson).as("r"))
+        .select(to_avro_confluent(col("r"), unionJson, 9))
+        .collect()
+    }
+    assert(enc.getMessage.contains("union") ||
+      Option(enc.getCause).exists(_.getMessage.contains("union")))
+  }
+
+  test("logical types: avroType derives date/timestamp-micros/decimal schemas") {
+    val derived = AvroCodec.avroSchemaJson(StructType(Seq(
+      StructField("d", DateType, nullable = false),
+      StructField("t", TimestampType, nullable = false),
+      StructField("m", DecimalType(18, 2), nullable = true))))
+    val st = AvroCodec.sparkStructType(derived)
+    assert(st("d").dataType === DateType)
+    assert(st("t").dataType === TimestampType)
+    assert(st("m").dataType === DecimalType(18, 2))
+    assert(st("m").nullable)
+  }
+
+  test("logical types: TimestampNTZ <-> local-timestamp-micros/millis round trip") {
+    // the testdata parquet columns are NTZ, so this is the flavor a user
+    // hits first; wall-clock micros pass through, the millis slot floors
+    val ntzJson =
+      """{"type": "record", "name": "N", "namespace": "graft", "fields": [
+        |  {"name": "id", "type": "long"},
+        |  {"name": "lt", "type": {"type": "long", "logicalType": "local-timestamp-micros"}},
+        |  {"name": "ltm", "type": {"type": "long", "logicalType": "local-timestamp-millis"}}
+        |]}""".stripMargin
+    val st = AvroCodec.sparkStructType(ntzJson)
+    assert(st("lt").dataType === TimestampNTZType)
+    assert(st("ltm").dataType === TimestampNTZType)
+    // derive path: NTZ -> local-timestamp-micros
+    val derived = AvroCodec.avroSchemaJson(StructType(Seq(
+      StructField("x", TimestampNTZType, nullable = false))))
+    assert(derived.contains("local-timestamp-micros"))
+    val t = java.time.LocalDateTime.parse("2024-03-01T12:34:56.789012")
+    val tMs = java.time.LocalDateTime.parse("2024-03-01T12:34:56.789")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(1L, t, tMs))), 1),
+      StructType(Seq(StructField("ev", st))))
+    val back = df
+      .select(to_avro_confluent(col("ev"), ntzJson, schemaId = 4).as("b"))
+      .select(from_avro_confluent(col("b"), ntzJson).as("ev"))
+      .select(col("ev.*")).collect().head
+    assert(back.getAs[java.time.LocalDateTime]("lt") === t)
+    assert(back.getAs[java.time.LocalDateTime]("ltm") === tMs)
+  }
 }

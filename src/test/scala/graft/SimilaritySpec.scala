@@ -378,6 +378,40 @@ class SimilaritySpec extends SparkSpec {
     assert(choiceK !== choice1,
       s"choice must move under corpus growth: still $choice1 (mass ${mK(choice1)} > $budget)")
     assert(mK(choiceK) <= budget, "moved choice must be within budget on the 2x corpus")
+    // r15 (VERDICT r14 ask #2): the closed loop survives the growth the
+    // static config dies on — the 1x config guarded by this budget
+    // trips LOUDLY on the 2x corpus, while the auto path re-bands and
+    // enumerates within budget (exactly the registered
+    // sim_neardup_autoband contract; no guard needed, the planner IS
+    // the budget decision).
+    val e = intercept[IllegalStateException] {
+      graft.operators.Similarity.nearDupPairsLsh(
+        embK, "vec_id", "embedding", threshold = 0.4,
+        bands = choice1._1, bitsPerBand = choice1._2, md5Planes = true,
+        maxCandidatePairs = Some(budget)).count()
+    }
+    assert(e.getMessage.contains("candidate budget exceeded"))
+    val autoPairs = graft.operators.Similarity.autoBandPairs(
+      embK, "vec_id", "embedding", threshold = 0.4, bucketPlanConfigs, budget,
+      md5Planes = true)
+    val mass = graft.operators.Similarity.candidatePairCount(
+      embK, "vec_id", "embedding", choiceK._1, choiceK._2, md5Planes = true)
+    assert(mass <= budget, "auto-chosen banding must enumerate within budget at 2x")
+    assert(autoPairs.count() >= 0L) // materializes without the guard tripping
+  }
+
+  test("sim_neardup_autoband: registered query equals the explicit chosen config") {
+    val table = graft.queries.SimilarityQueries.queries("sim_neardup_autoband")(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    import graft.queries.SimilarityQueries.bucketPlanConfigs
+    val (b, bits) = graft.operators.Similarity.autoBand(
+      emb, "vec_id", "embedding", bucketPlanConfigs, budget = 4000000L)
+    val explicit = graft.operators.Similarity.nearDupPairsLsh(
+      emb, "vec_id", "embedding", threshold = 0.4,
+      bands = b, bitsPerBand = bits, md5Planes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = table.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === explicit)
   }
 
   test("autoProbe: smallest within-floor depth; monotone fallback to max depth") {
