@@ -95,43 +95,65 @@ object AvroCodec {
   // the write path rejects them loudly (a struct-of-branches column is
   // not round-trippable without a branch-choice policy).
 
-  private def unionBranches(s: Schema): Seq[Schema] =
-    s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+  /** Per-union dispatch info, computed ONCE per schema (the decode path
+    * is per-row — rebuilding branch seqs/kind sets per value would break
+    * the file-level zero-setup-allocation promise). `widen`: 1 =
+    * [int,long]→long, 2 = [float,double]→double, 0 = struct-of-branches.
+    * `memberOfUnionPos` maps Avro's resolveUnion index (over the FULL
+    * union, null branch included) to the struct member position. */
+  private final case class UnionInfo(widen: Int, branches: Array[Schema],
+      memberOfUnionPos: Array[Int])
+
+  // Avro Schema memoizes hashCode, so the per-row lookup is one hash map
+  // probe — the same cost class as the thread-state reader cache
+  private val unionInfoCache =
+    new java.util.concurrent.ConcurrentHashMap[Schema, UnionInfo]()
+
+  private def unionInfo(u: Schema): UnionInfo =
+    unionInfoCache.computeIfAbsent(u, u => {
+      val branches = u.getTypes.asScala
+        .filter(_.getType != Schema.Type.NULL).toArray
+      val kinds = branches.map(_.getType).toSet
+      val widen =
+        if (kinds == Set(Schema.Type.INT, Schema.Type.LONG)) 1
+        else if (kinds == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE)) 2
+        else 0
+      val memberOf = u.getTypes.asScala
+        .map(b => branches.indexWhere(_ eq b)).toArray
+      UnionInfo(widen, branches, memberOf)
+    })
 
   private def isMultiUnion(s: Schema): Boolean =
-    s.getType == Schema.Type.UNION && unionBranches(s).size > 1
+    s.getType == Schema.Type.UNION && unionInfo(s).branches.length > 1
 
-  private def multiUnionSparkType(branches: Seq[Schema]): DataType = {
-    val kinds = branches.map(_.getType).toSet
-    if (kinds == Set(Schema.Type.INT, Schema.Type.LONG)) LongType
-    else if (kinds == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE)) DoubleType
-    else StructType(branches.zipWithIndex.map { case (b, i) =>
+  private def multiUnionSparkType(info: UnionInfo): DataType = info.widen match {
+    case 1 => LongType
+    case 2 => DoubleType
+    case _ => StructType(info.branches.zipWithIndex.map { case (b, i) =>
       StructField(s"member$i", sparkType(b), nullable = true)
-    }.toArray)
+    })
   }
 
-  private def multiUnionToCatalyst(v: AnyRef, union: Schema,
-      branches: Seq[Schema]): Any = {
-    val kinds = branches.map(_.getType).toSet
-    if (kinds == Set(Schema.Type.INT, Schema.Type.LONG))
-      v.asInstanceOf[Number].longValue()
-    else if (kinds == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE))
-      v.asInstanceOf[Number].doubleValue()
-    else {
-      // the datum's runtime type picks the branch (standard Avro
-      // resolution); all other members stay null
-      val idx = GenericData.get().resolveUnion(union, v)
-      val member = branches.indexOf(union.getTypes.get(idx))
-      val out = new Array[Any](branches.size)
-      out(member) = toCatalyst(v, branches(member))
-      new GenericInternalRow(out)
+  private def multiUnionToCatalyst(v: AnyRef, union: Schema): Any = {
+    val info = unionInfo(union)
+    info.widen match {
+      case 1 => v.asInstanceOf[Number].longValue()
+      case 2 => v.asInstanceOf[Number].doubleValue()
+      case _ =>
+        // the datum's runtime type picks the branch (standard Avro
+        // resolution); all other members stay null
+        val idx = GenericData.get().resolveUnion(union, v)
+        val member = info.memberOfUnionPos(idx)
+        val out = new Array[Any](info.branches.length)
+        out(member) = toCatalyst(v, info.branches(member))
+        new GenericInternalRow(out)
     }
   }
 
   /** Avro schema -> Spark DataType (mirrors spark-avro's public mapping,
     * including its multi-branch union rendering). */
   def sparkType(s: Schema): DataType = if (isMultiUnion(s))
-    multiUnionSparkType(unionBranches(s))
+    multiUnionSparkType(unionInfo(s))
   else nonNull(s).getType match {
     case Schema.Type.RECORD =>
       StructType(nonNull(s).getFields.asScala.map { f =>
@@ -301,7 +323,7 @@ object AvroCodec {
   private def toCatalyst(v: AnyRef, s0: Schema): Any = {
     if (v == null) return null
     if (isMultiUnion(s0))
-      return multiUnionToCatalyst(v, s0, unionBranches(s0))
+      return multiUnionToCatalyst(v, s0)
     val s = nonNull(s0)
     s.getType match {
       case Schema.Type.RECORD =>

@@ -38,40 +38,25 @@ object AvroTable {
 
   final case class OcfBin(splits: Seq[AvroFiles.OcfSplit]) extends InputPartition
 
-  private val commitMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Serialize epoch commits on the archive dir, same protocol as
-    * KafkaReplay.withCommitLock: two live queries sharing one archive
-    * path would otherwise race the incarnation sweep — writer A's sweep
-    * deletes writer B's mid-commit batch= dir (parts renamed, ledger
-    * line not yet written), then B ledgers the epoch as committed:
-    * silent data loss. Same-JVM writers serialize on the monitor (a
-    * second FileChannel lock in one JVM throws
-    * OverlappingFileLockException); cross-JVM writers on the flock.
-    * Only local paths can flock; non-local filesystems fall back to the
-    * JVM monitor alone (single-driver commits, the common case). */
+  /** Serialize epoch commits on the archive dir — the same
+    * [[graft.sources.FileLocks]] monitor+flock protocol KafkaReplay's
+    * commits use (ONE implementation; the r15 review found hand-rolled
+    * copies diverging on symlink canonicalization): two live queries
+    * sharing one archive path would otherwise race the incarnation
+    * sweep — writer A's sweep deletes writer B's mid-commit batch= dir
+    * (parts renamed, ledger line not yet written), then B ledgers the
+    * epoch as committed: silent data loss. Only local paths can flock;
+    * non-local filesystems fall back to the JVM monitor alone
+    * (single-driver commits, the common case). */
   private[graft] def withArchiveLock[A](
       dir: org.apache.hadoop.fs.Path,
-      fs: org.apache.hadoop.fs.FileSystem)(body: => A): A = {
-    val mon = commitMonitors.computeIfAbsent(
-      fs.makeQualified(dir).toString, _ => new Object)
-    mon.synchronized {
-      val localDir = if (fs.getScheme == "file")
-        Some(new java.io.File(dir.toUri.getPath)) else None
-      localDir match {
-        case Some(d) =>
-          d.mkdirs()
-          val ch = java.nio.channels.FileChannel.open(
-            new java.io.File(d, "_commit.lock").toPath,
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.WRITE)
-          val lk = ch.lock()
-          try body finally { lk.release(); ch.close() }
-        case None => body
-      }
-    }
-  }
+      fs: org.apache.hadoop.fs.FileSystem)(body: => A): A =
+    if (fs.getScheme == "file") {
+      val d = new java.io.File(dir.toUri.getPath)
+      d.mkdirs()
+      graft.sources.FileLocks.withFileLock(new java.io.File(d, "_commit.lock"))(body)
+    } else graft.sources.FileLocks.withMonitor(
+      fs.makeQualified(dir).toString)(body)
 
   /** Project the reader schema to `required`'s top-level fields, in
     * `required`'s order — Avro schema resolution then SKIPS every other

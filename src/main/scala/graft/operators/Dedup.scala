@@ -497,16 +497,21 @@ object Dedup {
     *    local union-find with path compression closes the components on
     *    the driver. The gate is no longer asserted: the
     *    ComponentsCrossover probe (SCALE_r15_components.json) timed both
-    *    paths on identical LSH-shaped edge sets; the crossover sits in
-    *    the 0.8–1.5M band on the 8 GB bench driver (0.8M: driver wins
-    *    5.8 s vs 8.5 s, mostly by deleting ~10 rounds of per-job
-    *    scheduling latency; 1.5M: 8.8 s vs 5.3 s). Above it, collect +
-    *    boxed-HashMap churn grow linearly (~5 s/M edges) while the
-    *    distributed loop stays nearly flat (4M: 20.1 s vs 6.7 s; 8M:
-    *    40.5 s vs 10.4 s) — the old 4M default was ~4× past the
-    *    measured crossover. Honest footprint at the new limit:
-    *    ~0.1–0.25 GB transient driver heap (raw longs 16 MB; boxed
-    *    HashMap and Rows dominate).
+    *    paths on identical edge sets across TWO topologies, and the
+    *    crossover is topology-dependent. Flat graphs (diameter ≤ 2 —
+    *    dense near-dup clusters): the min-label loop converges in ~3
+    *    rounds at a ~2–3 s floor and overtakes the driver at ~0.4M
+    *    edges (0.33M: driver 1.7 s vs 2.2 s; 0.67M: 4.4 s vs 2.5 s; 3.3M:
+    *    20.3 s vs 4.0 s — driver collect + boxed-HashMap churn grows
+    *    ~5–6 s/M while the loop stays flat). 1000-node chains: the loop
+    *    pays ~log₂(diameter) extra rounds of fixed scheduling cost
+    *    (~20–45 s) and the driver wins to ~7M (3.3M: 21.1 s vs 27.7 s).
+    *    The 1M default is the regret-bounded compromise: a flat graph
+    *    in the 0.4–1M band overpays ~3 s on the driver, while a chainy
+    *    graph below 1M would overpay ~15 s if sent to the loop.
+    *    Heap at the limit: ~0.1–0.25 GB transient (raw longs 16 MB;
+    *    boxed HashMap and Rows dominate). High-diameter callers raise
+    *    the limit explicitly; the distributed path is always correct.
     *    An LSH near-dup graph is SPARSE by construction (edges ≈
     *    surviving candidate pairs, bounded by the banding budget), so
     *    the driver path remains the common case at query scale; the

@@ -41,16 +41,17 @@ object LocalCheckpoints {
     handles.foreach(_.unpersist(false))
 }
 
-/** Two-generation replace-on-reinvoke hygiene for `persist()` pins that
-  * must stay cached until the LAZY returned plan executes (a frame
-  * consumed twice within one returned plan — substringSpans' gram pass,
+/** Replace-on-reinvoke hygiene for `persist()` pins that must stay
+  * cached until the LAZY returned plan executes (a frame consumed twice
+  * within one returned plan — substringSpans' gram pass,
   * minhashNearDups' shingle frame — cannot unpersist before execution,
   * and without a registry every invocation leaks one corpus-scale cache
-  * for the session lifetime). Same contract as Triangles' result
-  * registry: re-invoking over the same input frees the
-  * grand-predecessor's pins, bounding a long-lived session to two live
-  * generations per (call site, input) while the returned frame of the
-  * previous invocation stays usable until two successors land. */
+  * for the session lifetime). The key embeds the canonicalized plan, so
+  * every handle ever stored under one key is PLAN-IDENTICAL and shares
+  * ONE CacheManager entry (persist of an already-cached plan is a
+  * no-op) — a session holds exactly one corpus-scale entry per distinct
+  * (call site, input), released by [[PinRegistry.evict]] at application
+  * end. */
 object PinRegistry {
 
   private val pins = new java.util.concurrent.ConcurrentHashMap[
@@ -67,21 +68,20 @@ object PinRegistry {
       org.apache.spark.sql.SparkSession]()
 
   /** Register `newPins` (already persisted) under `tag` + their
-    * canonicalized plans; frees the two-generations-old pins for the
-    * same key. Freeing happens after the map update returns (never
-    * under the bin lock). */
+    * canonicalized plans. Superseded handles are dropped WITHOUT
+    * unpersist (r15 review): plan-identical handles share one cache
+    * entry and `uncacheQuery` matches by plan, so the old two-generation
+    * "free the grand-predecessor" unpersist killed the entry the NEWEST
+    * invocation's just-returned lazy plan still needed — on a third
+    * identical call the range-partition shuffle re-executed unpinned,
+    * re-sampling boundaries (the exact wrong-offsets hazard
+    * RunningTotal's persistence exists to prevent). */
   def replace(tag: String, newPins: Seq[Dataset[_]]): Unit = {
     if (newPins.isEmpty) return
     val spark = newPins.head.sparkSession
     val key = (spark, tag + "|" + newPins.map(
       _.queryExecution.analyzed.canonicalized.toString).mkString("\u0000"))
-    var dropped: List[Seq[Dataset[_]]] = Nil
-    pins.compute(key, (_, old) => {
-      val prior = if (old == null) Nil else old
-      dropped = prior.drop(1)
-      newPins :: prior.take(1)
-    })
-    dropped.foreach(_.foreach(_.unpersist(false)))
+    pins.put(key, List(newPins)): Unit
     if (evictionRegistered.add(spark)) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(

@@ -37,6 +37,10 @@ object RunningTotal {
     val reserved = Seq("_rt_v", "_rt_pid", "_rt_off", "_rt_t")
     require(!df.columns.exists(reserved.contains),
       s"input must not contain the helper columns ${reserved.mkString(", ")}")
+    // (r15 review) an outCol named like a helper would be silently
+    // dropped by the final drop(...) — no result column, no error
+    require(!reserved.contains(outCol),
+      s"outCol must not be one of the helper columns ${reserved.mkString(", ")}")
     // the accumulator is exact LONG arithmetic (order-independent across
     // partitions); a fractional value would be silently truncated by the
     // cast below — reject it and let the caller quantize explicitly
@@ -58,10 +62,14 @@ object RunningTotal {
     val nParts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // no sortWithinPartitions here (r15 review): _rt_pid assignment and
+    // the offsets groupBy are order-independent, and the local window
+    // below re-sorts by `order` within each pid after its own
+    // hash(_rt_pid) exchange anyway — a pre-sort at cache-build time was
+    // a full corpus sort whose ordering the exchange then destroyed
     val parted = df
       .withColumn("_rt_v", value.cast("long"))
       .repartitionByRange(nParts, order: _*)
-      .sortWithinPartitions(order: _*)
       .withColumn("_rt_pid", spark_partition_id())
       .persist()
     // the pin is consumed by the RETURNED lazy plan (offsets pass +

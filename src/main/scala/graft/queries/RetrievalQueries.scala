@@ -84,7 +84,12 @@ object RetrievalQueries {
   private[graft] def postingsIndex(spark: SparkSession, dir: String): DataFrame =
     SignalMemo.cached(spark, dir, "bm25_postings")(
       occIndex(spark, dir)
-        .join(broadcast(idfIndex(spark, dir)), Seq("t"))
+        // no broadcast() hint on idf (r15 review): the idf relation is
+        // VOCABULARY-sized — it grows with the corpus (Heap's law), and
+        // a hint has no AQE escape, so at estate scale the forced build
+        // collect OOMs where a plain term equi-join (AQE still
+        // broadcasts it while it's actually small) degrades gracefully
+        .join(idfIndex(spark, dir), Seq("t"))
         .join(dnormIndex(spark, dir), Seq("doc_id"))
         .select(col("doc_id"), col("t"), col("tf"), col("idf"), col("dnorm")))
 
@@ -96,8 +101,10 @@ object RetrievalQueries {
   private[graft] def bm25Probe(
       queries: DataFrame, occ: DataFrame, dfT: DataFrame, dln: DataFrame,
       k: Int): DataFrame =
+    // idf joins without a broadcast hint — vocabulary-sized side, same
+    // AQE-escape reasoning as postingsIndex
     bm25ProbeDenorm(queries,
-      occ.join(broadcast(dfT), Seq("t")).join(dln, Seq("doc_id")), k)
+      occ.join(dfT, Seq("t")).join(dln, Seq("doc_id")), k)
 
   /** The probe over DENORMALIZED postings (doc_id, t, tf, idf, dnorm):
     * one term join, one score agg, then the map-side [[TopKByScore]]
@@ -186,9 +193,17 @@ object RetrievalQueries {
 
   /** The catalog name of `dir`'s posting index — exposed so tooling
     * (PostingIndexCli) can ask `tableExists` WITHOUT triggering the
-    * build that [[postingIndexTable]] performs on a miss. */
+    * build that [[postingIndexTable]] performs on a miss. The name
+    * embeds [[SignalMemo.sourceFingerprint]] alongside the dir slug
+    * (r15 review): against a DURABLE metastore `tableExists` skips the
+    * rebuild forever, so a name keyed on the path alone would serve a
+    * stale index after the corpus at that path is regenerated — the
+    * same round-7 failure mode the on-disk signal paths already guard.
+    * A regenerated corpus changes the fingerprint, orphaning the old
+    * table rather than silently probing it. */
   private[graft] def postingIndexTableName(dir: String): String =
-    "graft_postings_" + SignalMemo.slug(dir)
+    "graft_postings_" + SignalMemo.slug(dir) + "_" +
+      SignalMemo.sourceFingerprint(dir)
 
   private[graft] def postingIndexTable(spark: SparkSession, dir: String): String = {
     val table = postingIndexTableName(dir)

@@ -107,10 +107,16 @@ object SamplingQueries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         round(TextFunctions.qualityScore(col("text")) * lit(1000000.0))
           .cast("long").as("q_micro"))
-    val budget = scored.agg(expr("sum(n_tokens) div 2").as("budget"))
-    RunningTotal.withRunningSum(scored,
-        Seq(col("q_micro").desc, col("doc_id").asc), col("n_tokens"),
-        "cum_tokens")
+    val withCum = RunningTotal.withRunningSum(scored,
+      Seq(col("q_micro").desc, col("doc_id").asc), col("n_tokens"),
+      "cum_tokens")
+    // budget = half the total; total == max inclusive running sum, read
+    // back through withRunningSum's persisted partitioning instead of a
+    // second full scan that would re-tokenize the whole corpus
+    // (r15 review: the old `scored.agg(sum(n_tokens))` doubled the
+    // query's I/O and tokenization CPU)
+    val budget = withCum.agg(expr("max(cum_tokens) div 2").as("budget"))
+    withCum
       .crossJoin(broadcast(budget))
       .filter(col("cum_tokens") <= col("budget"))
       .select(col("doc_id"), col("n_tokens"), col("q_micro"),

@@ -240,24 +240,12 @@ object KafkaReplay {
   // the crash was after the point of no return and the logs are good.
 
   private val InflightName = "_commit.inflight"
-  private val commitMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def withCommitLock[A](dir: File)(body: => A): A = {
-    val mon = commitMonitors.computeIfAbsent(dir.getCanonicalPath,
-      _ => new Object)
-    // same-JVM writers serialize on the monitor (a second FileChannel
-    // lock in one JVM throws OverlappingFileLockException); cross-JVM
-    // writers on the flock
-    mon.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        new File(dir, "_commit.lock").toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lk = ch.lock()
-      try body finally { lk.release(); ch.close() }
-    }
-  }
+  // monitor+flock protocol shared with AvroTable via FileLocks (one
+  // implementation — the r15 review found the two copies diverging on
+  // symlink canonicalization)
+  private def withCommitLock[A](dir: File)(body: => A): A =
+    FileLocks.withFileLock(new File(dir, "_commit.lock"))(body)
 
   private def writeInflight(dir: File, ledgerKey: String): Unit = {
     val lines = (Seq(s"key $ledgerKey") ++

@@ -235,6 +235,29 @@ class ScaleOpsSpec extends SparkSpec {
       "evict must unpersist registered pins (ADVICE r13: session-lifetime leak)")
   }
 
+  test("pin registry: a third identical invocation keeps the SHARED cache entry (r15)") {
+    import spark.implicits._
+    // plan-identical handles share ONE CacheManager entry; the old
+    // two-generation unpersist killed it on the third call (uncacheQuery
+    // matches by plan) — the returned lazy plan then re-executed its
+    // shuffle unpinned
+    def make() = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val h1 = make().persist(); h1.count()
+    graft.operators.PinRegistry.replace("spec.pinShared", Seq(h1))
+    val h2 = make().persist(); h2.count()
+    graft.operators.PinRegistry.replace("spec.pinShared", Seq(h2))
+    val h3 = make().persist(); h3.count()
+    graft.operators.PinRegistry.replace("spec.pinShared", Seq(h3))
+    assert(spark.sharedState.cacheManager
+        .lookupCachedData(h3.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+        .isDefined,
+      "third identical replace must not uncache the shared plan entry")
+    graft.operators.PinRegistry.evict(spark)
+    assert(spark.sharedState.cacheManager
+      .lookupCachedData(h3.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isEmpty)
+  }
+
   test("running total: rejects inputs that carry its helper columns") {
     val df = Seq((1L, 2L)).toDF("_rt_pid", "v")
     val e = intercept[IllegalArgumentException] {
