@@ -91,9 +91,12 @@ object AvroCodec {
   // Beyond ["null", T]: the spark-avro convention. The two numeric
   // widenings ([int,long] -> long, [float,double] -> double) collapse to
   // one column; anything else renders as a struct-of-branches
-  // (member0..memberN-1, exactly one non-null per value). DECODE only —
-  // the write path rejects them loudly (a struct-of-branches column is
-  // not round-trippable without a branch-choice policy).
+  // (member0..memberN-1, exactly one non-null per value). Encode is the
+  // exact inverse: widened columns write the WIDE branch (long/double —
+  // deterministic and lossless; narrowing back to int/float would be a
+  // silent range gamble), struct-of-branches writes the single non-null
+  // member's branch and rejects 0- or 2+-non-null structs loudly (no
+  // silent branch-choice policy).
 
   /** Per-union dispatch info, computed ONCE per schema (the decode path
     * is per-row — rebuilding branch seqs/kind sets per value would break
@@ -413,8 +416,58 @@ object AvroCodec {
     out.toByteArray
   }
 
+  /** Struct-of-branches InternalRow -> the single non-null member's Avro
+    * datum. The datum's runtime class then drives the writer's standard
+    * union resolution, so the wire branch index is exactly the member's
+    * position in the full union. */
+  private def multiUnionToAvro(v: Any, union: Schema): AnyRef = {
+    val info = unionInfo(union)
+    info.widen match {
+      case 1 => v.asInstanceOf[AnyRef] // long slot -> long branch
+      case 2 => v.asInstanceOf[AnyRef] // double slot -> double branch
+      case _ =>
+        val row = v.asInstanceOf[InternalRow]
+        var member = -1
+        var i = 0
+        while (i < info.branches.length) {
+          if (!row.isNullAt(i)) {
+            require(member < 0, s"union encode: struct-of-branches value " +
+              s"has members $member and $i both set for $union — exactly " +
+              "one non-null member required")
+            member = i
+          }
+          i += 1
+        }
+        require(member >= 0, s"union encode: struct-of-branches value has " +
+          s"no non-null member for $union (a null UNION value must be a " +
+          "null STRUCT, not a struct of nulls)")
+        val branch = info.branches(member)
+        toAvro(getMulti(row, member, branch), branch)
+    }
+  }
+
+  /** Typed slot getter that also understands union-typed slots: a
+    * multi-branch union reads per its rendered Spark slot (long / double /
+    * struct-of-branches), a plain nullable union reads its non-null
+    * branch's slot, anything else is [[get]]. */
+  private def getMulti(row: InternalRow, i: Int, s: Schema): Any =
+    if (isMultiUnion(s)) unionInfo(s).widen match {
+      case 1 => row.getLong(i)
+      case 2 => row.getDouble(i)
+      case _ => row.getStruct(i, unionInfo(s).branches.length)
+    } else get(row, i, nonNull(s))
+
+  /** [[getMulti]] over an ArrayData slot. */
+  private def getMultiArray(arr: ArrayData, i: Int, s: Schema): Any =
+    if (isMultiUnion(s)) unionInfo(s).widen match {
+      case 1 => arr.getLong(i)
+      case 2 => arr.getDouble(i)
+      case _ => arr.getStruct(i, unionInfo(s).branches.length)
+    } else getArray(arr, i, nonNull(s))
+
   private def toAvro(v: Any, s0: Schema): AnyRef = {
     if (v == null) return null
+    if (isMultiUnion(s0)) return multiUnionToAvro(v, s0)
     val s = nonNull(s0)
     s.getType match {
       case Schema.Type.RECORD =>
@@ -426,7 +479,7 @@ object AvroCodec {
           val fs = fields.get(i).schema
           val fv =
             if (row.isNullAt(i)) null
-            else toAvro(get(row, i, nonNull(fs)), fs)
+            else toAvro(getMulti(row, i, fs), fs)
           rec.put(i, fv)
           i += 1
         }
@@ -458,7 +511,7 @@ object AvroCodec {
         var i = 0
         while (i < arr.numElements()) {
           out.add(if (arr.isNullAt(i)) null
-            else toAvro(getArray(arr, i, nonNull(el)), el))
+            else toAvro(getMultiArray(arr, i, el), el))
           i += 1
         }
         out
@@ -471,7 +524,7 @@ object AvroCodec {
         var i = 0
         while (i < m.numElements()) {
           val mv = if (vals.isNullAt(i)) null
-            else toAvro(getArray(vals, i, nonNull(vt)), vt)
+            else toAvro(getMultiArray(vals, i, vt), vt)
           out.put(new Utf8(keys.getUTF8String(i).getBytes), mv)
           i += 1
         }

@@ -364,19 +364,33 @@ class AvroSpec extends SparkSpec {
     assert(r2.getLong(2) === 6L)
     assert(r2.getDouble(3) === 2.25)
     assert(rows(2).isNullAt(1), "null branch -> null struct")
-    // ENCODE of a multi-branch union stays loudly unsupported (a
-    // struct-of-branches column has no branch-choice policy) — and it
-    // is a CONFIG error, thrown in permissive mode too
-    val enc = intercept[Exception] {
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(frames.take(1).map(Row(_)), 1),
-        StructType(Seq(StructField("value", BinaryType))))
-        .select(from_avro_confluent(col("value"), unionJson).as("r"))
-        .select(to_avro_confluent(col("r"), unionJson, 9))
+    // ENCODE round-trips (r15): struct-of-branches writes the single
+    // non-null member's branch; widened numeric slots write the WIDE
+    // branch (lossless — the wire branch moves int->long / float->double,
+    // the decoded VALUES are identical)
+    val reDecoded = spark.createDataFrame(
+      spark.sparkContext.parallelize(frames.map(Row(_)), 1),
+      StructType(Seq(StructField("value", BinaryType))))
+      .select(from_avro_confluent(col("value"), unionJson).as("r"))
+      .select(to_avro_confluent(col("r"), unionJson, 9).as("value"))
+      .select(from_avro_confluent(col("value"), unionJson).as("r"))
+      .select(col("r.*")).collect().sortBy(_.getLong(0))
+    assert(reDecoded.map(_.toString).toSeq === rows.map(_.toString).toSeq,
+      "multi-branch union encode->decode must be the identity on the " +
+        "struct-of-branches rendering")
+    // a struct with BOTH members set has no branch choice — loud error,
+    // config-class (thrown in permissive mode too: encode has no
+    // permissive arm)
+    val both = intercept[Exception] {
+      spark.range(1).selectExpr("id",
+        "named_struct('member0', 's', 'member1', 7L) as v",
+        "5L as n", "1.5d as x")
+        .select(to_avro_confluent(struct(col("id"), col("v"), col("n"),
+          col("x")), unionJson, 9))
         .collect()
     }
-    assert(enc.getMessage.contains("union") ||
-      Option(enc.getCause).exists(_.getMessage.contains("union")))
+    assert(both.getMessage.contains("union") ||
+      Option(both.getCause).exists(_.getMessage.contains("union")))
   }
 
   test("logical types: avroType derives date/timestamp-micros/decimal schemas") {
