@@ -59,8 +59,8 @@ object PinRegistry {
     List[Seq[Dataset[_]]]]()
 
   // one end-of-application listener per session (ADVICE r13): without
-  // it every distinct (call site, input) pins up to two corpus-scale
-  // caches for the session LIFETIME, and the static map strongly
+  // it every distinct (call site, input) pins ONE corpus-scale cache
+  // entry for the session LIFETIME, and the static map strongly
   // retains dead SparkSessions across sessions in a long-lived JVM
   // (test suites, notebooks) — same hygiene as Triangles' registry
   private val evictionRegistered =
@@ -79,9 +79,18 @@ object PinRegistry {
   def replace(tag: String, newPins: Seq[Dataset[_]]): Unit = {
     if (newPins.isEmpty) return
     val spark = newPins.head.sparkSession
-    val key = (spark, tag + "|" + newPins.map(
-      _.queryExecution.analyzed.canonicalized.toString).mkString("\u0000"))
-    pins.put(key, List(newPins)): Unit
+    // key fidelity (r15 review): canonicalized.toString truncates at
+    // spark.sql.debug.maxToStringFields — two DIFFERENT wide plans could
+    // render identically and collide. semanticHash covers the FULL tree,
+    // so the pair is collision-safe; and putIfAbsent (first-wins) means
+    // a colliding put can never silently drop a handle un-freed — the
+    // stored handle backs the one shared CacheManager entry that any
+    // later plan-identical invocation re-uses.
+    val key = (spark, tag + "|" + newPins.map { d =>
+      val c = d.queryExecution.analyzed.canonicalized
+      c.semanticHash().toString + ":" + c.toString
+    }.mkString("\u0000"))
+    pins.putIfAbsent(key, List(newPins)): Unit
     if (evictionRegistered.add(spark)) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(

@@ -73,9 +73,10 @@ object RunningTotal {
       .withColumn("_rt_pid", spark_partition_id())
       .persist()
     // the pin is consumed by the RETURNED lazy plan (offsets pass +
-    // final join), so it cannot unpersist here; the two-generation
-    // registry keeps repeated invocations from each leaking a
-    // corpus-scale cache for the session lifetime
+    // final join), so it cannot unpersist here; PinRegistry keys on the
+    // canonicalized plan, so repeated identical invocations share ONE
+    // cache entry (held until evict/application end) instead of each
+    // leaking a corpus-scale cache for the session lifetime
     PinRegistry.replace("operators.runningTotal", Seq(parted))
     val local = Window.partitionBy(col("_rt_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -208,7 +208,21 @@ object RetrievalQueries {
   private[graft] def postingIndexTable(spark: SparkSession, dir: String): String = {
     val table = postingIndexTableName(dir)
     indexTableLock.synchronized {
-      if (!spark.catalog.tableExists(table)) writePostingIndex(spark, dir, table)
+      if (!spark.catalog.tableExists(table)) {
+        // bound metastore/warehouse growth (r15 review): each corpus
+        // regeneration changes the fingerprint suffix, and without a
+        // sweep the previous graft_postings_<slug>_* table plus its full
+        // warehouse copy of the index would be orphaned FOREVER — N
+        // regenerations = N dead index copies. A stale sibling indexes
+        // data this path no longer holds (its fingerprint can't be
+        // re-derived from the current bytes), so no reader that could
+        // still get a correct answer loses its table.
+        val prefix = "graft_postings_" + SignalMemo.slug(dir) + "_"
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(n => n.startsWith(prefix) && n != table)
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+        writePostingIndex(spark, dir, table)
+      }
     }
     table
   }
@@ -239,6 +253,7 @@ object RetrievalQueries {
     TextQueries.fpSurvivors(spark, dir)
     DedupQueries.dedupClusters(spark, dir)
     SimilarityQueries.simNearDupPairs(spark, dir)
+    SimilarityQueries.simNearDupPairsAutoband(spark, dir)
     ()
   }
 

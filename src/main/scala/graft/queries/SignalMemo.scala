@@ -36,7 +36,7 @@ object SignalMemo {
     * not injective ("/a/sf0.1" and "/a/sf0_1" collide), so a short md5
     * of the original string disambiguates — two distinct dirs can
     * never share signal paths. */
-  private[queries] def slug(s: String): String =
+  private[graft] def slug(s: String): String =
     s.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
@@ -50,7 +50,7 @@ object SignalMemo {
     * slug still separates corpora, only regeneration detection is
     * local-only. Memoized per JVM: the corpus is immutable for a run. */
   private val fpMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[queries] def sourceFingerprint(dir: String): String =
+  private[graft] def sourceFingerprint(dir: String): String =
     fpMemo.computeIfAbsent(dir, d => {
       val desc =
         try {
@@ -77,6 +77,34 @@ object SignalMemo {
   def write(df: DataFrame, path: String, keyCol: String = "doc_id"): Unit = {
     val out = if (df.columns.contains(keyCol)) df.repartition(col(keyCol)) else df
     out.write.mode("overwrite").parquet(path)
+  }
+
+  /** Best-effort sweep of STALE-fingerprint signal dirs for `dir` under
+    * `root` (r15 review, same bound as the posting-table sweep): each
+    * corpus regeneration changes [[sourceFingerprint]], and without a
+    * sweep every regeneration leaves the previous `${slug}_${oldFp}/`
+    * tree behind forever. A stale tree holds signals over data the path
+    * no longer contains, so no correct reader loses anything. Once per
+    * (root, dir) per JVM; failures are logged, never fatal — the sweep
+    * is hygiene, not correctness. */
+  private val sweptRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private def sweepStaleSignals(spark: SparkSession, root: String, dir: String): Unit = {
+    if (!sweptRoots.add((root, dir))) return
+    try {
+      val current = slug(dir) + "_" + sourceFingerprint(dir)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
+        val n = st.getPath.getName
+        // slug() is injective (md5-suffixed), so the prefix match can
+        // only ever select THIS dir's generations
+        if (st.isDirectory && n.startsWith(slug(dir) + "_") && n != current)
+          fs.delete(st.getPath, true): Unit
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] stale-signal sweep under $root failed: ${e.getMessage}")
+    }
   }
 
   /** Read the signal table at `path` if present, else build + write +
@@ -145,6 +173,7 @@ object SignalMemo {
         val built = signalRoot(spark) match {
           case Some(root) =>
             // the written table IS the materialization — no checkpoint
+            sweepStaleSignals(spark, root, dir)
             readOrBuild(spark,
               s"$root/${slug(dir)}_${sourceFingerprint(dir)}/$name")(build)
           case None => build.localCheckpoint()

@@ -225,13 +225,23 @@ object SimilarityQueries {
     * drift both break the hash without enumerating candidates for the
     * 8 configs that lost. No `maxCandidatePairs` guard: the planner
     * already made the budget decision. */
-  def simNearDupAutoband(spark: SparkSession, dir: String): DataFrame = {
-    val (bands, bits) = graft.operators.Similarity.autoBandFrom(
-      bucketPlanTable(spark, dir))
-    Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.4, bands = bands, bitsPerBand = bits, md5Planes = true)
+  /** The autoband pair list as a memoized signal table — the SAME
+    * treatment as the static flagship's [[simNearDupPairs]]: one
+    * banding+rerank pass per (session, corpus), a written pair table
+    * per corpus under spark.graft.signalDir. autoBandFrom's choice is a
+    * pure function of the memoized bucket-plan table, so the builder
+    * stays deterministic as SignalMemo requires. */
+  private[queries] def simNearDupPairsAutoband(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "sim_neardup_pairs_autoband") {
+      val (bands, bits) = graft.operators.Similarity.autoBandFrom(
+        bucketPlanTable(spark, dir))
+      Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.4, bands = bands, bitsPerBand = bits, md5Planes = true)
+    }
+
+  def simNearDupAutoband(spark: SparkSession, dir: String): DataFrame =
+    simNearDupPairsAutoband(spark, dir)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Semantic dedup: connected components over the embedding near-dup
     * graph — "keep one representative per embedding cluster", the

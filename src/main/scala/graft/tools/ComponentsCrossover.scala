@@ -77,19 +77,24 @@ object ComponentsCrossover {
     // (self-loops dropped) is what the gate compares against, so the
     // artifact reports it rather than the requested range size
     val edges = pairs.count()
-    val (drv, driverS) = time {
-      graft.operators.Dedup.connectedComponents(pairs,
-        driverEdgeLimit = Long.MaxValue)
-        .agg(countDistinct(col("component"))).first().getLong(0)
-    }
-    val (dist, distS) = time {
-      graft.operators.Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
-        .agg(countDistinct(col("component"))).first().getLong(0)
-    }
-    require(drv == dist,
-      s"paths disagree at $edges edges: driver=$drv distributed=$dist")
-    pairs.unpersist()
-    Arm(n, edges, driverS, distS, drv, topology)
+    // unpersist in finally (r15 review): the disagreement require below
+    // is the exact condition this probe exists to detect — it must not
+    // leave a multi-million-edge cache pinned in the session that called
+    // probe() (specs, notebooks) when it fires
+    try {
+      val (drv, driverS) = time {
+        graft.operators.Dedup.connectedComponents(pairs,
+          driverEdgeLimit = Long.MaxValue)
+          .agg(countDistinct(col("component"))).first().getLong(0)
+      }
+      val (dist, distS) = time {
+        graft.operators.Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+          .agg(countDistinct(col("component"))).first().getLong(0)
+      }
+      require(drv == dist,
+        s"paths disagree at $edges edges: driver=$drv distributed=$dist")
+      Arm(n, edges, driverS, distS, drv, topology)
+    } finally pairs.unpersist()
   }
 
   def main(args: Array[String]): Unit = {

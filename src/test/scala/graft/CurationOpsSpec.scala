@@ -141,6 +141,29 @@ class CurationOpsSpec extends SparkSpec {
       "second session rewrote signal tables instead of reading them back")
   }
 
+  test("signal builds sweep stale-fingerprint generations of the same corpus " +
+      "(r15 review: regeneration must not grow the signal root unboundedly)") {
+    import graft.queries.SignalMemo
+    val root = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    // a dead generation of THIS corpus (same slug, different fingerprint)
+    // and a sibling corpus's generation (different slug) — only the
+    // former may be swept
+    val stale = new java.io.File(root, SignalMemo.slug(sf) + "_deadbeefdead")
+    assert(stale.mkdirs())
+    assert(new java.io.File(stale, "marker").createNewFile())
+    val other = new java.io.File(root, "other_corpus_aaaa_bbbbbbbbbbbb")
+    assert(other.mkdirs())
+    val s = spark.newSession()
+    s.conf.set(SignalMemo.signalDirKey, root)
+    graft.queries.TextQueries.perplexityBuckets(s, sf).count()
+    assert(!stale.exists(),
+      "the stale-fingerprint generation of this corpus must be deleted")
+    assert(other.exists(), "other corpora's signal dirs must be untouched")
+    assert(new java.io.File(root,
+      SignalMemo.slug(sf) + "_" + SignalMemo.sourceFingerprint(sf)).exists(),
+      "the current generation must have been written")
+  }
+
   test("bloom screen: the bit-position space is 16-bit (broadcastable at any corpus size)") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf)

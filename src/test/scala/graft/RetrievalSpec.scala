@@ -114,6 +114,31 @@ class RetrievalSpec extends SparkSpec {
     assert(indexed === base, "persisted-index probe diverged from the shared session index")
   }
 
+  test("posting index build drops stale-fingerprint sibling tables " +
+      "(r15 review: regeneration must not grow the metastore unboundedly)") {
+    import graft.queries.SignalMemo
+    // a private corpus dir so the build is cheap and never races the
+    // suite's shared sf index table
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pidx")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "documents.parquet"),
+      tmp.resolve("documents.parquet"))
+    val dir = tmp.toString
+    val stale = "graft_postings_" + SignalMemo.slug(dir) + "_deadbeefdead"
+    spark.sql(s"CREATE TABLE `$stale` (x INT) USING parquet")
+    val otherCorpus = "graft_postings_other_corpus_ffff_aaaaaaaaaaaa"
+    spark.sql(s"CREATE TABLE `$otherCorpus` (x INT) USING parquet")
+    try {
+      val table = graft.queries.RetrievalQueries.postingIndexTable(spark, dir)
+      assert(spark.catalog.tableExists(table), "current-generation index built")
+      assert(!spark.catalog.tableExists(stale),
+        "a stale-fingerprint sibling of the same corpus must be dropped")
+      assert(spark.catalog.tableExists(otherCorpus),
+        "another corpus's index table must be untouched")
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$otherCorpus`")
+  }
+
   test("postingRows: sorted run-length tf counts match brute counts, dl is total length") {
     val docs = Seq(
       (1L, "b a b b"),

@@ -258,6 +258,34 @@ class ScaleOpsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("pin registry: wide plans that render identically under " +
+      "maxToStringFields still get distinct keys (r15 review)") {
+    // canonicalized.toString truncates at spark.sql.debug.maxToStringFields;
+    // force aggressive truncation so two plans differing only in a LATE
+    // column render identically — the semanticHash key component must
+    // still separate them, or the second replace() would orphan the
+    // first handle un-freed (pinned for the session lifetime)
+    val cols30a = (0 until 30).map(i => lit(i).as(s"c$i"))
+    val cols30b = (0 until 30).map(i =>
+      (if (i == 28) lit(-999) else lit(i)).as(s"c$i"))
+    spark.conf.set("spark.sql.debug.maxToStringFields", "5")
+    try {
+      val a = spark.range(2).select(cols30a: _*).persist(); a.count()
+      val b = spark.range(2).select(cols30b: _*).persist(); b.count()
+      assert(a.queryExecution.analyzed.canonicalized.toString ===
+        b.queryExecution.analyzed.canonicalized.toString,
+        "fixture: the truncated renderings must collide for this test to bite")
+      graft.operators.PinRegistry.replace("spec.pinWide", Seq(a))
+      graft.operators.PinRegistry.replace("spec.pinWide", Seq(b))
+      graft.operators.PinRegistry.evict(spark)
+      assert(a.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+        "evict must release the FIRST wide plan's pin — a truncated-" +
+          "toString key collision would have dropped its handle un-freed")
+      assert(b.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+        "evict must release the second wide plan's pin")
+    } finally spark.conf.unset("spark.sql.debug.maxToStringFields")
+  }
+
   test("running total: rejects inputs that carry its helper columns") {
     val df = Seq((1L, 2L)).toDF("_rt_pid", "v")
     val e = intercept[IllegalArgumentException] {
