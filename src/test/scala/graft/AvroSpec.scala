@@ -393,6 +393,24 @@ class AvroSpec extends SparkSpec {
       Option(both.getCause).exists(_.getMessage.contains("union")))
   }
 
+  test("logical types: uuid strings pass through as StringType and round-trip") {
+    // uuid is an annotation on string — the columnar rendering is the
+    // string itself (spark-avro does the same); pin it so a registry
+    // schema carrying uuid fields neither fails nor changes type
+    val json =
+      """{"type": "record", "name": "U2", "namespace": "graft", "fields": [
+        |  {"name": "id", "type": {"type": "string", "logicalType": "uuid"}}
+        |]}""".stripMargin
+    assert(graft.avro.AvroCodec.sparkStructType(json) ===
+      StructType(Seq(StructField("id", StringType, nullable = false))))
+    val u = "123e4567-e89b-12d3-a456-426614174000"
+    val back = spark.range(1).select(lit(u).as("id"))
+      .select(to_avro_confluent(struct(col("id")), json, 3).as("value"))
+      .select(from_avro_confluent(col("value"), json).as("r"))
+      .select(col("r.id")).head().getString(0)
+    assert(back === u)
+  }
+
   test("logical types: avroType derives date/timestamp-micros/decimal schemas") {
     val derived = AvroCodec.avroSchemaJson(StructType(Seq(
       StructField("d", DateType, nullable = false),

@@ -156,6 +156,30 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("allpairs: the size filter is exactly tight at the threshold boundary (r15)") {
+    // J(A,B) ≤ min/max: the filter prunes on sizes alone, so the
+    // boundary case min/max == τ (A ⊂ B, |A|=7, |B|=10, τ=7/10) MUST
+    // survive it and verify — an off-by-one (> for >=) would silently
+    // drop exactly the full-containment pairs at the threshold
+    val toks = (1 to 10).map(i => s"t$i")
+    val sets = Seq(
+      1L -> toks.take(7),          // A ⊂ B, J = 7/10 == τ -> kept
+      2L -> toks,                  // B
+      3L -> toks.take(6),          // C ⊂ B, J = 6/10 < τ  -> pruned by size alone
+      4L -> (toks.take(7) ++ Seq("u1", "u2", "u3"))) // |D|=10, J(A,D)=7/10
+    val got = AllPairsJoin.jaccardSelfJoin(sets.toDF("doc_id", "s"), "doc_id", "s", 7, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    assert(got === bruteJaccard(sets.map { case (i, s) => i -> s.toSeq }, 7, 10))
+    assert(got.contains((1L, 2L, 7L, 10L)), "min/max == τ containment pair must survive")
+    assert(got.contains((1L, 4L, 7L, 10L)))
+    // C (6 tokens) vs the 10-token docs: min/max = 6/10 < τ — pruned by
+    // size alone; C–A (6/7 ≥ τ) still passes the filter and verifies
+    assert(got.contains((1L, 3L, 6L, 7L)))
+    assert(!got.exists(p => (p._1 == 3L && p._2 != 1L) || p._2 == 3L && p._1 != 1L))
+  }
+
   test("allpairs: duplicate tokens in the input are deduped; empty input is empty") {
     val dup = Seq(1L -> Seq("a", "a", "b", "b"), 2L -> Seq("a", "b", "b", "c"))
       .toDF("doc_id", "s")
