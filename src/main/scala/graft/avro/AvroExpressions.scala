@@ -21,7 +21,18 @@ case class AvroDecode(child: Expression, schemaJson: String,
     readerSchemaJson: Option[String] = None) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case BinaryType =>
+      // evolution pre-flight (r15): an incompatible reader schema is a
+      // CONFIG error that would otherwise surface executor-side per
+      // record — or, in permissive mode, not at all (the malformed-skip
+      // catch nulls every row and the dataset silently vanishes
+      // downstream). Gate it at analysis time with the paths named.
+      readerSchemaJson.filter(_ != schemaJson)
+        .map(r => SchemaCompat.incompatibilities(r, schemaJson)) match {
+        case Some(bad) if bad.nonEmpty => TypeCheckResult.TypeCheckFailure(
+          s"from_avro reader schema cannot read writer schema: ${bad.mkString("; ")}")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
     case t => TypeCheckResult.TypeCheckFailure(
       s"from_avro expects binary, got ${t.simpleString}")
   }

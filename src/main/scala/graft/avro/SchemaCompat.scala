@@ -1,0 +1,69 @@
+package graft.avro
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.SchemaCompatibility
+import org.apache.avro.SchemaCompatibility.SchemaCompatibilityType
+
+/** Local Avro schema-compatibility checking over the runtime's own
+  * resolver rules (`org.apache.avro.SchemaCompatibility`, in Spark's
+  * avro-1.12.1 jar) — the enforcement a Confluent registry performs
+  * server-side on register (reference analog: the compatibility surface
+  * of the registry container in `/root/reference/docker-compose.yml`),
+  * available HERE as pipeline pre-flight with no broker in the loop.
+  *
+  * Why a pre-flight matters: Avro resolution errors surface at RECORD
+  * construction, i.e. executor-side, per task — and in permissive decode
+  * mode they don't surface at all (the per-row malformed-skip catch
+  * nulls every record, and the downstream `.filter(isNotNull)` silently
+  * drops the whole dataset). An incompatible READER SCHEMA is a
+  * configuration error, not a data error, so it must fail on the driver
+  * at analysis time with the offending paths named. [[AvroDecode]] runs
+  * this check whenever an evolution read is requested.
+  */
+object SchemaCompat {
+
+  /** The incompatibility list for "can a reader with `readerJson` read
+    * data written with `writerJson`" — empty means compatible. Each
+    * entry names the type of mismatch, the schema location, and the
+    * resolver's message (e.g. READER_FIELD_MISSING_DEFAULT_VALUE at
+    * /fields/3: tier). Avro's checker implements the full resolution
+    * spec: defaults, numeric promotions, union subsumption, aliases. */
+  def incompatibilities(readerJson: String, writerJson: String): Seq[String] = {
+    val result = SchemaCompatibility.checkReaderWriterCompatibility(
+      AvroCodec.parsedSchema(readerJson), AvroCodec.parsedSchema(writerJson))
+    if (result.getType == SchemaCompatibilityType.COMPATIBLE) Seq.empty
+    else result.getResult.getIncompatibilities.asScala.toSeq.map(i =>
+      s"${i.getType} at ${i.getLocation}: ${i.getMessage}")
+  }
+
+  /** True iff a reader with `readerJson` can read `writerJson` data. */
+  def canRead(readerJson: String, writerJson: String): Boolean =
+    incompatibilities(readerJson, writerJson).isEmpty
+
+  /** BACKWARD compatibility (the registry default the reference estate
+    * runs): consumers on the NEW schema must read data produced under
+    * the OLD one. Returns the violation list; empty = safe to register. */
+  def checkBackward(newJson: String, oldJson: String): Seq[String] =
+    incompatibilities(readerJson = newJson, writerJson = oldJson)
+
+  /** FORWARD compatibility: data produced under the NEW schema must
+    * remain readable by consumers still on the OLD one. */
+  def checkForward(newJson: String, oldJson: String): Seq[String] =
+    incompatibilities(readerJson = oldJson, writerJson = newJson)
+
+  /** FULL = backward ∧ forward. */
+  def checkFull(newJson: String, oldJson: String): Seq[String] =
+    (checkBackward(newJson, oldJson).map("backward: " + _) ++
+      checkForward(newJson, oldJson).map("forward: " + _))
+
+  /** Throws with the named violations unless `readerJson` can read
+    * `writerJson` data — the pre-flight gate for evolution reads. */
+  def requireCanRead(readerJson: String, writerJson: String): Unit = {
+    val bad = incompatibilities(readerJson, writerJson)
+    require(bad.isEmpty,
+      s"reader schema cannot read writer schema (${bad.size} " +
+        s"incompatibilit${if (bad.size == 1) "y" else "ies"}):\n  " +
+        bad.mkString("\n  "))
+  }
+}

@@ -186,6 +186,85 @@ class AvroSpec extends SparkSpec {
     assert(out.getAs[Row]("address").getAs[String]("street") === "4 St")
   }
 
+  test("schema evolution: aliased field rename reads old-name data (r15)") {
+    // the registry estate's rename move: reader field `years` carries
+    // aliases:["age"] — Avro resolution matches it to the writer's
+    // `age`, and SchemaCompat agrees it's a compatible read
+    val renamed =
+      """{
+        |  "type": "record", "name": "User", "namespace": "com.dorjee.avro",
+        |  "fields": [
+        |    {"name": "user_id", "type": "string"},
+        |    {"name": "years", "aliases": ["age"], "type": "int"}
+        |  ]
+        |}""".stripMargin
+    assert(graft.avro.SchemaCompat.canRead(renamed, schema),
+      "aliased rename must be read-compatible")
+    val out = usersDf(Seq(userRow(6, Some("Ali"))))
+      .select(to_avro_confluent(col("user"), schema).as("b"))
+      .select(from_avro_evolved(col("b"), schema, renamed).as("u"))
+      .select(col("u.*")).collect().head
+    assert(out.getAs[String]("user_id") === "id_6")
+    assert(out.getAs[Int]("years") === 26, "aliased field must carry the old column's value")
+  }
+
+  test("evolution pre-flight: an incompatible reader schema fails at ANALYSIS " +
+      "time, in permissive mode too (r15)") {
+    // reader adds a field WITHOUT a default: Avro resolution cannot fill
+    // it, so every record of every task would fail executor-side — and
+    // in permissive mode would be silently nulled and dropped. The
+    // AvroDecode type check must reject the PLAN with the path named.
+    val incompatible =
+      """{
+        |  "type": "record", "name": "User", "namespace": "com.dorjee.avro",
+        |  "fields": [
+        |    {"name": "user_id", "type": "string"},
+        |    {"name": "required_new_field", "type": "string"}
+        |  ]
+        |}""".stripMargin
+    val framed = usersDf(Seq(userRow(7, Some("Bad"))))
+      .select(to_avro_confluent(col("user"), schema).as("b"))
+    for (permissive <- Seq(false, true)) {
+      val ex = intercept[Exception] {
+        framed.select(from_avro_evolved(col("b"), schema, incompatible,
+          permissive = permissive).as("u")).collect()
+      }
+      val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString
+      assert(msg.contains("READER_FIELD_MISSING_DEFAULT_VALUE") ||
+        msg.contains("required_new_field"),
+        s"expected a named-path analysis failure, got: $msg")
+    }
+  }
+
+  test("SchemaCompat: backward/forward/full match the registry's modes (r15)") {
+    val base =
+      """{"type":"record","name":"R","fields":[{"name":"a","type":"int"}]}"""
+    val addDefaulted =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"int"},{"name":"b","type":"string","default":"x"}]}"""
+        .stripMargin
+    val addRequired =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"int"},{"name":"b","type":"string"}]}""".stripMargin
+    val widened =
+      """{"type":"record","name":"R","fields":[{"name":"a","type":"long"}]}"""
+    import graft.avro.SchemaCompat
+    // defaulted add: full-compatible (new reads old via default; old
+    // reads new by skipping the unknown field)
+    assert(SchemaCompat.checkFull(addDefaulted, base).isEmpty)
+    // required add: backward-INcompatible, forward-compatible
+    assert(SchemaCompat.checkBackward(addRequired, base).nonEmpty)
+    assert(SchemaCompat.checkForward(addRequired, base).isEmpty)
+    // int -> long promotion: backward-compatible (long reader reads int
+    // data), forward-INcompatible (int reader cannot read long data)
+    assert(SchemaCompat.checkBackward(widened, base).isEmpty)
+    assert(SchemaCompat.checkForward(widened, base).nonEmpty)
+    val msg = intercept[IllegalArgumentException] {
+      SchemaCompat.requireCanRead(addRequired, base)
+    }.getMessage
+    assert(msg.contains("READER_FIELD_MISSING_DEFAULT_VALUE") && msg.contains("b"))
+  }
+
   test("SQL surface: avro functions registered via SparkSessionExtensions") {
     graft.plans.GraftExtensions.register(spark)
     usersDf(Seq(userRow(5, Some("Sql")))).createOrReplaceTempView("avro_users")
