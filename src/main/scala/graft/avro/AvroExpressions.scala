@@ -27,8 +27,16 @@ case class AvroDecode(child: Expression, schemaJson: String,
       // record — or, in permissive mode, not at all (the malformed-skip
       // catch nulls every row and the dataset silently vanishes
       // downstream). Gate it at analysis time with the paths named.
-      readerSchemaJson.filter(_ != schemaJson)
-        .map(r => SchemaCompat.incompatibilities(r, schemaJson)) match {
+      // Strict mode gates on ANY incompatibility (it would fail at the
+      // first affected record anyway — fail at the plan instead);
+      // permissive mode gates only on TOTAL incompatibilities (fail
+      // every record under any data): data-dependent ones like a
+      // dropped union branch are exactly what its per-row
+      // DROPMALFORMED contract exists to skip (r15 review).
+      readerSchemaJson.filter(_ != schemaJson).map { r =>
+        if (permissive) SchemaCompat.totalIncompatibilities(r, schemaJson)
+        else SchemaCompat.incompatibilities(r, schemaJson)
+      } match {
         case Some(bad) if bad.nonEmpty => TypeCheckResult.TypeCheckFailure(
           s"from_avro reader schema cannot read writer schema: ${bad.mkString("; ")}")
         case _ => TypeCheckResult.TypeCheckSuccess

@@ -57,6 +57,19 @@ object SchemaCompat {
     (checkBackward(newJson, oldJson).map("backward: " + _) ++
       checkForward(newJson, oldJson).map("forward: " + _))
 
+  /** The subset of [[incompatibilities]] that fail EVERY record — as
+    * opposed to data-dependent ones (e.g. MISSING_UNION_BRANCH, which
+    * only fails the records actually carrying the dropped branch and is
+    * exactly what permissive mode's per-row DROPMALFORMED semantic is
+    * for). A reader field without a default must be filled for every
+    * record; a mismatched record name fails resolution outright. These
+    * are config errors under ANY data, so even a permissive read should
+    * refuse the plan. */
+  def totalIncompatibilities(readerJson: String, writerJson: String): Seq[String] =
+    incompatibilities(readerJson, writerJson).filter(m =>
+      m.startsWith("READER_FIELD_MISSING_DEFAULT_VALUE") ||
+        m.startsWith("NAME_MISMATCH"))
+
   /** Throws with the named violations unless `readerJson` can read
     * `writerJson` data — the pre-flight gate for evolution reads. */
   def requireCanRead(readerJson: String, writerJson: String): Unit = {

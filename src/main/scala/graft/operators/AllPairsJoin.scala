@@ -61,8 +61,12 @@ object AllPairsJoin {
     val tok = base.select(col("id"), col("sz"), explode(col("s")).as("tok"))
     val df = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // Prefix length p = sz − ceil(τ·sz) + 1, ceil in integer form.
-    val p = (col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen")
-      + lit(1))
+    // BIGINT arithmetic (r15 review): micro-unit thresholds are this
+    // codebase's idiom (τ = 700000/1000000), and tauNum · sz in 32-bit
+    // wraps negative at sz ≈ 3000 under non-ANSI Spark — silently
+    // shrinking the prefix and dropping true pairs from an EXACT join.
+    val p = (col("sz") - expr(
+      s"(cast($tauNum as bigint) * sz + ${tauDen - 1}) div $tauDen") + lit(1))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
     val prefix = tok.join(df, "tok")
       .withColumn("rn", row_number().over(w))
@@ -75,8 +79,8 @@ object AllPairsJoin {
     // (measured at sf0.1 / τ=0.7: 202,477 → 104,502 candidates, −48%)
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          least(col("a.sz"), col("b.sz")) * tauDen >=
-            greatest(col("a.sz"), col("b.sz")) * tauNum)
+          least(col("a.sz"), col("b.sz")).cast("long") * tauDen >=
+            greatest(col("a.sz"), col("b.sz")).cast("long") * tauNum)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verification inputs sort ONCE per doc scan (the tok/prefix branch

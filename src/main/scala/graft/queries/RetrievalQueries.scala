@@ -215,11 +215,18 @@ object RetrievalQueries {
         // warehouse copy of the index would be orphaned FOREVER — N
         // regenerations = N dead index copies. A stale sibling indexes
         // data this path no longer holds (its fingerprint can't be
-        // re-derived from the current bytes), so no reader that could
-        // still get a correct answer loses its table.
-        val prefix = "graft_postings_" + SignalMemo.slug(dir) + "_"
+        // re-derived from the current bytes): any job still probing it
+        // is already reading an index over deleted source files, so it
+        // fails LOUDLY here instead of silently serving dead results.
+        // This extends the existing single-writer-per-corpus-transition
+        // contract (SignalMemo.readOrBuild documents the same scope: a
+        // deployment serializes regenerations through its scheduler).
+        // Catalog identifiers are stored LOWERCASED — compare folded, or
+        // an uppercase corpus path never matches and nothing is swept.
+        val prefix = ("graft_postings_" + SignalMemo.slug(dir) + "_").toLowerCase
         spark.catalog.listTables().collect().map(_.name)
-          .filter(n => n.startsWith(prefix) && n != table)
+          .filter(n => n.toLowerCase.startsWith(prefix) &&
+            n.toLowerCase != table.toLowerCase)
           .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
         writePostingIndex(spark, dir, table)
       }

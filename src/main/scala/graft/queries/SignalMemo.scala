@@ -84,9 +84,13 @@ object SignalMemo {
     * corpus regeneration changes [[sourceFingerprint]], and without a
     * sweep every regeneration leaves the previous `${slug}_${oldFp}/`
     * tree behind forever. A stale tree holds signals over data the path
-    * no longer contains, so no correct reader loses anything. Once per
-    * (root, dir) per JVM; failures are logged, never fatal — the sweep
-    * is hygiene, not correctness. */
+    * no longer contains — a job still reading one is already reading
+    * derived tables of DELETED source files, so it fails loudly instead
+    * of silently serving dead signals; like [[readOrBuild]]'s
+    * check-then-write, cross-process races are out of scope (a
+    * deployment serializes corpus regenerations through its scheduler).
+    * Once per (root, dir) per JVM; failures are logged, never fatal —
+    * the sweep is hygiene, not correctness. */
   private val sweptRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
   private def sweepStaleSignals(spark: SparkSession, root: String, dir: String): Unit = {

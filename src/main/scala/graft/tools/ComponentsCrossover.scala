@@ -76,12 +76,14 @@ object ComponentsCrossover {
     // materialize outside both timing windows; the ACTUAL edge count
     // (self-loops dropped) is what the gate compares against, so the
     // artifact reports it rather than the requested range size
-    val edges = pairs.count()
     // unpersist in finally (r15 review): the disagreement require below
     // is the exact condition this probe exists to detect — it must not
     // leave a multi-million-edge cache pinned in the session that called
-    // probe() (specs, notebooks) when it fires
+    // probe() (specs, notebooks) when it fires. count() sits INSIDE the
+    // try too: materialization is the most expensive step and the
+    // likeliest to fail (executor OOM on a big arm).
     try {
+      val edges = pairs.count()
       val (drv, driverS) = time {
         graft.operators.Dedup.connectedComponents(pairs,
           driverEdgeLimit = Long.MaxValue)

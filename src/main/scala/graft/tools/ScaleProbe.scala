@@ -255,7 +255,7 @@ object ScaleProbe {
       knob = "registered 4-band/16-hash banding; bucket key entropy grows with corpus, no derivation needed"),
     Family("dedup_clusters",
       "LSH candidates + size-switched connected components, linear edges",
-      knob = "registered banding; CC switches driver union-find -> iterative label-prop past 4M edges"),
+      knob = "registered banding; CC switches driver union-find -> iterative label-prop past 1M edges (ComponentsCrossover-measured gate)"),
     Family("dedup_winnowing_candidates",
       "winnowing fingerprints hash-banded, ids-only shuffle",
       knob = "window-4 winnowing: fingerprint count per doc fixed by content, bucket key = (hash, gram) exact"),

@@ -236,6 +236,52 @@ class AvroSpec extends SparkSpec {
     }
   }
 
+  test("evolution pre-flight: a dropped union branch stays a PER-ROW skip in " +
+      "permissive mode, an analysis error in strict (r15 review)") {
+    // reader narrows ["null","int","string"] -> ["null","int"]: only the
+    // records actually carrying the string branch are unreadable. That
+    // is DATA-dependent — exactly what permissive DROPMALFORMED exists
+    // for — so the permissive plan must still run and keep the int
+    // records; strict fails the plan up front.
+    val writer =
+      """{"type":"record","name":"V","namespace":"graft","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"v","type":["null","int","string"],"default":null}]}""".stripMargin
+    val reader =
+      """{"type":"record","name":"V","namespace":"graft","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"v","type":["null","int"],"default":null}]}""".stripMargin
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(writer)
+    def frame(id: Long, v: AnyRef): Array[Byte] = {
+      val rec = new GenericData.Record(avroSchema)
+      rec.put("id", java.lang.Long.valueOf(id)); rec.put("v", v)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0, 0, 0, 0, 2), 0, 5)
+      val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](avroSchema).write(rec, enc)
+      enc.flush(); out.toByteArray
+    }
+    val frames = Seq(
+      frame(1L, java.lang.Integer.valueOf(5)),
+      frame(2L, new org.apache.avro.util.Utf8("gone")),
+      frame(3L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(frames.map(Row(_)), 1),
+      StructType(Seq(StructField("value", BinaryType))))
+    val kept = df
+      .select(from_avro_evolved(col("value"), writer, reader, permissive = true).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.id"), col("r.v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(kept === Map(1L -> Some(5), 3L -> None),
+      "permissive must keep int/null-branch records and drop only the string-branch row")
+    intercept[Exception] {
+      df.select(from_avro_evolved(col("value"), writer, reader)).collect()
+    }
+  }
+
   test("SchemaCompat: backward/forward/full match the registry's modes (r15)") {
     val base =
       """{"type":"record","name":"R","fields":[{"name":"a","type":"int"}]}"""

@@ -118,8 +118,10 @@ class RetrievalSpec extends SparkSpec {
       "(r15 review: regeneration must not grow the metastore unboundedly)") {
     import graft.queries.SignalMemo
     // a private corpus dir so the build is cheap and never races the
-    // suite's shared sf index table
-    val tmp = java.nio.file.Files.createTempDirectory("graft_pidx")
+    // suite's shared sf index table. UPPERCASE in the path on purpose:
+    // the catalog stores identifiers lowercased, so a case-sensitive
+    // sweep prefix would match nothing and silently never sweep
+    val tmp = java.nio.file.Files.createTempDirectory("graft_PIDX_Upper")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(sf, "documents.parquet"),
       tmp.resolve("documents.parquet"))

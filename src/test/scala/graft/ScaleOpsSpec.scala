@@ -180,6 +180,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!got.exists(p => (p._1 == 3L && p._2 != 1L) || p._2 == 3L && p._1 != 1L))
   }
 
+  test("allpairs: micro-unit thresholds survive 32-bit overflow on big sets (r15 review)") {
+    // τ = 700000/1000000 is the codebase's micro-unit idiom; with a
+    // 3000-token doc, sz·tauDen = 3·10⁹ wraps negative in Int — the old
+    // arithmetic silently shrank the prefix AND failed the size filter,
+    // dropping a J=1.0 pair from an operator documented as EXACT
+    val big = (0 until 3000).map(i => s"t$i")
+    val sets = Seq(1L -> big, 2L -> big, 3L -> big.take(10))
+    val got = AllPairsJoin.jaccardSelfJoin(
+        sets.toDF("doc_id", "s"), "doc_id", "s", 700000, 1000000)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    assert(got === Set((1L, 2L, 3000L, 3000L)),
+      "the identical 3000-token pair must survive micro-unit τ arithmetic")
+  }
+
   test("allpairs: duplicate tokens in the input are deduped; empty input is empty") {
     val dup = Seq(1L -> Seq("a", "a", "b", "b"), 2L -> Seq("a", "b", "b", "c"))
       .toDF("doc_id", "s")
