@@ -82,6 +82,37 @@ object SchemaRegistry {
     node.get("id").asInt()
   }
 
+  /** [[register]] with the registry's compatibility gate enforced
+    * CLIENT-side first (r15): fetch the subject's latest version and
+    * check the declared mode via [[SchemaCompat]] before POSTing. A
+    * real registry enforces this server-side per subject config; doing
+    * it here too means the violation list arrives as a local exception
+    * with named paths instead of an HTTP 409 — and pipelines talking to
+    * a permissively-configured registry (NONE mode, the default of some
+    * estates) still get BACKWARD safety. A missing subject (first
+    * registration) registers unchecked, as the server would. */
+  def registerChecked(baseUrl: String, subject: String, schemaJson: String,
+      mode: String = "BACKWARD",
+      timeout: Duration = Duration.ofSeconds(10)): Int = {
+    val prior =
+      try Some(fetchLatest(baseUrl, subject, timeout).schemaJson)
+      catch { case _: java.io.IOException => None } // no versions yet
+    prior.foreach { old =>
+      val bad = mode.toUpperCase match {
+        case "BACKWARD" => SchemaCompat.checkBackward(schemaJson, old)
+        case "FORWARD" => SchemaCompat.checkForward(schemaJson, old)
+        case "FULL" => SchemaCompat.checkFull(schemaJson, old)
+        case "NONE" => Seq.empty
+        case other => throw new IllegalArgumentException(
+          s"unknown compatibility mode '$other' (BACKWARD/FORWARD/FULL/NONE)")
+      }
+      require(bad.isEmpty,
+        s"schema for $subject violates $mode compatibility with the " +
+          s"latest registered version:\n  ${bad.mkString("\n  ")}")
+    }
+    register(baseUrl, subject, schemaJson, timeout)
+  }
+
   /** Schema string for a global schema id (wire-format byte 1-4). */
   def fetchById(baseUrl: String, id: Int,
       timeout: Duration = Duration.ofSeconds(10)): String = {

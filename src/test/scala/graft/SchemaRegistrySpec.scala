@@ -128,6 +128,40 @@ class SchemaRegistrySpec extends SparkSpec {
     } finally stop()
   }
 
+  test("registerChecked enforces the compatibility mode client-side (r15)") {
+    val (url, stop) = startWritableStub()
+    try {
+      val base =
+        """{"type":"record","name":"U","namespace":"graft","fields":[
+          |{"name":"a","type":"int"}]}""".stripMargin
+      val addRequired =
+        """{"type":"record","name":"U","namespace":"graft","fields":[
+          |{"name":"a","type":"int"},{"name":"b","type":"string"}]}""".stripMargin
+      val addDefaulted =
+        """{"type":"record","name":"U","namespace":"graft","fields":[
+          |{"name":"a","type":"int"},{"name":"b","type":"string","default":"x"}]}"""
+          .stripMargin
+      // empty subject: first registration is unchecked, like the server
+      val id1 = SchemaRegistry.registerChecked(url, "u-value", base)
+      assert(id1 > 0)
+      // BACKWARD violation (new reader can't fill b) is a LOCAL error
+      // with the path named — no POST reaches the registry
+      val ex = intercept[IllegalArgumentException] {
+        SchemaRegistry.registerChecked(url, "u-value", addRequired)
+      }
+      assert(ex.getMessage.contains("READER_FIELD_MISSING_DEFAULT_VALUE"))
+      assert(SchemaRegistry.fetchLatest(url, "u-value").id === id1,
+        "the violating schema must not have been registered")
+      // the defaulted add passes BACKWARD and registers as latest
+      val id2 = SchemaRegistry.registerChecked(url, "u-value", addDefaulted)
+      assert(id2 !== id1)
+      assert(SchemaRegistry.fetchLatest(url, "u-value").id === id2)
+      // NONE mode registers anything, like a permissive estate
+      val id3 = SchemaRegistry.registerChecked(url, "u-value", addRequired, mode = "NONE")
+      assert(id3 !== id2)
+    } finally stop()
+  }
+
   test("registered id drives the produce wire bytes end to end") {
     val (url, stop) = startWritableStub()
     try {
