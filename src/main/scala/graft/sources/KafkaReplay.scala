@@ -68,23 +68,42 @@ object KafkaReplay {
 
   /** Append records to the log at `path` (creating it if absent),
     * continuing each partition's offset sequence — the producer side of
-    * the replay contract. */
+    * the replay contract. Runs under the same commit lock + crash
+    * manifest as the streaming sink (r15 review): an unlocked append
+    * racing a sink commit on a shared dir would compute the same "next"
+    * offset (duplicate offsets, interleaved flushes misframing the log),
+    * and a crash mid-append would leave a torn tail no recovery ever
+    * repaired. The manifest key is never ledgered, so a crashed append
+    * is rolled back wholesale by the next writer's recoverTornAppend —
+    * all-or-nothing, like the sink's epochs. */
   def append(path: String, records: Seq[Record]): Unit = {
     val dir = new File(path)
     dir.mkdirs()
-    records.groupBy(_.partition).foreach { case (p, recs) =>
-      val f = partFile(dir, p)
-      var next = endOffset(f)
-      val out = new DataOutputStream(new BufferedOutputStream(
-        new FileOutputStream(f, true)))
-      try recs.foreach { r =>
-        out.writeLong(next); next += 1
-        out.writeLong(r.tsMicros)
-        if (r.key == null) out.writeInt(-1)
-        else { out.writeInt(r.key.length); out.write(r.key) }
-        if (r.value == null) out.writeInt(-1)
-        else { out.writeInt(r.value.length); out.write(r.value) }
-      } finally out.close()
+    withCommitLock(dir) {
+      recoverTornAppend(dir)
+      writeInflight(dir, s"append:${java.util.UUID.randomUUID()}")
+      records.groupBy(_.partition).foreach { case (p, recs) =>
+        val f = partFile(dir, p)
+        var next = endOffset(f)
+        val out = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(f, true)))
+        var primary: Throwable = null
+        try recs.foreach { r =>
+          out.writeLong(next); next += 1
+          out.writeLong(r.tsMicros)
+          if (r.key == null) out.writeInt(-1)
+          else { out.writeInt(r.key.length); out.write(r.key) }
+          if (r.value == null) out.writeInt(-1)
+          else { out.writeInt(r.value.length); out.write(r.value) }
+        } catch { case t: Throwable => primary = t } finally {
+          // close() flushes — a flush failure must propagate so the
+          // manifest survives and the torn bytes are truncated away
+          try out.close()
+          catch { case t: Throwable => if (primary == null) primary = t }
+          if (primary != null) throw primary
+        }
+      }
+      new File(dir, InflightName).delete(): Unit
     }
   }
 
@@ -163,33 +182,46 @@ object KafkaReplay {
     * per trigger is O(N²/k) total I/O without this). */
   private val IndexStride = 1024L
 
-  /** (record count, sparse byte positions of offsets 0, stride, 2·stride…)
-    * memoized on (length, mtime): the scan is O(file), and the sink
-    * calls this once per EPOCH per partition — uncached, epoch E
-    * re-decodes everything epochs 0..E-1 wrote, O(N²) over a run. An
-    * append invalidates the entry via the length change; `writeLog` and
-    * truncation recovery invalidate explicitly (a same-length replace
-    * within the fs mtime granularity would otherwise return a stale
-    * count). */
+  /** Cached framing state of one partition log: file length + mtime the
+    * entry was computed at, the byte position framing stopped at (end of
+    * the last WHOLE frame — a torn tail sits past it), the record count,
+    * and the sparse seek marks. `scannedPos` is what makes the append
+    * path incremental — see [[positionIndex]]. */
+  private final case class PosEntry(fileLen: Long, mtime: Long,
+      scannedPos: Long, n: Long, marks: Array[Long])
+
   private val posCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Array[Long])]()
+    new java.util.concurrent.ConcurrentHashMap[String, PosEntry]()
   private[sources] def invalidateUnder(dir: File): Unit = {
     val prefix = dir.getAbsolutePath + File.separator
     posCache.keySet.removeIf(_.startsWith(prefix)): Unit
   }
+
+  /** (record count, sparse byte positions of offsets 0, stride, 2·stride…)
+    * memoized per path. The logs are APPEND-ONLY (writeLog replacement
+    * and truncation recovery both invalidate explicitly), so a file that
+    * merely GREW resumes framing from the cached `scannedPos` instead of
+    * byte 0 — without this the sink's per-epoch endOffset calls re-framed
+    * the whole file every commit (the cache keyed on exact (len, mtime)
+    * can never hit on a path that grows every epoch): O(N²) I/O over a
+    * run (r15 review). A file that SHRANK or changed under an unchanged
+    * length re-frames from scratch. */
   private def positionIndex(f: File): (Long, Array[Long]) = {
     if (!f.exists()) return (0L, Array.empty[Long])
     val key = f.getAbsolutePath
     val len = f.length()
     val mtime = f.lastModified()
     val cached = posCache.get(key)
-    if (cached != null && cached._1 == len && cached._2 == mtime)
-      return (cached._3, cached._4)
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+    if (cached != null && cached.fileLen == len && cached.mtime == mtime)
+      return (cached.n, cached.marks)
+    val resume = cached != null && len > cached.fileLen
+    val marks = scala.collection.mutable.ArrayBuffer.empty[Long]
     var n = 0L
     var pos = 0L
-    val marks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (resume) { marks ++= cached.marks; n = cached.n; pos = cached.scannedPos }
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
     try {
+      if (pos > 0L) in.skipNBytes(pos)
       while (true) {
         if (n % IndexStride == 0L) marks += pos
         in.readLong(); in.readLong()
@@ -209,10 +241,30 @@ object KafkaReplay {
     }
     finally in.close()
     val positions = marks.toArray
-    posCache.put(key, (len, mtime, n, positions))
+    posCache.put(key, PosEntry(len, mtime, pos, n, positions))
     (n, positions)
   }
   private def endOffset(f: File): Long = positionIndex(f)._1
+
+  /** Records wholly contained in the first `capBytes` of `f` — the
+    * reader-side view of a log whose tail a live commit may still
+    * truncate. Uncached: the window a manifest is live is one commit. */
+  private def countWithin(f: File, capBytes: Long): Long = {
+    if (!f.exists() || capBytes <= 0L) return 0L
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+    var n = 0L
+    var pos = 0L
+    try {
+      while (pos < capBytes) {
+        in.readLong(); in.readLong()
+        val kl = in.readInt(); if (kl >= 0) in.skipNBytes(kl.toLong)
+        val vl = in.readInt(); if (vl >= 0) in.skipNBytes(vl.toLong)
+        pos += 24L + (if (kl > 0) kl else 0L) + (if (vl > 0) vl else 0L)
+        if (pos <= capBytes) n += 1
+      }
+    } catch { case _: EOFException => } finally in.close()
+    n
+  }
 
   /** Byte position to seek to before skip-decoding toward `start` — the
     * greatest indexed mark at-or-before it. Computed DRIVER-side at
@@ -349,10 +401,52 @@ object KafkaReplay {
     }
   }
 
-  /** Per-partition end offsets (exclusive) — the broker's "latest". */
+  /** Per-partition READ-VISIBLE byte caps from a live (un-ledgered)
+    * `_commit.inflight` manifest, or None when every byte on disk is
+    * committed. Readers must not see bytes a crashed commit may still
+    * truncate (r15 review): a sink crash between appendSpools and the
+    * ledger write leaves the epoch's records physically in the logs; a
+    * reader that counts them emits offsets the next commit's
+    * recoverTornAppend truncates and re-appends — possibly with a
+    * different record-to-offset assignment (task replay order) — so the
+    * reader would have consumed phantom records it never re-reads. The
+    * manifest records every log's pre-append length: that prefix is
+    * exactly the committed state. A partition absent from the manifest
+    * was created BY the in-flight append — fully invisible. A manifest
+    * whose key reached the ledger means the crash was after the point
+    * of no return: the bytes are good, no cap. */
+  private def uncommittedCaps(dir: File): Option[Map[Int, Long]] = {
+    val mf = new File(dir, InflightName)
+    if (!mf.exists()) return None
+    val lines =
+      try {
+        val src = scala.io.Source.fromFile(mf)
+        try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+        finally src.close()
+      } catch { case _: java.io.IOException => return None } // raced its delete
+    val key = lines.collectFirst {
+      case l if l.startsWith("key ") => l.stripPrefix("key ") }
+    if (key.exists(k => committedEpochs(dir).contains(k))) None
+    else Some(lines.collect { case l if !l.startsWith("key ") =>
+      val parts = l.split(" "); (parts(0).toInt, parts(1).toLong) }.toMap)
+  }
+
+  /** Per-partition end offsets (exclusive) — the broker's "latest".
+    * Capped at the committed prefix while a commit is in flight or
+    * crashed-un-ledgered (see [[uncommittedCaps]]). */
   def endOffsets(path: String): SortedMap[Int, Long] = {
     val dir = new File(path)
-    SortedMap.from(listPartitions(dir).map(p => p -> endOffset(partFile(dir, p))))
+    val caps = uncommittedCaps(dir)
+    SortedMap.from(listPartitions(dir).map { p =>
+      val f = partFile(dir, p)
+      p -> (caps match {
+        case None => endOffset(f)
+        case Some(m) => m.get(p) match {
+          case Some(capBytes) => countWithin(f, capBytes)
+          case None => 0L // created by the in-flight append
+        }
+      })
+    })
   }
 
   /** `{"0":12,"1":7}` — partition → exclusive end offset, sorted for a
@@ -376,6 +470,51 @@ object KafkaReplay {
   private def parseOffsetSpec(s: String): Map[Int, Long] =
     SpecEntry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap
 
+  /** Lag-prorated admission (r15 review): per-partition row counts to
+    * admit this trigger, summing to EXACTLY min(budget, total lag) —
+    * this source's `maxOffsetsPerTrigger` is a hard cap (spec-pinned),
+    * unlike Kafka's ceil-rounded approximation. The previous greedy
+    * partition-order allocation gave a continuously-produced
+    * low-numbered partition the whole budget every trigger, starving
+    * the rest indefinitely. Starvation-freedom: when the budget covers
+    * the lagging-partition count, each lagging partition is RESERVED
+    * one row and the rest is prorated by remaining lag
+    * (largest-remainder rounding, ties to lower partition ids); when
+    * the budget is smaller than the lagging count, the least-served
+    * partitions (smallest admitted offset, then id) get one row each —
+    * served partitions' offsets grow, so the selection rotates across
+    * triggers without scheduler state. */
+  private[sources] def prorate(lags: SortedMap[Int, Long],
+      from: Map[Int, Long], budget: Long): Map[Int, Long] = {
+    val lagging = lags.filter(_._2 > 0L)
+    val total = lagging.values.sum
+    if (total <= budget) return lagging
+    if (budget < lagging.size) {
+      // rotate by least-served: smallest already-admitted offset first
+      val chosen = lagging.keys.toSeq
+        .sortBy(p => (from.getOrElse(p, 0L), p)).take(budget.toInt)
+      return chosen.map(_ -> 1L).toMap
+    }
+    val reserve = lagging.size.toLong
+    val rest = budget - reserve
+    val restLag = total - reserve // Σ (lag − 1)
+    val base = lagging.map { case (p, l) =>
+      p -> (1L + (if (restLag > 0L) rest * (l - 1L) / restLag else 0L)) }
+    var rem = budget - base.values.sum
+    // largest-remainder: hand the leftover rows to the partitions whose
+    // prorated share lost the most to the floor, never past their lag
+    val order = lagging.toSeq.map { case (p, l) =>
+      (p, if (restLag > 0L) rest * (l - 1L) % restLag else 0L)
+    }.sortBy { case (p, frac) => (-frac, p) }.map(_._1)
+    val out = scala.collection.mutable.Map.from(base)
+    val it = order.iterator
+    while (rem > 0L && it.hasNext) {
+      val p = it.next()
+      if (out(p) < lagging(p)) { out(p) += 1L; rem -= 1L }
+    }
+    out.toMap
+  }
+
   /** Resolve a `startingOffsets` spec against the log's latest offsets —
     * same surface as the Kafka batch source: "earliest" (default), or a
     * JSON map with -2 = earliest; "latest"/-1 is rejected for a batch
@@ -392,7 +531,15 @@ object KafkaReplay {
             case Some(-2L) | None => 0L
             case Some(-1L) => throw new IllegalArgumentException(
               s"$ShortName: startingOffsets -1 (latest) is not allowed for batch reads")
-            case Some(o) => o.max(0L).min(e)
+            // out-of-range is a MISCONFIGURATION, not an empty window:
+            // Kafka raises offset-out-of-range; silently clamping start
+            // produced an empty-but-successful read (r15 review). Only
+            // -1/-2 are sentinels; other negatives are typos.
+            case Some(o) =>
+              if (o < 0L || o > e) throw new IllegalArgumentException(
+                s"$ShortName: startingOffsets $o for partition $p is out " +
+                  s"of range [0, $e]")
+              o
           })
         }
     }
@@ -414,7 +561,14 @@ object KafkaReplay {
           p -> (m.get(p) match {
             case Some(-2L) | None => 0L
             case Some(-1L) => e
-            case Some(o) => o.max(0L).min(e)
+            // same strictness as the batch surface (r15 review): a start
+            // beyond the log or a non-sentinel negative is a typo, and a
+            // fresh query silently starting empty hides it
+            case Some(o) =>
+              if (o < 0L || o > e) throw new IllegalArgumentException(
+                s"$ShortName: startingOffsets $o for partition $p is out " +
+                  s"of range [0, $e]")
+              o
           })
         }
     }
@@ -432,7 +586,14 @@ object KafkaReplay {
         latest.map { case (p, e) =>
           p -> (m.get(p) match {
             case Some(-1L) | None => e
-            case Some(o) => o.max(0L).min(e)
+            // ends past the log stay CLAMPED (documented: "as of
+            // planning time" bounded-read semantics; the spec pins it),
+            // but a non-sentinel negative end is a typo, not a window
+            case Some(o) =>
+              if (o < 0L) throw new IllegalArgumentException(
+                s"$ShortName: endingOffsets $o for partition $p is not a " +
+                  "valid offset (-1 = latest)")
+              o.min(e)
           })
         }
     }
@@ -559,13 +720,11 @@ object KafkaReplay {
       val end = currentEnd
       val capped = maxRowsOf(limit) match {
         case Some(maxRows) =>
-          var budget = maxRows
-          end.map { case (p, e) =>
-            val s = from.getOrElse(p, 0L)
-            val take = math.min(e - s, budget).max(0L)
-            budget -= take
-            p -> (s + take)
-          }
+          val lags = end.map { case (p, e) =>
+            p -> (e - from.getOrElse(p, 0L)).max(0L) }
+          val takes = prorate(lags, from, maxRows)
+          SortedMap.from(lags.map { case (p, _) =>
+            p -> (from.getOrElse(p, 0L) + takes.getOrElse(p, 0L)) })
         case None => end
       }
       ReplayOffset(capped)
@@ -664,15 +823,44 @@ object KafkaReplay {
   final case class SpoolMsg(path: String, partitionId: Int)
       extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-  /** Task-side spool writer (serializable — ships to executors). */
-  final case class SpoolWriterFactory(path: String, keyIdx: Int, valIdx: Int,
-      partIdx: Int, tsIdx: Int)
+  /** Filesystem-safe query discriminator for spool names. */
+  private[sources] def querySlug(queryId: String): String = {
+    val cleaned = queryId.filter(c => c.isLetterOrDigit || c == '-')
+    if (cleaned.isEmpty) "q" else cleaned
+  }
+
+  /** Delete every spool of THIS query at `upToEpoch` or older (r15
+    * review): a commit that crashed after the ledger write but before
+    * its spool deletions left files no later replay ever references —
+    * a permanent disk leak. Those epochs are ledgered (batch ids are
+    * checkpoint-monotone), so their spools can never be needed again.
+    * Scoped by the query slug so a sibling query's LIVE spools in a
+    * shared dir are untouched. */
+  private def sweepSpools(dir: File, qslug: String, upToEpoch: Long): Unit = {
+    val marker = s"-$qslug-task-"
+    Option(dir.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+      val n = f.getName
+      if (n.startsWith(".epoch-") && n.endsWith(".spool") && n.contains(marker)) {
+        val e = n.stripPrefix(".epoch-").takeWhile(_ != '-')
+        if (e.toLongOption.exists(_ <= upToEpoch)) f.delete(): Unit
+      }
+    }
+  }
+
+  /** Task-side spool writer (serializable — ships to executors).
+    * Spool names carry the QUERY slug (r15 review): two queries sharing
+    * one log dir — the configuration the query-scoped ledger exists to
+    * support — run in separate JVMs whose taskIds both start near 0, so
+    * without the slug both could construct the same spool path at the
+    * same epoch number and truncate each other's in-flight records. */
+  final case class SpoolWriterFactory(path: String, qslug: String,
+      keyIdx: Int, valIdx: Int, partIdx: Int, tsIdx: Int)
       extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
         : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
       new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
         private val spool = new File(path,
-          f".epoch-$epochId-task-$partitionId%05d-$taskId.spool")
+          f".epoch-$epochId-$qslug-task-$partitionId%05d-$taskId.spool")
         spool.getParentFile.mkdirs()
         private val out = new DataOutputStream(new BufferedOutputStream(
           new FileOutputStream(spool, false)))
@@ -701,7 +889,7 @@ object KafkaReplay {
 
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      SpoolWriterFactory(path,
+      SpoolWriterFactory(path, KafkaReplay.querySlug(queryId),
         inputSchema.fieldIndex("key"),
         inputSchema.fieldIndex("value"),
         inputSchema.fieldIndex("partition"),
@@ -747,8 +935,10 @@ object KafkaReplay {
       val ledger = committedEpochs(dir)
       val (scoped, legacy) = ledger.partition(_.contains(':'))
       val effLegacy = if (scoped.isEmpty) legacy else Set.empty[String]
+      val qslug = querySlug(queryId)
       if (scoped.contains(ledgerKey) || effLegacy.contains(epochId.toString)) {
         spools.foreach(m => new File(m.path).delete()) // replayed epoch: drop
+        sweepSpools(dir, qslug, epochId) // + the crashed attempt's orphans
         return
       }
       // crash manifest BEFORE any byte lands; spools stream record-at-
@@ -776,6 +966,10 @@ object KafkaReplay {
       // ledgered key => completed commit, keep the bytes)
       new File(dir, InflightName).delete()
       spools.foreach(m => new File(m.path).delete())
+      // orphans from attempts that crashed after their ledger write but
+      // before their spool deletions — ledgered epochs never replay, so
+      // anything at this epoch or older is dead weight
+      sweepSpools(dir, qslug, epochId)
     }
 
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -803,9 +997,19 @@ object KafkaReplay {
         info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
         : org.apache.spark.sql.connector.write.WriteBuilder = {
       val in = info.schema()
-      require(Seq("key", "value", "partition").forall(c => in.fieldNames.contains(c)),
+      // names AND types (r15 review): the spool writer's typed getters
+      // (row.getInt/getBinary/getLong) would otherwise fail as an opaque
+      // executor ClassCastException instead of this message
+      val expected = Seq("key" -> BinaryType, "value" -> BinaryType,
+        "partition" -> IntegerType)
+      val mismatch = expected.exists { case (c, t) =>
+        in.fields.find(_.name == c).forall(_.dataType != t) } ||
+        in.fields.find(_.name == "timestamp").exists(f =>
+          f.dataType != LongType && f.dataType != TimestampType)
+      require(!mismatch,
         s"$ShortName sink needs columns (key binary, value binary, partition int" +
-          s"[, timestamp]); got ${in.fieldNames.mkString(", ")}")
+          s"[, timestamp long]); got ${in.fields.map(f =>
+            s"${f.name} ${f.dataType.simpleString}").mkString(", ")}")
       new org.apache.spark.sql.connector.write.WriteBuilder {
         override def build(): org.apache.spark.sql.connector.write.Write =
           new org.apache.spark.sql.connector.write.Write {

@@ -414,4 +414,93 @@ class KafkaReplaySpec extends SparkSpec {
     stream.commit(end)
     assert(stream.lastCommitted === Some(end))
   }
+
+  // ---- r15 review wave: reader visibility, proration, strict offsets ----
+
+  test("readers never see bytes of an un-ledgered (crashed) commit (r15)") {
+    val dir = writeTopic(4) // p0: 3 offsets (2 users + tombstone), p1: 2
+    val before = KafkaReplay.endOffsets(dir)
+    val f0 = new java.io.File(dir, "partition-0.log")
+    val len0 = f0.length()
+    // simulate a sink crash between appendSpools and the ledger write:
+    // extra record bytes in the log + a live manifest whose key never
+    // reached the ledger (the exact recoverTornAppend window)
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f0, true))
+    try {
+      out.writeLong(before(0)); out.writeLong(tsMicros)
+      out.writeInt(-1); out.writeInt(-1)
+    } finally out.close()
+    val mf = new java.io.File(dir, "_commit.inflight")
+    val w = new java.io.FileWriter(mf, false)
+    try w.write(s"key crashedq:7\n0 $len0\n1 ${new java.io.File(dir, "partition-1.log").length()}\n")
+    finally w.close()
+    assert(KafkaReplay.endOffsets(dir) === before,
+      "a live un-ledgered manifest must cap readers at the committed prefix")
+    // once the key reaches the ledger the bytes are committed: no cap
+    val lw = new java.io.FileWriter(new java.io.File(dir, "_epochs"), true)
+    try lw.write("crashedq:7\n") finally lw.close()
+    assert(KafkaReplay.endOffsets(dir)(0) === before(0) + 1,
+      "a ledgered manifest key means the commit completed - bytes visible")
+    mf.delete()
+    // and a fresh append() (same lock + manifest protocol) first rolls
+    // back nothing (manifest gone), then lands contiguous offsets
+    KafkaReplay.append(dir, Seq(KafkaReplay.Record(0, "k".getBytes, "v".getBytes, tsMicros)))
+    assert(KafkaReplay.endOffsets(dir)(0) === before(0) + 2)
+  }
+
+  test("maxOffsetsPerTrigger prorates across partitions by lag (r15)") {
+    val dir = Files.createTempDirectory("graft_prorate").toString
+    // p0: 100 records, p1: 4 records
+    KafkaReplay.append(dir,
+      (0 until 100).map(i => KafkaReplay.Record(0, null, s"a$i".getBytes, tsMicros)) ++
+      (0 until 4).map(i => KafkaReplay.Record(1, null, s"b$i".getBytes, tsMicros)))
+    val stream = new KafkaReplay.ReplayMicroBatchStream(dir, "t", Some(10L))
+    val start = KafkaReplay.ReplayOffset(
+      scala.collection.immutable.SortedMap(0 -> 0L, 1 -> 0L))
+    val end = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10L))
+      .asInstanceOf[KafkaReplay.ReplayOffset].parts
+    // ceil-prorated like Kafka: p0 ~ ceil(10*100/104)=10, p1 ceil(10*4/104)=1
+    assert(end(1) >= 1L, s"small-lag partition must not be starved: $end")
+    assert(end(0) < 100L, s"hot partition must not absorb the whole log: $end")
+    assert(end(0) + end(1) <= 12L, s"admission must stay near the cap: $end")
+  }
+
+  test("out-of-range explicit offsets fail loudly; negative ends rejected (r15)") {
+    val dir = writeTopic(4) // p0 has 3 offsets
+    def read(startSpec: String, endSpec: String) =
+      spark.read.format(KafkaReplay.ShortName)
+        .option("path", dir).option("startingOffsets", startSpec)
+        .option("endingOffsets", endSpec).load().count()
+    val exStart = intercept[Exception] { read("""{"0":999}""", "latest") }
+    assert((exStart.getMessage + Option(exStart.getCause).map(_.getMessage).mkString)
+      .contains("out of range"))
+    val exNeg = intercept[Exception] { read("""{"0":-5}""", "latest") }
+    assert((exNeg.getMessage + Option(exNeg.getCause).map(_.getMessage).mkString)
+      .contains("out of range"))
+    val exEnd = intercept[Exception] { read("earliest", """{"0":-5}""") }
+    assert((exEnd.getMessage + Option(exEnd.getCause).map(_.getMessage).mkString)
+      .contains("not a valid offset"))
+    // the documented past-end CLAMP on ends survives
+    assert(read("earliest", """{"0":999,"1":999}""") === 5L)
+  }
+
+  test("sink write schema is validated on TYPES, not just names (r15)") {
+    val dir = Files.createTempDirectory("graft_sinktype").toString
+    val ex = intercept[Exception] {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Array[Byte], Array[Byte], String)]
+      val q = ms.toDF().toDF("key", "value", "partition") // partition: STRING
+        .writeStream.format(KafkaReplay.ShortName)
+        .option("path", dir)
+        .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+        .start()
+      try { ms.addData((Array[Byte](1), Array[Byte](2), "0")); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).mkString
+    assert(msg.contains("sink needs columns"), s"got: $msg")
+  }
 }

@@ -93,16 +93,29 @@ class StructurePropertySpec extends SparkSpec {
       latest.foreach { case (p, e) =>
         spec.get(p).map(v => if (v == -2L) -1L else v) match {
           case Some(-1L) | None => assert(ends(p) === e) // latest / unlisted
-          case Some(v) => assert(ends(p) === v.max(0L).min(e)) // clamped
+          case Some(v) => assert(ends(p) === v.min(e)) // past-end clamps (documented)
         }
       }
-      val startJson = spec.filter(_._2 != -1L)
-        .map { case (p, v) => s""""$p":$v""" }.mkString("{", ",", "}")
-      val starts = KafkaReplay.resolveStartingOffsets(startJson, latest)
-      latest.foreach { case (p, e) =>
-        spec.filter(_._2 != -1L).get(p) match {
-          case Some(-2L) | None => assert(starts(p) === 0L) // earliest / unlisted
-          case Some(v) => assert(starts(p) === v.max(0L).min(e))
+      // starts (r15): in-range resolves verbatim; OUT-OF-RANGE is a
+      // misconfiguration and must fail loudly (Kafka raises
+      // offset-out-of-range; the old silent clamp produced an
+      // empty-but-successful read)
+      val startSpec = spec.filter(_._2 != -1L)
+      val startJson = startSpec.map { case (p, v) => s""""$p":$v""" }
+        .mkString("{", ",", "}")
+      val outOfRange = startSpec.exists { case (p, v) =>
+        v != -2L && v > latest(p) }
+      if (outOfRange)
+        intercept[IllegalArgumentException] {
+          KafkaReplay.resolveStartingOffsets(startJson, latest)
+        }
+      else {
+        val starts = KafkaReplay.resolveStartingOffsets(startJson, latest)
+        latest.foreach { case (p, _) =>
+          startSpec.get(p) match {
+            case Some(-2L) | None => assert(starts(p) === 0L) // earliest / unlisted
+            case Some(v) => assert(starts(p) === v)
+          }
         }
       }
     }
