@@ -62,7 +62,17 @@ object GapMerge {
     * early is safe by construction: every wake handler re-splits
     * against the CURRENT watermark — a not-yet-closable set emits
     * nothing and re-arms clamped past the watermark, so either engine
-    * firing semantic converges on the correct emission. */
+    * firing semantic converges on the correct emission.
+    *
+    * Residual liveness bound (r15 review): when the clamp BINDS (the
+    * closable instant is within 1 ms of the current watermark), wm+1 is
+    * the earliest timestamp the engine accepts — a stream whose FINAL
+    * watermark then halts exactly on wm+1 has a timer that can never
+    * strictly-fire. Unfixable from this side (arming at or below the
+    * watermark throws); bounded to 1 ms and only reachable when event
+    * time stops advancing forever at that exact millisecond. Bounded
+    * runs (AvailableNow + a far-future pusher, the registry pattern)
+    * are immune. */
   def nextTimerMs(open: List[SessAcc], gapUs: Long, wmMs: Long): Long = {
     val nextUs = open.map(_.last_us + gapUs).min
     math.max(wmMs + 1L, (nextUs + 999L) / 1000L - 1L)
@@ -198,12 +208,30 @@ object StreamingPipeline {
     * consumer needing delete propagation should branch on
     * `v.isNull` BEFORE this stage. */
   def transformed(enforced: DataFrame, t: ProfileTransform): DataFrame = {
-    val flat = enforced.select(
+    // filter BEFORE the v.* expansion (r15 review): the old
+    // post-projection filter resolved "v" only through the analyzer's
+    // missing-attribute re-injection, and a value schema carrying a
+    // field literally named "v" would have silently bound the filter to
+    // the wrong column (dropping field-v nulls, keeping tombstones)
+    val live = enforced.filter(col("v").isNotNull)
+    t(live.select(
       col("key"), col("topic"), col("partition"), col("offset"),
-      col("timestamp").as("kafka_ts"), col("v.*"))
-    val live = t(flat.filter(col("v").isNotNull).drop("v"))
-    live
+      col("timestamp").as("kafka_ts"), col("v.*")))
   }
+
+  /** The DEAD-LETTER branch of the permissive decode policy (r15
+    * review): records whose value is PRESENT but undecodable against
+    * `schemaJson`. [[enforceAvro]]+[[transformed]] drop BOTH tombstones
+    * (null value — the sink's behavior.on.null.values=ignore policy)
+    * and malformed payloads (permissive decode nulls them) through the
+    * same `v.isNull` filter, which makes producer corruption
+    * indistinguishable from deletes. A deployment routes THIS frame to
+    * its DLQ topic/bucket; the registered malformed-skip queries pin
+    * the drop semantic itself. */
+  def avroDeadLetters(kafkaShaped: DataFrame, schemaJson: String): DataFrame =
+    kafkaShaped.filter(col("value").isNotNull &&
+      graft.avro.functions.from_avro_confluent(
+        col("value"), schemaJson, permissive = true).isNull)
 
   /** S7-S9: partitioned JSON sink with checkpointing. `partitionBy` on the
     * Kafka partition column reproduces the DefaultPartitioner's
@@ -351,6 +379,26 @@ object StreamingPipeline {
           case None => agg
         }
         merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        // bounded version tail (r15 review): a replayed batch B reads
+        // v=B-1, so committed versions older than two back are dead
+        // weight — without this sweep a continuous deployment wrote one
+        // full snapshot of the aggregate per micro-batch FOREVER.
+        // Keeping two (not one) also gives a concurrent currentTotals
+        // reader that just resolved v=B-1 a grace window; as with the
+        // signal sweeps, cross-process readers racing a regeneration
+        // are out of scope (single estate per stateDir).
+        locally {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p))
+            fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+              .filter { d =>
+                val n = d.getName
+                n.startsWith("v=") &&
+                  n.drop(2).toLongOption.exists(_ < batchId - 2)
+              }
+              .foreach(d => fs.delete(d, true))
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -538,12 +586,12 @@ object StreamingPipeline {
         graft.functions.TextFunctions.shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", graft.operators.Dedup.minhashSignatureMd5(col("sh"), numHashes))
-    val banded = withSig.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bh"))
-      }: _*)).as("e"))
-      .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    // SHARED banding kernel (r15 review): the batch path and this
+    // incremental twin must be encoding-identical by construction —
+    // an inline copy of the band hash would silently diverge the
+    // spec-pinned pair-set equality if the batch encoding ever moved
+    val banded = graft.operators.Dedup
+      .bandedRows(withSig, "id", "sig", bands, rowsPerBand)
       .as[LshBandRow]
     banded
       .groupByKey(r => (r.band, r.bh))
@@ -561,14 +609,20 @@ object StreamingPipeline {
           } else {
             val prior = state.getOption.getOrElse(LshBucketState(Nil, saturated = false))
             var members = prior.ids
+            // O(1) membership (r15 review): a near-dup flood landing
+            // maxBucket docs in one bucket in one batch made the
+            // List.contains fold O(rows x maxBucket) on the state-store
+            // hot path
+            val seen = scala.collection.mutable.HashSet.from(prior.ids)
             var saturated = prior.saturated
             val out = scala.collection.mutable.ListBuffer.empty[LshPair]
             rows.foreach { r =>
-              if (!saturated && !members.contains(r.id)) {
+              if (!saturated && !seen.contains(r.id)) {
                 members.foreach { m =>
                   out += LshPair(math.min(m, r.id), math.max(m, r.id))
                 }
                 members = r.id :: members
+                seen += r.id
                 if (members.length >= maxBucket) saturated = true
               }
             }

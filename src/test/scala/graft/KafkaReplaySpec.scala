@@ -503,4 +503,24 @@ class KafkaReplaySpec extends SparkSpec {
       Option(ex.getCause).map(_.getMessage).mkString
     assert(msg.contains("sink needs columns"), s"got: $msg")
   }
+
+  test("avroDeadLetters isolates undecodable payloads from tombstones (r15)") {
+    import graft.streaming.StreamingPipeline
+    val dir = writeTopic(2) // 2 live users + the null-value tombstone
+    KafkaReplay.append(dir, Seq(
+      KafkaReplay.Record(0, "corrupt".getBytes, Array[Byte](9, 9, 9), tsMicros)))
+    val shaped = spark.read.format(KafkaReplay.ShortName).option("path", dir)
+      .option("topic", "users").load()
+      .select($"key".cast("string").as("key"), $"value",
+        $"topic", $"partition", $"offset", $"timestamp")
+    val dlq = StreamingPipeline.avroDeadLetters(shaped, schema).collect()
+    assert(dlq.map(_.getAs[String]("key")).toSeq === Seq("corrupt"),
+      "only the present-but-undecodable record belongs on the DLQ - " +
+        "tombstones (null value) are deletes, not corruption")
+    // and the main path still drops both, as the pinned skip semantic says
+    val live = StreamingPipeline.transformed(
+      StreamingPipeline.enforceAvro(shaped, schema, permissive = true),
+      ProfileTransform(clock = Some(Instant.parse("2024-01-01T00:00:00Z"))))
+    assert(!live.select("user_id").as[String].collect().contains("corrupt"))
+  }
 }

@@ -340,6 +340,22 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("total")))
     assert(v0.toSeq === Seq((1L, 3.0), (2L, 3.0)))
+    // bounded version tail (r15): replay of batch B only ever reads
+    // v=B-1, so older committed versions are swept — a continuous
+    // deployment must not write one full snapshot per micro-batch forever
+    stream.addData(ev(5, "a", 1.0, 1L)); run() // batch 2
+    stream.addData(ev(6, "a", 1.0, 1L)); run() // batch 3
+    stream.addData(ev(7, "a", 1.0, 1L)); run() // batch 4
+    val dirs2 = new java.io.File(stateDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs2.toSeq === Seq("v=2", "v=3", "v=4"),
+      s"expected a bounded version tail, got ${dirs2.toSeq}")
+    val snap2 = StreamingPipeline.currentTotals(spark, stateDir).get
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("total"),
+        r.getAs[Long]("n_events")))
+    assert(snap2.toSeq === Seq((1L, 10.0, 6L), (2L, 3.0, 1L), (3L, 5.0, 1L)),
+      "the swept tail must not change the current snapshot")
   }
 
   test("watermarked tumbling window matches batch aggregation") {
