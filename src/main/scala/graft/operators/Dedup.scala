@@ -100,10 +100,11 @@ object Dedup {
     // clearCache-between-queries drops it afterwards)
     val occ = docs.select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
       .persist()
-    // registry-tracked (r13): the pin must outlive this call (the
-    // returned plan consumes occ twice, lazily), so it cannot unpersist
-    // here — the registry frees the grand-predecessor on re-invocation
-    // instead of leaking one corpus-scale cache per call
+    // registry-tracked (r13, r15 semantics): the pin must outlive this
+    // call (the returned plan consumes occ twice, lazily), so it cannot
+    // unpersist here — the registry keys on the canonicalized plan, so
+    // identical re-invocations share ONE cache entry, released at
+    // evict/application end
     PinRegistry.replace("dedup.substringSpans", Seq(occ))
     val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minOcc).select(col("h"))
@@ -301,6 +302,24 @@ object Dedup {
     (newBanded, untouched.unionByName(rewritten))
   }
 
+  /** Bucket-local ordered pair explosion — ONE kernel shared by every
+    * banded family (r15 review: the MinHash / SimHash / winnowing /
+    * blocked-Jaccard paths each re-spelled it, so a pairing fix had to
+    * land in four places or silently diverge candidate generation).
+    * `idOf` extracts the id from an element reference; `payload` adds
+    * per-pair struct fields (e.g. hamming, jaccard). */
+  private def pairExplode(arrCol: String, idOf: String => String,
+      payload: (String, String) => Seq[String] = (_, _) => Seq.empty): Column = {
+    val (ei, ej) = (s"$arrCol[i]", s"$arrCol[j]")
+    val extra = payload(ei, ej).map(",\n                " + _).mkString
+    explode(expr(
+      s"""flatten(transform(sequence(0, size($arrCol)-2),
+         |  i -> transform(sequence(i+1, size($arrCol)-1),
+         |    j -> struct(least(${idOf(ei)}, ${idOf(ej)}) AS id_a,
+         |                greatest(${idOf(ei)}, ${idOf(ej)}) AS id_b$extra))))"""
+        .stripMargin))
+  }
+
   /** LSH banding: docs sharing any (band index, band hash) become
     * candidate pairs. One row per (doc, band); ONE shuffle groups rows
     * into buckets and pairs are exploded bucket-locally — no self-join,
@@ -318,11 +337,7 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     // 0-based [] indexing; ids within a bucket are pair-exploded locally.
-    buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(ids)-2),
-        |  i -> transform(sequence(i+1, size(ids)-1),
-        |    j -> struct(least(ids[i], ids[j]) AS id_a,
-        |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
+    buckets.select(pairExplode("ids", identity).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
@@ -350,18 +365,21 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8, useMd5: Boolean = true): DataFrame = {
+      threshold: Double = 0.8, useMd5: Boolean = true,
+      maxBucket: Int = 1000): DataFrame = {
     val withSh = df.select(col(idCol), TextFunctions.shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // registry-tracked like substringSpans' gram pin: the shingle frame
     // feeds both the banding and the verify join of the LAZY result, so
-    // it cannot unpersist here — re-invocation frees the superseded pin
+    // it cannot unpersist here — identical re-invocations share one
+    // registry-held cache entry (released at evict/application end)
     PinRegistry.replace("dedup.minhashNearDups", Seq(withSh))
     val sig = if (useMd5) minhashSignatureMd5(col("sh"), numHashes)
               else minhashSignatureFast(col("sh"), numHashes)
     val withSig = withSh.withColumn("sig", sig)
-    val cands = lshCandidates(withSig, idCol, "sig", bands, numHashes / bands, useMd5 = useMd5)
+    val cands = lshCandidates(withSig, idCol, "sig", bands, numHashes / bands,
+      maxBucket = maxBucket, useMd5 = useMd5)
     jaccardVerify(cands, withSh, idCol, "sh", threshold)
   }
 
@@ -375,12 +393,23 @@ object Dedup {
   def autoBandedNearDups(
       plan: DataFrame, df: DataFrame, idCol: String, textCol: String,
       threshold: Double, floorMicro: Long,
-      k: Int = 3, numHashes: Int = 16, useMd5: Boolean = true): DataFrame = {
+      k: Int = 3, numHashes: Int = 16, useMd5: Boolean = true,
+      maxBucket: Int = 1000): DataFrame = {
     val sTenths = math.round(threshold * 10).toInt
+    // the band plan measures recall on a TENTH grid — silently rounding
+    // 0.75 to the 0.8 S-curve point would select a banding whose recall
+    // floor holds at a HIGHER similarity than the one verified below
+    // (recall is lower at 0.75), violating the caller's floor with no
+    // error (r15 review)
+    require(math.abs(threshold * 10 - sTenths) < 1e-9,
+      s"threshold $threshold must sit on the band plan's tenth grid " +
+        "(the S-curve is measured at s = 0.1k); interpolate the plan or " +
+        "re-measure at the target similarity")
     val (bands, rows) = autoBanding(plan, sTenths, floorMicro)
     require(bands * rows == numHashes,
       s"plan banding ${bands}x$rows does not factor the $numHashes-hash signature")
-    minhashNearDups(df, idCol, textCol, k, numHashes, bands, threshold, useMd5)
+    minhashNearDups(df, idCol, textCol, k, numHashes, bands, threshold, useMd5,
+      maxBucket)
   }
 
   /** 64-bit SimHash of a token array: per-bit majority vote of token
@@ -436,12 +465,8 @@ object Dedup {
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-    buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(xs)-2),
-        |  i -> transform(sequence(i+1, size(xs)-1),
-        |    j -> struct(least(xs[i].id, xs[j].id) AS id_a,
-        |                greatest(xs[i].id, xs[j].id) AS id_b,
-        |                bit_count(xs[i].sig ^ xs[j].sig) AS hamming))))""".stripMargin)).as("p"))
+    buckets.select(pairExplode("xs", e => s"$e.id",
+        (i, j) => Seq(s"bit_count($i.sig ^ $j.sig) AS hamming")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -461,11 +486,7 @@ object Dedup {
     val buckets = fps.groupBy(col("fp"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(ids)-2),
-        |  i -> transform(sequence(i+1, size(ids)-1),
-        |    j -> struct(least(ids[i], ids[j]) AS id_a,
-        |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
+    buckets.select(pairExplode("ids", identity).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared_fps"))
       .filter(col("n_shared_fps") >= minShared)
@@ -535,12 +556,26 @@ object Dedup {
     // explosion and OOM'd the executor heap.
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (p.count() <= driverEdgeLimit) {
-      val edges = p.collect().map(r =>
-        (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
-      p.unpersist()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+    // generic external-value ordering for the driver union-find (r15
+    // review): ids are any orderable type — string doc ids reach this
+    // operator through every candidate family, and the old
+    // getAs[Number] crashed exactly when the corpus was SMALL enough
+    // for the driver path while working at scale. None = an id type
+    // the driver path doesn't handle; the distributed loop (correct
+    // for any type) takes over regardless of edge count.
+    import org.apache.spark.sql.types._
+    val driverOrd: Option[Ordering[Any]] = p.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue()))
+      case StringType => Some(Ordering.by((v: Any) => v.asInstanceOf[String]))
+      case _ => None
+    }
+    if (driverOrd.isDefined && p.count() <= driverEdgeLimit) {
+      val ord = driverOrd.get
+      val edges = try p.collect().map(r => (r.get(0), r.get(1)))
+      finally p.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent(r) != r) r = parent(r)
         var c = x
@@ -550,14 +585,54 @@ object Dedup {
       edges.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        if (ord.lt(ra, rb)) parent(rb) = ra
+        else if (ord.lt(rb, ra)) parent(ra) = rb
       }
-      val rows = parent.keysIterator.map(n => (n, find(n))).toSeq
-      import spark.implicits._
-      return rows.toDF("node", "component")
+      // emit with the INPUT id type (r15 review: the driver arm used to
+      // hardwire LongType, so the output schema flipped with edge count)
+      val idType = p.schema.head.dataType
+      val outRows = parent.keysIterator
+        .map(n => org.apache.spark.sql.Row(n, find(n))).toSeq
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows, 1),
+        // nullable=true matches the distributed arm's join-derived
+        // schema, so the two paths are schema-IDENTICAL, not just
+        // type-identical
+        StructType(Seq(StructField("node", idType, nullable = true),
+          StructField("component", idType, nullable = true))))
     }
-    val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Non-numeric ids on the DISTRIBUTED path (r15 review): the
+    // decimal-sum convergence probe needs numeric labels, so string ids
+    // route through rank-ordered long SURROGATES — a distributed sortBy
+    // + zipWithIndex (range-partitioned, never single-partition), loop
+    // on longs, map back at the end. Rank order (not hash) keeps the
+    // component representative = the min ORIGINAL id, exactly what the
+    // driver arm and the docstring promise. Exotic id types fail loudly
+    // up front instead of crashing mid-loop.
+    val surrogates: Option[DataFrame] = p.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => None
+      case StringType =>
+        import spark.implicits._
+        val m = p.select(col("id_a").as("n")).union(p.select(col("id_b").as("n")))
+          .distinct().as[String].rdd
+          .sortBy(identity).zipWithIndex()
+          .toDF("orig", "nid")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        m.count(): Unit
+        Some(m)
+      case t => throw new UnsupportedOperationException(
+        s"connectedComponents: unsupported id type ${t.simpleString} " +
+          "(numeric and string ids are supported)")
+    }
+    val edges = surrogates match {
+      case None => p
+      case Some(m) =>
+        p.join(m.select(col("orig").as("id_a"), col("nid").as("nid_a")), "id_a")
+          .join(m.select(col("orig").as("id_b"), col("nid").as("nid_b")), "id_b")
+          .select(col("nid_a").as("id_a"), col("nid_b").as("id_b"))
+    }
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Each iteration references `labels` twice (propagation join + the
     // convergence check), so the LOGICAL PLAN doubles per iteration —
@@ -591,6 +666,10 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
+    // failure hygiene (r15 review): an executor-lost/OOM inside any
+    // labelSum action used to propagate out with p, sym, and the
+    // current label checkpoint still pinned for the session lifetime
+    try {
     while (!converged && i < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
@@ -618,9 +697,24 @@ object Dedup {
       prevSum = curSum
       i += 1
     }
-    sym.unpersist()
-    p.unpersist()
-    labels.select(col("node"), col("label").as("component"))
+    } catch { case t: Throwable =>
+      LocalCheckpoints.free(labelRdds) // no frame returned: free the last pin
+      surrogates.foreach(_.unpersist(): Unit)
+      throw t
+    } finally {
+      sym.unpersist(): Unit
+      p.unpersist(): Unit
+    }
+    surrogates match {
+      case None => labels.select(col("node"), col("label").as("component"))
+      case Some(m) =>
+        // the mapping stays pinned only for this lazy plan's joins; it is
+        // node-sized and collected into broadcasts at small scale
+        labels
+          .join(m.select(col("nid").as("node"), col("orig").as("node_orig")), "node")
+          .join(m.select(col("nid").as("label"), col("orig").as("component")), "label")
+          .select(col("node_orig").as("node"), col("component"))
+    }
   }
 
   /** INCREMENTAL near-dup maintenance — the ingest-batch path. At
@@ -715,7 +809,16 @@ object Dedup {
     // them at state-update time via [[updatedBandedState]], and any
     // that survive a lagging state get scrubbed here when a later
     // batch probes them.
-    val probed = arBuckets.join(existingBuckets, Seq("band", "bh"), "left")
+    // broadcast semi-reduction BEFORE the outer join (r15 review, the
+    // updatedBandedState discipline): the probe keys are batch-sized, so
+    // the corpus-scale index reduces to the probed buckets with a
+    // broadcast semi join (scan + filter, no index exchange) — without
+    // it a NON-bucketed index table (the SignalMemo materialization)
+    // sort-merge-shuffled the whole index on every arriving batch
+    val probedIdx = existingBuckets.join(
+      broadcast(arBuckets.select(col("band"), col("bh")).distinct()),
+      Seq("band", "bh"), "left_semi")
+    val probed = arBuckets.join(probedIdx, Seq("band", "bh"), "left")
     val liveOld = probed
       .select(col("band"), col("bh"),
         explode(coalesce(col("old_ids"), array().cast("array<bigint>"))).as("oid"))
@@ -733,12 +836,8 @@ object Dedup {
         |  n -> transform(old_ids,
         |    o -> struct(least(n, o) AS id_a, greatest(n, o) AS id_b))))"""
         .stripMargin)).as("p"))
-    val within = touched.filter(size(col("new_ids")) >= 2).select(explode(expr(
-      """flatten(transform(sequence(0, size(new_ids)-2),
-        |  i -> transform(sequence(i+1, size(new_ids)-1),
-        |    j -> struct(least(new_ids[i], new_ids[j]) AS id_a,
-        |                greatest(new_ids[i], new_ids[j]) AS id_b))))"""
-        .stripMargin)).as("p"))
+    val within = touched.filter(size(col("new_ids")) >= 2)
+      .select(pairExplode("new_ids", identity).as("p"))
     val cands = cross.unionByName(within)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).distinct()
     // Re-ingest safety (ADVICE r12): if a batch carries an id the
@@ -852,13 +951,9 @@ object Dedup {
       .groupBy(col("block"))
       .agg(collect_list(struct(col(idCol).as("id"), col("sh").as("sh"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBlock))
-    buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(xs)-2),
-        |  i -> transform(sequence(i+1, size(xs)-1),
-        |    j -> struct(least(xs[i].id, xs[j].id) AS id_a,
-        |                greatest(xs[i].id, xs[j].id) AS id_b,
-        |                CAST(size(array_intersect(xs[i].sh, xs[j].sh)) AS DOUBLE)
-        |                  / size(array_union(xs[i].sh, xs[j].sh)) AS jaccard))))""".stripMargin)).as("p"))
+    buckets.select(pairExplode("xs", e => s"$e.id",
+        (i, j) => Seq(s"CAST(size(array_intersect($i.sh, $j.sh)) AS DOUBLE)" +
+          s" / size(array_union($i.sh, $j.sh)) AS jaccard")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.jaccard").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

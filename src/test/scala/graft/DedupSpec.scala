@@ -196,6 +196,37 @@ class DedupSpec extends SparkSpec {
     assert((1L to 40L).map(chainGot).distinct === Seq(1L))
   }
 
+  test("connected components: string ids work on BOTH paths with a stable schema (r15)") {
+    // the driver arm used to assume numeric ids (ClassCastException on
+    // exactly the small corpora it serves) and hardwire LongType output
+    // (schema flipped with edge count)
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+    val distributed = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+    assert(local.schema === distributed.schema,
+      "driver and distributed arms must agree on the output schema")
+    val lm = local.as[(String, String)].collect().toMap
+    val dm = distributed.as[(String, String)].collect().toMap
+    assert(lm === dm)
+    assert(Seq("doc-a", "doc-b", "doc-c").map(lm).distinct === Seq("doc-a"))
+    assert(lm("x") === "x" && lm("y") === "x")
+    // int ids keep their type on the driver arm too
+    val intPairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(intPairs).schema("node").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("autoBandedNearDups rejects off-grid thresholds instead of silently rounding (r15)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val plan = graft.queries.DedupQueries.dedupLshBandPlan(spark, sf)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.autoBandedNearDups(plan, docs, "doc_id", "text",
+        threshold = 0.75, floorMicro = 500000L)
+    }
+    assert(ex.getMessage.contains("tenth grid"))
+  }
+
   test("winnowing near-dups find the true J>=0.8 pairs on real docs") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val viaWinnowing = Dedup.winnowingNearDups(docs, "doc_id", "text")
