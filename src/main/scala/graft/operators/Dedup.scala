@@ -593,8 +593,12 @@ object Dedup {
       val idType = p.schema.head.dataType
       val outRows = parent.keysIterator
         .map(n => org.apache.spark.sql.Row(n, find(n))).toSeq
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(outRows, 1),
+      // LOCAL relation, not an RDD scan: a parallelize-backed frame has
+      // no size statistics, so every downstream join against the
+      // (tiny) component table lost its auto-broadcast and went
+      // sort-merge — the PlanShapeSpec shuffle budget caught it
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(outRows.asJava,
         // nullable=true matches the distributed arm's join-derived
         // schema, so the two paths are schema-IDENTICAL, not just
         // type-identical

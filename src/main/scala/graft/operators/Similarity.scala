@@ -36,6 +36,10 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", sim(col("qvec"), col("nvec"), fused))
+      // a null sim (null or mis-dimensioned vector) is incomparable, not
+      // "worst": rank only scored pairs, exactly as TopKByScore skips
+      // null scores — the two formulations must agree row-for-row (r15)
+      .filter(col("sim").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored
@@ -86,7 +90,11 @@ object Similarity {
   private def bandedIds(
       df: DataFrame, idCol: String, vecCol: String, idAs: String,
       bands: Int, bitsPerBand: Int, md5Planes: Boolean = false): DataFrame =
-    df.select(col(idCol).as(idAs),
+    // null vectors band to NO rows (r15 review): a null signature fell
+    // through concat_ws (which skips null args) to bits="", co-bucketing
+    // every null-vector row into one junk bucket per band — inflating
+    // candidate budgets with pairs whose sim is null anyway
+    df.filter(col(vecCol).isNotNull).select(col(idCol).as(idAs),
       (if (md5Planes) VectorFunctions.hyperplaneSignatureMd5(col(vecCol), bands * bitsPerBand)
        else VectorFunctions.hyperplaneSignature(col(vecCol), bands * bitsPerBand)).as("sig"))
       .select(col(idAs),
@@ -94,6 +102,23 @@ object Similarity {
           lit(bd).as("band"),
           concat_ws("", slice(col("sig"), bd * bitsPerBand + 1, bitsPerBand)).as("bits"))): _*)).as("e"))
       .select(col(idAs), col("e.band").as("band"), col("e.bits").as("bits"))
+
+  /** Bucket-collect + triangular unique-pair enumeration over banded
+    * (id, band, bits) rows — ONE kernel shared by [[knnJoinLsh]] and
+    * [[nearDupPairsLsh]] (r15 review: two verbatim copies of the
+    * explosion SQL had to be kept in sync by hand). size^2/2 transient
+    * structs, unordered (a<b) pairs deduped before any vector moves. */
+  private def bucketsToUniquePairs(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("bits"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids)-2),
+          |  i -> transform(sequence(i+1, size(ids)-1),
+          |    j -> struct(least(ids[i], ids[j]) AS id_a,
+          |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
 
   /** kNN self-join: for EVERY vector, its k nearest neighbors among LSH
     * bucket collisions (approximate). Unlike `bruteForceTopK` (small
@@ -111,20 +136,9 @@ object Similarity {
       k: Int, bands: Int = 8, bitsPerBand: Int = 4,
       maxBucket: Int = 2000, md5Planes: Boolean = false): DataFrame = {
     val banded = bandedIds(corpus, idCol, vecCol, "id", bands, bitsPerBand, md5Planes)
-    val buckets = banded
-      .groupBy(col("band"), col("bits"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    // triangular enumeration: size²/2 transient structs, and the dedup
-    // shuffle carries unordered pairs (half the rows); both orientations
-    // are regenerated AFTER the distinct — a projection, not a shuffle
-    val upairs = buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(ids)-2),
-        |  i -> transform(sequence(i+1, size(ids)-1),
-        |    j -> struct(least(ids[i], ids[j]) AS id_a,
-        |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    // both orientations are regenerated AFTER the distinct — a
+    // projection, not a shuffle
+    val upairs = bucketsToUniquePairs(banded, maxBucket)
     val pairs = upairs
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
       .union(upairs.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
@@ -170,16 +184,40 @@ object Similarity {
     * config (vectors never move; the per-config agg is map-combined). */
   def bucketPlan(df: DataFrame, idCol: String, vecCol: String,
       configs: Seq[(Int, Int)], budget: Long,
-      maxBucket: Int = 10000): DataFrame =
-    configs.map { case (b, bits) =>
-      bandedIds(df, idCol, vecCol, "id", b, bits, md5Planes = true)
-        .groupBy(col("band"), col("bits")).agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, maxBucket))
-        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("candidate_pairs"))
-        .select(lit(b).as("bands"), lit(bits).as("bits_per_band"),
-          col("candidate_pairs"),
-          (col("candidate_pairs") <= budget).as("within_budget"))
-    }.reduce(_ unionByName _)
+      maxBucket: Int = 10000, md5Planes: Boolean = true): DataFrame = {
+    require(configs.nonEmpty, "bucketPlan: no candidate configs")
+    // ONE signature pass at the max plane count + ONE shuffle for every
+    // config (r15 review: the old per-config union re-scanned and
+    // re-signed the corpus |configs| times — 9 passes for the
+    // registered sweep). The plane family is config-independent, so
+    // config (b, bits) reads the PREFIX b·bits of the shared signature —
+    // the same prefix-sharing the DuckDB oracle's plane CTE uses.
+    val maxPlanes = configs.map { case (b, bits) => b * bits }.max
+    val withSig = df.filter(col(vecCol).isNotNull).select(
+      (if (md5Planes) VectorFunctions.hyperplaneSignatureMd5(col(vecCol), maxPlanes)
+       else VectorFunctions.hyperplaneSignature(col(vecCol), maxPlanes)).as("sig"))
+    val exploded = withSig.select(explode(array(configs.flatMap { case (b, bits) =>
+      (0 until b).map(bd => struct(
+        lit(b).as("bands"), lit(bits).as("bits_per_band"), lit(bd).as("band"),
+        concat_ws("", slice(col("sig"), bd * bits + 1, bits)).as("bits")))
+    }: _*)).as("e"))
+    val counts = exploded
+      .groupBy(col("e.bands").as("bands"), col("e.bits_per_band").as("bits_per_band"),
+        col("e.band"), col("e.bits"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+      .groupBy(col("bands"), col("bits_per_band"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("cp"))
+    // left join against the config list so a config with NO >=2 buckets
+    // still gets its (zero-mass, within-budget) row
+    val spark = df.sparkSession
+    import spark.implicits._
+    configs.toDF("bands", "bits_per_band")
+      .join(counts, Seq("bands", "bits_per_band"), "left")
+      .select(col("bands"), col("bits_per_band"),
+        coalesce(col("cp"), lit(0L)).as("candidate_pairs"),
+        (coalesce(col("cp"), lit(0L)) <= budget).as("within_budget"))
+  }
 
   /** PRESCRIPTIVE selection over [[bucketPlan]] (VERDICT r11 ask #3 —
     * the planning table consumed, not just published): among the
@@ -189,15 +227,16 @@ object Similarity {
     * then LARGEST measured candidate mass (candidate volume is the
     * recall knob — buy as much recall as the budget affords), ties to
     * fewer bands then fewer bits. If NO config fits the budget the
-    * ordering degrades gracefully to the cheapest-infeasible choice
-    * (max mass still orders them; the caller's budget guard will trip
-    * loudly downstream). Cost: one ids-only banding pass per config —
-    * the same work [[bucketPlan]] already does; the |configs|-row
+    * same ordering applies over the infeasible set (max mass first —
+    * kept identical to the oracle-pinned policy), and [[autoBandPairs]]
+    * ARMS the maxCandidatePairs guard so the run fails loudly with the
+    * re-banding suggestion instead of silently going quadratic. Cost:
+    * one shared signature pass ([[bucketPlan]]); the |configs|-row
     * collect is a driver-side planning decision, not data movement. */
   def autoBand(df: DataFrame, idCol: String, vecCol: String,
       configs: Seq[(Int, Int)], budget: Long,
-      maxBucket: Int = 10000): (Int, Int) =
-    autoBandFrom(bucketPlan(df, idCol, vecCol, configs, budget, maxBucket))
+      maxBucket: Int = 10000, md5Planes: Boolean = true): (Int, Int) =
+    autoBandFrom(bucketPlan(df, idCol, vecCol, configs, budget, maxBucket, md5Planes))
 
   /** The [[autoBand]] selection over an ALREADY-MEASURED plan table
     * (the [[bucketPlan]] shape) — callers holding a memoized/persisted
@@ -207,6 +246,10 @@ object Similarity {
   def autoBandFrom(plan: DataFrame): (Int, Int) = {
     val rows = plan.collect()
     require(rows.nonEmpty, "autoBand: empty bucket-plan table")
+    autoBandFromRows(rows)
+  }
+
+  private def autoBandFromRows(rows: Array[org.apache.spark.sql.Row]): (Int, Int) = {
     val best = rows.minBy(r => (
       !r.getAs[Boolean]("within_budget"),
       -r.getAs[Long]("candidate_pairs"),
@@ -224,8 +267,21 @@ object Similarity {
   def autoBandPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, configs: Seq[(Int, Int)], budget: Long,
       maxBucket: Int = 10000, md5Planes: Boolean = false): DataFrame = {
-    val (bands, bits) = autoBand(df, idCol, vecCol, configs, budget, maxBucket)
-    nearDupPairsLsh(df, idCol, vecCol, threshold, bands, bits, maxBucket, md5Planes)
+    // the plan is measured with the SAME plane family that executes
+    // (r15 review: bucketPlan used to hardcode md5 while the default
+    // execution banded with xxhash planes — the budget decision was
+    // made on buckets that never ran)
+    val plan = bucketPlan(df, idCol, vecCol, configs, budget, maxBucket, md5Planes)
+    val rows = plan.collect()
+    require(rows.nonEmpty, "autoBand: empty bucket-plan table")
+    val feasible = rows.exists(_.getAs[Boolean]("within_budget"))
+    val (bands, bits) = autoBandFromRows(rows)
+    // nothing fit => the planner could NOT make the budget decision:
+    // arm the loud envelope so the run fails with the re-banding
+    // suggestion instead of silently enumerating an over-budget
+    // candidate mass (r15 review — the doc promised this guard)
+    nearDupPairsLsh(df, idCol, vecCol, threshold, bands, bits, maxBucket,
+      md5Planes, maxCandidatePairs = if (feasible) None else Some(budget))
   }
 
   /** The candidate-pair mass a banding would enumerate: Σ over buckets
@@ -278,17 +334,7 @@ object Similarity {
       }
     }
     val banded = bandedIds(df, idCol, vecCol, "id", bands, bitsPerBand, md5Planes)
-    val buckets = banded
-      .groupBy(col("band"), col("bits"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val pairs = buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(ids)-2),
-        |  i -> transform(sequence(i+1, size(ids)-1),
-        |    j -> struct(least(ids[i], ids[j]) AS id_a,
-        |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    val pairs = bucketsToUniquePairs(banded, maxBucket)
     pairs
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
@@ -430,8 +476,16 @@ object Similarity {
       val firstHex = "0123456789abcdef".charAt((b0 >> 4) & 0xf)
       if (firstHex.toInt % 2 == 1) 1L else -1L
     }
+    // a vector whose length differs from `dims` must FAIL, not sketch:
+    // zip_with pads the shorter side with nulls and the fold would emit
+    // val=null for every output dim — a misconfigured 100 TB sketch
+    // completing "successfully" all-null (r15 review)
     val quantized = df.select(col(idCol),
-      transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long")).as("__q"))
+      when(size(col(vecCol)) === dims,
+        transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long")))
+        .otherwise(raise_error(concat(
+          lit(s"randomProjection: vector length "), size(col(vecCol)),
+          lit(s" != dims $dims")))).as("__q"))
     val scale = math.sqrt(outDims.toDouble)
     val projCols = (0 until outDims).map { j =>
       val signs = typedLit((0 until dims).map(i => signOf(j, i)))

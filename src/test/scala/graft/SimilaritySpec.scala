@@ -414,6 +414,66 @@ class SimilaritySpec extends SparkSpec {
     assert(auto === explicit)
   }
 
+  test("autoBandPairs arms the budget guard when NO config fits (r15)") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // budget 1: every config's measured mass exceeds it, so the planner
+    // cannot make the budget decision — the run must fail with the
+    // re-banding suggestion instead of silently enumerating over-budget
+    val ex = intercept[IllegalStateException] {
+      Similarity.autoBandPairs(emb, "vec_id", "embedding", threshold = 0.4,
+        configs = Seq((6, 3), (8, 4)), budget = 1L, md5Planes = true).count()
+    }
+    assert(ex.getMessage.contains("budget"))
+    // with a workable budget the same call runs clean
+    assert(Similarity.autoBandPairs(emb, "vec_id", "embedding", threshold = 0.4,
+      configs = Seq((6, 3), (8, 4)), budget = 4000000L, md5Planes = true)
+      .count() > 0L)
+  }
+
+  test("null embedding vectors produce no candidates, not a shared junk bucket (r15)") {
+    import graft.operators.Similarity
+    val base = Seq(
+      (1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val nulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(10L, null), org.apache.spark.sql.Row(11L, null), org.apache.spark.sql.Row(12L, null)), 1),
+      base.schema)
+    val pairs = Similarity.nearDupPairsLsh(base.unionByName(nulls),
+      "vec_id", "embedding", threshold = 0.4, bands = 2, bitsPerBand = 2,
+      md5Planes = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      s"null vectors must not co-bucket into junk candidates: $pairs")
+  }
+
+  test("brute-force window and TopKByScore formulations agree under null sims (r15)") {
+    import graft.operators.Similarity
+    // one mis-dimensioned vector: its cosine is null -> incomparable,
+    // skipped by BOTH formulations (the window used to rank it last)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val win = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val agg = Similarity.bruteForceTopKAgg(corpus, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(win === agg)
+    assert(win === Set((1L, 1, 2L)), "the mis-dimensioned vector is skipped, not ranked")
+  }
+
+  test("randomProjection fails loudly on a dims mismatch (r15)") {
+    import graft.operators.Similarity
+    val bad = Seq((1L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.randomProjection(bad, "vec_id", "embedding",
+        dims = 16, outDims = 4).collect()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString
+    assert(msg.contains("vector length") || msg.contains("randomProjection"),
+      s"got: $msg")
+  }
+
   test("autoProbe: smallest within-floor depth; monotone fallback to max depth") {
     import spark.implicits._
     def plan(rows: (Int, Long)*) =
