@@ -21,6 +21,20 @@ object VectorFunctions {
 
   import org.apache.spark.sql.graft.ExprBridge
 
+  /** Double squared-L2 between two float arrays as an index-ordered
+    * fold — bit-identical to the oracle's list_transform+list_sum. ONE
+    * home (r15 review: Ivf, Pq, and an inline copy in Ivf.searchIndexed
+    * each re-spelled it; the fold order and cast placement are
+    * load-bearing for oracle bit-equality, so a fix to one copy must
+    * not diverge the others). */
+  def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.zip_with(a, b,
+        (x, c) => (x.cast("double") - c.cast("double")) *
+          (x.cast("double") - c.cast("double"))),
+      org.apache.spark.sql.functions.lit(0.0), (acc, v) => acc + v)
+
   def cosine(a: Column, b: Column): Column =
     ExprBridge.column(CosineSimilarity(ExprBridge.expression(a), ExprBridge.expression(b)))
 

@@ -34,6 +34,12 @@ object Ivf {
     val featured = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("__features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registry-tracked (r15 review): the returned Index.assigned reads
+    // this pin lazily, so it cannot unpersist here — without the
+    // registry every build() leaked one corpus-scale cache for the
+    // session lifetime; identical re-builds now share one entry,
+    // released at evict/application end
+    graft.operators.PinRegistry.replace("ivf.build", Seq(featured))
     // Coarse-quantizer settings: random init + few iterations is the
     // standard IVF build recipe (the cells only need to be roughly
     // balanced, not optimal) — k-means|| init plus the default 20
@@ -57,12 +63,10 @@ object Ivf {
       .toSeq.toDF("cell", "centroid")
   }
 
-  /** Squared L2 distance between two float arrays, folded in index
-    * order — bit-identical to the oracle's list_transform+list_sum. */
-  private def dist2(a: Column, b: Column): Column = aggregate(
-    zip_with(a, b,
-      (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-    lit(0.0), (acc, v) => acc + v)
+  /** Shared squared-L2 fold — single-homed in
+    * [[graft.functions.VectorFunctions.dist2]] (r15 review). */
+  private def dist2(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dist2(a, b)
 
   def search(
       index: Index, queries: DataFrame, idCol: String, vecCol: String,
@@ -109,16 +113,10 @@ object Ivf {
         col("t.id").as("neighbor_id"), col("t.score").as("sim"))
   }
 
-  /** Deterministic, engine-neutral IVF: centroids are the nCells corpus
-    * vectors with the lexicographically smallest md5(id) (a seeded
-    * sample — the standard "coarse quantizer from sampled points"
-    * degenerate of k-means with 0 iterations), and every vector joins
-    * the argmin-d2 cell (ties to the lowest cell id). No MLlib state,
-    * so a DuckDB oracle can rebuild the exact same cells — the IVF
-    * probe/rerank machinery runs under the full hash gate. The k-means
-    * build (`build`/`topK`) remains the quality quantizer. */
-  /** Every vector joins its argmin-d2 cell (ties to the lowest cell id);
-    * centroids are tiny and broadcast. */
+  /** Every vector joins its argmin-d2 cell (ties to the lowest cell
+    * id); centroids are tiny and broadcast. PRECONDITION (r15): ids
+    * are unique — a duplicate id keeps only one of its vectors in the
+    * index (the argmin window collapses them). */
   private def assignTo(corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val assignRank = Window.partitionBy(col("__id")).orderBy(col("d2"), col("cell"))
@@ -264,18 +262,21 @@ object Ivf {
       k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val cents = centroidsDf(spark, model)
-    val dist2 = aggregate(
-      zip_with(col("qvec"), col("centroid"),
-        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
     val cellRank = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
-    val probed = q.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2)
+    // ONE probe execution (r15 review): the probe plan used to run
+    // twice — once collected for the partition filter, once re-executed
+    // inside the candidate join. Collect the (query-set x nProbe)-sized
+    // probe ONCE and feed the join from the local relation (size stats
+    // known, so the probe side broadcasts).
+    val probedRows = q.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("qvec"), col("centroid")))
       .withColumn("__r", row_number().over(cellRank))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell"))
-    val probedCells = probed.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val collected = probedRows.collect()
+    import scala.jdk.CollectionConverters._
+    val probed = spark.createDataFrame(collected.toSeq.asJava, probedRows.schema)
+    val probedCells = collected.map(_.getAs[Int]("cell")).distinct.sorted
     val lists = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))

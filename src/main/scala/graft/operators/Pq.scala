@@ -97,6 +97,10 @@ object Pq {
         .groupBy(col("blk"), col("code"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          // exactness envelope (r15): s is an exact long sum, and the
+          // double division stays bit-deterministic while |s| < 2^53 —
+          // i.e. up to ~9e8 rows per (blk, code) at |x| <= 10; beyond
+          // that the "integer-exact mean" claim would need decimal math
           t => round(t.getField("s").cast("double") / t.getField("n")).cast("long"))
           .as("newqc"))
       val (ck, ckRdds) = LocalCheckpoints.tracked(
@@ -116,6 +120,12 @@ object Pq {
     * through so no corpus-corpus join is needed to re-attach them. */
   def encode(emb: DataFrame, cb: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, carry: Seq[String] = Nil): DataFrame = {
+    // validated HERE too, not only in codebook (r15 review): with a
+    // prebuilt cb an un-split dim silently truncated — dim=64, m=7 gave
+    // subDim=9 and dimension 63 never participated in any distance.
+    // PRECONDITION (also r15): ids are unique — duplicate ids would
+    // interleave sub-vectors across rows into a chimeric code word.
+    require(dim % m == 0, s"dim $dim must split into $m equal blocks")
     val subDim = dim / m
     val vb = emb.select((col(idCol).as("id") +: carry.map(col)) :+
         posexplode(array((0 until m).map(b =>
@@ -152,9 +162,21 @@ object Pq {
     * colliding id is silently excluded. */
   def adcTopKWith(cb: DataFrame, emb: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, m: Int, topK: Int,
-      shortlist: Int): DataFrame = {
-    val subDim = dim / m
-    val codes = encode(emb, cb, idCol, vecCol, dim, m)
+      shortlist: Int): DataFrame =
+    adcTopKWithCodes(cb, encode(emb, cb, idCol, vecCol, dim, m),
+      emb, queries, idCol, vecCol, dim, m, topK, shortlist)
+
+  /** [[adcTopKWith]] over an ALREADY-ENCODED codes table (the
+    * [[encode]] output shape) — the true production call: codebook AND
+    * codes are built once at ingest, so a query wave pays only the
+    * LUT + shortlist + rerank. The sibling overload re-encoded the
+    * whole corpus (a full scan + corpus-wide groupBy shuffle) on every
+    * search call (r15 review). */
+  def adcTopKWithCodes(cb: DataFrame, encoded: DataFrame, emb: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
+      topK: Int, shortlist: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal blocks")
+    val codes = encoded
       .select(col("id"), posexplode(col("codes")).as(Seq("blk", "code")))
       .select(col("id"), col("blk").cast("int").as("blk"), col("code"))
     // the codebook is a fixed m·k-row model — always broadcast; the
@@ -181,8 +203,12 @@ object Pq {
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"))
       .agg(graft.expressions.TopKByScore.topk(
-        // long->double is EXACT below 2^53; the micro-unit quantization
-        // (1e6 x |v|<=10 floats, summed over dim) keeps adc under ~7e15
+        // long->double is EXACT below 2^53. Envelope (r15 corrected):
+        // per-dim DIFFERENCES reach 2x the quantized magnitude, so adc
+        // <= dim*(2*1e6*|v|)^2 — exact for |v| <= 5 at dim 64 (6.4e15);
+        // at |v| ~ 10 the cast can collapse 1-3-apart adc values and the
+        // shortlist boundary tiebreaks by id instead of exact adc.
+        // Unit-scale embeddings (every registered corpus) sit far below.
         -col("adc").cast("double"), col("neighbor_id"), shortlist).as("top"))
       .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
     val qfull = quantized(queries, idCol, vecCol).withColumnsRenamed(
@@ -206,36 +232,15 @@ object Pq {
       transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
         .as("qfull"))
 
-  /** Double squared-L2 as an ordered fold — the [[Ivf]] probe metric. */
-  private def dist2(a: Column, b: Column): Column = aggregate(
-    zip_with(a, b,
-      (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-    lit(0.0), (acc, v) => acc + v)
+  /** Shared squared-L2 fold — single-homed in
+    * [[graft.functions.VectorFunctions.dist2]] (r15 review). */
+  private def dist2(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dist2(a, b)
 
   /** Residual vector v − centroid(cell) as doubles. */
   private def residual(vec: Column, centroid: Column): Column =
     zip_with(vec, centroid, (x, c) => x.cast("double") - c)
 
-  /** IVF-PQ (the IVFADC layout of Jégou et al. §IV): the coarse
-    * quantizer's cells prune the corpus, and within a cell vectors are
-    * PQ-encoded as RESIDUALS from their centroid — the residual
-    * codebook spends its 4 bits on the within-cell spread instead of
-    * the corpus spread, which is why real systems encode residuals.
-    * Search probes the `nProbe` nearest cells, builds a per-(query,
-    * probed cell) residual lookup table, ADC-ranks the probed cells'
-    * codes, and exact-reranks the shortlist.
-    *
-    * Scale shape: everything the raw-PQ path broadcasts stays
-    * broadcast (codebook m·k rows; LUT |Q|·nProbe·m·k rows); the cell
-    * column rides through encoding (`carry`), so the codes table is
-    * born cell-partitioned — exactly how the persisted index would be
-    * laid out — and candidate generation touches only probed
-    * partitions. No corpus-corpus join anywhere. */
-  /** Build the IVF-PQ index over the WHOLE assigned corpus: the
-    * residual sub-codebook plus the exploded codes table (id, cell,
-    * blk, code). Build once (memoize/persist), probe many times —
-    * query-set exclusions belong at SEARCH time ([[ivfPqSearchWith]]'s
-    * `corpusPred`), exactly like the shared lexical posting index. */
   /** Residual vectors (id, cell, rvec) for an assigned corpus — the
     * IVF-PQ training/encoding input. */
   def residuals(cents: DataFrame, assigned: DataFrame,
@@ -252,6 +257,27 @@ object Pq {
       .select(col("id"), col("cell"), posexplode(col("codes")).as(Seq("blk", "code")))
       .select(col("id"), col("cell"), col("blk").cast("int").as("blk"), col("code"))
 
+  /** IVF-PQ (the IVFADC layout of Jégou et al. §IV): the coarse
+    * quantizer's cells prune the corpus, and within a cell vectors are
+    * PQ-encoded as RESIDUALS from their centroid — the residual
+    * codebook spends its 4 bits on the within-cell spread instead of
+    * the corpus spread, which is why real systems encode residuals.
+    * Search ([[ivfPqSearchWith]]) probes the `nProbe` nearest cells,
+    * builds a per-(query, probed cell) residual lookup table, ADC-ranks
+    * the probed cells' codes, and exact-reranks the shortlist.
+    *
+    * Scale shape: everything the raw-PQ path broadcasts stays
+    * broadcast (codebook m·k rows; LUT |Q|·nProbe·m·k rows); the cell
+    * column rides through encoding (`carry`), so the codes table is
+    * born cell-partitioned — exactly how the persisted index would be
+    * laid out — and candidate generation touches only probed
+    * partitions. No corpus-corpus join anywhere.
+    *
+    * Builds over the WHOLE assigned corpus: residual sub-codebook plus
+    * the exploded codes table (id, cell, blk, code). Build once
+    * (memoize/persist), probe many times — query-set exclusions belong
+    * at SEARCH time ([[ivfPqSearchWith]]'s `corpusPred`), exactly like
+    * the shared lexical posting index. */
   def ivfPqIndex(cents: DataFrame, assigned: DataFrame,
       idCol: String, vecCol: String, dim: Int, m: Int, k: Int,
       iters: Int = 1): (DataFrame, DataFrame) = {
@@ -302,8 +328,9 @@ object Pq {
       .filter(corpusPred)
       .groupBy(col("query_id"))
       .agg(graft.expressions.TopKByScore.topk(
-        // long->double is EXACT below 2^53; the micro-unit quantization
-        // (1e6 x |v|<=10 floats, summed over dim) keeps adc under ~7e15
+        // long->double EXACT below 2^53 — see adcTopKWithCodes' corrected
+        // envelope note: exact for |v| <= 5 at dim 64; unit-scale
+        // residuals sit far below
         -col("adc").cast("double"), col("neighbor_id"), shortlist).as("top"))
       .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
     val qfull = quantized(queries, idCol, vecCol).withColumnsRenamed(

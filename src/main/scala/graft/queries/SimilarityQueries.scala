@@ -118,10 +118,17 @@ object SimilarityQueries {
       graft.operators.Pq.codebook(Tables.embeddings(spark, dir),
         "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 1))
 
+  /** The encoded codes table as a memoized signal (r15): built once
+    * per (session, corpus) alongside the codebook — `emb_pq_codes` and
+    * `sim_topk_pq` both read it, so a query wave never re-encodes the
+    * corpus (adcTopKWithCodes). */
+  private[queries] def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    SignalMemo.cached(spark, dir, "pq_codes")(
+      graft.operators.Pq.encode(Tables.embeddings(spark, dir),
+        pqCodebook(spark, dir), "vec_id", "embedding", dim = 64, m = 8))
+
   def embPqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cb = pqCodebook(spark, dir)
-    graft.operators.Pq.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 8)
+    pqCodes(spark, dir)
       .select(col("id").as("vec_id") +:
         (0 until 8).map(i => col("codes")(i).as(s"code$i")) :+
         col("qerr"): _*)
@@ -135,8 +142,8 @@ object SimilarityQueries {
     * ≈ 0.79 vs brute on this corpus, measured in PqSpec. */
   def simTopKPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    graft.operators.Pq.adcTopKWith(pqCodebook(spark, dir), emb,
-      queriesSubset(emb), "vec_id", "embedding",
+    graft.operators.Pq.adcTopKWithCodes(pqCodebook(spark, dir),
+      pqCodes(spark, dir), emb, queriesSubset(emb), "vec_id", "embedding",
       dim = 64, m = 8, topK = 10, shortlist = 100)
       .orderBy(col("query_id"), col("rank"))
   }
