@@ -57,18 +57,43 @@ object SchemaCompat {
     (checkBackward(newJson, oldJson).map("backward: " + _) ++
       checkForward(newJson, oldJson).map("forward: " + _))
 
+  /** True iff the resolver location sits inside a union branch. Avro's
+    * incompatibility locations are JSON-pointer paths into the reader
+    * schema (`/fields/2/type`, `/fields/3/type/1`); the only integer
+    * segments are field indexes (directly after `fields`) and union
+    * branch indexes — so any integer NOT preceded by `fields` marks a
+    * union branch. */
+  private def insideUnionBranch(location: String): Boolean = {
+    val segs = location.split("/").filter(_.nonEmpty)
+    segs.zipWithIndex.exists { case (s, i) =>
+      s.nonEmpty && s.forall(_.isDigit) && (i == 0 || segs(i - 1) != "fields")
+    }
+  }
+
   /** The subset of [[incompatibilities]] that fail EVERY record — as
     * opposed to data-dependent ones (e.g. MISSING_UNION_BRANCH, which
     * only fails the records actually carrying the dropped branch and is
     * exactly what permissive mode's per-row DROPMALFORMED semantic is
     * for). A reader field without a default must be filled for every
-    * record; a mismatched record name fails resolution outright. These
+    * record; a mismatched record name fails resolution outright; and a
+    * non-union TYPE_MISMATCH (reader int vs writer string at a plain
+    * record field) likewise fails every record — without gating it, a
+    * permissive evolution read passes pre-flight and silently nulls the
+    * whole dataset (r15 ADVICE). TYPE_MISMATCH *inside* a union branch
+    * stays skippable: only the records carrying that branch fail. These
     * are config errors under ANY data, so even a permissive read should
     * refuse the plan. */
-  def totalIncompatibilities(readerJson: String, writerJson: String): Seq[String] =
-    incompatibilities(readerJson, writerJson).filter(m =>
-      m.startsWith("READER_FIELD_MISSING_DEFAULT_VALUE") ||
-        m.startsWith("NAME_MISMATCH"))
+  def totalIncompatibilities(readerJson: String, writerJson: String): Seq[String] = {
+    val result = SchemaCompatibility.checkReaderWriterCompatibility(
+      AvroCodec.parsedSchema(readerJson), AvroCodec.parsedSchema(writerJson))
+    if (result.getType == SchemaCompatibilityType.COMPATIBLE) Seq.empty
+    else result.getResult.getIncompatibilities.asScala.toSeq.collect {
+      case i if i.getType.name == "READER_FIELD_MISSING_DEFAULT_VALUE" ||
+          i.getType.name == "NAME_MISMATCH" ||
+          (i.getType.name == "TYPE_MISMATCH" && !insideUnionBranch(i.getLocation)) =>
+        s"${i.getType} at ${i.getLocation}: ${i.getMessage}"
+    }
+  }
 
   /** Throws with the named violations unless `readerJson` can read
     * `writerJson` data — the pre-flight gate for evolution reads. */

@@ -30,10 +30,21 @@ object SchemaRegistry {
 
   private val mapper = new ObjectMapper()
 
+  /** Subject/version genuinely absent (HTTP 404; Confluent error codes
+    * 40401 subject-not-found / 40402 version-not-found). Distinguished
+    * from every OTHER failure (5xx, auth, timeout) because callers like
+    * [[registerChecked]] treat "not found" as first-registration and
+    * must NOT treat a transient registry error the same way — that
+    * would silently skip the compatibility gate. */
+  final class SubjectNotFound(msg: String) extends java.io.IOException(msg)
+
   private def httpGet(url: String, timeout: Duration): String = {
     val client = HttpClient.newBuilder().connectTimeout(timeout).build()
     val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET().build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 404)
+      throw new SubjectNotFound(
+        s"schema registry GET $url -> HTTP 404: ${resp.body().take(200)}")
     if (resp.statusCode() != 200)
       throw new java.io.IOException(
         s"schema registry GET $url -> HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
@@ -90,13 +101,17 @@ object SchemaRegistry {
     * with named paths instead of an HTTP 409 — and pipelines talking to
     * a permissively-configured registry (NONE mode, the default of some
     * estates) still get BACKWARD safety. A missing subject (first
-    * registration) registers unchecked, as the server would. */
+    * registration, [[SubjectNotFound]]) registers unchecked, as the
+    * server would; any OTHER fetch failure (5xx, auth, timeout)
+    * propagates — treating it as "no versions yet" would let a
+    * transient GET error silently disable the gate while the POST
+    * still succeeds (r15 ADVICE). */
   def registerChecked(baseUrl: String, subject: String, schemaJson: String,
       mode: String = "BACKWARD",
       timeout: Duration = Duration.ofSeconds(10)): Int = {
     val prior =
       try Some(fetchLatest(baseUrl, subject, timeout).schemaJson)
-      catch { case _: java.io.IOException => None } // no versions yet
+      catch { case _: SubjectNotFound => None } // first registration
     prior.foreach { old =>
       val bad = mode.toUpperCase match {
         case "BACKWARD" => SchemaCompat.checkBackward(schemaJson, old)

@@ -712,8 +712,13 @@ object Dedup {
     surrogates match {
       case None => labels.select(col("node"), col("label").as("component"))
       case Some(m) =>
-        // the mapping stays pinned only for this lazy plan's joins; it is
-        // node-sized and collected into broadcasts at small scale
+        // the mapping must stay pinned for this lazy plan's joins, so it
+        // cannot unpersist here; PinRegistry tracks the node-sized handle
+        // (keyed on the canonicalized plan, so identical re-invocations
+        // share ONE cache entry) and releases it at evict/application
+        // end — without this each string-id invocation leaked one
+        // node-sized cache for the session lifetime (r15 ADVICE)
+        PinRegistry.replace("dedup.connectedComponents.surrogates", Seq(m))
         labels
           .join(m.select(col("nid").as("node"), col("orig").as("node_orig")), "node")
           .join(m.select(col("nid").as("label"), col("orig").as("component")), "label")

@@ -165,7 +165,16 @@ object AvroQueries {
     * millis column is pre-truncated on BOTH sides so the wire is
     * lossless for the value actually compared. Decimal values are built
     * from exact integers through a string cast (engine-neutral — no
-    * double→decimal rounding-mode dependence). */
+    * double→decimal rounding-mode dependence).
+    *
+    * Compared columns are representation-neutral by discipline: the
+    * three timestamps leave as unix_micros BIGINTs and the decimal as
+    * its canonical string — the r15 driver gate showed that a raw
+    * DecimalType (and, historically, DateType) cell fetches with
+    * different dtypes across the two checkers (pandas `Decimal` objects
+    * vs DuckDB float64) even when the values agree. The logical types
+    * are still exercised END TO END on the wire inside the plan; only
+    * the final projection normalizes. */
   def avroLogicalTypes(spark: SparkSession, dir: String): DataFrame = {
     // the parquet column is TIMESTAMP_NTZ; under the UTC session the
     // cast to TimestampType is instant-preserving
@@ -187,12 +196,16 @@ object AvroQueries {
       .select(to_avro_confluent(col("ev"), logicalSchemaJson, SchemaId).as("value"))
     wire
       .select(from_avro_confluent(col("value"), logicalSchemaJson).as("e"))
-      // the decoded order_date IS DateType (the wire test); it leaves the
-      // gate as its ISO string because a raw DATE column round-trips
-      // through the two engines' dataframe fetches with different dtypes
-      .select(col("e.order_id"), col("e.order_ts"), col("e.order_ts_ms"),
+      // every decoded column keeps its logical type INSIDE the plan (the
+      // wire test); the gate projection normalizes each hazard dtype —
+      // timestamps → unix_micros BIGINT, date → ISO string, decimal →
+      // canonical string — so both checkers fetch identical cells
+      .select(col("e.order_id"),
+        expr("unix_micros(e.order_ts)").as("order_ts_us"),
+        expr("unix_micros(e.order_ts_ms)").as("order_ts_ms_us"),
         col("e.order_date").cast("string").as("order_date"),
-        col("e.shipped_ts"), col("e.amount"))
+        expr("unix_micros(e.shipped_ts)").as("shipped_ts_us"),
+        col("e.amount").cast("string").as("amount"))
       .orderBy(col("order_id"))
   }
 
@@ -390,14 +403,14 @@ object AvroQueries {
     // wire bit-exactly (millis pre-truncated identically on both sides)
     "avro_logical_types" ->
       """SELECT o_orderkey AS order_id,
-        |       o_orderdate AS order_ts,
-        |       date_trunc('milliseconds', o_orderdate) AS order_ts_ms,
+        |       epoch_us(o_orderdate) AS order_ts_us,
+        |       epoch_us(o_orderdate) // 1000 * 1000 AS order_ts_ms_us,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
         |       CASE WHEN o_orderkey % 7 = 0 THEN NULL
-        |            ELSE o_orderdate + INTERVAL 2 DAY END AS shipped_ts,
-        |       CAST(CAST((o_orderkey * 137 + 11) // 100 AS VARCHAR) || '.' ||
+        |            ELSE epoch_us(o_orderdate + INTERVAL 2 DAY) END AS shipped_ts_us,
+        |       CAST((o_orderkey * 137 + 11) // 100 AS VARCHAR) || '.' ||
         |            lpad(CAST((o_orderkey * 137 + 11) % 100 AS VARCHAR), 2, '0')
-        |            AS DECIMAL(18,2)) AS amount
+        |            AS amount
         |FROM orders ORDER BY order_id""".stripMargin,
     "avro_roundtrip" ->
       s"""WITH $usersCte

@@ -103,7 +103,13 @@ object KafkaReplay {
           if (primary != null) throw primary
         }
       }
-      new File(dir, InflightName).delete(): Unit
+      // the manifest delete MUST surface on failure: append's
+      // 'append:UUID' key is never ledgered, so a surviving manifest
+      // after a fully successful append would make readers cap
+      // endOffsets below the new records and the next writer's
+      // recoverTornAppend would truncate the committed append away —
+      // unreported data loss (r15 ADVICE). Files.delete throws.
+      java.nio.file.Files.delete(new File(dir, InflightName).toPath)
     }
   }
 
@@ -185,10 +191,12 @@ object KafkaReplay {
   /** Cached framing state of one partition log: file length + mtime the
     * entry was computed at, the byte position framing stopped at (end of
     * the last WHOLE frame — a torn tail sits past it), the record count,
-    * and the sparse seek marks. `scannedPos` is what makes the append
-    * path incremental — see [[positionIndex]]. */
+    * the sparse seek marks, and the file's first frame header (first
+    * ≤16 bytes: record 0's offset+ts) as a replacement fingerprint.
+    * `scannedPos` is what makes the append path incremental — see
+    * [[positionIndex]]. */
   private final case class PosEntry(fileLen: Long, mtime: Long,
-      scannedPos: Long, n: Long, marks: Array[Long])
+      scannedPos: Long, n: Long, marks: Array[Long], head: Array[Byte])
 
   private val posCache =
     new java.util.concurrent.ConcurrentHashMap[String, PosEntry]()
@@ -205,7 +213,13 @@ object KafkaReplay {
     * the whole file every commit (the cache keyed on exact (len, mtime)
     * can never hit on a path that grows every epoch): O(N²) I/O over a
     * run (r15 review). A file that SHRANK or changed under an unchanged
-    * length re-frames from scratch. */
+    * length re-frames from scratch — and a GROWN file only resumes after
+    * its content is verified against the cached entry (first-frame
+    * header bytes unchanged AND the frame at `scannedPos` carries the
+    * expected next sequential offset), because a cross-process writeLog
+    * REPLACEMENT with a longer file would otherwise mis-frame from a
+    * stale position and return garbage (r15 ADVICE). Verification
+    * failure falls back to a full re-frame. */
   private def positionIndex(f: File): (Long, Array[Long]) = {
     if (!f.exists()) return (0L, Array.empty[Long])
     val key = f.getAbsolutePath
@@ -214,7 +228,8 @@ object KafkaReplay {
     val cached = posCache.get(key)
     if (cached != null && cached.fileLen == len && cached.mtime == mtime)
       return (cached.n, cached.marks)
-    val resume = cached != null && len > cached.fileLen
+    val resume = cached != null && len > cached.fileLen &&
+      resumeVerified(f, cached, len)
     val marks = scala.collection.mutable.ArrayBuffer.empty[Long]
     var n = 0L
     var pos = 0L
@@ -241,8 +256,43 @@ object KafkaReplay {
     }
     finally in.close()
     val positions = marks.toArray
-    posCache.put(key, PosEntry(len, mtime, pos, n, positions))
+    posCache.put(key, PosEntry(len, mtime, pos, n, positions, readHead(f, len)))
     (n, positions)
+  }
+
+  /** First ≤16 bytes of the log (record 0's offset+ts header) — the
+    * cached entry's replacement fingerprint. */
+  private def readHead(f: File, len: Long): Array[Byte] = {
+    val head = new Array[Byte](math.min(16L, len).toInt)
+    if (head.length > 0) {
+      val in = new FileInputStream(f)
+      try { new DataInputStream(in).readFully(head) }
+      catch { case _: java.io.IOException => return Array.emptyByteArray }
+      finally in.close()
+    }
+    head
+  }
+
+  /** Content check before resuming an incremental re-frame of a grown
+    * file: the cached first-frame header must still open the file, and
+    * the frame at `scannedPos` (when whole) must decode to the next
+    * sequential offset `cached.n`. Both hold for any append to the same
+    * log; a replaced file fails one with overwhelming probability
+    * (offsets are dense from 0; the header carries record 0's
+    * timestamp). Failure → full re-frame. */
+  private def resumeVerified(f: File, cached: PosEntry, len: Long): Boolean = {
+    if (cached.head.isEmpty) return false
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val head = new Array[Byte](cached.head.length)
+      raf.readFully(head)
+      if (!java.util.Arrays.equals(head, cached.head)) false
+      else if (len >= cached.scannedPos + 8L) {
+        raf.seek(cached.scannedPos)
+        raf.readLong() == cached.n
+      } else true
+    } catch { case _: java.io.IOException => false }
+    finally raf.close()
   }
   private def endOffset(f: File): Long = positionIndex(f)._1
 

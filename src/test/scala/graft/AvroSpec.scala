@@ -311,6 +311,34 @@ class AvroSpec extends SparkSpec {
     assert(msg.contains("READER_FIELD_MISSING_DEFAULT_VALUE") && msg.contains("b"))
   }
 
+  test("SchemaCompat.totalIncompatibilities gates non-union TYPE_MISMATCH " +
+      "but keeps union-branch mismatches permissive-skippable (r15 ADVICE)") {
+    import graft.avro.SchemaCompat
+    val writer =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"string"},
+        |{"name":"u","type":["null","string"],"default":null}]}""".stripMargin
+    // reader flips a PLAIN field's type: every record fails resolution —
+    // a permissive read would null the whole dataset, so the pre-flight
+    // must refuse the plan
+    val plainFlip =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"int"},
+        |{"name":"u","type":["null","string"],"default":null}]}""".stripMargin
+    val total = SchemaCompat.totalIncompatibilities(plainFlip, writer)
+    assert(total.exists(_.startsWith("TYPE_MISMATCH")), total.mkString("; "))
+    // reader narrows the UNION's data branch: only records carrying that
+    // branch fail — data-dependent, exactly what permissive DROPMALFORMED
+    // is for, so the pre-flight must NOT gate it
+    val unionNarrow =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"string"},
+        |{"name":"u","type":["null","int"],"default":null}]}""".stripMargin
+    assert(SchemaCompat.incompatibilities(unionNarrow, writer).nonEmpty)
+    assert(SchemaCompat.totalIncompatibilities(unionNarrow, writer).isEmpty,
+      SchemaCompat.totalIncompatibilities(unionNarrow, writer).mkString("; "))
+  }
+
   test("SQL surface: avro functions registered via SparkSessionExtensions") {
     graft.plans.GraftExtensions.register(spark)
     usersDf(Seq(userRow(5, Some("Sql")))).createOrReplaceTempView("avro_users")

@@ -523,4 +523,34 @@ class KafkaReplaySpec extends SparkSpec {
       ProfileTransform(clock = Some(Instant.parse("2024-01-01T00:00:00Z"))))
     assert(!live.select("user_id").as[String].collect().contains("corrupt"))
   }
+
+  test("cross-process log replacement with a LONGER file re-frames from " +
+      "scratch instead of resuming a stale position (r16 ADVICE)") {
+    // dir A: 3 records on partition 0; read once to prime this JVM's
+    // position cache with A's framing state
+    val dirA = Files.createTempDirectory("graft_replaceA").toString
+    KafkaReplay.append(dirA, (0 until 3).map(i =>
+      KafkaReplay.Record(0, s"a_$i".getBytes, s"va_$i".getBytes, tsMicros)))
+    def readKeys(dir: String): Seq[String] =
+      spark.read.format(KafkaReplay.ShortName).option("path", dir)
+        .option("topic", "t").load()
+        .select($"key".cast("string")).as[String].collect().sorted.toSeq
+    assert(readKeys(dirA) === Seq("a_0", "a_1", "a_2"))
+    // dir B: a LONGER log with different content AND a different record-0
+    // timestamp, written independently (another JVM's writeLog analog)
+    val dirB = Files.createTempDirectory("graft_replaceB").toString
+    KafkaReplay.append(dirB, (0 until 7).map(i =>
+      KafkaReplay.Record(0, s"b_$i".getBytes, s"vb_longer_$i".getBytes,
+        tsMicros + 1000000L)))
+    // replace A's partition log by raw byte copy — bypassing writeLog,
+    // so THIS JVM's cache entry for A is never invalidated (the
+    // cross-process scenario: the writer JVM can't see our cache)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dirB, "partition-0.log"),
+      java.nio.file.Paths.get(dirA, "partition-0.log"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // a resume from A's stale scannedPos would mis-frame into garbage;
+    // the content check must detect the replacement and re-frame whole
+    assert(readKeys(dirA) === (0 until 7).map(i => s"b_$i"))
+  }
 }

@@ -8,8 +8,44 @@ class QueriesSpec extends SparkSpec {
 
   test("every registered query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
+      val df = fn(spark, sf)
+      lintComparedDtypes(name, df.schema)
+      val n = df.count()
       assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  /** Registry-wide compared-output dtype lint (r15 verdict task 2).
+    *
+    * The driver's correctness gate and the local stand-in
+    * (tools/check_oracle.py) fetch cells through different stacks
+    * (pandas parquet read vs DuckDB fetchdf), and some dtype classes
+    * canonicalize differently across them even when the VALUES agree:
+    * DecimalType arrives as `decimal.Decimal` objects on one side and
+    * float64 on the other (the r15 `avro_logical_types` red row), and
+    * DateType as `datetime.date` vs Timestamp. Discipline: compared
+    * outputs carry integers (micro-units / unix_micros) or strings;
+    * the hazard types may appear freely INSIDE a plan, never in the
+    * final projection of an oracle-backed query. Allowlist is empty
+    * by policy — a new entry needs a driver-green round proving the
+    * representation is safe. */
+  private val dtypeAllowlist: Set[String] = Set.empty
+  private def lintComparedDtypes(
+      name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    if (!SparkEntry.oracleSql.contains(name) || dtypeAllowlist(name)) return
+    schema.fields.foreach { f =>
+      val bad = f.dataType match {
+        case _: DecimalType => Some("DecimalType")
+        case DateType       => Some("DateType")
+        case _              => None
+      }
+      bad.foreach { d =>
+        fail(s"query $name emits compared column '${f.name}' as $d — " +
+          "a cross-checker canonicalization hazard; project it as " +
+          "unix_micros/micro-unit BIGINT or a string instead " +
+          "(see avro_logical_types, r15 verdict)")
+      }
     }
   }
 

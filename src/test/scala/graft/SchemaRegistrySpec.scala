@@ -162,6 +162,41 @@ class SchemaRegistrySpec extends SparkSpec {
     } finally stop()
   }
 
+  test("registerChecked: only subject-not-found skips the gate; a 5xx on " +
+      "fetch propagates instead of registering unchecked (r15 ADVICE)") {
+    // a stub whose GET latest fails transiently (503) but whose POST
+    // would succeed — the exact shape that used to silently disable the
+    // compatibility gate when every IOException meant "no versions yet"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes); ex.close()
+    }
+    @volatile var posted = false
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) =>
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case ("GET", p) if p.endsWith("/versions/latest") =>
+          reply(ex, 503, """{"error_code":50001,"message":"store unavailable"}""")
+        case ("POST", _) => posted = true; reply(ex, 200, """{"id":1}""")
+        case _ => reply(ex, 404, """{"error_code":40401,"message":"not found"}""")
+      })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val base =
+        """{"type":"record","name":"U","namespace":"graft","fields":[
+          |{"name":"a","type":"int"}]}""".stripMargin
+      val ex = intercept[java.io.IOException] {
+        SchemaRegistry.registerChecked(url, "u-value", base)
+      }
+      assert(!ex.isInstanceOf[SchemaRegistry.SubjectNotFound])
+      assert(ex.getMessage.contains("503"))
+      assert(!posted, "a failed compatibility fetch must not fall through to POST")
+    } finally server.stop(0)
+  }
+
   test("registered id drives the produce wire bytes end to end") {
     val (url, stop) = startWritableStub()
     try {

@@ -3,7 +3,15 @@
 parquet dumps, run each oracle SQL in DuckDB over the same testdata
 tables, and compare (rows, columns-sorted-by-name, value hash).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--strict-dtypes]
+
+--strict-dtypes additionally reports, per query, any compared output
+column whose dtype class has ever produced a cross-checker
+canonicalization divergence (DecimalType/decimal objects, date32,
+and object columns holding datetime.date) — the r15 driver gate
+flagged `avro_logical_types` on exactly such a column while this
+local gate stayed green, so local [OK] only predicts driver green
+when this lint is also clean.
 (dev tool only; the real gate is driver-side)
 """
 import json, sys, glob, os
@@ -57,7 +65,26 @@ def digest(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def hazard_dtypes(df: pd.DataFrame):
+    """Columns whose fetched representation is checker-dependent."""
+    import decimal, datetime
+    out = []
+    for c in df.columns:
+        s = df[c]
+        kind = str(s.dtype)
+        if kind.startswith("decimal") or "date32" in kind:
+            out.append((c, kind))
+        elif s.dtype == object:
+            probe = s.dropna().head(3)
+            if any(isinstance(v, decimal.Decimal) for v in probe):
+                out.append((c, "object<Decimal>"))
+            elif any(isinstance(v, datetime.date) and
+                     not isinstance(v, datetime.datetime) for v in probe):
+                out.append((c, "object<date>"))
+    return out
+
+
+def main(sf_dir, out_dir, strict_dtypes=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -75,6 +102,13 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"[ORACLE-ERR] {name}: {e}"); fail += 1; continue
         spark = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        if strict_dtypes:
+            haz = hazard_dtypes(spark) + hazard_dtypes(duck)
+            if haz:
+                print(f"[DTYPE] {name}: hazard compared dtypes {sorted(set(haz))} "
+                      f"— local hash may not predict driver hash")
+                fail += 1
+                continue
         sc, dc = canon(spark), canon(duck)
         if list(sc.columns) != list(dc.columns):
             print(f"[SCHEMA] {name}: spark={list(sc.columns)} duck={list(dc.columns)}"); fail += 1; continue
@@ -95,4 +129,6 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    strict = "--strict-dtypes" in sys.argv[1:]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(main(pos[0], pos[1], strict_dtypes=strict))
