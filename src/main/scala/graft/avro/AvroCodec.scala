@@ -117,8 +117,14 @@ object AvroCodec {
       val branches = u.getTypes.asScala
         .filter(_.getType != Schema.Type.NULL).toArray
       val kinds = branches.map(_.getType).toSet
+      // widening is a RAW-number convenience only: a logical-typed branch
+      // (date int, timestamp long) must keep its own column — collapsing
+      // [date, long] to one long slot would silently strip the date
+      // semantics on decode and guess them back on encode (r16)
+      val anyLogical = branches.exists(b => b.getLogicalType != null)
       val widen =
-        if (kinds == Set(Schema.Type.INT, Schema.Type.LONG)) 1
+        if (anyLogical) 0
+        else if (kinds == Set(Schema.Type.INT, Schema.Type.LONG)) 1
         else if (kinds == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE)) 2
         else 0
       val memberOf = u.getTypes.asScala
