@@ -47,8 +47,15 @@ object Salting {
     if (n == 0L) return SkewAdvice(0L, 0L, 0.0, 1)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    // a null-heavy key column is canonical skew input, and freqItems can
+    // nominate null as a heavy hitter — but the CMS never counted nulls
+    // (SQL aggregates skip them) and estimateCount(null) throws. Drop
+    // null candidates: for equi-joins null keys never shuffle (Catalyst
+    // inserts IsNotNull on join keys), and the payload top-k path
+    // filters null VALUES; callers grouping by a null-heavy key should
+    // pre-coalesce it into a sentinel they want measured (r16 review).
     val candidates = df.stat.freqItems(Array(key), support)
-      .head().getSeq[Any](0)
+      .head().getSeq[Any](0).filter(_ != null)
     val hot =
       if (candidates.isEmpty) 0L
       else candidates.iterator.map(c => cms.estimateCount(c)).max

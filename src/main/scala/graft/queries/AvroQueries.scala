@@ -209,6 +209,66 @@ object AvroQueries {
       .orderBy(col("order_id"))
   }
 
+  /** Multi-branch union CARRYING logical types — the r16 extension of
+    * the two r15 surfaces (logical types; multi-branch unions) into
+    * their composition. `flex` is ["null", date, decimal(12,2), string]:
+    * a 3-branch struct-of-branches whose date and decimal members must
+    * keep their logical semantics through branch resolution on BOTH
+    * directions of the wire. */
+  val unionLogicalSchemaJson: String =
+    """{
+      |  "type": "record", "name": "FlexOrder", "namespace": "graft.avro",
+      |  "fields": [
+      |    {"name": "order_id", "type": "long"},
+      |    {"name": "flex", "type": ["null",
+      |        {"type": "int", "logicalType": "date"},
+      |        {"type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2},
+      |        "string"], "default": null}
+      |  ]
+      |}""".stripMargin
+
+  /** Logical types INSIDE a multi-branch union, end to end over the
+    * Confluent wire: one branch per orderkey residue (date / decimal /
+    * string / null), encoded through the struct-of-branches rendering,
+    * decoded back, every member projected representation-neutral (date
+    * and decimal leave as strings per the gate's dtype discipline —
+    * see [[avroLogicalTypes]]). The oracle rebuilds the same branch
+    * routing Avro-free, so the hash proves branch resolution AND the
+    * per-branch logical decode/encode are lossless. */
+  def avroUnionLogicalTypes(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir)
+      .withColumn("ots", col("o_orderdate").cast("timestamp"))
+      .select(struct(
+        col("o_orderkey").as("order_id"),
+        when(col("o_orderkey") % 4 === 0, struct(
+            col("ots").cast("date").as("member0"),
+            lit(null).cast("decimal(12,2)").as("member1"),
+            lit(null).cast("string").as("member2")))
+          .when(col("o_orderkey") % 4 === 1, struct(
+            lit(null).cast("date").as("member0"),
+            expr("""CAST(concat(CAST((o_orderkey * 53 + 7) DIV 100 AS STRING), '.',
+                   lpad(CAST((o_orderkey * 53 + 7) % 100 AS STRING), 2, '0'))
+                   AS DECIMAL(12,2))""").as("member1"),
+            lit(null).cast("string").as("member2")))
+          .when(col("o_orderkey") % 4 === 2, struct(
+            lit(null).cast("date").as("member0"),
+            lit(null).cast("decimal(12,2)").as("member1"),
+            concat(lit("note_"), col("o_orderkey")).as("member2")))
+          .otherwise(lit(null).cast(
+            "struct<member0:date,member1:decimal(12,2),member2:string>"))
+          .as("flex")
+      ).as("ev"))
+    val wire = src
+      .select(to_avro_confluent(col("ev"), unionLogicalSchemaJson, SchemaId).as("value"))
+    wire
+      .select(from_avro_confluent(col("value"), unionLogicalSchemaJson).as("e"))
+      .select(col("e.order_id"),
+        col("e.flex.member0").cast("string").as("flex_date"),
+        col("e.flex.member1").cast("string").as("flex_amount"),
+        col("e.flex.member2").as("flex_note"))
+      .orderBy(col("order_id"))
+  }
+
   /** An evolved reader schema for the OCF evolution read: drops the two
     * sensitive columns, reorders fields (name-matched resolution), and
     * adds `status` with a default — the three standard evolution moves. */
@@ -394,7 +454,8 @@ object AvroQueries {
     "avro_file_evolution" -> (avroFileEvolution _),
     "kafka_replay_pipeline" -> (kafkaReplayPipeline _),
     "kafka_sink_pipeline" -> (kafkaSinkPipeline _),
-    "avro_logical_types" -> (avroLogicalTypes _)
+    "avro_logical_types" -> (avroLogicalTypes _),
+    "avro_union_logical_types" -> (avroUnionLogicalTypes _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -411,6 +472,21 @@ object AvroQueries {
         |       CAST((o_orderkey * 137 + 11) // 100 AS VARCHAR) || '.' ||
         |            lpad(CAST((o_orderkey * 137 + 11) % 100 AS VARCHAR), 2, '0')
         |            AS amount
+        |FROM orders ORDER BY order_id""".stripMargin,
+    // the union branch routing rebuilt Avro-free: a hash match proves
+    // branch RESOLUTION (which member is non-null) and the per-branch
+    // logical decode (date days, decimal unscaled bytes) both survived
+    // the wire
+    "avro_union_logical_types" ->
+      """SELECT o_orderkey AS order_id,
+        |       CASE WHEN o_orderkey % 4 = 0
+        |            THEN CAST(CAST(o_orderdate AS DATE) AS VARCHAR) END AS flex_date,
+        |       CASE WHEN o_orderkey % 4 = 1
+        |            THEN CAST((o_orderkey * 53 + 7) // 100 AS VARCHAR) || '.' ||
+        |                 lpad(CAST((o_orderkey * 53 + 7) % 100 AS VARCHAR), 2, '0')
+        |            END AS flex_amount,
+        |       CASE WHEN o_orderkey % 4 = 2
+        |            THEN 'note_' || CAST(o_orderkey AS VARCHAR) END AS flex_note
         |FROM orders ORDER BY order_id""".stripMargin,
     "avro_roundtrip" ->
       s"""WITH $usersCte
