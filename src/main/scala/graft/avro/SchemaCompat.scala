@@ -80,9 +80,19 @@ object SchemaCompat {
     * record field) likewise fails every record — without gating it, a
     * permissive evolution read passes pre-flight and silently nulls the
     * whole dataset (r15 ADVICE). TYPE_MISMATCH *inside* a union branch
-    * stays skippable: only the records carrying that branch fail. These
-    * are config errors under ANY data, so even a permissive read should
-    * refuse the plan. */
+    * stays skippable: only the records carrying that branch fail.
+    *
+    * MISSING_UNION_BRANCH splits on the SAME location rule (r16,
+    * measured against avro-1.12's checker): when the WRITER side is a
+    * union the location carries the unmatched branch's index
+    * (`/fields/0/type/1`) and only records carrying that branch fail —
+    * the documented data-dependent case. But when the writer is a
+    * PLAIN type that a reader union lacks (reader `["null","int"]` vs
+    * writer `string`), the checker still says MISSING_UNION_BRANCH
+    * while the location has no branch index (`/fields/0/type`) — and
+    * every record carries that one concrete type, so a permissive read
+    * drops the whole dataset. Gate it. These are config errors under
+    * ANY data, so even a permissive read should refuse the plan. */
   def totalIncompatibilities(readerJson: String, writerJson: String): Seq[String] = {
     val result = SchemaCompatibility.checkReaderWriterCompatibility(
       AvroCodec.parsedSchema(readerJson), AvroCodec.parsedSchema(writerJson))
@@ -90,7 +100,9 @@ object SchemaCompat {
     else result.getResult.getIncompatibilities.asScala.toSeq.collect {
       case i if i.getType.name == "READER_FIELD_MISSING_DEFAULT_VALUE" ||
           i.getType.name == "NAME_MISMATCH" ||
-          (i.getType.name == "TYPE_MISMATCH" && !insideUnionBranch(i.getLocation)) =>
+          ((i.getType.name == "TYPE_MISMATCH" ||
+            i.getType.name == "MISSING_UNION_BRANCH") &&
+            !insideUnionBranch(i.getLocation)) =>
         s"${i.getType} at ${i.getLocation}: ${i.getMessage}"
     }
   }

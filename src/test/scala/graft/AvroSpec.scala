@@ -337,6 +337,16 @@ class AvroSpec extends SparkSpec {
     assert(SchemaCompat.incompatibilities(unionNarrow, writer).nonEmpty)
     assert(SchemaCompat.totalIncompatibilities(unionNarrow, writer).isEmpty,
       SchemaCompat.totalIncompatibilities(unionNarrow, writer).mkString("; "))
+    // reader union vs writer PLAIN type it lacks: avro still reports
+    // MISSING_UNION_BRANCH, but the location carries no branch index and
+    // EVERY record (all carry the one concrete writer type) fails — a
+    // config error the pre-flight must gate (r16)
+    val readerUnionWriterPlain =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":["null","int"],"default":null},
+        |{"name":"u","type":["null","string"],"default":null}]}""".stripMargin
+    val gated = SchemaCompat.totalIncompatibilities(readerUnionWriterPlain, writer)
+    assert(gated.exists(_.startsWith("MISSING_UNION_BRANCH")), gated.mkString("; "))
   }
 
   test("SQL surface: avro functions registered via SparkSessionExtensions") {
