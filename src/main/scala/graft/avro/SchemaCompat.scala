@@ -63,12 +63,65 @@ object SchemaCompat {
     * segments are field indexes (directly after `fields`) and union
     * branch indexes — so any integer NOT preceded by `fields` marks a
     * union branch. */
-  private def insideUnionBranch(location: String): Boolean = {
-    val segs = location.split("/").filter(_.nonEmpty)
+  private def insideUnionBranch(location: String): Boolean =
+    hasBranchIndex(segments(location))
+
+  private def segments(location: String): Array[String] =
+    location.split("/").filter(_.nonEmpty)
+
+  private def hasBranchIndex(segs: Array[String]): Boolean =
     segs.zipWithIndex.exists { case (s, i) =>
       s.nonEmpty && s.forall(_.isDigit) && (i == 0 || segs(i - 1) != "fields")
     }
+
+  /** `(parent location segments, branch index)` when the location's LAST
+    * segment is a union branch index — probe-measured against avro-1.12
+    * (dev/CompatProbe, r17): per-branch mismatch entries carry the
+    * WRITER union's branch index as their trailing segment
+    * (`/fields/0/type/1` = writer branch 1), while field indexes follow
+    * the READER's field order. */
+  private def trailingBranchIndex(location: String): Option[(Array[String], Int)] = {
+    val segs = segments(location)
+    if (segs.nonEmpty && segs.last.forall(_.isDigit) &&
+        (segs.length < 2 || segs(segs.length - 2) != "fields"))
+      Some((segs.dropRight(1), segs.last.toInt))
+    else None
   }
+
+  /** Branch count of the WRITER union at a parent location, walking the
+    * reader and writer schemas in lockstep: `fields/<i>` indexes the
+    * READER's field list (probe case J: locations keep reader field
+    * order under reordering) and hops to the writer's field BY NAME —
+    * the same pairing Avro resolution uses. Any segment this walk
+    * doesn't understand (aliases, a mid-path union index, a non-union
+    * writer endpoint) returns None and the caller falls back to the
+    * pre-r17 skippable classification — never a false gate. */
+  private def writerUnionSizeAt(readerJson: String, writerJson: String,
+      parent: Array[String]): Option[Int] =
+    try {
+      var r = AvroCodec.parsedSchema(readerJson)
+      var w = AvroCodec.parsedSchema(writerJson)
+      var i = 0
+      while (i < parent.length) {
+        parent(i) match {
+          case "fields" if i + 1 < parent.length && parent(i + 1).forall(_.isDigit) =>
+            val rf = r.getFields.get(parent(i + 1).toInt)
+            val wf = w.getField(rf.name)
+            if (wf == null) return None
+            r = rf.schema; w = wf.schema()
+            i += 2
+            // the per-field subpath is /fields/N/type — consume the marker
+            if (i < parent.length && parent(i) == "type") i += 1
+          case "items" =>
+            r = r.getElementType; w = w.getElementType; i += 1
+          case "values" =>
+            r = r.getValueType; w = w.getValueType; i += 1
+          case _ => return None
+        }
+      }
+      if (w.getType == org.apache.avro.Schema.Type.UNION)
+        Some(w.getTypes.size) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The subset of [[incompatibilities]] that fail EVERY record — as
     * opposed to data-dependent ones (e.g. MISSING_UNION_BRANCH, which
@@ -96,15 +149,45 @@ object SchemaCompat {
   def totalIncompatibilities(readerJson: String, writerJson: String): Seq[String] = {
     val result = SchemaCompatibility.checkReaderWriterCompatibility(
       AvroCodec.parsedSchema(readerJson), AvroCodec.parsedSchema(writerJson))
-    if (result.getType == SchemaCompatibilityType.COMPATIBLE) Seq.empty
-    else result.getResult.getIncompatibilities.asScala.toSeq.collect {
+    if (result.getType == SchemaCompatibilityType.COMPATIBLE) return Seq.empty
+    val all = result.getResult.getIncompatibilities.asScala.toSeq
+    def render(i: SchemaCompatibility.Incompatibility) =
+      s"${i.getType} at ${i.getLocation}: ${i.getMessage}"
+    val always = all.collect {
       case i if i.getType.name == "READER_FIELD_MISSING_DEFAULT_VALUE" ||
           i.getType.name == "NAME_MISMATCH" ||
           ((i.getType.name == "TYPE_MISMATCH" ||
             i.getType.name == "MISSING_UNION_BRANCH") &&
-            !insideUnionBranch(i.getLocation)) =>
-        s"${i.getType} at ${i.getLocation}: ${i.getMessage}"
+            !insideUnionBranch(i.getLocation)) => render(i)
     }
+    // Union-coverage gate (r16 ADVICE #1): a single mismatched branch is
+    // data-dependent (only records carrying it fail — permissive's
+    // DROPMALFORMED case), but when the mismatch set covers EVERY branch
+    // of the writer union at one location, every record fails no matter
+    // which branch it carries — reader plain int vs writer
+    // ["null","string"] reports TYPE_MISMATCH at /type/0 AND /type/1,
+    // both branch-indexed, and the old per-entry rule skipped them all.
+    // Group trailing-branch-indexed TYPE_MISMATCH/MISSING_UNION_BRANCH
+    // entries by parent location and gate full-coverage groups. Groups
+    // whose PARENT path itself sits inside a union branch stay skippable:
+    // total loss of a nested union still only fails the records carrying
+    // its enclosing branch.
+    val grouped = all.flatMap { i =>
+      if (i.getType.name != "TYPE_MISMATCH" &&
+          i.getType.name != "MISSING_UNION_BRANCH") None
+      else trailingBranchIndex(i.getLocation).collect {
+        case (parent, idx) if !hasBranchIndex(parent) =>
+          (parent.mkString("/"), parent, idx, render(i))
+      }
+    }
+    val covered = grouped.groupBy(_._1).values.toSeq.flatMap { entries =>
+      writerUnionSizeAt(readerJson, writerJson, entries.head._2) match {
+        case Some(n) if entries.map(_._3).distinct.size >= n =>
+          entries.map(_._4)
+        case _ => Seq.empty
+      }
+    }
+    always ++ covered.filterNot(always.contains)
   }
 
   /** Throws with the named violations unless `readerJson` can read

@@ -349,6 +349,60 @@ class AvroSpec extends SparkSpec {
     assert(gated.exists(_.startsWith("MISSING_UNION_BRANCH")), gated.mkString("; "))
   }
 
+  test("totalIncompatibilities gates FULL-coverage union mismatches but keeps " +
+      "partial branch mismatches skippable (r16 ADVICE #1)") {
+    import graft.avro.SchemaCompat
+    def rec(fields: String) =
+      s"""{"type":"record","name":"R","fields":[$fields]}"""
+    // reader plain int vs writer ["null","string"]: avro reports the two
+    // mismatches branch-indexed (/type/0, /type/1) so the per-entry rule
+    // skipped both — yet EVERY record fails whichever branch it carries.
+    // The coverage gate must catch it.
+    val allBranches = SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"f","type":"int"}"""),
+      rec("""{"name":"f","type":["null","string"],"default":null}"""))
+    assert(allBranches.size == 2 && allBranches.forall(_.startsWith("TYPE_MISMATCH")),
+      allBranches.mkString("; "))
+    // reader union lacking EVERY writer branch: same total semantics
+    // through MISSING_UNION_BRANCH entries
+    val lacksAll = SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"f","type":["null","int"],"default":null}"""),
+      rec("""{"name":"f","type":["string","bytes"]}"""))
+    assert(lacksAll.size == 2 && lacksAll.forall(_.startsWith("MISSING_UNION_BRANCH")),
+      lacksAll.mkString("; "))
+    // PARTIAL coverage stays data-dependent-skippable: reader plain int
+    // vs writer ["null","int"] (only null-carrying records fail), and a
+    // reader union missing 1 of 3 writer branches
+    assert(SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"f","type":"int"}"""),
+      rec("""{"name":"f","type":["null","int"],"default":null}""")).isEmpty)
+    assert(SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"f","type":["null","long"],"default":null}"""),
+      rec("""{"name":"f","type":["null","int","string"],"default":null}""")).isEmpty)
+    // field REORDERING: locations carry reader field indexes, writer
+    // union sizes come from the name-matched writer field (probe case J)
+    val reordered = SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"b","type":"int"},{"name":"a","type":"string"}"""),
+      rec("""{"name":"a","type":"string"},{"name":"b","type":["null","string"],"default":null}"""))
+    assert(reordered.size == 2, reordered.mkString("; "))
+    // nested containers: array items / map values parent paths navigate
+    assert(SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"a","type":{"type":"array","items":"int"}}"""),
+      rec("""{"name":"a","type":{"type":"array","items":["null","string"]}}""")).size == 2)
+    assert(SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"m","type":{"type":"map","values":"int"}}"""),
+      rec("""{"name":"m","type":{"type":"map","values":["null","string"]}}""")).size == 2)
+    // a TOTAL mismatch of a union nested INSIDE an enclosing union
+    // branch stays skippable: only records carrying the enclosing branch
+    // fail — still data-dependent
+    val nestedInBranch = SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"o","type":["null",{"type":"record","name":"S","fields":[
+             {"name":"x","type":"int"}]}],"default":null}"""),
+      rec("""{"name":"o","type":["null",{"type":"record","name":"S","fields":[
+             {"name":"x","type":["null","string"],"default":null}]}],"default":null}"""))
+    assert(nestedInBranch.isEmpty, nestedInBranch.mkString("; "))
+  }
+
   test("SQL surface: avro functions registered via SparkSessionExtensions") {
     graft.plans.GraftExtensions.register(spark)
     usersDf(Seq(userRow(5, Some("Sql")))).createOrReplaceTempView("avro_users")
