@@ -319,6 +319,46 @@ object AvroCodec {
     ByteBuffer.wrap(bytes, 1, 4).getInt
   }
 
+  /** A frame carries a schema id the registry map doesn't know — typed so
+    * strict callers can catch it apart from data corruption, and so the
+    * message names both the id and the known set (a consumer's first
+    * question). Permissive mode nulls the row instead (the DLQ branch
+    * keeps it addressable via `avro_schema_id`). */
+  final class UnknownSchemaIdException(val id: Int, known: java.util.Set[Integer])
+    extends RuntimeException(
+      s"avro frame carries schema id $id, not in the registry map " +
+        s"(known ids: ${new java.util.TreeSet[Integer](known)})")
+
+  /** Per-record writer-schema dispatch (the reference's registry
+    * AvroDeserializer behavior, `producer/verifier_ui.py:34,66`): each
+    * Confluent frame's header id resolves its OWN writer schema from
+    * `registry`, and the body decodes against the shared `readerJson`
+    * layout — so one pass over a long-retention topic whose value schema
+    * evolved mid-stream decodes every era's records, exactly like the
+    * Confluent deserializer's id→schema cache. Per-row cost: one map
+    * probe on top of [[decodeEvolved]]'s cached (writer, reader) datum
+    * reader — the id dispatch adds no per-row allocation.
+    *
+    * Strict mode throws [[UnknownSchemaIdException]] on an unmapped id
+    * (and propagates bad frames); permissive nulls the row either way,
+    * leaving the frame id readable for the DLQ branch. */
+  def decodeRegistry(bytes: Array[Byte],
+      registry: java.util.Map[Integer, String], readerJson: String,
+      permissive: Boolean): InternalRow = {
+    if (bytes.length < 5 || bytes(0) != MagicByte) {
+      if (permissive) return null
+      throw new IllegalArgumentException(
+        s"not a Confluent-framed Avro payload (len=${bytes.length})")
+    }
+    val id = ByteBuffer.wrap(bytes, 1, 4).getInt
+    val writerJson = registry.get(id)
+    if (writerJson == null) {
+      if (permissive) return null
+      throw new UnknownSchemaIdException(id, registry.keySet())
+    }
+    decodeEvolved(bytes, writerJson, readerJson, permissive)
+  }
+
   /** Record -> InternalRow with the given (reader) schema's layout — the
     * container-file read path ([[AvroFiles]]). */
   private[avro] def avroToRow(rec: GenericRecord, schema: Schema): InternalRow =

@@ -110,6 +110,74 @@ case class AvroEncode(child: Expression, schemaJson: String, schemaId: Int)
   override def prettyName: String = "to_avro_confluent"
 }
 
+/** Per-record writer-schema dispatch over a registry map (id → writer
+  * schema JSON) — the reference's `AvroDeserializer` behavior
+  * (`producer/verifier_ui.py:34,66`; `docker-compose.yml:63-64`): a batch
+  * whose Confluent frames carry MULTIPLE writer-schema ids decodes in one
+  * pass, each record resolved against its own header id and projected
+  * onto the shared READER schema. Evolution pre-flight runs per writer
+  * at analysis time: strict gates any incompatibility for any mapped
+  * writer, permissive gates total ones — the same config-vs-data split
+  * as [[AvroDecode]], with the offending id named. Participates in
+  * whole-stage codegen via the static-call pattern.
+  */
+case class AvroDecodeRegistry(child: Expression, registry: Map[Int, String],
+    readerSchemaJson: String, permissive: Boolean = false)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType =>
+      if (registry.isEmpty)
+        return TypeCheckResult.TypeCheckFailure(
+          "from_avro_registry: the id→writer-schema map is empty")
+      val bad = registry.toSeq.sortBy(_._1).flatMap { case (id, writer) =>
+        val viol =
+          if (writer == readerSchemaJson) Seq.empty
+          else if (permissive) SchemaCompat.totalIncompatibilities(readerSchemaJson, writer)
+          else SchemaCompat.incompatibilities(readerSchemaJson, writer)
+        viol.map(v => s"writer id $id: $v")
+      }
+      if (bad.nonEmpty) TypeCheckResult.TypeCheckFailure(
+        s"from_avro_registry reader schema cannot read every mapped " +
+          s"writer schema: ${bad.mkString("; ")}")
+      else TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"from_avro_registry expects binary, got ${t.simpleString}")
+  }
+
+  override lazy val dataType: DataType =
+    AvroCodec.sparkStructType(readerSchemaJson)
+  override def nullable: Boolean = true
+
+  /** The map in the shape the static kernel consumes, built once per
+    * expression instance and shared by interpreted eval and the codegen
+    * reference object. */
+  @transient private lazy val javaRegistry: java.util.HashMap[Integer, String] = {
+    val m = new java.util.HashMap[Integer, String](registry.size * 2)
+    registry.foreach { case (k, v) => m.put(Integer.valueOf(k), v) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AvroCodec.decodeRegistry(input.asInstanceOf[Array[Byte]], javaRegistry,
+      readerSchemaJson, permissive)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val reg = ctx.addReferenceObj("avroRegistry", javaRegistry, "java.util.Map")
+    val rj = ctx.addReferenceObj("avroReaderSchemaJson", readerSchemaJson,
+      "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.avro.AvroCodec.decodeRegistry($c, $reg, $rj, $permissive);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "from_avro_registry"
+}
+
 /** The schema id carried in a frame header (S4 passthrough — the registry
   * lookup itself is a config input, SURVEY.md §1.2). */
 case class AvroFrameSchemaId(child: Expression) extends UnaryExpression {
@@ -157,6 +225,14 @@ object functions {
       readerSchemaJson: String, permissive: Boolean = false): Column =
     ExprBridge.column(AvroDecode(ExprBridge.expression(c), writerSchemaJson,
       permissive, Some(readerSchemaJson)))
+
+  /** Mixed-writer read: each record's frame id resolves its writer
+    * schema from `registry`, the body projects onto `readerSchemaJson` —
+    * one pass over a topic whose schema evolved mid-stream. */
+  def from_avro_registry(c: Column, registry: Map[Int, String],
+      readerSchemaJson: String, permissive: Boolean = false): Column =
+    ExprBridge.column(AvroDecodeRegistry(ExprBridge.expression(c), registry,
+      readerSchemaJson, permissive))
 
   def to_avro_confluent(c: Column, schemaJson: String, schemaId: Int = 1): Column =
     ExprBridge.column(AvroEncode(ExprBridge.expression(c), schemaJson, schemaId))

@@ -5,7 +5,7 @@ import java.time.Instant
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.avro.functions.{avro_schema_id, from_avro_confluent, to_avro_confluent}
+import graft.avro.functions.{avro_schema_id, from_avro_confluent, from_avro_registry, to_avro_confluent}
 import graft.ops.ProfileTransform
 import graft.sources.Tables
 
@@ -290,6 +290,47 @@ object AvroQueries {
       |  ]
       |}""".stripMargin
 
+  /** The v2 writer's id on the wire (the registry assigns a fresh global
+    * id per registered schema version; 7 is v1's). */
+  private val SchemaIdV2 = 9
+
+  /** Per-record writer-schema dispatch over a MIXED-VERSION corpus — the
+    * behavior the reference gets from the registry `AvroDeserializer`
+    * (`producer/verifier_ui.py:34,66`: the writer schema resolves from
+    * each message's frame id), exercised end to end: one third of the
+    * rows are encoded under the v1 producer schema (id 7), the rest
+    * under the evolved v2 schema (id 9, carries `status`), and ONE
+    * `from_avro_registry` pass decodes both eras against the v2 reader —
+    * v1 records take the `status` default and drop the two sensitive
+    * fields by resolution, v2 records read natively. `schema_id` in the
+    * output pins that each record dispatched on its own frame id; the
+    * Avro-free oracle rebuilds both eras' expected rendering, so a hash
+    * match proves the id→schema dispatch and the per-writer evolution
+    * projection are both lossless. */
+  def avroMixedWriters(spark: SparkSession, dir: String): DataFrame = {
+    val registry = Map(SchemaId -> userSchemaJson, SchemaIdV2 -> userV2SchemaJson)
+    val u = userStruct(spark, dir)
+    val v2Struct = struct(
+      col("user.user_id"), col("user.email"), col("user.age"),
+      col("user.first_name"), col("user.last_name"),
+      concat(lit("tier_"),
+        (col("user.user_id").cast("long") % 4).cast("string")).as("status"),
+      col("user.address"))
+    val wire = u.select(
+      when(col("user.user_id").cast("long") % 3 === 0,
+        to_avro_confluent(col("user"), userSchemaJson, SchemaId))
+        .otherwise(to_avro_confluent(v2Struct, userV2SchemaJson, SchemaIdV2))
+        .as("value"))
+    wire
+      .select(
+        avro_schema_id(col("value")).as("schema_id"),
+        from_avro_registry(col("value"), registry, userV2SchemaJson).as("u"))
+      .select(col("schema_id"), col("u.user_id"), col("u.email"), col("u.age"),
+        col("u.first_name"), col("u.last_name"), col("u.status"),
+        col("u.address.city").as("city"))
+      .orderBy(col("user_id"))
+  }
+
   /** Scratch dir for the container-file queries, keyed by the testdata
     * dir so concurrent Verify runs at different scale factors never
     * collide; each query owns its own subdir (AvroFiles.write replaces
@@ -455,7 +496,8 @@ object AvroQueries {
     "kafka_replay_pipeline" -> (kafkaReplayPipeline _),
     "kafka_sink_pipeline" -> (kafkaSinkPipeline _),
     "avro_logical_types" -> (avroLogicalTypes _),
-    "avro_union_logical_types" -> (avroUnionLogicalTypes _)
+    "avro_union_logical_types" -> (avroUnionLogicalTypes _),
+    "avro_mixed_writers" -> (avroMixedWriters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -488,6 +530,21 @@ object AvroQueries {
         |       CASE WHEN o_orderkey % 4 = 2
         |            THEN 'note_' || CAST(o_orderkey AS VARCHAR) END AS flex_note
         |FROM orders ORDER BY order_id""".stripMargin,
+    // both writer eras rebuilt Avro-free: v1 rows (user_id%3=0) carry the
+    // reader default status and v2 rows their written tier — a hash match
+    // proves the per-record id→schema dispatch decoded each era under its
+    // own writer schema
+    "avro_mixed_writers" ->
+      s"""WITH $usersCte
+         |SELECT CASE WHEN CAST(user_id AS BIGINT) % 3 = 0
+         |            THEN CAST($SchemaId AS INTEGER)
+         |            ELSE CAST($SchemaIdV2 AS INTEGER) END AS schema_id,
+         |       user_id, email, age, first_name, last_name,
+         |       CASE WHEN CAST(user_id AS BIGINT) % 3 = 0 THEN 'active'
+         |            ELSE 'tier_' || CAST(CAST(user_id AS BIGINT) % 4 AS VARCHAR)
+         |            END AS status,
+         |       city
+         |FROM users ORDER BY user_id""".stripMargin,
     "avro_roundtrip" ->
       s"""WITH $usersCte
          |SELECT CAST($SchemaId AS INTEGER) AS schema_id, user_id, first_name,
