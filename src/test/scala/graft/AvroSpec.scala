@@ -151,6 +151,58 @@ class AvroSpec extends SparkSpec {
       Set("User0 Doe0", "User1 Doe1", "User3 Doe3"))
   }
 
+  test("stream == batch on a MIXED-WRITER-ID corpus; unknown id routes to " +
+      "the DLQ branch (r17, VERDICT r16 #5)") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val v1 = AvroQueries.userSchemaJson
+    val v2 = AvroQueries.userV2SchemaJson
+    val reg = Map(7 -> v1, 9 -> v2)
+    val ts = Timestamp.from(Instant.parse("2024-01-01T00:00:00Z"))
+
+    // two v1-era frames (id 7), one v2-era frame (id 9), one frame whose
+    // id (13) no registry map knows, and a tombstone
+    val v1Bytes = usersDf(Seq(userRow(0, Some("User0")), userRow(1, Some("User1"))))
+      .select(to_avro_confluent(col("user"), v1, 7).as("b"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    val v2Type = AvroCodec.sparkStructType(v2)
+    val v2Bytes = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(Row("id_2", "u2@example.com",
+          22, "User2", "Doe2", "gold", Row("2 St", "City", "00000")))), 1),
+        StructType(Seq(StructField("user", v2Type))))
+      .select(to_avro_confluent(col("user"), v2, 9).as("b"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    val unknownBytes = usersDf(Seq(userRow(3, Some("User3"))))
+      .select(to_avro_confluent(col("user"), v1, 13).as("b"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    val frames = v1Bytes ++ v2Bytes ++ unknownBytes
+    val records = frames.zipWithIndex.map { case (b, i) =>
+      KBinRecord(s"id_$i", b, "users", i % 2, i.toLong, ts)
+    }.toSeq :+ KBinRecord("id_9", null, "users", 0, 4L, ts)
+
+    def decodeLive(df: org.apache.spark.sql.DataFrame) =
+      StreamingPipeline.enforceAvroRegistry(df, reg, v2, permissive = true)
+        .filter(col("v").isNotNull)
+        .select(col("key"), col("v.user_id"), col("v.status"), col("v.email"))
+
+    val stream = MemoryStream[KBinRecord]
+    stream.addData(records: _*)
+    val q = decodeLive(stream.toDF()).writeStream.format("memory")
+      .queryName("avro_mixed_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("avro_mixed_out").collect().toSet
+    val batch = decodeLive(records.toDF()).collect().toSet
+    assert(streamed === batch)
+    // v1 rows carry the reader-default status, the v2 row its written one;
+    // the unknown-id frame and the tombstone are not live
+    assert(streamed.map(r => (r.getAs[String]("user_id"),
+      r.getAs[String]("status"))) ===
+      Set(("id_0", "active"), ("id_1", "active"), ("id_2", "gold")))
+    // DLQ branch: exactly the unknown-id frame, its id readable for triage
+    val dlq = StreamingPipeline.avroRegistryDeadLetters(records.toDF(), reg, v2)
+      .select(col("key"), avro_schema_id(col("value")).as("sid")).collect()
+    assert(dlq.map(r => (r.getString(0), r.getInt(1))).toSeq === Seq(("id_3", 13)))
+  }
+
   test("schema evolution: reader adds defaulted field, drops one, survives reorder") {
     // v2 reader: drops internal_tracking_code, adds loyalty_tier with a
     // default, and lists email before last_name (resolution is by name)
