@@ -269,7 +269,20 @@ object Bench {
     val (calibrationR9, _) = calibrationAgainst("r9@sf0.1", canaryRefR9)
     val (calibrationR10, calibrationR10Med) =
       trimmedCalibration("r9driver@sf0.1", canaryRefR10, trim = 3)
+    // r17 (VERDICT r16 ask #4): the heavy frame's trimmed spread
+    // (0.83–1.56 in the r16 driver run) was driven by its SUB-SECOND
+    // anchors — agg_conditional 1.95 and dedup_exact 1.75 were both
+    // <1 s raw, pure scheduler-draw noise, while every multi-second
+    // anchor sat near the median. The headline `calibration_r14` frame
+    // is re-specified to the 14 anchors whose r14 reference time is
+    // ≥1 s (trim 2 → middle 10), so the median tracks host speed on
+    // shapes long enough to average the jitter out; the old 26-anchor
+    // trim-3 form stays emitted as `calibration_r14_wide` for
+    // cross-round continuity of the r15/r16 readings.
     val (calibrationR14, calibrationR14Med) =
+      trimmedCalibration("r14driver@sf0.1",
+        canaryRefR14.filter(_._2 >= 1.0), trim = 2)
+    val (calibrationR14Wide, _) =
       trimmedCalibration("r14driver@sf0.1", canaryRefR14, trim = 3)
 
     val runCountsJson = runCounts
@@ -280,7 +293,9 @@ object Bench {
       s""""prep":{"posting_index_build_s":$prep,"session_index_build_s":$sessPrep},""" +
       s""""calibration":$calibration,"calibration_r9":$calibrationR9,""" +
       s""""calibration_r10":$calibrationR10,""" +
-      s""""calibration_r14":$calibrationR14,"sf":"$sfDir"}"""
+      s""""calibration_r14":$calibrationR14,""" +
+      s""""calibration_r14_wide":$calibrationR14Wide,""" +
+      s""""wall_clock_ms":${System.currentTimeMillis()},"sf":"$sfDir"}"""
     println(json)
     // The driver tail-captures only the LAST ~2000 chars of output, so the
     // full per-query map above never survives. Persist the complete
@@ -292,6 +307,21 @@ object Bench {
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full results written to $p")
+      // r17 (VERDICT r16 ask #3): the default artifact is OVERWRITTEN
+      // each driver run, which made cross-round per-query triage lean on
+      // top-10 lists and the anchor subset (the r16 bm25 outlier was
+      // invisible to the calibration frame). Every DEFAULT-path run also
+      // APPENDS its full line to a committed history log, so each
+      // round's tree carries the complete per-query map of every prior
+      // driver/close run. Dev runs redirected via SPARK_GRAFT_BENCH_OUT
+      // stay out of the history.
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+        val hist = java.nio.file.Paths.get("bench/BENCH_history.jsonl")
+        java.nio.file.Files.write(hist, (json + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        System.err.println(s"[bench] appended to $hist")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

@@ -612,18 +612,11 @@ object Dedup {
     // on longs, map back at the end. Rank order (not hash) keeps the
     // component representative = the min ORIGINAL id, exactly what the
     // driver arm and the docstring promise. Exotic id types fail loudly
-    // up front instead of crashing mid-loop.
+    // up front instead of crashing mid-loop. The mapping is MEMOIZED per
+    // (session, canonicalized input plan) — see [[surrogateMapping]].
     val surrogates: Option[DataFrame] = p.schema.head.dataType match {
       case ByteType | ShortType | IntegerType | LongType => None
-      case StringType =>
-        import spark.implicits._
-        val m = p.select(col("id_a").as("n")).union(p.select(col("id_b").as("n")))
-          .distinct().as[String].rdd
-          .sortBy(identity).zipWithIndex()
-          .toDF("orig", "nid")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        m.count(): Unit
-        Some(m)
+      case StringType => Some(surrogateMapping(spark, p))
       case t => throw new UnsupportedOperationException(
         s"connectedComponents: unsupported id type ${t.simpleString} " +
           "(numeric and string ids are supported)")
@@ -703,7 +696,9 @@ object Dedup {
     }
     } catch { case t: Throwable =>
       LocalCheckpoints.free(labelRdds) // no frame returned: free the last pin
-      surrogates.foreach(_.unpersist(): Unit)
+      // the surrogate mapping is NOT unpersisted here: it is memoized per
+      // input plan and stays valid for a retry (released at application
+      // end by the memo's eviction listener)
       throw t
     } finally {
       sym.unpersist(): Unit
@@ -713,17 +708,78 @@ object Dedup {
       case None => labels.select(col("node"), col("label").as("component"))
       case Some(m) =>
         // the mapping must stay pinned for this lazy plan's joins, so it
-        // cannot unpersist here; PinRegistry tracks the node-sized handle
-        // (keyed on the canonicalized plan, so identical re-invocations
-        // share ONE cache entry) and releases it at evict/application
-        // end — without this each string-id invocation leaked one
-        // node-sized cache for the session lifetime (r15 ADVICE)
+        // cannot unpersist here. Identical re-invocations genuinely share
+        // ONE frame: [[surrogateMapping]] memoizes the RDD-backed build
+        // per (session, canonicalized INPUT plan), so PinRegistry's
+        // plan-keyed putIfAbsent sees the same canonical plan and stores
+        // one handle — without the memo each string-id invocation built
+        // a fresh zipWithIndex RDD (a distinct plan every call) and
+        // pinned one node-sized cache per call until application end
+        // (r15 ADVICE; refined r16 ADVICE #2)
         PinRegistry.replace("dedup.connectedComponents.surrogates", Seq(m))
         labels
           .join(m.select(col("nid").as("node"), col("orig").as("node_orig")), "node")
           .join(m.select(col("nid").as("label"), col("orig").as("component")), "label")
           .select(col("node_orig").as("node"), col("component"))
     }
+  }
+
+  /** String-id surrogate mapping memo (r16 ADVICE #2): the mapping is
+    * RDD-backed (sortBy + zipWithIndex), so every rebuild canonicalizes
+    * to a DISTINCT plan — without memoization, plan-identical inputs
+    * each pinned a fresh node-sized cache entry until application end
+    * (bench best-of-N re-invocations leaked one per sample). Keyed by
+    * (session, semanticHash + canonical string of the ANALYZED input
+    * plan) — the same collision-safe pair PinRegistry uses — a repeat
+    * invocation returns the SAME frame object, so downstream plans are
+    * plan-identical and PinRegistry's putIfAbsent stores one handle.
+    * The mapping is a pure rank function of the distinct id set, so
+    * reuse is semantics-exact. `spark.catalog.clearCache()` between
+    * bench samples drops the cache entry but not the memo: a hit with
+    * StorageLevel.NONE re-persists (re-computation is deterministic —
+    * global rank is invariant to range-partition boundaries). Entries
+    * are unpersisted and dropped by a per-session application-end
+    * listener, mirroring PinRegistry's lifecycle. */
+  private val surrogateMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private val surrogateEvictRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[
+      org.apache.spark.sql.SparkSession]()
+
+  private[graft] def surrogateMapping(spark: org.apache.spark.sql.SparkSession,
+      p: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val c = p.queryExecution.analyzed.canonicalized
+    val key = (spark, c.semanticHash().toString + ":" + c.toString)
+    if (surrogateEvictRegistered.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val it = surrogateMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            if (en.getKey._1 eq spark) {
+              try en.getValue.unpersist(blocking = false)
+              catch { case scala.util.control.NonFatal(_) => () }
+              it.remove()
+            }
+          }
+          surrogateEvictRegistered.remove(spark): Unit
+        }
+      })
+    }
+    val m = surrogateMemo.computeIfAbsent(key, _ => {
+      import spark.implicits._
+      p.select(col("id_a").as("n")).union(p.select(col("id_b").as("n")))
+        .distinct().as[String].rdd
+        .sortBy(identity).zipWithIndex()
+        .toDF("orig", "nid")
+    })
+    if (m.storageLevel == StorageLevel.NONE) {
+      m.persist(StorageLevel.MEMORY_AND_DISK)
+      m.count(): Unit
+    }
+    m
   }
 
   /** INCREMENTAL near-dup maintenance — the ingest-batch path. At

@@ -196,7 +196,8 @@ object KafkaReplay {
     * `scannedPos` is what makes the append path incremental — see
     * [[positionIndex]]. */
   private final case class PosEntry(fileLen: Long, mtime: Long,
-      scannedPos: Long, n: Long, marks: Array[Long], head: Array[Byte])
+      scannedPos: Long, n: Long, marks: Array[Long], head: Array[Byte],
+      prefixCrc: Long, prefixCrcLen: Int)
 
   private val posCache =
     new java.util.concurrent.ConcurrentHashMap[String, PosEntry]()
@@ -256,38 +257,66 @@ object KafkaReplay {
     }
     finally in.close()
     val positions = marks.toArray
-    posCache.put(key, PosEntry(len, mtime, pos, n, positions, readHead(f, len)))
+    val (head, crc, crcLen) = readHead(f, len)
+    posCache.put(key, PosEntry(len, mtime, pos, n, positions, head, crc, crcLen))
     (n, positions)
   }
 
-  /** First ≤16 bytes of the log (record 0's offset+ts header) — the
-    * cached entry's replacement fingerprint. */
-  private def readHead(f: File, len: Long): Array[Byte] = {
-    val head = new Array[Byte](math.min(16L, len).toInt)
-    if (head.length > 0) {
+  /** How much of the file prefix the replacement fingerprint hashes —
+    * covers the first frame(s) without re-reading a multi-GB log. */
+  private val PrefixCrcCap = 4096
+
+  /** Replacement fingerprint of the log's start: the first ≤16 bytes
+    * (record 0's offset+ts header) verbatim, plus a CRC32 over the first
+    * ≤[[PrefixCrcCap]] bytes — the "hash the first whole frame" arm of
+    * the r16 ADVICE #3 strengthening (typical frames fit well inside the
+    * cap; a replacement sharing record 0's offset AND timestamp still
+    * diverges in key/value bytes, which the CRC sees and the bare
+    * 16-byte head did not). */
+  private def readHead(f: File, len: Long): (Array[Byte], Long, Int) = {
+    val pre = new Array[Byte](math.min(PrefixCrcCap.toLong, len).toInt)
+    if (pre.length > 0) {
       val in = new FileInputStream(f)
-      try { new DataInputStream(in).readFully(head) }
-      catch { case _: java.io.IOException => return Array.emptyByteArray }
+      try { new DataInputStream(in).readFully(pre) }
+      catch { case _: java.io.IOException =>
+        return (Array.emptyByteArray, 0L, 0) }
       finally in.close()
     }
-    head
+    val crc = new java.util.zip.CRC32()
+    crc.update(pre)
+    (pre.take(16), crc.getValue, pre.length)
   }
 
   /** Content check before resuming an incremental re-frame of a grown
-    * file: the cached first-frame header must still open the file, and
-    * the frame at `scannedPos` (when whole) must decode to the next
-    * sequential offset `cached.n`. Both hold for any append to the same
-    * log; a replaced file fails one with overwhelming probability
-    * (offsets are dense from 0; the header carries record 0's
-    * timestamp). Failure → full re-frame. */
+    * file: the cached first-frame header must still open the file, the
+    * CRC32 of the cached prefix window must match (r16 ADVICE #3 — a
+    * replacement whose record 0 shares offset 0 and the same timestamp
+    * diverges in the key/value bytes the bare header missed), the frame
+    * at the LAST SPARSE MARK (when present) must decode to its slot's
+    * expected offset, and the frame at `scannedPos` (when whole) must
+    * decode to the next sequential offset `cached.n`. All hold for any
+    * append to the same log; failure → full re-frame. */
   private def resumeVerified(f: File, cached: PosEntry, len: Long): Boolean = {
     if (cached.head.isEmpty) return false
     val raf = new java.io.RandomAccessFile(f, "r")
     try {
       val head = new Array[Byte](cached.head.length)
       raf.readFully(head)
-      if (!java.util.Arrays.equals(head, cached.head)) false
-      else if (len >= cached.scannedPos + 8L) {
+      if (!java.util.Arrays.equals(head, cached.head)) return false
+      if (cached.prefixCrcLen > 0) {
+        val pre = new Array[Byte](cached.prefixCrcLen)
+        raf.seek(0L)
+        raf.readFully(pre)
+        val crc = new java.util.zip.CRC32()
+        crc.update(pre)
+        if (crc.getValue != cached.prefixCrc) return false
+      }
+      if (cached.marks.nonEmpty && len >= cached.marks.last + 8L) {
+        raf.seek(cached.marks.last)
+        if (raf.readLong() != (cached.marks.length - 1).toLong * IndexStride)
+          return false
+      }
+      if (len >= cached.scannedPos + 8L) {
         raf.seek(cached.scannedPos)
         raf.readLong() == cached.n
       } else true

@@ -217,6 +217,29 @@ class DedupSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("string-id surrogate mapping is memoized per input plan — identical " +
+      "re-invocations share ONE frame/pin (r16 ADVICE #2)") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b"), ("x", "y"))
+      .toDF("id_a", "id_b").select(col("id_a"), col("id_b"))
+    val m1 = Dedup.surrogateMapping(spark, pairs)
+    val m2 = Dedup.surrogateMapping(spark, pairs)
+    assert(m1 eq m2, "plan-identical inputs must return the SAME memoized frame")
+    // a clearCache between bench samples drops the cache entry but not
+    // the memo: the next hit re-persists the same frame
+    spark.catalog.clearCache()
+    val m3 = Dedup.surrogateMapping(spark, pairs)
+    assert(m3 eq m1)
+    assert(m3.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "memo hit after clearCache must re-persist")
+    // rank-order contract unchanged: nid = global sorted rank
+    val got = m3.orderBy("nid").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("doc-a", 0L), ("doc-b", 1L), ("doc-c", 2L),
+      ("x", 3L), ("y", 4L)))
+    // a DIFFERENT input plan gets its own entry
+    val other = Seq(("p", "q")).toDF("id_a", "id_b")
+    assert(!(Dedup.surrogateMapping(spark, other) eq m1))
+  }
+
   test("autoBandedNearDups rejects off-grid thresholds instead of silently rounding (r15)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val plan = graft.queries.DedupQueries.dedupLshBandPlan(spark, sf)

@@ -553,4 +553,40 @@ class KafkaReplaySpec extends SparkSpec {
     // the content check must detect the replacement and re-frame whole
     assert(readKeys(dirA) === (0 until 7).map(i => s"b_$i"))
   }
+
+  test("replacement sharing record 0's offset+timestamp AND a coincident " +
+      "offset long at scannedPos is still detected (r16 ADVICE #3)") {
+    // The adversarial corner of the pre-r17 fingerprint: record 0's
+    // 16-byte header (offset 0 + the same timestamp) matches, and the 8
+    // bytes at the cached scannedPos are CRAFTED to decode to cached.n —
+    // both old checks pass on a replaced file. The prefix CRC sees the
+    // differing key/value bytes and forces the full re-frame.
+    val dirA = Files.createTempDirectory("graft_replaceC").toString
+    // fixed-shape records: frame = 24 + 4 + 4 = 32 bytes each
+    KafkaReplay.append(dirA, (0 until 3).map(i =>
+      KafkaReplay.Record(0, f"ka$i%02d".getBytes, f"va$i%02d".getBytes, tsMicros)))
+    def readKeys(dir: String): Seq[String] =
+      spark.read.format(KafkaReplay.ShortName).option("path", dir)
+        .option("topic", "t").load()
+        .select($"key".cast("string")).as[String].collect().sorted.toSeq
+    assert(readKeys(dirA) === Seq("ka00", "ka01", "ka02")) // prime the cache
+    // B's record 0: same offset (0) and SAME timestamp → identical 16-byte
+    // head; a 76-byte value whose bytes at absolute position 96 (= A's
+    // scannedPos, inside this value) decode to long 3 (= A's cached n)
+    val crafted = Array.fill[Byte](76)('x'.toByte)
+    java.util.Arrays.fill(crafted, 68, 75, 0.toByte)
+    crafted(75) = 3
+    val dirB = Files.createTempDirectory("graft_replaceD").toString
+    KafkaReplay.append(dirB,
+      KafkaReplay.Record(0, "kb00".getBytes, crafted, tsMicros) +:
+        (1 until 5).map(i =>
+          KafkaReplay.Record(0, f"kb$i%02d".getBytes, f"vb$i%02d".getBytes, tsMicros)))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dirB, "partition-0.log"),
+      java.nio.file.Paths.get(dirA, "partition-0.log"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // stale-resume would keep n=3 and truncate B to its first 3 records;
+    // the CRC-verified path re-frames and sees all 5
+    assert(readKeys(dirA) === Seq("kb00", "kb01", "kb02", "kb03", "kb04"))
+  }
 }

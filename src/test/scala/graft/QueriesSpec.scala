@@ -34,19 +34,24 @@ class QueriesSpec extends SparkSpec {
       name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.spark.sql.types._
     if (!SparkEntry.oracleSql.contains(name) || dtypeAllowlist(name)) return
-    schema.fields.foreach { f =>
-      val bad = f.dataType match {
-        case _: DecimalType => Some("DecimalType")
-        case DateType       => Some("DateType")
-        case _              => None
-      }
-      bad.foreach { d =>
-        fail(s"query $name emits compared column '${f.name}' as $d — " +
+    // recurse into containers (r16 ADVICE #4): a hazard dtype NESTED in a
+    // struct/array/map column fetches through the same divergent stacks
+    // as a top-level one — the lint must see the whole tree
+    def scan(dt: DataType, path: String): Unit = dt match {
+      case d @ (_: DecimalType | DateType) =>
+        val label = if (d == DateType) "DateType" else "DecimalType"
+        fail(s"query $name emits compared column '$path' as $label — " +
           "a cross-checker canonicalization hazard; project it as " +
           "unix_micros/micro-unit BIGINT or a string instead " +
           "(see avro_logical_types, r15 verdict)")
-      }
+      case s: StructType =>
+        s.fields.foreach(f => scan(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => scan(a.elementType, s"$path[]")
+      case m: MapType =>
+        scan(m.keyType, s"$path<key>"); scan(m.valueType, s"$path<value>")
+      case _ => ()
     }
+    schema.fields.foreach(f => scan(f.dataType, f.name))
   }
 
   test("windowed sequence match discriminates (some users convert, some don't)") {
