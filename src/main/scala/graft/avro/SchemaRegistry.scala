@@ -136,4 +136,29 @@ object SchemaRegistry {
     require(node.hasNonNull("schema"), s"registry response missing 'schema': ${body.take(200)}")
     node.get("schema").asText()
   }
+
+  /** EVERY registered version of `subject` as an id→schema map — the
+    * driver-side sweep that feeds `from_avro_registry`'s dispatch input
+    * (r17). The reference's registry deserializer resolves writer
+    * schemas lazily per message id (`verifier_ui.py:34,66`); executors
+    * must never talk to the registry, so the whole subject history is
+    * prefetched ONCE on the driver as pipeline config and the ids
+    * travel as expression literals — a 1000-executor replay over an
+    * evolved topic costs the registry 1 + #versions GETs total. Speaks
+    * `GET /subjects/{s}/versions` (version-number list) then
+    * `GET /subjects/{s}/versions/{v}` per entry. */
+  def fetchVersions(baseUrl: String, subject: String,
+      timeout: Duration = Duration.ofSeconds(10)): Map[Int, String] = {
+    val base = s"${baseUrl.stripSuffix("/")}/subjects/$subject/versions"
+    val list = mapper.readTree(httpGet(base, timeout))
+    require(list.isArray, s"registry version list for $subject is not an array")
+    (0 until list.size).map { i =>
+      val v = list.get(i).asInt()
+      val body = httpGet(s"$base/$v", timeout)
+      val node = mapper.readTree(body)
+      require(node.hasNonNull("id") && node.hasNonNull("schema"),
+        s"registry response for $subject v$v missing 'id'/'schema': ${body.take(200)}")
+      node.get("id").asInt() -> node.get("schema").asText()
+    }.toMap
+  }
 }

@@ -71,8 +71,23 @@ class SchemaRegistrySpec extends SparkSpec {
       val path = ex.getRequestURI.getPath
       val versionsPost = "^/subjects/([^/]+)/versions$".r
       val latestGet = "^/subjects/([^/]+)/versions/latest$".r
+      val versionGet = "^/subjects/([^/]+)/versions/(\\d+)$".r
       val idGet = "^/schemas/ids/(\\d+)$".r
       (ex.getRequestMethod, path) match {
+        case ("GET", versionsPost(subject)) =>
+          bySubject.get(subject) match {
+            case Some(list) =>
+              reply(ex, 200, list.indices.map(_ + 1).mkString("[", ",", "]"))
+            case None =>
+              reply(ex, 404, """{"error_code":40401,"message":"not found"}""")
+          }
+        case ("GET", versionGet(subject, v)) =>
+          bySubject.get(subject).flatMap(_.lift(v.toInt - 1)) match {
+            case Some((id, s)) =>
+              reply(ex, 200, s"""{"subject":"$subject","version":$v,"id":$id,"schema":${mapper.writeValueAsString(s)}}""")
+            case None =>
+              reply(ex, 404, """{"error_code":40402,"message":"not found"}""")
+          }
         case ("POST", versionsPost(subject)) =>
           val posted = mapper.readTree(ex.getRequestBody).get("schema").asText()
           val existing = bySubject.getOrElse(subject, Nil)
@@ -278,6 +293,48 @@ class SchemaRegistrySpec extends SparkSpec {
       assert(wireIds === Seq(reg.id))
       assert(AvroCodec.parsedSchema(SchemaRegistry.fetchById(url, wireIds.head)) ===
         AvroCodec.parsedSchema(reg.schemaJson))
+    } finally stop()
+  }
+
+  test("fetchVersions builds the id→schema dispatch map that decodes a " +
+      "mixed-version topic in one pass (r17)") {
+    val (url, stop) = startWritableStub()
+    try {
+      // two schema eras registered under one subject — the long-retention
+      // topic scenario the reference's AvroDeserializer handles per id
+      val v2Schema = graft.queries.AvroQueries.userV2SchemaJson
+      val id1 = SchemaRegistry.register(url, "users-value", schema)
+      val id2 = SchemaRegistry.register(url, "users-value", v2Schema)
+      assert(id1 !== id2)
+      // ONE driver-side sweep yields the whole dispatch map
+      val registry = SchemaRegistry.fetchVersions(url, "users-value")
+      assert(registry.keySet === Set(id1, id2))
+      assert(AvroCodec.parsedSchema(registry(id1)) === AvroCodec.parsedSchema(schema))
+      assert(AvroCodec.parsedSchema(registry(id2)) === AvroCodec.parsedSchema(v2Schema))
+      intercept[SchemaRegistry.SubjectNotFound] {
+        SchemaRegistry.fetchVersions(url, "nope-value")
+      }
+
+      // frames from BOTH eras, decoded by one from_avro_registry pass
+      // against the latest reader — the fetched map as config, verbatim
+      val v1Wire = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(Row(
+            "id_old", "User0", "Doe0", "old@example.com", 30,
+            "secret123", "TRACK_XYZ", Row("0 St", "City", "00000")))), 1),
+          StructType(Seq(StructField("user", AvroCodec.sparkStructType(schema)))))
+        .select(to_avro_confluent(col("user"), schema, schemaId = id1).as("b"))
+      val v2Wire = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(Row(
+            "id_new", "new@example.com", 25, "User1", "Doe1", "gold",
+            Row("1 St", "City", "00000")))), 1),
+          StructType(Seq(StructField("user", AvroCodec.sparkStructType(v2Schema)))))
+        .select(to_avro_confluent(col("user"), v2Schema, schemaId = id2).as("b"))
+      val got = v1Wire.union(v2Wire)
+        .select(graft.avro.functions.from_avro_registry(
+          col("b"), registry, registry(id2)).as("u"))
+        .select($"u.user_id", $"u.status")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set(("id_old", "active"), ("id_new", "gold")))
     } finally stop()
   }
 }
