@@ -132,6 +132,62 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("decodeRegistry dispatches arbitrary id mixes: mapped ids decode " +
+      "under their own writer, unmapped follow the mode (r17 property)") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val v1 =
+      """{"type":"record","name":"P","fields":[
+        |  {"name":"s","type":"string"},
+        |  {"name":"i","type":"int"}
+        |]}""".stripMargin
+    // v2 adds a defaulted field and reorders — the standard evolution pair
+    val v2 =
+      """{"type":"record","name":"P","fields":[
+        |  {"name":"i","type":"int"},
+        |  {"name":"s","type":"string"},
+        |  {"name":"t","type":"string","default":"dflt"}
+        |]}""".stripMargin
+    val reg = new java.util.HashMap[Integer, String]()
+    reg.put(3, v1); reg.put(9, v2)
+    val gen = for {
+      s <- Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("", "日本語", "a\"b\\c"))
+      i <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      t <- Gen.alphaNumStr
+      id <- Gen.oneOf(3, 9, 4, 100, -1) // two mapped, three unmapped
+    } yield (s, i, t, id)
+    samples(gen, 300, seed0 = 11L).foreach { case (s, i, t, id) =>
+      val bytes =
+        if (id == 3) graft.avro.AvroCodec.encode(new GenericInternalRow(
+          Array[Any](UTF8String.fromString(s), i)), v1, schemaId = id)
+        else graft.avro.AvroCodec.encode(new GenericInternalRow(
+          Array[Any](i, UTF8String.fromString(s), UTF8String.fromString(t))),
+          v2, schemaId = id)
+      if (id == 3 || id == 9) {
+        val back = graft.avro.AvroCodec.decodeRegistry(bytes, reg, v2,
+          permissive = false)
+        // reader layout is v2's: (i, s, t); v1-written rows default t
+        assert(back.getInt(0) === i)
+        assert(back.getUTF8String(1).toString === s)
+        assert(back.getUTF8String(2).toString === (if (id == 3) "dflt" else t))
+      } else {
+        val e = intercept[graft.avro.AvroCodec.UnknownSchemaIdException] {
+          graft.avro.AvroCodec.decodeRegistry(bytes, reg, v2, permissive = false)
+        }
+        assert(e.id === id)
+        assert(graft.avro.AvroCodec.decodeRegistry(bytes, reg, v2,
+          permissive = true) == null)
+      }
+    }
+    // bad frames follow the mode too (never UnknownSchemaIdException)
+    intercept[IllegalArgumentException] {
+      graft.avro.AvroCodec.decodeRegistry(Array[Byte](1, 2), reg, v2,
+        permissive = false)
+    }
+    assert(graft.avro.AvroCodec.decodeRegistry(Array[Byte](1, 2), reg, v2,
+      permissive = true) == null)
+  }
+
   test("CosineSimilarity == HOF on equal-length vectors incl. zero vectors") {
     val vecGen = Gen.listOfN(8, Gen.frequency(
       4 -> Gen.chooseNum(-5.0f, 5.0f), 1 -> Gen.const(0.0f)))
