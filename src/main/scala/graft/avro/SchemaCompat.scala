@@ -88,16 +88,17 @@ object SchemaCompat {
     else None
   }
 
-  /** Branch count of the WRITER union at a parent location, walking the
-    * reader and writer schemas in lockstep: `fields/<i>` indexes the
-    * READER's field list (probe case J: locations keep reader field
-    * order under reordering) and hops to the writer's field BY NAME —
-    * the same pairing Avro resolution uses. Any segment this walk
-    * doesn't understand (aliases, a mid-path union index, a non-union
-    * writer endpoint) returns None and the caller falls back to the
-    * pre-r17 skippable classification — never a false gate. */
-  private def writerUnionSizeAt(readerJson: String, writerJson: String,
-      parent: Array[String]): Option[Int] =
+  /** The (reader, writer) schema pair at a resolver location, walking
+    * both schemas in lockstep: `fields/<i>` indexes the READER's field
+    * list (probe case J: locations keep reader field order under
+    * reordering) and hops to the writer's field BY NAME — the same
+    * pairing Avro resolution uses. Any segment this walk doesn't
+    * understand (aliases, a mid-path union index) returns None and the
+    * caller falls back to the pre-r17 skippable classification — never
+    * a false gate. */
+  private def schemasAt(readerJson: String, writerJson: String,
+      parent: Array[String])
+      : Option[(org.apache.avro.Schema, org.apache.avro.Schema)] =
     try {
       var r = AvroCodec.parsedSchema(readerJson)
       var w = AvroCodec.parsedSchema(writerJson)
@@ -119,9 +120,17 @@ object SchemaCompat {
           case _ => return None
         }
       }
-      if (w.getType == org.apache.avro.Schema.Type.UNION)
-        Some(w.getTypes.size) else None
+      Some((r, w))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Branch count of the WRITER union at a parent location (the
+    * union-coverage gate's input). */
+  private def writerUnionSizeAt(readerJson: String, writerJson: String,
+      parent: Array[String]): Option[Int] =
+    schemasAt(readerJson, writerJson, parent).collect {
+      case (_, w) if w.getType == org.apache.avro.Schema.Type.UNION =>
+        w.getTypes.size
+    }
 
   /** The subset of [[incompatibilities]] that fail EVERY record — as
     * opposed to data-dependent ones (e.g. MISSING_UNION_BRANCH, which
@@ -157,8 +166,37 @@ object SchemaCompat {
       case i if i.getType.name == "READER_FIELD_MISSING_DEFAULT_VALUE" ||
           i.getType.name == "NAME_MISMATCH" ||
           ((i.getType.name == "TYPE_MISMATCH" ||
-            i.getType.name == "MISSING_UNION_BRANCH") &&
+            i.getType.name == "MISSING_UNION_BRANCH" ||
+            // a fixed-size flip fails every record carrying the type;
+            // nested in a union branch the checker reports it as that
+            // branch's MISSING_UNION_BRANCH instead (probe case R), so
+            // a direct FIXED_SIZE_MISMATCH outside a branch is total
+            // (r17 probe case L — previously skipped, silent full loss)
+            i.getType.name == "FIXED_SIZE_MISMATCH") &&
             !insideUnionBranch(i.getLocation)) => render(i)
+    }
+    // MISSING_ENUM_SYMBOLS is data-dependent in general (only records
+    // carrying a dropped symbol fail — probe case N), but when the
+    // reader shares NO symbol with the writer and declares no enum
+    // default, every record fails (probe case M) — total, gate it. The
+    // location ends in /symbols; navigate to the enum pair and compare
+    // symbol sets. With a reader default the checker reports nothing
+    // (probe case O), so the default check is belt-and-braces.
+    val enumTotal = all.filter(i =>
+      i.getType.name == "MISSING_ENUM_SYMBOLS" &&
+        !insideUnionBranch(i.getLocation)).flatMap { i =>
+      val segs = segments(i.getLocation)
+      val parent = if (segs.nonEmpty && segs.last == "symbols")
+        segs.dropRight(1) else segs
+      schemasAt(readerJson, writerJson, parent) match {
+        case Some((r, w))
+            if r.getType == org.apache.avro.Schema.Type.ENUM &&
+              w.getType == org.apache.avro.Schema.Type.ENUM &&
+              r.getEnumDefault == null &&
+              !w.getEnumSymbols.asScala.exists(r.getEnumSymbols.contains(_)) =>
+          Some(render(i))
+        case _ => None
+      }
     }
     // Union-coverage gate (r16 ADVICE #1): a single mismatched branch is
     // data-dependent (only records carrying it fail — permissive's
@@ -187,7 +225,8 @@ object SchemaCompat {
         case _ => Seq.empty
       }
     }
-    always ++ covered.filterNot(always.contains)
+    val extra = (enumTotal ++ covered).filterNot(always.contains)
+    always ++ extra
   }
 
   /** Throws with the named violations unless `readerJson` can read

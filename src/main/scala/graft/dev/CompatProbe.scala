@@ -82,5 +82,51 @@ object CompatProbe {
     show("K map values reader int / writer [null,string]",
       rec("""{"name":"m","type":{"type":"map","values":"int"}}"""),
       rec("""{"name":"m","type":{"type":"map","values":["null","string"]}}"""))
+
+    // L: fixed size mismatch — every record fails (total).
+    show("L reader fixed(8) / writer fixed(16)",
+      rec("""{"name":"f","type":{"type":"fixed","name":"F","size":8}}"""),
+      rec("""{"name":"f","type":{"type":"fixed","name":"F","size":16}}"""))
+
+    // M: reader enum shares NO symbol with the writer (no default) —
+    // every record fails (total).
+    show("M reader enum [A] / writer enum [B,C]",
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A"]}}"""),
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["B","C"]}}"""))
+
+    // N: reader enum lacks ONE writer symbol — only records carrying it
+    // fail (data-dependent, skippable).
+    show("N reader enum [A,B] / writer enum [A,B,C]",
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B"]}}"""),
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B","C"]}}"""))
+
+    // O: reader enum lacks symbols but declares a DEFAULT — resolution
+    // maps unknowns to it; expect compatible.
+    show("O reader enum [A] default A / writer enum [A,B,C]",
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A"],"default":"A"}}"""),
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B","C"]}}"""))
+
+    // P: missing-default READER field inside a union BRANCH record —
+    // only records carrying that branch fail (data-dependent): the
+    // unconditional READER_FIELD_MISSING_DEFAULT_VALUE gate would
+    // over-gate this.
+    show("P missing-default field inside a union branch record",
+      rec("""{"name":"o","type":["null",{"type":"record","name":"S","fields":[
+             {"name":"x","type":"int"},{"name":"y","type":"int"}]}],"default":null}"""),
+      rec("""{"name":"o","type":["null",{"type":"record","name":"S","fields":[
+             {"name":"x","type":"int"}]}],"default":null}"""))
+
+    // Q: record-name mismatch inside a union branch — data-dependent
+    // for the same reason.
+    show("Q name mismatch inside a union branch",
+      rec("""{"name":"o","type":["null",{"type":"record","name":"T","fields":[
+             {"name":"x","type":"int"}]}],"default":null}"""),
+      rec("""{"name":"o","type":["null",{"type":"record","name":"S","fields":[
+             {"name":"x","type":"int"}]}],"default":null}"""))
+
+    // R: fixed-size mismatch nested INSIDE a union branch — skippable.
+    show("R fixed mismatch inside a union branch",
+      rec("""{"name":"o","type":["null",{"type":"fixed","name":"F","size":8}],"default":null}"""),
+      rec("""{"name":"o","type":["null",{"type":"fixed","name":"F","size":16}],"default":null}"""))
   }
 }

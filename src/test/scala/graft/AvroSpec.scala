@@ -455,6 +455,39 @@ class AvroSpec extends SparkSpec {
     assert(nestedInBranch.isEmpty, nestedInBranch.mkString("; "))
   }
 
+  test("totalIncompatibilities gates fixed-size flips and total enum loss; " +
+      "partial enum loss and branch-nested variants stay skippable (r17 probe)") {
+    import graft.avro.SchemaCompat
+    def rec(fields: String) =
+      s"""{"type":"record","name":"R","fields":[$fields]}"""
+    // fixed(8) reader vs fixed(16) writer: every record fails — a
+    // permissive read previously passed pre-flight and nulled the lot
+    val fixedFlip = SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"f","type":{"type":"fixed","name":"F","size":8}}"""),
+      rec("""{"name":"f","type":{"type":"fixed","name":"F","size":16}}"""))
+    assert(fixedFlip.size == 1 && fixedFlip.head.startsWith("FIXED_SIZE_MISMATCH"),
+      fixedFlip.mkString("; "))
+    // reader enum sharing NO writer symbol (no default): total
+    val enumAll = SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A"]}}"""),
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["B","C"]}}"""))
+    assert(enumAll.size == 1 && enumAll.head.startsWith("MISSING_ENUM_SYMBOLS"),
+      enumAll.mkString("; "))
+    // dropping ONE of three symbols: only records carrying it fail
+    assert(SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B"]}}"""),
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B","C"]}}""")).isEmpty)
+    // an enum DEFAULT absorbs unknown symbols: compatible outright
+    assert(SchemaCompat.incompatibilities(
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A"],"default":"A"}}"""),
+      rec("""{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B","C"]}}""")).isEmpty)
+    // a fixed flip nested INSIDE a union branch surfaces as that
+    // branch's MISSING_UNION_BRANCH — single branch of two, skippable
+    assert(SchemaCompat.totalIncompatibilities(
+      rec("""{"name":"o","type":["null",{"type":"fixed","name":"F","size":8}],"default":null}"""),
+      rec("""{"name":"o","type":["null",{"type":"fixed","name":"F","size":16}],"default":null}""")).isEmpty)
+  }
+
   // ---- per-record writer-schema dispatch (r17, VERDICT r16 #1) -----------
 
   test("from_avro_registry: mixed writer ids decode in one pass against " +
