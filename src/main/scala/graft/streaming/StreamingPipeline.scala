@@ -350,11 +350,16 @@ object StreamingPipeline {
       // the first task file of an in-flight (or crashed) overwrite, and
       // reading it would violate the snapshot-isolation contract —
       // _SUCCESS is the FileOutputCommitter's commit marker
+      // toLongOption, not toLong (r17 review — the same hardening the
+      // retention sweep and AvroTable's batch= sweep already carry): a
+      // foreign `v=<non-numeric>` dir under stateDir would otherwise
+      // throw inside EVERY read and commit — a permanently wedged sink
       val versions = fs.listStatus(p).filter(_.isDirectory)
         .map(_.getPath)
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
         .map(_.getName)
-        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLongOption }
+        .flatten
         .filter(_ < before)
       if (versions.isEmpty) None
       else Some(spark.read.parquet(s"$stateDir/v=${versions.max}"))
@@ -392,8 +397,11 @@ object StreamingPipeline {
           if (fs.exists(p))
             fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
               .filter { d =>
+                // toLongOption: a foreign non-numeric v= dir is left
+                // alone, not a per-batch crash (r17 review, matching
+                // the retention sweep below)
                 val n = d.getName
-                n.startsWith("v=") && n.drop(2).toLong > batchId
+                n.startsWith("v=") && n.drop(2).toLongOption.exists(_ > batchId)
               }
               .foreach(d => fs.delete(d, true))
         }

@@ -356,6 +356,18 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("n_events")))
     assert(snap2.toSeq === Seq((1L, 10.0, 6L), (2L, 3.0, 1L), (3L, 5.0, 1L)),
       "the swept tail must not change the current snapshot")
+    // a FOREIGN non-numeric v= dir (user artifact) must not wedge the
+    // sink or the reader — toLongOption in every v= parse (r17 review):
+    // the incarnation sweep, the retention sweep, and the version scan
+    // all skip it rather than throw, and it is left untouched
+    val foreign = new java.io.File(stateDir, "v=backup")
+    assert(foreign.mkdir())
+    stream.addData(ev(8, "a", 1.0, 1L)); run() // batch 5 commits fine
+    val snap3 = StreamingPipeline.currentTotals(spark, stateDir).get
+      .filter(col("user_id") === 1L).collect()
+      .map(r => (r.getAs[Double]("total"), r.getAs[Long]("n_events")))
+    assert(snap3.toSeq === Seq((11.0, 7L)))
+    assert(foreign.isDirectory, "the foreign dir must be left alone")
   }
 
   test("watermarked tumbling window matches batch aggregation") {
