@@ -658,7 +658,11 @@ object StreamingPipeline {
                 }
                 members = r.id :: members
                 seen += r.id
-                if (members.length >= maxBucket) saturated = true
+                // seen.size, not members.length (r17): the list scan is
+                // O(members) per appended id — the same flood hot path
+                // the r15 HashSet fix de-quadratified; the set mirrors
+                // the member list exactly, so its size is the bucket size
+                if (seen.size >= maxBucket) saturated = true
               }
             }
             state.update(LshBucketState(members, saturated))
