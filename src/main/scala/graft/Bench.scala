@@ -315,15 +315,26 @@ object Bench {
       // round's tree carries the complete per-query map of every prior
       // driver/close run. Dev runs redirected via SPARK_GRAFT_BENCH_OUT
       // stay out of the history.
-      if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // Separate try block with its own message (r17 ADVICE #3): the
+    // history append previously shared the artifact write's catch, so a
+    // failure here — run from a CWD without a bench/ dir, say — printed
+    // "could not write $outPath" AFTER outPath had already been written
+    // successfully. It also relied on bench/ already existing; resolve
+    // and create the parent exactly as the artifact path does.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      try {
         val hist = java.nio.file.Paths.get("bench/BENCH_history.jsonl")
+        Option(hist.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.write(hist, (json + "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
         System.err.println(s"[bench] appended to $hist")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not append bench/BENCH_history.jsonl: ${e.getMessage}")
       }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
 
     // …then tear the session down COMPLETELY before the headline print.

@@ -93,11 +93,50 @@ object SchemaRegistry {
     node.get("id").asInt()
   }
 
+  /** Sentinel `mode` for [[registerChecked]]: resolve the compatibility
+    * level from the registry's own config ([[fetchConfig]]) instead of
+    * a caller-declared one — matching what the server will actually
+    * enforce on the POST. */
+  val ServerConfigured = "SERVER"
+
+  /** The compatibility level the registry will enforce for `subject` —
+    * the server-side config the reference registry applies on register
+    * (r17 VERDICT ask #5). Resolution follows the registry's documented
+    * fallback chain: `GET /config/{subject}` (a subject-level
+    * override), on 404 (Confluent error 40408 subject-config-not-found
+    * arrives as HTTP 404) the global `GET /config`, and if the global
+    * config is also absent the Confluent factory default BACKWARD.
+    * Driver-side pipeline config like every other fetch here — one or
+    * two GETs per job, never per executor. */
+  def fetchConfig(baseUrl: String, subject: String,
+      timeout: Duration = Duration.ofSeconds(10)): String = {
+    def level(body: String): Option[String] = {
+      val node = mapper.readTree(body)
+      // the registry answers {"compatibilityLevel": "..."} on GET but
+      // {"compatibility": "..."} on PUT; accept both spellings
+      if (node.hasNonNull("compatibilityLevel"))
+        Some(node.get("compatibilityLevel").asText())
+      else if (node.hasNonNull("compatibility"))
+        Some(node.get("compatibility").asText())
+      else None
+    }
+    val base = baseUrl.stripSuffix("/")
+    val subjectLevel =
+      try level(httpGet(s"$base/config/$subject", timeout))
+      catch { case _: SubjectNotFound => None }
+    subjectLevel
+      .orElse {
+        try level(httpGet(s"$base/config", timeout))
+        catch { case _: SubjectNotFound => None }
+      }
+      .getOrElse("BACKWARD")
+  }
+
   /** [[register]] with the registry's compatibility gate enforced
     * CLIENT-side first (r15): fetch the subject's latest version and
-    * check the declared mode via [[SchemaCompat]] before POSTing. A
-    * real registry enforces this server-side per subject config; doing
-    * it here too means the violation list arrives as a local exception
+    * check the mode via [[SchemaCompat]] before POSTing. A real
+    * registry enforces this server-side per subject config; doing it
+    * here too means the violation list arrives as a local exception
     * with named paths instead of an HTTP 409 — and pipelines talking to
     * a permissively-configured registry (NONE mode, the default of some
     * estates) still get BACKWARD safety. A missing subject (first
@@ -105,26 +144,52 @@ object SchemaRegistry {
     * server would; any OTHER fetch failure (5xx, auth, timeout)
     * propagates — treating it as "no versions yet" would let a
     * transient GET error silently disable the gate while the POST
-    * still succeeds (r15 ADVICE). */
+    * still succeeds (r15 ADVICE).
+    *
+    * `mode` defaults to [[ServerConfigured]] (r17 VERDICT ask #5):
+    * resolve the SUBJECT's configured level via [[fetchConfig]] — what
+    * the server itself would enforce — instead of assuming BACKWARD. A
+    * registry with no config at any level resolves to BACKWARD, so the
+    * default behavior of estates that never touched /config is
+    * unchanged. Callers can still pin an explicit mode (e.g. "NONE" to
+    * bypass, or a STRICTER mode than the server's). `*_TRANSITIVE`
+    * levels check the new schema against EVERY registered version via
+    * [[fetchVersions]], exactly as the server does, not just the
+    * latest. */
   def registerChecked(baseUrl: String, subject: String, schemaJson: String,
-      mode: String = "BACKWARD",
+      mode: String = ServerConfigured,
       timeout: Duration = Duration.ofSeconds(10)): Int = {
-    val prior =
-      try Some(fetchLatest(baseUrl, subject, timeout).schemaJson)
-      catch { case _: SubjectNotFound => None } // first registration
-    prior.foreach { old =>
-      val bad = mode.toUpperCase match {
-        case "BACKWARD" => SchemaCompat.checkBackward(schemaJson, old)
-        case "FORWARD" => SchemaCompat.checkForward(schemaJson, old)
-        case "FULL" => SchemaCompat.checkFull(schemaJson, old)
-        case "NONE" => Seq.empty
-        case other => throw new IllegalArgumentException(
-          s"unknown compatibility mode '$other' (BACKWARD/FORWARD/FULL/NONE)")
-      }
-      require(bad.isEmpty,
-        s"schema for $subject violates $mode compatibility with the " +
-          s"latest registered version:\n  ${bad.mkString("\n  ")}")
+    val resolved =
+      (if (mode.toUpperCase == ServerConfigured)
+        fetchConfig(baseUrl, subject, timeout)
+      else mode).toUpperCase
+    val transitive = resolved.endsWith("_TRANSITIVE")
+    val baseMode = resolved.stripSuffix("_TRANSITIVE")
+    val check: (String, String) => Seq[String] = baseMode match {
+      case "BACKWARD" => SchemaCompat.checkBackward
+      case "FORWARD" => SchemaCompat.checkForward
+      case "FULL" => SchemaCompat.checkFull
+      case "NONE" => (_, _) => Seq.empty
+      case other => throw new IllegalArgumentException(
+        s"unknown compatibility mode '$other' " +
+          "(BACKWARD/FORWARD/FULL/NONE, optionally _TRANSITIVE, or SERVER)")
     }
+    val priors: Seq[(String, String)] = // (label, schema)
+      if (baseMode == "NONE") Seq.empty
+      else if (transitive) {
+        try fetchVersions(baseUrl, subject, timeout).toSeq
+          .sortBy(_._1).map { case (id, s) => (s"id $id", s) }
+        catch { case _: SubjectNotFound => Seq.empty } // first registration
+      } else {
+        try Seq(("latest", fetchLatest(baseUrl, subject, timeout).schemaJson))
+        catch { case _: SubjectNotFound => Seq.empty } // first registration
+      }
+    val bad = priors.flatMap { case (label, old) =>
+      check(schemaJson, old).map(v => s"[vs $label] $v")
+    }
+    require(bad.isEmpty,
+      s"schema for $subject violates $resolved compatibility with " +
+        s"registered version(s):\n  ${bad.mkString("\n  ")}")
     register(baseUrl, subject, schemaJson, timeout)
   }
 
@@ -146,7 +211,20 @@ object SchemaRegistry {
     * travel as expression literals — a 1000-executor replay over an
     * evolved topic costs the registry 1 + #versions GETs total. Speaks
     * `GET /subjects/{s}/versions` (version-number list) then
-    * `GET /subjects/{s}/versions/{v}` per entry. */
+    * `GET /subjects/{s}/versions/{v}` per entry.
+    *
+    * STRICT-mode caveat (r17 ADVICE): this returns EVERY historical
+    * version, and `from_avro_registry`'s strict mode fails analysis if
+    * ANY mapped writer has ANY incompatibility with the reader —
+    * including data-dependent ones (e.g. a single union branch the
+    * reader dropped). That is deliberate config-error posture: a strict
+    * pipeline should not start if a writer era it claims to handle
+    * could produce an undecodable record. But if a retired era's
+    * records are known to be gone from the topic (compacted or
+    * retention-expired), strict callers should drop those ids from the
+    * map before binding — `fetchVersions(...).view.filterKeys(_ >=
+    * oldestLiveId).toMap` — or use permissive mode + DLQ, which
+    * quarantines rather than refuses. */
   def fetchVersions(baseUrl: String, subject: String,
       timeout: Duration = Duration.ofSeconds(10)): Map[Int, String] = {
     val base = s"${baseUrl.stripSuffix("/")}/subjects/$subject/versions"

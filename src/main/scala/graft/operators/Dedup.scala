@@ -544,6 +544,16 @@ object Dedup {
     *    scalar. The 100 TB path, unchanged.
     *
     * Output: (node, component) where component = min node id reachable.
+    *
+    * IMMUTABLE-INPUT assumption (r17 ADVICE #1): string-id inputs route
+    * through [[surrogateMapping]], which memoizes the id→rank frame per
+    * (session, canonical input PLAN) for the application lifetime. The
+    * memo assumes a given plan always reads the same data — true for
+    * the engine's query paths (each Verify/Bench invocation reads
+    * immutable parquet snapshots). A caller that OVERWRITES a source
+    * under a plan-identical input between calls must call
+    * [[invalidateComponentIdMemo]] first, or ids absent from the stale
+    * mapping are silently dropped by the inner join back to originals.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
@@ -768,18 +778,54 @@ object Dedup {
         }
       })
     }
-    val m = surrogateMemo.computeIfAbsent(key, _ => {
-      import spark.implicits._
-      p.select(col("id_a").as("n")).union(p.select(col("id_b").as("n")))
-        .distinct().as[String].rdd
-        .sortBy(identity).zipWithIndex()
-        .toDF("orig", "nid")
-    })
+    // Build OUTSIDE the map (r17 ADVICE #2): sortBy's range-partitioner
+    // sampling and zipWithIndex both launch eager Spark jobs, and
+    // computeIfAbsent runs its lambda under the CHM bin lock — a
+    // concurrent caller whose key hashed to the same bin blocked for
+    // the duration of a cluster job. get → build unlocked → putIfAbsent
+    // instead: a lost race wastes one duplicate build (rare, bounded)
+    // but never serializes unrelated callers behind a job.
+    val m = {
+      val hit = surrogateMemo.get(key)
+      if (hit != null) hit
+      else {
+        import spark.implicits._
+        val built = p.select(col("id_a").as("n"))
+          .union(p.select(col("id_b").as("n")))
+          .distinct().as[String].rdd
+          .sortBy(identity).zipWithIndex()
+          .toDF("orig", "nid")
+        val prev = surrogateMemo.putIfAbsent(key, built)
+        if (prev != null) prev else built
+      }
+    }
     if (m.storageLevel == StorageLevel.NONE) {
       m.persist(StorageLevel.MEMORY_AND_DISK)
       m.count(): Unit
     }
     m
+  }
+
+  /** Drop this session's memoized string-id surrogate mappings (r17
+    * ADVICE #1). [[surrogateMapping]] is keyed by canonical input PLAN,
+    * not data: if a plan-identical input's underlying bytes change
+    * in-session (a source path overwritten between
+    * [[connectedComponents]] calls), the stale mapping would be reused
+    * and ids absent from it silently dropped by the inner join back.
+    * Callers that mutate a component input in-session invalidate first
+    * — mirroring `KafkaReplay.invalidateUnder`'s posture for replay
+    * dirs. Unpersists and removes every entry for `spark`; the next
+    * call rebuilds from current data. */
+  def invalidateComponentIdMemo(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = surrogateMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      if (en.getKey._1 eq spark) {
+        try en.getValue.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        it.remove()
+      }
+    }
   }
 
   /** INCREMENTAL near-dup maintenance — the ingest-batch path. At

@@ -240,6 +240,24 @@ class DedupSpec extends SparkSpec {
     assert(!(Dedup.surrogateMapping(spark, other) eq m1))
   }
 
+  test("invalidateComponentIdMemo drops the session's surrogate entries so a " +
+      "plan-identical input rebuilds from current data (r17 ADVICE #1)") {
+    val pairs = Seq(("m-b", "m-a")).toDF("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+    val before = Dedup.surrogateMapping(spark, pairs)
+    assert(Dedup.surrogateMapping(spark, pairs) eq before, "memo primed")
+    Dedup.invalidateComponentIdMemo(spark)
+    assert(before.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "invalidation must unpersist the dropped entry")
+    val after = Dedup.surrogateMapping(spark, pairs)
+    assert(!(after eq before),
+      "post-invalidation hit must REBUILD — a mutated-in-place source would " +
+        "otherwise silently reuse a mapping missing its new ids")
+    // the rebuilt mapping is live and correct
+    assert(after.orderBy("nid").as[(String, Long)].collect().toSeq ===
+      Seq(("m-a", 0L), ("m-b", 1L)))
+  }
+
   test("autoBandedNearDups rejects off-grid thresholds instead of silently rounding (r15)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val plan = graft.queries.DedupQueries.dedupLshBandPlan(spark, sf)

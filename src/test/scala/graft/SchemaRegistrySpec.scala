@@ -10,7 +10,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.avro.{AvroCodec, SchemaRegistry}
+import graft.avro.{AvroCodec, SchemaCompat, SchemaRegistry}
 import graft.avro.functions._
 import graft.queries.AvroQueries
 import graft.sources.KafkaReplay
@@ -54,8 +54,11 @@ class SchemaRegistrySpec extends SparkSpec {
 
   /** Registration-capable stub: POST /subjects/{s}/versions assigns ids
     * content-addressed per subject (idempotent re-register), GET latest
-    * and GET /schemas/ids/{id} serve what was registered. */
-  private def startWritableStub(): (String, () => Unit) = {
+    * and GET /schemas/ids/{id} serve what was registered. `config` maps
+    * subject → compatibility level (key "" = the global level); absent
+    * keys answer 404 exactly as a registry with no override does. */
+  private def startWritableStub(
+      config: Map[String, String] = Map.empty): (String, () => Unit) = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val byId = scala.collection.mutable.Map[Int, String]()
     val bySubject = scala.collection.mutable.Map[String, List[(Int, String)]]()
@@ -73,7 +76,20 @@ class SchemaRegistrySpec extends SparkSpec {
       val latestGet = "^/subjects/([^/]+)/versions/latest$".r
       val versionGet = "^/subjects/([^/]+)/versions/(\\d+)$".r
       val idGet = "^/schemas/ids/(\\d+)$".r
+      val configGet = "^/config/([^/]+)$".r
       (ex.getRequestMethod, path) match {
+        case ("GET", "/config") =>
+          config.get("") match {
+            case Some(l) => reply(ex, 200, s"""{"compatibilityLevel":"$l"}""")
+            case None =>
+              reply(ex, 404, """{"error_code":40408,"message":"no global config"}""")
+          }
+        case ("GET", configGet(subject)) =>
+          config.get(subject) match {
+            case Some(l) => reply(ex, 200, s"""{"compatibilityLevel":"$l"}""")
+            case None =>
+              reply(ex, 404, """{"error_code":40408,"message":"no subject config"}""")
+          }
         case ("GET", versionsPost(subject)) =>
           bySubject.get(subject) match {
             case Some(list) =>
@@ -174,6 +190,82 @@ class SchemaRegistrySpec extends SparkSpec {
       // NONE mode registers anything, like a permissive estate
       val id3 = SchemaRegistry.registerChecked(url, "u-value", addRequired, mode = "NONE")
       assert(id3 !== id2)
+    } finally stop()
+  }
+
+  test("fetchConfig resolves subject → global → BACKWARD default (r17 ask #5)") {
+    // subject-level override wins
+    val (url1, stop1) = startWritableStub(config =
+      Map("u-value" -> "FULL", "" -> "FORWARD"))
+    try {
+      assert(SchemaRegistry.fetchConfig(url1, "u-value") === "FULL")
+      // a subject with no override falls back to the global level
+      assert(SchemaRegistry.fetchConfig(url1, "other-value") === "FORWARD")
+    } finally stop1()
+    // a registry with no config at any level reports the factory default
+    val (url2, stop2) = startWritableStub()
+    try assert(SchemaRegistry.fetchConfig(url2, "u-value") === "BACKWARD")
+    finally stop2()
+  }
+
+  test("registerChecked defaults to the SERVER-configured mode (r17 ask #5)") {
+    val base =
+      """{"type":"record","name":"U","namespace":"graft","fields":[
+        |{"name":"a","type":"int"}]}""".stripMargin
+    val addRequired =
+      """{"type":"record","name":"U","namespace":"graft","fields":[
+        |{"name":"a","type":"int"},{"name":"b","type":"string"}]}""".stripMargin
+    // subject configured NONE: the same evolution that violates BACKWARD
+    // registers cleanly because the gate enforces what the SERVER would
+    val (urlNone, stopNone) = startWritableStub(config = Map("u-value" -> "NONE"))
+    try {
+      SchemaRegistry.registerChecked(urlNone, "u-value", base): Unit
+      val id = SchemaRegistry.registerChecked(urlNone, "u-value", addRequired)
+      assert(id > 0, "NONE-configured subject must accept the add-required evolution")
+    } finally stopNone()
+    // global FORWARD (no subject override): dropping a field violates
+    // FORWARD (old reader can't fill it) even though it passes BACKWARD
+    val (urlFwd, stopFwd) = startWritableStub(config = Map("" -> "FORWARD"))
+    try {
+      SchemaRegistry.registerChecked(urlFwd, "u-value", addRequired): Unit
+      val ex = intercept[IllegalArgumentException] {
+        SchemaRegistry.registerChecked(urlFwd, "u-value", base)
+      }
+      assert(ex.getMessage.contains("FORWARD"))
+      // an explicit caller mode still overrides the server's answer
+      val id = SchemaRegistry.registerChecked(urlFwd, "u-value", base, mode = "NONE")
+      assert(id > 0)
+    } finally stopFwd()
+  }
+
+  test("registerChecked *_TRANSITIVE checks every registered version, not " +
+      "just latest (r17 ask #5)") {
+    val v1 =
+      """{"type":"record","name":"U","namespace":"graft","fields":[
+        |{"name":"a","type":"int"}]}""".stripMargin
+    val v2 =
+      """{"type":"record","name":"U","namespace":"graft","fields":[
+        |{"name":"a","type":"int"},{"name":"b","type":"string","default":"x"}]}"""
+        .stripMargin
+    // passes BACKWARD vs latest (v2's writer always writes b) but fails
+    // vs v1 (whose records lack b, and the new reader has no default)
+    val newNoDefault =
+      """{"type":"record","name":"U","namespace":"graft","fields":[
+        |{"name":"a","type":"int"},{"name":"b","type":"string"}]}""".stripMargin
+    val (url, stop) = startWritableStub(
+      config = Map("u-value" -> "BACKWARD_TRANSITIVE"))
+    try {
+      SchemaRegistry.registerChecked(url, "u-value", v1, mode = "NONE"): Unit
+      SchemaRegistry.registerChecked(url, "u-value", v2, mode = "NONE"): Unit
+      // plain BACKWARD (latest only) would accept it…
+      assert(SchemaCompat.checkBackward(newNoDefault, v2).isEmpty)
+      // …but the server-configured transitive gate walks the history
+      val ex = intercept[IllegalArgumentException] {
+        SchemaRegistry.registerChecked(url, "u-value", newNoDefault)
+      }
+      assert(ex.getMessage.contains("BACKWARD_TRANSITIVE"))
+      assert(SchemaRegistry.fetchLatest(url, "u-value").version === 2,
+        "the violating schema must not have been registered")
     } finally stop()
   }
 
