@@ -331,6 +331,55 @@ object AvroQueries {
       .orderBy(col("user_id"))
   }
 
+  /** [[avroMixedWriters]] as a STREAMING job (r18, VERDICT r17 ask #4):
+    * the same two-era corpus is produced onto a `graft-kafka-replay`
+    * segment log, replayed through the V2 streaming source, and decoded
+    * by ONE [[graft.streaming.StreamingPipeline.enforceAvroRegistry]]
+    * pass — per-record writer dispatch inside a micro-batch, the exact
+    * shape a long-retention topic hands a streaming consumer when its
+    * value schema evolved mid-stream. Shares `avro_mixed_writers`'
+    * Avro-free oracle, so the driver gate proves stream == batch ==
+    * external engine (every other streaming stage's graduation bar).
+    * Stateless decode: no watermark state to flush, so the no-data
+    * batch is skipped. */
+  def avroMixedWritersStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KafkaReplay
+    import graft.streaming.{StreamGate, StreamingPipeline}
+    val registry = Map(SchemaId -> userSchemaJson, SchemaIdV2 -> userV2SchemaJson)
+    val log = ocfDir(dir, "mixed_writers_log")
+    val u = userStruct(spark, dir)
+    val v2Struct = struct(
+      col("user.user_id"), col("user.email"), col("user.age"),
+      col("user.first_name"), col("user.last_name"),
+      concat(lit("tier_"),
+        (col("user.user_id").cast("long") % 4).cast("string")).as("status"),
+      col("user.address"))
+    val wire = u.select(
+      (col("user.user_id").cast("long") % 4).cast("int").as("partition"),
+      encode(col("user.user_id"), "UTF-8").as("key"),
+      when(col("user.user_id").cast("long") % 3 === 0,
+        to_avro_confluent(col("user"), userSchemaJson, SchemaId))
+        .otherwise(to_avro_confluent(v2Struct, userV2SchemaJson, SchemaIdV2))
+        .as("value"),
+      lit(FixedClock.toEpochMilli * 1000L).as("tsMicros"),
+      col("user.user_id").cast("long").as("seq"))
+    KafkaReplay.writeLog(wire, log)
+    val enforced = StreamingPipeline.enforceAvroRegistry(
+      StreamingPipeline.replayStream(spark, log), registry, userV2SchemaJson)
+      .select(col("schema_id"), col("v.user_id"), col("v.email"), col("v.age"),
+        col("v.first_name"), col("v.last_name"), col("v.status"),
+        col("v.address.city").as("city"))
+    val name = "avro_mixed_writers_streamed_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamGate.runToCompletion(spark, skipNoDataBatch = true) {
+      enforced.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    spark.table(name).orderBy(col("user_id"))
+  }
+
   /** Scratch dir for the container-file queries, keyed by the testdata
     * dir so concurrent Verify runs at different scale factors never
     * collide; each query owns its own subdir (AvroFiles.write replaces
@@ -497,7 +546,8 @@ object AvroQueries {
     "kafka_sink_pipeline" -> (kafkaSinkPipeline _),
     "avro_logical_types" -> (avroLogicalTypes _),
     "avro_union_logical_types" -> (avroUnionLogicalTypes _),
-    "avro_mixed_writers" -> (avroMixedWriters _)
+    "avro_mixed_writers" -> (avroMixedWriters _),
+    "avro_mixed_writers_streamed" -> (avroMixedWritersStreamed _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -535,6 +585,19 @@ object AvroQueries {
     // proves the per-record id→schema dispatch decoded each era under its
     // own writer schema
     "avro_mixed_writers" ->
+      s"""WITH $usersCte
+         |SELECT CASE WHEN CAST(user_id AS BIGINT) % 3 = 0
+         |            THEN CAST($SchemaId AS INTEGER)
+         |            ELSE CAST($SchemaIdV2 AS INTEGER) END AS schema_id,
+         |       user_id, email, age, first_name, last_name,
+         |       CASE WHEN CAST(user_id AS BIGINT) % 3 = 0 THEN 'active'
+         |            ELSE 'tier_' || CAST(CAST(user_id AS BIGINT) % 4 AS VARCHAR)
+         |            END AS status,
+         |       city
+         |FROM users ORDER BY user_id""".stripMargin,
+    // the STREAMED half shares the mixed-writer oracle verbatim: the
+    // driver gate itself proves stream == batch == external engine
+    "avro_mixed_writers_streamed" ->
       s"""WITH $usersCte
          |SELECT CASE WHEN CAST(user_id AS BIGINT) % 3 = 0
          |            THEN CAST($SchemaId AS INTEGER)

@@ -170,11 +170,17 @@ object StreamingPipeline {
     * mix of eras with no per-batch splitting; unknown ids follow the
     * mode (strict: typed executor error; permissive: null struct —
     * route [[avroRegistryDeadLetters]] to the DLQ). The evolution
-    * pre-flight gates every mapped writer at analysis time, id named. */
+    * pre-flight gates every mapped writer at analysis time, id named.
+    * The frame's writer id travels alongside the decode as `schema_id`
+    * (r18) — the era tag monitoring wants (rows-per-writer-version) and
+    * the oracle gate pins (each record dispatched on its OWN frame id,
+    * not a per-batch constant); tombstones carry a null id like a null
+    * struct. */
   def enforceAvroRegistry(kafkaShaped: DataFrame, registry: Map[Int, String],
       readerSchemaJson: String, permissive: Boolean = false): DataFrame =
     kafkaShaped.select(
       col("key"), col("topic"), col("partition"), col("offset"), col("timestamp"),
+      graft.avro.functions.avro_schema_id(col("value")).as("schema_id"),
       graft.avro.functions.from_avro_registry(
         col("value"), registry, readerSchemaJson, permissive).as("v"))
 
