@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Automated per-query bench-outlier triage (VERDICT r17 ask #3).
+
+Replaces the ad-hoc top-10 scan that missed `text_bm25_indexed` in r16:
+every default-path bench run appends its FULL per-query map to
+bench/BENCH_history.jsonl, so regressions are detectable per query
+against the whole archive, not just against the previous round's
+headline or the calibration anchor subset.
+
+Method (the r15-r17 adjudication discipline, mechanized):
+  1. Window-normalize each run's per-query seconds by its own heavy
+     calibration frame's trimmed median ratio (`calibration_r14.
+     median_ratio` — >=1s anchors, trim-2; the host-speed normalizer
+     the round verdicts use). Runs without an applicable frame keep
+     raw seconds and are marked so.
+  2. For the run under triage (default: the newest history line; or a
+     bench JSON passed with --new), flag any query whose normalized
+     reading exceeds --ratio (default 1.3) x its normalized HISTORY
+     MINIMUM (the run itself excluded). The minimum, not the mean:
+     the draw pattern this archive keeps re-adjudicating is a heavy
+     first sample on an otherwise-stable query, and min is the
+     clean-run anchor the A/Bs compare against.
+  3. Also report queries with no history (new registrations - nothing
+     to compare) and tiny-time flags suppressed below --floor seconds
+     (scheduling noise dominates sub-half-second readings).
+
+The output is the round's WATCH LIST - candidates for the interleaved
+fresh-JVM A/B (BENCH_NOTES "Round 16" methodology), NOT verdicts:
+attribution (environment vs code) still requires the A/B + git -L
+receipts.
+
+Usage:
+  python3 tools/bench_triage.py                      # triage newest line
+  python3 tools/bench_triage.py --new bench/BENCH_full.json
+  python3 tools/bench_triage.py --ratio 1.25 --floor 0.4 --json out.json
+
+(dev tool; reads bench/BENCH_history.jsonl relative to the repo root
+or --history)
+"""
+import argparse
+import json
+import os
+import sys
+
+
+def load_lines(path):
+    lines = []
+    with open(path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln:
+                lines.append(json.loads(ln))
+    return lines
+
+
+def norm_factor(run):
+    """Host-speed divisor for a run: the heavy frame's trimmed median
+    ratio vs the r14 driver anchor, when the frame applied."""
+    cal = run.get("calibration_r14") or {}
+    if cal.get("applicable") and cal.get("median_ratio"):
+        return float(cal["median_ratio"]), True
+    return 1.0, False
+
+
+def normalized_queries(run):
+    f, applicable = norm_factor(run)
+    return {q: t / f for q, t in (run.get("queries") or {}).items()}, applicable
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--history", default="bench/BENCH_history.jsonl")
+    ap.add_argument("--new", default=None,
+                    help="bench JSON to triage (default: newest history line)")
+    ap.add_argument("--ratio", type=float, default=1.3,
+                    help="flag when normalized reading > ratio x history min")
+    ap.add_argument("--floor", type=float, default=0.5,
+                    help="suppress flags whose normalized reading is below "
+                         "this many seconds (scheduling noise regime)")
+    ap.add_argument("--json", default=None, help="also write the watch list here")
+    args = ap.parse_args()
+
+    if not os.path.exists(args.history):
+        sys.exit(f"no history at {args.history} (run from the repo root or pass --history)")
+    history = load_lines(args.history)
+    if not history:
+        sys.exit(f"{args.history} is empty")
+
+    if args.new:
+        with open(args.new) as f:
+            target = json.load(f)
+        target_label = args.new
+        # drop any history line that IS the target (same wall clock) so
+        # a run already appended to the archive never anchors itself
+        ref_lines = [r for r in history
+                     if r.get("wall_clock_ms") != target.get("wall_clock_ms")]
+    else:
+        target = history[-1]
+        target_label = f"{args.history}[-1]"
+        ref_lines = history[:-1]
+    if not ref_lines:
+        sys.exit("no reference runs to compare against (history has only the target)")
+
+    tgt_q, tgt_cal = normalized_queries(target)
+    tgt_factor, _ = norm_factor(target)
+
+    # per-query normalized history minimum + which run held it
+    hist_min = {}
+    for i, run in enumerate(ref_lines):
+        nq, _ = normalized_queries(run)
+        for q, t in nq.items():
+            if q not in hist_min or t < hist_min[q][0]:
+                hist_min[q] = (t, i)
+
+    flags, fresh, below_floor = [], [], []
+    for q, t in sorted(tgt_q.items()):
+        if q not in hist_min:
+            fresh.append(q)
+            continue
+        mn, run_idx = hist_min[q]
+        r = t / mn if mn > 0 else float("inf")
+        if r > args.ratio:
+            if t < args.floor:
+                below_floor.append((q, t, mn, r))
+            else:
+                flags.append({
+                    "query": q,
+                    "normalized_s": round(t, 3),
+                    "history_min_s": round(mn, 3),
+                    "ratio_vs_min": round(r, 3),
+                    "raw_s": round(tgt_q[q] * tgt_factor, 3),
+                    "min_run_index": run_idx,
+                })
+    flags.sort(key=lambda f: -f["ratio_vs_min"])
+
+    print(f"target: {target_label}  "
+          f"({len(tgt_q)} queries, window factor {tgt_factor:.3f}"
+          f"{'' if tgt_cal else ' [NO applicable heavy frame - raw seconds]'})")
+    print(f"reference: {len(ref_lines)} archived runs, "
+          f"{len(hist_min)} queries with history")
+    print(f"threshold: > {args.ratio} x normalized history min, "
+          f"floor {args.floor}s\n")
+    if flags:
+        print(f"WATCH LIST ({len(flags)}) - A/B these (fresh-JVM interleaved, "
+              "family-mate control, git log -L receipts):")
+        for f in flags:
+            print(f"  {f['query']:40s} {f['normalized_s']:7.2f}s norm "
+                  f"(raw {f['raw_s']:.2f})  vs min {f['history_min_s']:.2f}s "
+                  f"= x{f['ratio_vs_min']:.2f}")
+    else:
+        print("WATCH LIST: empty - no query exceeds the threshold")
+    if fresh:
+        print(f"\nno history ({len(fresh)}): {', '.join(fresh)}")
+    if below_floor:
+        names = ", ".join(q for q, *_ in below_floor)
+        print(f"\nsuppressed below {args.floor}s floor ({len(below_floor)}): {names}")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"target": target_label, "window_factor": tgt_factor,
+                       "ratio_threshold": args.ratio, "floor_s": args.floor,
+                       "watch": flags, "no_history": fresh,
+                       "suppressed_below_floor": [q for q, *_ in below_floor]},
+                      f, indent=2)
+        print(f"\nwritten: {args.json}")
+    # exit 0 either way: the tool emits a watch list, not a gate verdict
+
+
+if __name__ == "__main__":
+    main()
