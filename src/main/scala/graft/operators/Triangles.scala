@@ -63,8 +63,15 @@ object Triangles {
     // honest; this is hygiene, not memoization). Entries evict with
     // the session via the application-end listener.
     val spark = pairs.sparkSession
-    val key = (spark, pairs.queryExecution.analyzed.canonicalized.toString +
-      s"|$aCol|$bCol")
+    // key fidelity (r18 review, same fix as PinRegistry r15):
+    // canonicalized.toString truncates at spark.sql.debug.maxToStringFields,
+    // so two DIFFERENT wide input plans could render identically and
+    // collide — under a collision the two-generation keep-window frees a
+    // frame a DIFFERENT caller's plan still reads. semanticHash covers
+    // the full tree; the pair is collision-safe.
+    val canon = pairs.queryExecution.analyzed.canonicalized
+    val key = (spark, canon.semanticHash().toString + ":" +
+      canon.toString + s"|$aCol|$bCol")
     var dropped: List[Seq[org.apache.spark.rdd.RDD[_]]] = Nil
     lastResult.compute(key, (_, old) => {
       val prior = if (old == null) Nil else old
