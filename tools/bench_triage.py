@@ -16,10 +16,13 @@ Method (the r15-r17 adjudication discipline, mechanized):
   2. For the run under triage (default: the newest history line; or a
      bench JSON passed with --new), flag any query whose normalized
      reading exceeds --ratio (default 1.3) x its normalized HISTORY
-     MINIMUM (the run itself excluded). The minimum, not the mean:
-     the draw pattern this archive keeps re-adjudicating is a heavy
-     first sample on an otherwise-stable query, and min is the
-     clean-run anchor the A/Bs compare against.
+     ANCHOR (the run itself excluded). Anchor default is the MINIMUM —
+     the clean-run floor the A/Bs compare against (the archive's
+     recurring pattern is a heavy draw on a stable query). The min is
+     biased low as the archive deepens (a single new draw compares
+     unfavorably to a best-of-N-runs floor), so when even the light
+     canaries flag, re-run with --anchor median to separate real
+     drift from min-anchor tightening.
   3. Also report queries with no history (new registrations - nothing
      to compare) and tiny-time flags suppressed below --floor seconds
      (scheduling noise dominates sub-half-second readings).
@@ -73,7 +76,15 @@ def main():
     ap.add_argument("--new", default=None,
                     help="bench JSON to triage (default: newest history line)")
     ap.add_argument("--ratio", type=float, default=1.3,
-                    help="flag when normalized reading > ratio x history min")
+                    help="flag when normalized reading > ratio x history anchor")
+    ap.add_argument("--anchor", choices=["min", "median"], default="min",
+                    help="history anchor: 'min' (the clean-run floor the "
+                         "A/Bs compare against; biased low as the archive "
+                         "deepens - every new single draw compares "
+                         "unfavorably to a best-of-N-runs floor) or "
+                         "'median' (robust to draw dispersion; use it to "
+                         "separate real drift from min-anchor tightening "
+                         "when even the light canaries flag)")
     ap.add_argument("--floor", type=float, default=0.5,
                     help="suppress flags whose normalized reading is below "
                          "this many seconds (scheduling noise regime)")
@@ -104,13 +115,22 @@ def main():
     tgt_q, tgt_cal = normalized_queries(target)
     tgt_factor, _ = norm_factor(target)
 
-    # per-query normalized history minimum + which run held it
-    hist_min = {}
+    # per-query normalized history anchor + which run held it (min) or
+    # a median over all runs carrying the query
+    series = {}
     for i, run in enumerate(ref_lines):
         nq, _ = normalized_queries(run)
         for q, t in nq.items():
-            if q not in hist_min or t < hist_min[q][0]:
-                hist_min[q] = (t, i)
+            series.setdefault(q, []).append((t, i))
+    hist_min = {}
+    for q, pts in series.items():
+        if args.anchor == "min":
+            hist_min[q] = min(pts)
+        else:
+            vals = sorted(t for t, _ in pts)
+            m = vals[len(vals) // 2] if len(vals) % 2 == 1 else \
+                (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2
+            hist_min[q] = (m, -1)
 
     flags, fresh, below_floor = [], [], []
     for q, t in sorted(tgt_q.items()):
@@ -138,7 +158,7 @@ def main():
           f"{'' if tgt_cal else ' [NO applicable heavy frame - raw seconds]'})")
     print(f"reference: {len(ref_lines)} archived runs, "
           f"{len(hist_min)} queries with history")
-    print(f"threshold: > {args.ratio} x normalized history min, "
+    print(f"threshold: > {args.ratio} x normalized history {args.anchor}, "
           f"floor {args.floor}s\n")
     if flags:
         print(f"WATCH LIST ({len(flags)}) - A/B these (fresh-JVM interleaved, "
@@ -158,7 +178,7 @@ def main():
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"target": target_label, "window_factor": tgt_factor,
-                       "ratio_threshold": args.ratio, "floor_s": args.floor,
+                       "ratio_threshold": args.ratio, "anchor": args.anchor, "floor_s": args.floor,
                        "watch": flags, "no_history": fresh,
                        "suppressed_below_floor": [q for q, *_ in below_floor]},
                       f, indent=2)
