@@ -66,6 +66,51 @@ object Dedup {
         round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
   }
 
+  /** The REWRITE half of passage dedup (r18): [[passageDedup]] reports
+    * duplication statistics; this EMITS the cleaned document — every
+    * tile whose exact text occurs more than `maxOcc` times corpus-wide
+    * is dropped and the survivors are reassembled in document order,
+    * the C4-style "discard any span seen elsewhere" pass
+    * (Raffel et al. 2020, arXiv:1910.10683 §2.2 does it at
+    * three-sentence granularity; these corpora have no sentence
+    * boundaries, so the unit is the same `passageTokens` tile as the
+    * statistics pass). Output per doc: (doc_id, n_passages, n_kept,
+    * clean_md5) where clean_md5 fingerprints the space-joined surviving
+    * tiles (a fully-duplicated doc keeps every row, with md5('')).
+    *
+    * Scale: identical tiling and ONE passage-keyed count window as
+    * [[passageDedup]]; the reassembly adds one doc-keyed aggregate
+    * whose collected payload is the document itself (array_sort by the
+    * unique tile start makes the join order a pure function of the
+    * data, never of partition arrival). */
+  def passageRewrite(df: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 10, maxOcc: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(passageTokens))).as("start"),
+        col("w"))
+      .select(col("doc_id"), col("start"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(passageTokens)))
+          .as("passage"))
+    val occ = p.withColumn("n_occ",
+      count(lit(1)).over(Window.partitionBy(col("passage"))))
+    occ.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("n_occ") <= maxOcc, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("start"),
+                (col("n_occ") <= maxOcc).as("keep"), col("passage")))),
+              s => s.getField("keep")),
+            s => s.getField("passage")),
+          " ")).as("clean_md5"))
+  }
+
   /** Sliding-window exact substring dedup (Lee et al. 2022,
     * arXiv:2107.06499 — the ExactSubstr pass at k-token granularity
     * rather than a suffix array): every POSITIONAL k-gram — unlike

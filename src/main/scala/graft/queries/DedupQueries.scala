@@ -457,6 +457,15 @@ object DedupQueries {
       passageTokens = 10)
       .orderBy(col("doc_id"))
 
+  /** The REWRITE half of the passage pass (r18): the cleaned documents
+    * themselves — corpus-duplicated tiles dropped, survivors
+    * reassembled in order, fingerprinted — the C4-style span-discard
+    * whose statistics `dedup_passages` reports. */
+  def dedupPassageRewrite(spark: SparkSession, dir: String): DataFrame =
+    Dedup.passageRewrite(Tables.documents(spark, dir), "doc_id", "text",
+      passageTokens = 10)
+      .orderBy(col("doc_id"))
+
   /** Sliding-window exact substring dedup over the corpus
     * ([[Dedup.substringSpans]] — the Lee et al. 2022 ExactSubstr pass
     * at 8-token granularity; catches the boundary-straddling copies
@@ -726,6 +735,7 @@ object DedupQueries {
     "dedup_leakage_split" -> (dedupLeakageSplit _),
     "decontam_eval_overlap" -> (decontamEvalOverlap _),
     "dedup_passages" -> (dedupPassages _),
+    "dedup_passage_rewrite" -> (dedupPassageRewrite _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "dedup_incremental_2batch" -> (dedupIncremental2Batch _),
@@ -997,6 +1007,27 @@ object DedupQueries {
         |       CAST(SUM(CASE WHEN n_occ = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_kept_tokens,
         |       round(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |             / COUNT(*), 6) AS dup_share
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the rewrite half rebuilt Avro-free: identical tiling, identical
+    // corpus occurrence window, survivors string_agg'd in tile order —
+    // a hash match proves the emitted CLEAN DOCUMENTS (not just the
+    // counts) are byte-identical across engines
+    "dedup_passage_rewrite" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id, s,
+        |         array_to_string(w[CAST(s+1 AS INT):CAST(s+10 AS INT)], ' ') AS passage
+        |  FROM t, UNNEST(range(0, len(w), 10)) AS u(s)),
+        |f AS (
+        |  SELECT doc_id, s, passage,
+        |         COUNT(*) OVER (PARTITION BY passage) AS n_occ
+        |  FROM p)
+        |SELECT doc_id,
+        |       COUNT(*) AS n_passages,
+        |       CAST(SUM(CASE WHEN n_occ <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       md5(coalesce(string_agg(CASE WHEN n_occ <= 1 THEN passage END,
+        |                               ' ' ORDER BY s), '')) AS clean_md5
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_winnowing_candidates" ->
       """WITH t AS (

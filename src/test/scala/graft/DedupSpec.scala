@@ -240,6 +240,30 @@ class DedupSpec extends SparkSpec {
     assert(!(Dedup.surrogateMapping(spark, other) eq m1))
   }
 
+  test("passageRewrite drops exactly the corpus-duplicated tiles and " +
+      "reassembles survivors in document order (r18)") {
+    // tiles of 3: doc 1 = [A][B], doc 2 = [A][C], doc 3 = [D] — tile A
+    // ("x y z") is duplicated corpus-wide, everything else unique
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "g h i")).toDF("doc_id", "text")
+    val out = Dedup.passageRewrite(docs, "doc_id", "text", passageTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, m("a b c")),   // duplicated head tile dropped
+      (2L, 2L, 1L, m("d e f")),
+      (3L, 1L, 1L, m("g h i")))) // untouched doc fingerprints itself
+    // a FULLY duplicated doc still emits a row, fingerprinting ''
+    val dup = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
+    val full = Dedup.passageRewrite(dup, "doc_id", "text", passageTokens = 3)
+      .orderBy("doc_id").collect()
+    assert(full.map(_.getLong(2)).toSeq === Seq(0L, 0L))
+    assert(full.map(_.getString(3)).distinct.toSeq === Seq(m("")))
+  }
+
   test("invalidateComponentIdMemo drops the session's surrogate entries so a " +
       "plan-identical input rebuilds from current data (r17 ADVICE #1)") {
     val pairs = Seq(("m-b", "m-a")).toDF("id_a", "id_b")
