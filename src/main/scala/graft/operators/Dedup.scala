@@ -29,6 +29,71 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** The shared tiling of the passage family: documents cut into
+    * non-overlapping `passageTokens`-token windows, one row per tile —
+    * (doc_id, start, passage, n_toks). Pure scan-side (tokenize +
+    * explode), no shuffle. */
+  private[graft] def passageTiles(df: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(passageTokens))).as("start"))
+      .select(col("doc_id"), col("start"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(passageTokens))).as("passage"),
+        size(slice(col("w"), col("start") + 1, lit(passageTokens))).cast("long").as("n_toks"))
+
+  /** Corpus-wide occurrence count per tile, joined back onto the tile
+    * rows as `n_occ`. The r18 form was `count(1) over
+    * Window.partitionBy(passage)` — one shuffle, but a STRAGGLER trap
+    * the r18 verdict flagged and `PassageSkewProbe` now measures: a
+    * corpus-hot boilerplate tile (the C4 paper's motivating case —
+    * cookie banners, nav chrome) funnels every occurrence into ONE
+    * WindowExec partition that sorts and buffers them on a single task,
+    * and no runtime mitigation can split a window partition. This form
+    * replaces it with `groupBy(passage).count` + an equi-join back:
+    *
+    *  - the count agg is map-side combined — the hot tile collapses to
+    *    one partial per map task BEFORE its shuffle, so the count side
+    *    is skew-immune by plan shape (the `agg_partial` law);
+    *  - the join-back probe side is a streaming hash/merge probe — no
+    *    sort buffer over the hot partition, unlike WindowExec.
+    *
+    * The join-back alone does NOT remove the straggler, and
+    * `PassageSkewProbe` measured exactly why runtime mitigation cannot
+    * be relied on either — two independent negative receipts:
+    * OptimizeSkewedJoin's pattern needs a BARE shuffle stage under each
+    * join side, and the count side is HashAggregate-over-stage (an
+    * explicit repartition to fix that is elided as redundant, since the
+    * agg's output partitioning already satisfies it); and even where
+    * the pattern matched, AQE's skew detection reads COMPRESSED map
+    * output sizes, and a hot tile of byte-identical text compresses to
+    * nearly nothing — statistically invisible. So:
+    *
+    * `hotOcc > 0` (the DEFAULT — see [[passageDedup]]) is the
+    * load-bearing, AQE-independent mitigation: tiles with >= hotOcc
+    * occurrences (at most total/hotOcc keys — a bounded, broadcastable
+    * set) resolve via BROADCAST join and never shuffle at all; the
+    * light remainder — every key now < hotOcc occurrences, so bounded
+    * per-task BY CONSTRUCTION — takes the shuffled join. The split is a
+    * partition of the key space, so the union is row-equal to the plain
+    * join (oracle-gated by `dedup_passages_hotsplit`; task shares
+    * measured by `PassageSkewProbe`). */
+  private[graft] def withPassageOcc(p: DataFrame, hotOcc: Long): DataFrame = {
+    val cnt = p.groupBy(col("passage")).agg(count(lit(1)).as("n_occ"))
+    if (hotOcc <= 0L) p.join(cnt, Seq("passage"))
+    else {
+      // identical agg subplans below reuse one exchange (ReusedExchange)
+      val heavy = cnt.filter(col("n_occ") >= hotOcc)
+      val light = cnt.filter(col("n_occ") < hotOcc)
+      val hot = p.join(broadcast(heavy), Seq("passage"), "inner")
+      val rest = p
+        .join(broadcast(heavy.select(col("passage"))), Seq("passage"), "left_anti")
+        .join(light, Seq("passage"), "inner")
+      hot.unionByName(rest)
+    }
+  }
+
   /** Passage-level exact substring dedup (the exact-substring member of
     * the dedup family at fixed passage granularity, cf. the dedup
     * literature's suffix-array formulation): documents are cut into
@@ -38,24 +103,25 @@ object Dedup {
     * count that survives dropping every duplicated passage.
     *
     * Scale: the passage explode is scan-side; the corpus-wide occurrence
-    * count is ONE shuffle (a count window over the passage key — not a
-    * groupBy + join back, which would shuffle the passage set twice);
-    * the per-doc rollup is the second. A boilerplate passage shared by
-    * millions of docs makes a large hash partition but never a pair
-    * explosion — cost stays linear in occurrences. */
+    * count is a map-combined `groupBy(passage).count` joined back onto
+    * the tiles ([[withPassageOcc]] — r19, replacing the r18 count
+    * window whose hot-tile straggler `PassageSkewProbe` measured); the
+    * per-doc rollup is the final shuffle. A boilerplate passage shared
+    * by millions of docs never pair-explodes, collapses map-side in the
+    * count, and bypasses the join-back shuffle entirely once it crosses
+    * `hotTileOcc`.
+    *
+    * `hotTileOcc` defaults to 10000: any tile above 10k occurrences
+    * resolves via the broadcast path (the heavy set is at most
+    * tiles/10k keys — e.g. ~10M rows per 10¹¹ tiles, and in practice
+    * boilerplate is far rarer), and every shuffled join key is bounded
+    * at 10k rows BY CONSTRUCTION — no data distribution can straggle
+    * it. Tune it against [[hotPassages]]'s mining output; 0 disables
+    * the split (the plain join the probe's control arms measure). */
   def passageDedup(df: DataFrame, idCol: String, textCol: String,
-      passageTokens: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val p = df
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("w"))
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
-          lit(passageTokens))).as("start"))
-      .select(col("doc_id"),
-        concat_ws(" ", slice(col("w"), col("start") + 1, lit(passageTokens))).as("passage"),
-        size(slice(col("w"), col("start") + 1, lit(passageTokens))).cast("long").as("n_toks"))
-    val occ = p.withColumn("n_occ",
-      count(lit(1)).over(Window.partitionBy(col("passage"))))
+      passageTokens: Int = 10, hotTileOcc: Long = 10000L): DataFrame = {
+    val p = passageTiles(df, idCol, textCol, passageTokens)
+    val occ = withPassageOcc(p, hotTileOcc)
     occ.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_passages"),
@@ -75,41 +141,56 @@ object Dedup {
     * three-sentence granularity; these corpora have no sentence
     * boundaries, so the unit is the same `passageTokens` tile as the
     * statistics pass). Output per doc: (doc_id, n_passages, n_kept,
-    * clean_md5) where clean_md5 fingerprints the space-joined surviving
-    * tiles (a fully-duplicated doc keeps every row, with md5('')).
+    * clean_text, clean_md5) — clean_text IS the rewritten corpus column
+    * a production C4 pass feeds downstream (r19, VERDICT r18 ask #4;
+    * the r18 form emitted only the fingerprint), and clean_md5 stays
+    * the oracle-compared fingerprint of the space-joined surviving
+    * tiles (a fully-duplicated doc keeps its row, with clean_text ''
+    * and md5('')). `md5(clean_text) == clean_md5` is a DedupSpec law.
     *
-    * Scale: identical tiling and ONE passage-keyed count window as
-    * [[passageDedup]]; the reassembly adds one doc-keyed aggregate
-    * whose collected payload is the document itself (array_sort by the
-    * unique tile start makes the join order a pure function of the
-    * data, never of partition arrival). */
+    * Scale: identical tiling, map-combined occurrence count and
+    * default-on heavy-hitter broadcast split as [[passageDedup]]
+    * ([[withPassageOcc]] — r19, replacing the r18 count window whose
+    * hot-tile straggler `PassageSkewProbe` measured; same `hotTileOcc`
+    * contract); the reassembly adds one doc-keyed aggregate whose collected payload is the document itself
+    * (array_sort by the unique tile start makes the join order a pure
+    * function of the data, never of partition arrival). */
   def passageRewrite(df: DataFrame, idCol: String, textCol: String,
-      passageTokens: Int = 10, maxOcc: Long = 1L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val p = df
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("w"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
-          lit(passageTokens))).as("start"),
-        col("w"))
-      .select(col("doc_id"), col("start"),
-        concat_ws(" ", slice(col("w"), col("start") + 1, lit(passageTokens)))
-          .as("passage"))
-    val occ = p.withColumn("n_occ",
-      count(lit(1)).over(Window.partitionBy(col("passage"))))
+      passageTokens: Int = 10, maxOcc: Long = 1L,
+      hotTileOcc: Long = 10000L): DataFrame = {
+    val p = passageTiles(df, idCol, textCol, passageTokens)
+      .drop("n_toks")
+    val occ = withPassageOcc(p, hotTileOcc)
     occ.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_passages"),
         sum(when(col("n_occ") <= maxOcc, 1L).otherwise(0L)).as("n_kept"),
-        md5(array_join(
+        array_join(
           transform(
             filter(
               array_sort(collect_list(struct(col("start"),
                 (col("n_occ") <= maxOcc).as("keep"), col("passage")))),
               s => s.getField("keep")),
             s => s.getField("passage")),
-          " ")).as("clean_md5"))
+          " ").as("clean_text"))
+      .withColumn("clean_md5", md5(col("clean_text")))
   }
+
+  /** Boilerplate mining over the passage tiling: every tile occurring
+    * >= `minOcc` times corpus-wide, with its occurrence count and the
+    * smallest doc carrying it (min — map-combined, so the aggregate
+    * stays skew-immune; a distinct-doc count would re-shuffle the hot
+    * tile's full doc list). This is the table [[withPassageOcc]]'s
+    * `hotOcc` threshold is tuned against — run it first, read the top
+    * occurrence counts, pick the broadcast cut. One map-combined
+    * groupBy(passage) aggregate: the hot tile collapses to one partial
+    * per map task, so the mining pass itself cannot straggle. */
+  def hotPassages(df: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 10, minOcc: Long = 2L): DataFrame =
+    passageTiles(df, idCol, textCol, passageTokens)
+      .groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") >= minOcc)
 
   /** Sliding-window exact substring dedup (Lee et al. 2022,
     * arXiv:2107.06499 — the ExactSubstr pass at k-token granularity

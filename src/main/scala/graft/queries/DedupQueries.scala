@@ -459,12 +459,45 @@ object DedupQueries {
 
   /** The REWRITE half of the passage pass (r18): the cleaned documents
     * themselves — corpus-duplicated tiles dropped, survivors
-    * reassembled in order, fingerprinted — the C4-style span-discard
-    * whose statistics `dedup_passages` reports. */
+    * reassembled in order — the C4-style span-discard whose statistics
+    * `dedup_passages` reports. r19: emits the rewritten text as a
+    * `clean_text` column (the production corpus output) alongside the
+    * `clean_md5` fingerprint; BOTH are oracle-compared, so the hash
+    * match proves the emitted documents byte-identical across engines
+    * twice over. */
   def dedupPassageRewrite(spark: SparkSession, dir: String): DataFrame =
     Dedup.passageRewrite(Tables.documents(spark, dir), "doc_id", "text",
       passageTokens = 10)
       .orderBy(col("doc_id"))
+
+  /** [[dedupPassages]] with the heavy-hitter BROADCAST split forced
+    * LOW ([[Dedup.withPassageOcc]] `hotTileOcc = 3`, r19 — VERDICT r18
+    * ask #1's mitigation; the operators default it to 10000, which no
+    * tile reaches at gate scale, so this row pins the threshold where
+    * the split actually engages): tiles occurring >= 3 times
+    * corpus-wide resolve by broadcast (their rows never shuffle), the
+    * light remainder takes the bounded-skew shuffled join. The oracle
+    * is the SAME corpus-wide-count semantics as `dedup_passages`, so
+    * the hash match proves the heavy/light split + union drops and
+    * double-counts nothing on real data — the lossless receipt for the
+    * mitigated path; `PassageSkewProbe` holds its task-concentration
+    * receipt. */
+  def dedupPassagesHotsplit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.passageDedup(Tables.documents(spark, dir), "doc_id", "text",
+      passageTokens = 10, hotTileOcc = 3L)
+      .orderBy(col("doc_id"))
+
+  /** Boilerplate MINING over the passage tiling (r19): the corpus-wide
+    * duplicated tiles themselves, ranked — the diagnostic a production
+    * C4 pass runs FIRST (what is the boilerplate? how hot is the
+    * hottest tile?) and the exact table `Dedup.withPassageOcc`'s
+    * heavy-hitter threshold is tuned against. One map-combined
+    * groupBy(passage).count — the skew-immune aggregate shape; the
+    * duplicated subset is tiny next to the tile count. */
+  def dedupHotPassages(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hotPassages(Tables.documents(spark, dir), "doc_id", "text",
+      passageTokens = 10, minOcc = 2L)
+      .orderBy(col("n_occ").desc, col("passage"))
 
   /** Sliding-window exact substring dedup over the corpus
     * ([[Dedup.substringSpans]] — the Lee et al. 2022 ExactSubstr pass
@@ -735,6 +768,8 @@ object DedupQueries {
     "dedup_leakage_split" -> (dedupLeakageSplit _),
     "decontam_eval_overlap" -> (decontamEvalOverlap _),
     "dedup_passages" -> (dedupPassages _),
+    "dedup_passages_hotsplit" -> (dedupPassagesHotsplit _),
+    "dedup_hot_passages" -> (dedupHotPassages _),
     "dedup_passage_rewrite" -> (dedupPassageRewrite _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
@@ -1009,9 +1044,10 @@ object DedupQueries {
         |             / COUNT(*), 6) AS dup_share
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the rewrite half rebuilt Avro-free: identical tiling, identical
-    // corpus occurrence window, survivors string_agg'd in tile order —
-    // a hash match proves the emitted CLEAN DOCUMENTS (not just the
-    // counts) are byte-identical across engines
+    // corpus occurrence count, survivors string_agg'd in tile order —
+    // a hash match proves the emitted CLEAN DOCUMENTS are byte-identical
+    // across engines, both as raw text (clean_text, r19) and as the md5
+    // fingerprint
     "dedup_passage_rewrite" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
@@ -1026,9 +1062,45 @@ object DedupQueries {
         |SELECT doc_id,
         |       COUNT(*) AS n_passages,
         |       CAST(SUM(CASE WHEN n_occ <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN n_occ <= 1 THEN passage END,
+        |                           ' ' ORDER BY s), '') AS clean_text,
         |       md5(coalesce(string_agg(CASE WHEN n_occ <= 1 THEN passage END,
         |                               ' ' ORDER BY s), '')) AS clean_md5
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the heavy/light broadcast split is an execution strategy, not a
+    // semantics change: the oracle is the SAME corpus-wide-count
+    // relation as dedup_passages — hash equality proves the split +
+    // union lossless on real data
+    "dedup_passages_hotsplit" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         array_to_string(w[CAST(s+1 AS INT):CAST(s+10 AS INT)], ' ') AS passage,
+        |         CAST(len(w[CAST(s+1 AS INT):CAST(s+10 AS INT)]) AS BIGINT) AS n_toks
+        |  FROM t, UNNEST(range(0, len(w), 10)) AS u(s)),
+        |f AS (
+        |  SELECT doc_id, n_toks,
+        |         COUNT(*) OVER (PARTITION BY passage) AS n_occ
+        |  FROM p)
+        |SELECT doc_id,
+        |       COUNT(*) AS n_passages,
+        |       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+        |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN n_occ = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+        |       round(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*), 6) AS dup_share
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_hot_passages" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         array_to_string(w[CAST(s+1 AS INT):CAST(s+10 AS INT)], ' ') AS passage
+        |  FROM t, UNNEST(range(0, len(w), 10)) AS u(s))
+        |SELECT passage, COUNT(*) AS n_occ, min(doc_id) AS first_doc
+        |FROM p GROUP BY passage HAVING COUNT(*) >= 2
+        |ORDER BY n_occ DESC, passage""".stripMargin,
     "dedup_winnowing_candidates" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wd FROM documents),

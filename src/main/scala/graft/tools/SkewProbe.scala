@@ -111,11 +111,11 @@ object SkewProbe {
   /** Join arms pin the plan: no broadcast (a broadcast join is the
     * degenerate fix — the probe exists for dims too big to broadcast),
     * and AQE off unless the arm IS the AQE arm. */
-  private val plainConfs = Map(
+  private[tools] val plainConfs = Map(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.enabled" -> "false")
 
-  private def aqeConfs(thresholdBytes: Long, advisoryBytes: Long) = Map(
+  private[tools] def aqeConfs(thresholdBytes: Long, advisoryBytes: Long) = Map(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.enabled" -> "true",

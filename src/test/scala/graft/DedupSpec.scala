@@ -241,7 +241,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("passageRewrite drops exactly the corpus-duplicated tiles and " +
-      "reassembles survivors in document order (r18)") {
+      "reassembles survivors in document order (r18; r19 emits clean_text)") {
     // tiles of 3: doc 1 = [A][B], doc 2 = [A][C], doc 3 = [D] — tile A
     // ("x y z") is duplicated corpus-wide, everything else unique
     val docs = Seq(
@@ -250,18 +250,65 @@ class DedupSpec extends SparkSpec {
       (3L, "g h i")).toDF("doc_id", "text")
     val out = Dedup.passageRewrite(docs, "doc_id", "text", passageTokens = 3)
       .orderBy("doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_passages"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"),
+        r.getAs[String]("clean_md5")))
     def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
     assert(out.toSeq === Seq(
-      (1L, 2L, 1L, m("a b c")),   // duplicated head tile dropped
-      (2L, 2L, 1L, m("d e f")),
-      (3L, 1L, 1L, m("g h i")))) // untouched doc fingerprints itself
-    // a FULLY duplicated doc still emits a row, fingerprinting ''
+      (1L, 2L, 1L, "a b c", m("a b c")),   // duplicated head tile dropped
+      (2L, 2L, 1L, "d e f", m("d e f")),
+      (3L, 1L, 1L, "g h i", m("g h i")))) // untouched doc emits itself
+    // a FULLY duplicated doc still emits a row: clean_text '' / md5('')
     val dup = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
     val full = Dedup.passageRewrite(dup, "doc_id", "text", passageTokens = 3)
       .orderBy("doc_id").collect()
-    assert(full.map(_.getLong(2)).toSeq === Seq(0L, 0L))
-    assert(full.map(_.getString(3)).distinct.toSeq === Seq(m("")))
+    assert(full.map(_.getAs[Long]("n_kept")).toSeq === Seq(0L, 0L))
+    assert(full.map(_.getAs[String]("clean_text")).distinct.toSeq === Seq(""))
+    assert(full.map(_.getAs[String]("clean_md5")).distinct.toSeq === Seq(m("")))
+  }
+
+  test("passageRewrite law: clean_md5 IS md5(clean_text) on real docs " +
+      "(VERDICT r18 ask #4)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bad = Dedup.passageRewrite(docs, "doc_id", "text", passageTokens = 10)
+      .filter(md5(col("clean_text")) =!= col("clean_md5"))
+      .count()
+    assert(bad === 0L,
+      "clean_md5 must fingerprint exactly the emitted clean_text column")
+  }
+
+  test("passage hot-tile split (hotTileOcc) is row-equal to the plain " +
+      "join-back on real docs, for both family members (r19)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // three postures: 0 = plain join (no split), 2 = EVERY duplicated
+    // tile takes the broadcast path (the maximal split, so any drop or
+    // double-count in the heavy/light union shows up), default 10000 =
+    // the shipped posture (heavy set empty at this scale)
+    val plainD = Dedup.passageDedup(docs, "doc_id", "text", 10, hotTileOcc = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(Dedup.passageDedup(docs, "doc_id", "text", 10, hotTileOcc = 2L)
+      .orderBy("doc_id").collect().toSeq === plainD)
+    assert(Dedup.passageDedup(docs, "doc_id", "text", 10)
+      .orderBy("doc_id").collect().toSeq === plainD)
+    val plainR = Dedup.passageRewrite(docs, "doc_id", "text", 10, hotTileOcc = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(Dedup.passageRewrite(docs, "doc_id", "text", 10, hotTileOcc = 2L)
+      .orderBy("doc_id").collect().toSeq === plainR)
+    assert(Dedup.passageRewrite(docs, "doc_id", "text", 10)
+      .orderBy("doc_id").collect().toSeq === plainR)
+  }
+
+  test("hotPassages mines exactly the corpus-duplicated tiles with counts " +
+      "and min carrier (r19)") {
+    val docs = Seq(
+      (5L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (9L, "x y z g h i")).toDF("doc_id", "text")
+    val out = Dedup.hotPassages(docs, "doc_id", "text", passageTokens = 3,
+        minOcc = 2L)
+      .collect().map(r => (r.getAs[String]("passage"), r.getAs[Long]("n_occ"),
+        r.getAs[Long]("first_doc")))
+    assert(out.toSeq === Seq(("x y z", 3L, 2L)))
   }
 
   test("invalidateComponentIdMemo drops the session's surrogate entries so a " +
