@@ -121,8 +121,26 @@ object Bench {
     // "q1, q2" selects q2 instead of silently not timing it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.keys.toSeq.sorted
+    // Run order is sorted keys by default — which makes a mid-run host
+    // burst hit a CONTIGUOUS alphabetical span (the r18 driver run's 21
+    // triage flags were 19/21 one 26-query span). With
+    // SPARK_GRAFT_BENCH_ORDER_SEED set, the order becomes a
+    // deterministic md5(seed:name) shuffle instead, so across closes
+    // with different seeds a burst decorrelates from query identity;
+    // the seed is recorded on the JSON line (`run_order_seed`) and
+    // tools/bench_triage.py reconstructs the exact order from it for
+    // its contiguity analysis. Driver runs (no env) stay sorted.
+    val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_ORDER_SEED")
+    def orderKey(name: String): (String, String) = orderSeed match {
+      case None => ("", name)
+      case Some(seed) =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$name".getBytes("UTF-8"))
+        (d.map("%02x".format(_)).mkString, name)
+    }
+    val selected = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
+      .sortBy(orderKey)
     val timed = selected.map(n => n -> materialize(n))
     val results = timed.map { case (k, (_, best, _)) => k -> best }
     val firsts = timed.map { case (k, (first, _, _)) => k -> first }
@@ -295,7 +313,9 @@ object Bench {
       s""""calibration_r10":$calibrationR10,""" +
       s""""calibration_r14":$calibrationR14,""" +
       s""""calibration_r14_wide":$calibrationR14Wide,""" +
-      s""""wall_clock_ms":${System.currentTimeMillis()},"sf":"$sfDir"}"""
+      s""""wall_clock_ms":${System.currentTimeMillis()},""" +
+      orderSeed.map(s => s""""run_order_seed":"${s.replace("\"", "")}",""").getOrElse("") +
+      s""""sf":"$sfDir"}"""
     println(json)
     // The driver tail-captures only the LAST ~2000 chars of output, so the
     // full per-query map above never survives. Persist the complete

@@ -70,6 +70,87 @@ def normalized_queries(run):
     return {q: t / f for q, t in (run.get("queries") or {}).items()}, applicable
 
 
+def run_order(run):
+    """The execution order of a run's queries. Bench.scala runs sorted
+    key order by default; with SPARK_GRAFT_BENCH_ORDER_SEED set it runs
+    the md5(seed:name)-keyed shuffle and records the seed on the line
+    (`run_order_seed`), which this mirrors exactly."""
+    import hashlib
+    names = sorted((run.get("queries") or {}).keys())
+    seed = run.get("run_order_seed")
+    if seed:
+        names.sort(key=lambda n:
+                   (hashlib.md5(f"{seed}:{n}".encode()).hexdigest(), n))
+    return names
+
+
+def _median(vals):
+    if not vals:
+        return None
+    v = sorted(vals)
+    k = len(v)
+    return v[k // 2] if k % 2 else (v[k // 2 - 1] + v[k // 2]) / 2
+
+
+def burst_span(target, ref_lines, flags, gap=3):
+    """Execution-order contiguity detector (VERDICT r18 ask #2). A
+    mid-run HOST burst inflates whatever queries happened to be running
+    — which, under a deterministic run order, is a CONTIGUOUS span of
+    run positions (r18: 19 of 21 flags fell in ONE 26-query
+    alphabetical span at median 1.84x its same-tree close, vs 1.07x
+    outside). Neither the min/median anchors nor the run-wide
+    calibration frame can see this: canaries spread across the whole
+    run dilute a localized burst. Method: cluster the flagged queries'
+    run positions (split where more than `gap` unflagged queries
+    intervene), take the largest cluster as the candidate span, and
+    compare the inside-vs-outside per-query median ratio against the
+    newest archived run sharing >=80% of the query set (ideally the
+    newest same-tree close). Suspected-burst when the span holds >=2/3
+    of all flags AND inside/outside >= 1.3."""
+    order = run_order(target)
+    pos = {n: i for i, n in enumerate(order)}
+    fpos = sorted(pos[f["query"]] for f in flags if f["query"] in pos)
+    if len(fpos) < 3:
+        return None
+    clusters, cur = [], [fpos[0]]
+    for p in fpos[1:]:
+        if p - cur[-1] <= gap + 1:
+            cur.append(p)
+        else:
+            clusters.append(cur)
+            cur = [p]
+    clusters.append(cur)
+    big = max(clusters, key=len)
+    lo, hi = big[0], big[-1]
+    tgt_q = target.get("queries") or {}
+    ref = None
+    for r in reversed(ref_lines):
+        shared = set(r.get("queries") or {}) & set(tgt_q)
+        if len(shared) >= 0.8 * len(tgt_q):
+            ref = r
+            break
+    inside, outside = [], []
+    if ref:
+        rq = ref["queries"]
+        for n, t in tgt_q.items():
+            if n in rq and rq[n] > 0.05 and n in pos:
+                (inside if lo <= pos[n] <= hi else outside).append(t / rq[n])
+    mi, mo = _median(inside), _median(outside)
+    return {
+        "span_first": order[lo],
+        "span_last": order[hi],
+        "span_len": hi - lo + 1,
+        "flags_in_span": len(big),
+        "flags_total": len(fpos),
+        "ref_wall_clock_ms": ref.get("wall_clock_ms") if ref else None,
+        "inside_median_ratio_vs_ref": round(mi, 3) if mi is not None else None,
+        "outside_median_ratio_vs_ref": round(mo, 3) if mo is not None else None,
+        "suspected_burst": bool(
+            len(big) * 3 >= len(fpos) * 2 and mi is not None
+            and mo is not None and mo > 0 and mi / mo >= 1.3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--history", default="bench/BENCH_history.jsonl")
@@ -101,10 +182,17 @@ def main():
         with open(args.new) as f:
             target = json.load(f)
         target_label = args.new
-        # drop any history line that IS the target (same wall clock) so
-        # a run already appended to the archive never anchors itself
-        ref_lines = [r for r in history
-                     if r.get("wall_clock_ms") != target.get("wall_clock_ms")]
+        # drop any history line that IS the target so a run already
+        # appended to the archive never anchors itself. Identity is
+        # wall_clock present on BOTH sides and equal AND the full
+        # per-query map equal (r18 ADVICE #2: `!=` on a missing field
+        # compared None == None and silently dropped every legacy line
+        # without the field; and a timestamp alone could collide).
+        def _same_run(a, b):
+            wa, wb = a.get("wall_clock_ms"), b.get("wall_clock_ms")
+            return (wa is not None and wa == wb
+                    and a.get("queries") == b.get("queries"))
+        ref_lines = [r for r in history if not _same_run(target, r)]
     else:
         target = history[-1]
         target_label = f"{args.history}[-1]"
@@ -153,6 +241,18 @@ def main():
                 })
     flags.sort(key=lambda f: -f["ratio_vs_min"])
 
+    # execution-order contiguity: annotate span-clustered flags as
+    # suspected-burst BEFORE anyone A/Bs 20 queries one by one
+    span = burst_span(target, ref_lines, flags)
+    if span:
+        order = run_order(target)
+        pos = {n: i for i, n in enumerate(order)}
+        lo, hi = pos[span["span_first"]], pos[span["span_last"]]
+        for f in flags:
+            f["in_burst_span"] = bool(
+                span["suspected_burst"]
+                and lo <= pos.get(f["query"], -1) <= hi)
+
     print(f"target: {target_label}  "
           f"({len(tgt_q)} queries, window factor {tgt_factor:.3f}"
           f"{'' if tgt_cal else ' [NO applicable heavy frame - raw seconds]'})")
@@ -164,11 +264,23 @@ def main():
         print(f"WATCH LIST ({len(flags)}) - A/B these (fresh-JVM interleaved, "
               "family-mate control, git log -L receipts):")
         for f in flags:
+            tag = "  [burst-span]" if f.get("in_burst_span") else ""
             print(f"  {f['query']:40s} {f['normalized_s']:7.2f}s norm "
                   f"(raw {f['raw_s']:.2f})  vs min {f['history_min_s']:.2f}s "
-                  f"= x{f['ratio_vs_min']:.2f}")
+                  f"= x{f['ratio_vs_min']:.2f}{tag}")
     else:
         print("WATCH LIST: empty - no query exceeds the threshold")
+    if span:
+        verdict = ("SUSPECTED HOST BURST - A/B the span as one event, "
+                   "not query by query" if span["suspected_burst"]
+                   else "no burst signature")
+        print(f"\nexecution-order contiguity: {span['flags_in_span']}/"
+              f"{span['flags_total']} flags in the contiguous span "
+              f"{span['span_first']} .. {span['span_last']} "
+              f"({span['span_len']} positions); per-query median ratio vs "
+              f"newest shared-archive run: inside "
+              f"{span['inside_median_ratio_vs_ref']}, outside "
+              f"{span['outside_median_ratio_vs_ref']} -> {verdict}")
     if fresh:
         print(f"\nno history ({len(fresh)}): {', '.join(fresh)}")
     if below_floor:
@@ -179,7 +291,7 @@ def main():
         with open(args.json, "w") as f:
             json.dump({"target": target_label, "window_factor": tgt_factor,
                        "ratio_threshold": args.ratio, "anchor": args.anchor, "floor_s": args.floor,
-                       "watch": flags, "no_history": fresh,
+                       "watch": flags, "burst_span": span, "no_history": fresh,
                        "suppressed_below_floor": [q for q, *_ in below_floor]},
                       f, indent=2)
         print(f"\nwritten: {args.json}")
