@@ -175,7 +175,16 @@ object StreamingPipeline {
     * (r18) — the era tag monitoring wants (rows-per-writer-version) and
     * the oracle gate pins (each record dispatched on its OWN frame id,
     * not a per-batch constant); tombstones carry a null id like a null
-    * struct. */
+    * struct.
+    *
+    * COMPATIBILITY NOTE (r18 → , r18 ADVICE #3): adding `schema_id`
+    * WIDENED this method's output schema — r17 output was (key, topic,
+    * partition, offset, timestamp, v). In-repo callers select by name
+    * and are unaffected, but external consumers using positional access,
+    * and checkpointed file sinks restarted over output written with the
+    * pre-r18 schema, see a schema change: re-map positional reads and
+    * start widened sinks from a fresh output directory (or a sink format
+    * that supports schema merge). */
   def enforceAvroRegistry(kafkaShaped: DataFrame, registry: Map[Int, String],
       readerSchemaJson: String, permissive: Boolean = false): DataFrame =
     kafkaShaped.select(

@@ -429,4 +429,93 @@ class SchemaRegistrySpec extends SparkSpec {
       assert(got === Set(("id_old", "active"), ("id_new", "gold")))
     } finally stop()
   }
+
+  test("fetchLiveVersions: a retired BRANCH-incompatible era no longer " +
+      "refuses strict startup; live eras decode; a lingering retired frame " +
+      "still fails loudly (r19, VERDICT r18 ask #5)") {
+    val (url, stop) = startWritableStub()
+    try {
+      // v0: the retired era — `age` was a ["int","string"] union, so the
+      // string branch is undecodable by the int-aged reader. That is a
+      // BRANCH-level (data-dependent) incompatibility: permissive mode
+      // would defer it to read time, but strict mode refuses ANY mapped
+      // writer with ANY incompatibility — the exact posture the r17
+      // ADVICE caveat documented and this seam resolves.
+      val v0Schema = schema.replace(
+        """{"name": "age", "type": "int"}""",
+        """{"name": "age", "type": ["int", "string"]}""")
+      assert(v0Schema !== schema, "v0 fixture did not apply")
+      val v2Schema = graft.queries.AvroQueries.userV2SchemaJson
+      val id0 = SchemaRegistry.register(url, "users-value", v0Schema)
+      val id1 = SchemaRegistry.register(url, "users-value", schema)
+      val id2 = SchemaRegistry.register(url, "users-value", v2Schema)
+
+      // branch-level only: NOT a total incompatibility (the int branch
+      // decodes fine), but strict analysis gates it
+      assert(SchemaCompat.totalIncompatibilities(v2Schema, v0Schema).isEmpty)
+      assert(SchemaCompat.incompatibilities(v2Schema, v0Schema).nonEmpty)
+
+      val full = SchemaRegistry.fetchVersions(url, "users-value")
+      assert(full.keySet === Set(id0, id1, id2))
+      val wire1 = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(Row(
+            "id_old", "User0", "Doe0", "old@example.com", 30,
+            "secret123", "TRACK_XYZ", Row("0 St", "City", "00000")))), 1),
+          StructType(Seq(StructField("user", AvroCodec.sparkStructType(schema)))))
+        .select(to_avro_confluent(col("user"), schema, schemaId = id1).as("b"))
+
+      // the FULL history refuses strict startup — config-error posture,
+      // the offending retired writer named
+      val refused = intercept[org.apache.spark.sql.AnalysisException] {
+        wire1.select(from_avro_registry(col("b"), full, v2Schema))
+      }
+      assert(refused.getMessage.contains(s"writer id $id0"))
+
+      // the seam: bind only the eras whose records can still appear
+      val live = SchemaRegistry.fetchLiveVersions(url, "users-value",
+        sinceId = id1)
+      assert(live.keySet === Set(id1, id2))
+      val wire2 = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(Row(
+            "id_new", "new@example.com", 25, "User1", "Doe1", "gold",
+            Row("1 St", "City", "00000")))), 1),
+          StructType(Seq(StructField("user", AvroCodec.sparkStructType(v2Schema)))))
+        .select(to_avro_confluent(col("user"), v2Schema, schemaId = id2).as("b"))
+      val got = wire1.union(wire2)
+        .select(from_avro_registry(col("b"), live, v2Schema).as("u"))
+        .select($"u.user_id", $"u.status")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set(("id_old", "active"), ("id_new", "gold")))
+
+      // the asserted-gone era turning out NOT to be gone: a frame still
+      // carrying id0 fails loudly in strict (named id + live set), and
+      // nulls-to-DLQ in permissive — never a silent decode against a
+      // schema the pipeline dropped
+      val retiredFrame = wire1.collect().map { r =>
+        val b = r.getAs[Array[Byte]]("b").clone()
+        java.nio.ByteBuffer.wrap(b, 1, 4).putInt(id0)
+        b
+      }
+      val retiredDf = retiredFrame.toSeq.toDF("b")
+      val boom = intercept[Exception] {
+        retiredDf.select(from_avro_registry(col("b"), live, v2Schema))
+          .collect()
+      }
+      val chain = Iterator.iterate(boom: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8).toSeq
+      assert(chain.exists(_.isInstanceOf[AvroCodec.UnknownSchemaIdException]),
+        s"expected UnknownSchemaIdException in: $chain")
+      val dlq = retiredDf
+        .select(from_avro_registry(col("b"), live, v2Schema,
+          permissive = true).as("u"))
+        .collect()
+      assert(dlq.length === 1 && dlq.head.isNullAt(0))
+
+      // a sinceId beyond every registered id is a config error, by name
+      val over = intercept[IllegalArgumentException] {
+        SchemaRegistry.fetchLiveVersions(url, "users-value", sinceId = id2 + 1)
+      }
+      assert(over.getMessage.contains("sinceId"))
+    } finally stop()
+  }
 }
