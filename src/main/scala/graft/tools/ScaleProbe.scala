@@ -114,6 +114,10 @@ object ScaleProbe {
       "LSH candidates + size-switched connected components, linear edges",
       knob = "first consumer of the neardup_pairs signal: this row's tally INCLUDES the MinHash banding build for both corpora"),
     Family("dedup_exact", "fingerprint hash-groupBy, one linear shuffle"),
+    Family("dedup_passages",
+      "scan-side tiling; map-combined groupBy(passage).count + join-back, heavy tiles broadcast (hotTileOcc) — r19, the family the r18 verdict flagged as receipt-less; hot-tile concentration measured separately by PassageSkewProbe"),
+    Family("dedup_passage_rewrite",
+      "same tiling/count as dedup_passages + doc-keyed reassembly whose collected payload is the document itself — linear in corpus bytes"),
     Family("text_bm25_topk",
       "posting probe: per-QUERY scoring cost linear in corpus (query split itself grows with the corpus)",
       coupled = true),
