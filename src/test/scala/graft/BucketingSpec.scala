@@ -116,15 +116,29 @@ class BucketingSpec extends SparkSpec {
 
   // ---- plan-shape regression guards for the late-r3 operators ----------
 
-  test("passage dedup: two hash shuffles (count window + doc rollup), no join-back") {
-    val plan = graft.queries.DedupQueries.dedupPassages(spark, sf)
-      .queryExecution.executedPlan.toString
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx === 2, s"expected exactly 2 hash exchanges:\n$plan")
-    assert(plan.contains("Window"),
-      "corpus-wide occurrence must be a count window, not a groupBy + join back")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
-      s"passage dedup must not join:\n$plan")
+  test("passage dedup: map-combined count + broadcast hot-split, no window, " +
+      "no cartesian, count exchange reused at runtime (r19 shape)") {
+    // the r18 pin asserted the OPPOSITE shape (count window, no
+    // join-back) — deliberately replaced in r19: a corpus-hot
+    // boilerplate tile lands every occurrence in one unsplittable
+    // WindowExec partition (PassageSkewProbe's measured receipt), so
+    // the occurrence count is now a map-combined groupBy(passage).count
+    // joined back, with tiles above hotTileOcc resolved by BROADCAST
+    val df = graft.queries.DedupQueries.dedupPassages(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"occurrence count must not be a count window (unsplittable hot tile):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-split heavy tiles must resolve by broadcast:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"occurrence count must be map-side combined:\n$plan")
+    // the heavy/light branches fork one identical count aggregate; at
+    // runtime AQE must REUSE its exchange, not recompute the tiling
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"count-agg exchange must be reused across the split branches:\n$executed")
   }
 
   test("scd2 history: a single hash exchange feeds the lead window") {

@@ -69,4 +69,20 @@ class PassageSkewSpec extends SparkSpec {
     assert(p.arms.map(_.result).distinct.size === 1,
       "arms disagree on the per-doc relation")
   }
+
+  test("committed passage-skew artifact parses and every law it claims holds") {
+    // same discipline as ScaleProbeSpec's artifact re-assertion: a
+    // regenerated SCALE_r19_passage_skew.json cannot silently carry a
+    // failing law
+    val f = new java.io.File("SCALE_r19_passage_skew.json")
+    assert(f.isFile, "committed artifact SCALE_r19_passage_skew.json missing")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(f)
+    val laws = root.get("laws")
+    assert(laws != null && laws.isObject, "artifact has no laws block")
+    laws.properties().forEach { e =>
+      assert(e.getValue.asBoolean(), s"artifact law ${e.getKey} is false")
+    }
+    assert(root.get("arms").size() === 4, "artifact must carry all four arms")
+  }
 }
