@@ -314,7 +314,11 @@ object Bench {
       s""""calibration_r14":$calibrationR14,""" +
       s""""calibration_r14_wide":$calibrationR14Wide,""" +
       s""""wall_clock_ms":${System.currentTimeMillis()},""" +
-      orderSeed.map(s => s""""run_order_seed":"${s.replace("\"", "")}",""").getOrElse("") +
+      // JSON-escape, never strip: the recorded seed must be EXACTLY the
+      // ordering seed or the triage tool reconstructs a different run
+      // order (and a raw backslash would corrupt the history JSONL)
+      orderSeed.map(s =>
+        s""""run_order_seed":${graft.tools.JsonText.str(s)},""").getOrElse("") +
       s""""sf":"$sfDir"}"""
     println(json)
     // The driver tail-captures only the LAST ~2000 chars of output, so the

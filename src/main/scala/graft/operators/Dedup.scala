@@ -86,9 +86,14 @@ object Dedup {
       // identical agg subplans below reuse one exchange (ReusedExchange)
       val heavy = cnt.filter(col("n_occ") >= hotOcc)
       val light = cnt.filter(col("n_occ") < hotOcc)
+      // BOTH broadcasts are the identical `heavy` plan on purpose: the
+      // anti join only consumes the passage key (the extra 8-byte n_occ
+      // rides along), and identical plans make the two broadcast
+      // exchanges a single ReusedExchange — projecting the anti side to
+      // passage-only would build and ship the heavy set twice
       val hot = p.join(broadcast(heavy), Seq("passage"), "inner")
       val rest = p
-        .join(broadcast(heavy.select(col("passage"))), Seq("passage"), "left_anti")
+        .join(broadcast(heavy), Seq("passage"), "left_anti")
         .join(light, Seq("passage"), "inner")
       hot.unionByName(rest)
     }

@@ -269,12 +269,22 @@ class DedupSpec extends SparkSpec {
 
   test("passageRewrite law: clean_md5 IS md5(clean_text) on real docs " +
       "(VERDICT r18 ask #4)") {
-    val docs = graft.sources.Tables.documents(spark, sf)
-    val bad = Dedup.passageRewrite(docs, "doc_id", "text", passageTokens = 10)
-      .filter(md5(col("clean_text")) =!= col("clean_md5"))
-      .count()
-    assert(bad === 0L,
-      "clean_md5 must fingerprint exactly the emitted clean_text column")
+    // the law must be checked through an INDEPENDENT md5 implementation
+    // (commons-codec on the driver), not by re-applying Spark's md5 to
+    // the same column inside the same plan — that filter is 0 by
+    // construction for ANY clean_text content and can never fail
+    val rows = Dedup.passageRewrite(graft.sources.Tables.documents(spark, sf),
+        "doc_id", "text", passageTokens = 10)
+      .select(col("doc_id"), col("clean_text"), col("clean_md5"))
+      .collect()
+    assert(rows.nonEmpty)
+    val bad = rows.filter { r =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        r.getAs[String]("clean_text")) != r.getAs[String]("clean_md5")
+    }
+    assert(bad.isEmpty,
+      s"clean_md5 must fingerprint exactly the emitted clean_text column; " +
+        s"first mismatch doc_id=${bad.headOption.map(_.getAs[Long]("doc_id"))}")
   }
 
   test("passage hot-tile split (hotTileOcc) is row-equal to the plain " +

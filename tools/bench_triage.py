@@ -77,8 +77,10 @@ def run_order(run):
     (`run_order_seed`), which this mirrors exactly."""
     import hashlib
     names = sorted((run.get("queries") or {}).keys())
+    # `is not None`, not truthiness: Bench treats an EMPTY env seed as a
+    # real seed and shuffles with it, so "" must reconstruct that shuffle
     seed = run.get("run_order_seed")
-    if seed:
+    if seed is not None:
         names.sort(key=lambda n:
                    (hashlib.md5(f"{seed}:{n}".encode()).hexdigest(), n))
     return names
@@ -215,10 +217,7 @@ def main():
         if args.anchor == "min":
             hist_min[q] = min(pts)
         else:
-            vals = sorted(t for t, _ in pts)
-            m = vals[len(vals) // 2] if len(vals) % 2 == 1 else \
-                (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2
-            hist_min[q] = (m, -1)
+            hist_min[q] = (_median([t for t, _ in pts]), -1)
 
     flags, fresh, below_floor = [], [], []
     for q, t in sorted(tgt_q.items()):
