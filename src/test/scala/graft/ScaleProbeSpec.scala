@@ -155,7 +155,7 @@ class ScaleProbeSpec extends SparkSpec {
         "SCALE_r14.json", "SCALE_r14_deep.json",
         "SCALE_r15.json", "SCALE_r15_banded.json", "SCALE_r16.json",
         "SCALE_r17.json", "SCALE_r18.json", "SCALE_r18_deep.json",
-        "SCALE_r19.json")) {
+        "SCALE_r19.json", "SCALE_r19_deep.json")) {
       val f = new java.io.File(name)
       assert(f.isFile, s"committed artifact $name missing from repo root")
       val root = om.readTree(f)
