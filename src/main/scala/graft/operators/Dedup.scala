@@ -197,6 +197,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_occ") >= minOcc)
 
+  /** INGEST-time passage contamination screen — the C4-style question
+    * asked of each ARRIVING document before it joins the corpus: what
+    * share of its tiles already exists in the standing corpus? (A doc
+    * that is mostly standing boilerplate/duplication is a drop or
+    * down-weight candidate at ingest, BEFORE it inflates the corpus the
+    * next full [[passageDedup]] pass runs on.) Output per arriving doc:
+    * (doc_id, n_tiles, n_contam, contam_share).
+    *
+    * Works unchanged on a BATCH arriving frame or a STREAMING one
+    * (every op here is stream-legal: the tiling is a projection, the
+    * history join is stream-static, the rollup is an update-mode
+    * aggregate); `dedup_passage_screen` / `dedup_passage_screen_streamed`
+    * gate both forms against one oracle, so stream == batch == external
+    * engine.
+    *
+    * Scale: the history side is `historyCounts` — pass the PERSISTED
+    * per-passage count table (one [[hotPassages]]-shaped map-combined
+    * aggregate, maintained at corpus build time, NOT recomputed per
+    * ingest batch). The probe side is batch-sized; the join keys on the
+    * tile text like [[withPassageOcc]], and the same hot-tile reasoning
+    * applies — at 100 TB pre-split `historyCounts` at its own
+    * `hotTileOcc` boundary and broadcast the heavy subset (bounded at
+    * tiles/threshold keys), leaving the shuffled remainder bounded per
+    * key; an arriving batch is small enough that in the common case the
+    * whole screen is one broadcast of the batch's tile set instead. */
+  def passageScreen(arriving: DataFrame, historyCounts: DataFrame,
+      idCol: String, textCol: String, passageTokens: Int = 10): DataFrame =
+    passageTiles(arriving, idCol, textCol, passageTokens)
+      .join(historyCounts.select(col("passage"), col("n_occ").as("n_hist_occ")),
+        Seq("passage"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        sum(when(col("n_hist_occ").isNotNull, 1L).otherwise(0L)).as("n_contam"))
+      .withColumn("contam_share",
+        round(col("n_contam").cast("double") / col("n_tiles"), 6))
+
   /** Sliding-window exact substring dedup (Lee et al. 2022,
     * arXiv:2107.06499 — the ExactSubstr pass at k-token granularity
     * rather than a suffix array): every POSITIONAL k-gram — unlike

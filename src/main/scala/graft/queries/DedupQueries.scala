@@ -499,6 +499,59 @@ object DedupQueries {
       passageTokens = 10, minOcc = 2L)
       .orderBy(col("n_occ").desc, col("passage"))
 
+  /** INGEST-time passage contamination screen, batch form
+    * ([[Dedup.passageScreen]], r19): each src0 (arriving) document's
+    * share of tiles already present in the standing corpus — the
+    * drop/down-weight signal a C4-style pipeline computes BEFORE
+    * admitting a crawl batch. History side = the persisted per-passage
+    * count table (one [[Dedup.hotPassages]]-shaped map-combined
+    * aggregate over the standing docs, `minOcc = 1` so ANY standing
+    * occurrence contaminates). */
+  def dedupPassageScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hist = Dedup.hotPassages(docs.filter(col("source") =!= "src0"),
+      "doc_id", "text", passageTokens = 10, minOcc = 1L)
+    Dedup.passageScreen(docs.filter(col("source") === "src0"), hist,
+      "doc_id", "text", passageTokens = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The SAME screen with the arriving batch REPLAYED through the
+    * streaming file source (stream-static history join + update-mode
+    * rollup; a doc's tiles ride one input row, so its aggregate row is
+    * final in the batch that carried it — the settle's max per doc_id
+    * is an identity, kept for the replay-overlap discipline every
+    * update-mode sink read uses). Same oracle as the batch twin:
+    * stream == batch == external engine. */
+  def dedupPassageScreenStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val arriving = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("source") === "src0")
+    val hist = Dedup.hotPassages(
+      Tables.documents(spark, dir).filter(col("source") =!= "src0"),
+      "doc_id", "text", passageTokens = 10, minOcc = 1L)
+    val screened = Dedup.passageScreen(arriving, hist, "doc_id", "text",
+      passageTokens = 10)
+    val name = "passage_screen_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.StreamGate.runToCompletion(spark) {
+      screened.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    spark.table(name)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tiles")).as("n_tiles"), max(col("n_contam")).as("n_contam"),
+        max(col("contam_share")).as("contam_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sliding-window exact substring dedup over the corpus
     * ([[Dedup.substringSpans]] — the Lee et al. 2022 ExactSubstr pass
     * at 8-token granularity; catches the boundary-straddling copies
@@ -770,6 +823,8 @@ object DedupQueries {
     "dedup_passages" -> (dedupPassages _),
     "dedup_passages_hotsplit" -> (dedupPassagesHotsplit _),
     "dedup_hot_passages" -> (dedupHotPassages _),
+    "dedup_passage_screen" -> (dedupPassageScreen _),
+    "dedup_passage_screen_streamed" -> (dedupPassageScreenStreamed _),
     "dedup_passage_rewrite" -> (dedupPassageRewrite _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
@@ -787,6 +842,30 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash_md5_pairs" -> (dedupSimhashMd5Pairs _)
   )
+
+  /** Batch and streamed passage screens produce the same relation: each
+    * arriving (src0) doc's tiles left-joined against the standing
+    * corpus's passage set, rolled up per doc. */
+  private val passageScreenOracle =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source,
+      |         array_to_string(w[CAST(s+1 AS INT):CAST(s+10 AS INT)], ' ') AS passage
+      |  FROM t, UNNEST(range(0, len(w), 10)) AS u(s)),
+      |hist AS (
+      |  SELECT passage, COUNT(*) AS n_occ FROM p
+      |  WHERE source <> 'src0' GROUP BY passage),
+      |b AS (SELECT doc_id, passage FROM p WHERE source = 'src0')
+      |SELECT b.doc_id,
+      |       COUNT(*) AS n_tiles,
+      |       CAST(SUM(CASE WHEN h.passage IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_contam,
+      |       round(CAST(SUM(CASE WHEN h.passage IS NOT NULL THEN 1 ELSE 0 END)
+      |                  AS DOUBLE) / COUNT(*), 6) AS contam_share
+      |FROM b LEFT JOIN hist h ON b.passage = h.passage
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 
   /** Batch and streamed incremental dedup produce the same relation. */
   private val incrementalOracle =
@@ -1101,6 +1180,8 @@ object DedupQueries {
         |SELECT passage, COUNT(*) AS n_occ, min(doc_id) AS first_doc
         |FROM p GROUP BY passage HAVING COUNT(*) >= 2
         |ORDER BY n_occ DESC, passage""".stripMargin,
+    "dedup_passage_screen" -> passageScreenOracle,
+    "dedup_passage_screen_streamed" -> passageScreenOracle,
     "dedup_winnowing_candidates" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wd FROM documents),

@@ -37,12 +37,29 @@ object DocSync {
         s"[docsync] test reports cover ${files.length} of $suites suites " +
           "(testOnly leftovers?) — test-count claim left untouched; run after a FULL `sbt test`")
       None
-    } else Some(files.map { f =>
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try """tests="(\d+)"""".r.findFirstMatchIn(src.mkString)
-        .map(_.group(1).toInt).getOrElse(0)
-      finally src.close()
-    }.sum)
+    } else {
+      // MIXED-RUN guard (r19): a `testOnly X -- -z pattern` run
+      // OVERWRITES suite X's XML with only the filtered tests while
+      // leaving every other suite's full-run file in place — the file
+      // COUNT looks complete but the sum under-claims (observed: 433
+      // vs the true 477 after a -z run rewrote one suite to tests=1).
+      // One `sbt test` writes all files within its own run window, so
+      // a modification-time spread wider than a full sequential run
+      // (generously, one hour) means the set mixes runs — refuse it.
+      val mtimes = files.map(_.lastModified)
+      val spreadMs = mtimes.max - mtimes.min
+      if (spreadMs > 60L * 60 * 1000) {
+        println(f"[docsync] test reports span ${spreadMs / 60000.0}%.0f min " +
+          "of mtimes (mixed testOnly/full runs?) — test-count claim left " +
+          "untouched; run after a FULL `sbt test`")
+        None
+      } else Some(files.map { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try """tests="(\d+)"""".r.findFirstMatchIn(src.mkString)
+          .map(_.group(1).toInt).getOrElse(0)
+        finally src.close()
+      }.sum)
+    }
   }
 
   private def rewrite(path: String)(f: String => String): Unit = {

@@ -118,6 +118,8 @@ object ScaleProbe {
       "scan-side tiling; map-combined groupBy(passage).count + join-back, heavy tiles broadcast (hotTileOcc) — r19, the family the r18 verdict flagged as receipt-less; hot-tile concentration measured separately by PassageSkewProbe"),
     Family("dedup_passage_rewrite",
       "same tiling/count as dedup_passages + doc-keyed reassembly whose collected payload is the document itself — linear in corpus bytes"),
+    Family("dedup_passage_screen",
+      "ingest screen: arriving (src0) tiles left-join the standing per-passage count table + per-doc rollup — history side one map-combined agg, probe side batch-sized"),
     Family("text_bm25_topk",
       "posting probe: per-QUERY scoring cost linear in corpus (query split itself grows with the corpus)",
       coupled = true),

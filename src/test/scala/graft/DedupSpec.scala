@@ -308,6 +308,29 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq === plainR)
   }
 
+  test("passageScreen: arriving docs scored by standing-corpus tile overlap " +
+      "(r19 ingest screen)") {
+    // standing corpus tiles (k=3): [x y z], [d e f]; arriving doc 10 =
+    // [x y z][a b c] (half contaminated), doc 11 = [q r s] (clean),
+    // doc 12 = [x y z][d e f] (fully contaminated)
+    val standing = Seq((1L, "x y z d e f"), (2L, "x y z")).toDF("doc_id", "text")
+    val hist = Dedup.hotPassages(standing, "doc_id", "text",
+      passageTokens = 3, minOcc = 1L)
+    val arriving = Seq(
+      (10L, "x y z a b c"),
+      (11L, "q r s"),
+      (12L, "x y z d e f")).toDF("doc_id", "text")
+    val out = Dedup.passageScreen(arriving, hist, "doc_id", "text",
+        passageTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tiles"),
+        r.getAs[Long]("n_contam"), r.getAs[Double]("contam_share")))
+    assert(out.toSeq === Seq(
+      (10L, 2L, 1L, 0.5),
+      (11L, 1L, 0L, 0.0),
+      (12L, 2L, 2L, 1.0)))
+  }
+
   test("hotPassages mines exactly the corpus-duplicated tiles with counts " +
       "and min carrier (r19)") {
     val docs = Seq(
