@@ -160,11 +160,23 @@ object RetrievalQueries {
     * index scan: the only shuffles left in a probe are the tiny query
     * side and the per-(query, doc) score aggregation. At 100 TB this
     * is the bucketed-by-term index table every query wave reads;
-    * bucket count scales with corpus size. */
+    * bucket count scales with corpus size. A bucketed scan runs ONE
+    * task per bucket, so the bucket count is also the ceiling on probe
+    * parallelism (r19 optimization round: the default-8 index capped
+    * every indexed probe at 8 tasks on a 32-thread executor — ~2.8 s
+    * of the 3.5 s `text_bm25_indexed` paid was 8-way CPU); `buckets <=
+    * 0` derives the count from the session's parallelism (floored at
+    * the old 8 so single-threaded tooling sessions keep a multi-bucket
+    * layout), which a corpus-scale deployment overrides with its own
+    * size-derived count. */
   def writePostingIndex(spark: SparkSession, dir: String, table: String,
-      buckets: Int = 8): Unit =
+      buckets: Int = -1): Unit = {
+    val n =
+      if (buckets > 0) buckets
+      else math.max(8, spark.sparkContext.defaultParallelism)
     graft.sources.Bucketing.writeBucketed(postingsIndex(spark, dir), table,
-      "t", buckets, sortCols = Seq("t", "doc_id"))
+      "t", n, sortCols = Seq("t", "doc_id"))
+  }
 
   /** Probe a persisted posting index: query terms join the bucketed
     * postings on `t` (exchange-free on the index side — spec-asserted),
