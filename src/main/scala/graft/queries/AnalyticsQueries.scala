@@ -149,15 +149,28 @@ object AnalyticsQueries {
   def aggCorrStats(spark: SparkSession, dir: String): DataFrame = {
     val q = col("l_quantity")
     val p = col("l_extendedprice")
-    val g = Tables.lineitem(spark, dir)
+    // r19: the six wide-decimal partial sums fuse into the scan stage,
+    // and the single-row-group input makes that stage ONE task (2.5 s
+    // of 32-thread-capable decimal CPU measured single-threaded) —
+    // spread the fact rows first; identity at production layouts
+    val g = Tables.spreadForCompute(Tables.lineitem(spark, dir),
+        col("l_orderkey"), col("l_linenumber"))
       .groupBy(col("l_returnflag"))
       .agg(
+        // r19: per-row cast precisions narrowed into Decimal's compact
+        // long range (≤ 18 digits) — a >18-digit decimal is carried as
+        // a heap BigDecimal through every partial-aggregate update,
+        // which profiled as ~40 µs/row; the narrowed casts hold the
+        // same exact values (q ≤ 5-digit quantities, p ≤ 7-digit
+        // prices, so q·p needs 13 digits at scale 5 and p² 15 at scale
+        // 4) and the sums widen to (28, s) buffers exactly as before —
+        // identical rationals, identical rounded doubles downstream.
         count(lit(1)).as("n"),
-        sum(q.cast(DecimalType(22, 4))).as("sx"),
-        sum(p.cast(DecimalType(30, 4))).as("sy"),
-        sum((q * q).cast(DecimalType(30, 6))).as("sxx"),
-        sum((p * p).cast(DecimalType(34, 4))).as("syy"),
-        sum((q * p).cast(DecimalType(32, 5))).as("sxy"))
+        sum(q.cast(DecimalType(18, 4))).as("sx"),
+        sum(p.cast(DecimalType(18, 4))).as("sy"),
+        sum((q * q).cast(DecimalType(18, 6))).as("sxx"),
+        sum((p * p).cast(DecimalType(18, 4))).as("syy"),
+        sum((q * p).cast(DecimalType(18, 5))).as("sxy"))
     val nD = col("n").cast("double")
     val sx = col("sx").cast("double")
     val sy = col("sy").cast("double")

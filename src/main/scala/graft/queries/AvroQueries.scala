@@ -46,7 +46,11 @@ object AvroQueries {
     * c_custkey%7 rows carry a NULL first_name (the null union branch),
     * %13 rows a blank one (T2 filter fodder), %11 a NULL last_name. */
   private def userStruct(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir).select(struct(
+    // r19: spread the unsplittable scan — every consumer fuses a full
+    // Avro encode (and usually decode) chain into this projection, and
+    // the single-row-group input ran it all as one task
+    Tables.spreadForCompute(Tables.customer(spark, dir), col("c_custkey"))
+      .select(struct(
       col("c_custkey").cast("string").as("user_id"),
       when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
         .when(col("c_custkey") % 13 === 0, lit(" "))
@@ -178,7 +182,10 @@ object AvroQueries {
   def avroLogicalTypes(spark: SparkSession, dir: String): DataFrame = {
     // the parquet column is TIMESTAMP_NTZ; under the UTC session the
     // cast to TimestampType is instant-preserving
-    val src = Tables.orders(spark, dir)
+    // r19: spread the unsplittable scan so the fused encode→decode
+    // codec chain (per-row Avro writer + reader + logical-type
+    // conversions) runs executor-wide instead of as one scan task
+    val src = Tables.spreadForCompute(Tables.orders(spark, dir), col("o_orderkey"))
       .withColumn("ots", col("o_orderdate").cast("timestamp"))
       .select(struct(
       col("o_orderkey").as("order_id"),
@@ -236,7 +243,9 @@ object AvroQueries {
     * routing Avro-free, so the hash proves branch resolution AND the
     * per-branch logical decode/encode are lossless. */
   def avroUnionLogicalTypes(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables.orders(spark, dir)
+    // r19: spread like avroLogicalTypes — the branch-routed codec chain
+    // is compute-dense per row
+    val src = Tables.spreadForCompute(Tables.orders(spark, dir), col("o_orderkey"))
       .withColumn("ots", col("o_orderdate").cast("timestamp"))
       .select(struct(
         col("o_orderkey").as("order_id"),

@@ -149,13 +149,24 @@ object CoverageQueries {
 
   /** Left-outer join + aggregate: per-order item counts (nulls kept). */
   def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    // r19 (guide §2.3, aggregate before the shuffle): the per-order
+    // rollup is keyed by the join key, so it pushes below the join —
+    // the lineitem side now shuffles one pre-aggregated row per order
+    // instead of every line item (600k → 150k rows at sf0.1, the same
+    // 4:1 at any scale), and the join matches 1:1. Unmatched orders
+    // read count = 0 / sum = null exactly as the post-join aggregate
+    // produced (count over an all-null group is 0, sum is null);
+    // matched groups sum the identical decimal values, so the rollup
+    // is bit-equal.
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("agg_n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("agg_sum_qty"))
     o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
-      .groupBy(o("o_orderkey").as("o_orderkey"))
-      .agg(
-        count(l("l_orderkey")).as("n_items"),
-        sum(l("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .select(o("o_orderkey").as("o_orderkey"),
+        coalesce(col("agg_n_items"), lit(0L)).as("n_items"),
+        col("agg_sum_qty").cast("double").as("sum_qty"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -260,6 +271,12 @@ object CoverageQueries {
     * rides along only to form the bracket; production keeps the sketch
     * alone — that's its point.) */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    // r19: measured and deliberately NOT spread — fanning the partial
+    // (flag, partkey) distinct + HLL aggregation out to 32 map tasks
+    // multiplied the per-task HLL buffer population (each task sees
+    // nearly every group) and CPU went 1.3 s → 98 s for a WORSE wall;
+    // partial-aggregation duplication dominates sketch aggregates, so
+    // the narrow map side stays as the input layout provides
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"),

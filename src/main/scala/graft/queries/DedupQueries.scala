@@ -97,6 +97,10 @@ object DedupQueries {
     * join is dropped in production. */
   def dedupBloomProbe(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.shingles
+    // r19: measured and deliberately NOT spread — the shingle streams
+    // here are allocation-bound (string explode), and a 32-way spread
+    // inflated exec/GC for a worse wall; the md5 reduction below is
+    // the win that held
     val docs = Tables.documents(spark, dir)
     def bitPositions(c: org.apache.spark.sql.Column) =
       array((0 until 4).map(i => u16(concat(c, lit(s"#$i")))): _*)
@@ -106,12 +110,22 @@ object DedupQueries {
       .withColumn("hit", lit(1))
     val batch = docs.filter(col("source") === "src0")
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-    batch
-      .select(col("doc_id"), col("s"),
-        explode(bitPositions(col("s"))).as("bit"))
+    // r19: the 4 bit positions are a function of the SHINGLE alone and
+    // shingles() emits per-doc-distinct shingles, so draw the bits once
+    // per DISTINCT batch shingle and equi-join the verdict back —
+    // identical `maybe` per (doc, s) row (count(hit) over one doc's
+    // shingle was always exactly its 4 draws), with the md5 work and
+    // the ×4 bit-row explode shrunk from every (doc, shingle) row to
+    // the batch's shingle vocabulary. The tiny per-shingle verdict side
+    // stays unhinted (AQE broadcasts it while small — the bm25 idf
+    // reasoning).
+    val sMaybe = batch.select(col("s")).distinct()
+      .select(col("s"), explode(bitPositions(col("s"))).as("bit"))
       .join(broadcast(bits), Seq("bit"), "left")
-      .groupBy(col("doc_id"), col("s"))
+      .groupBy(col("s"))
       .agg((count(col("hit")) === 4).cast("int").as("maybe"))
+    batch.join(sMaybe, Seq("s"))
+      .select(col("doc_id"), col("s"), col("maybe"))
       // NO broadcast hint on hist: unlike `bits` (≤ m rows by
       // construction), the distinct-shingle set grows with the corpus —
       // a forced broadcast has no AQE escape and OOMs at scale. This

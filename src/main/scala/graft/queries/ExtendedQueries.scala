@@ -34,12 +34,35 @@ object ExtendedQueries {
     * Equi-key + range predicate → SMJ with range filter, not a cross
     * product. */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.events(spark, dir).select(
-      col("event_id").as("a_event_id"), col("user_id").as("a_user_id"), col("ts").as("a_ts"))
+    // r19 (guide §3.3): the user_id-only equi-join expanded to every
+    // same-user pair before the range predicate could prune — 6.77M
+    // intermediate rows for 9,244 survivors at sf0.1, and per-user
+    // history spans ~700 hours so the blowup GROWS with history depth
+    // at estate scale. Adding the 1-hour time bucket to the equi-key
+    // makes the join see only bucket-mates: a qualifying b with
+    // a_ts − 1h ≤ b_ts < a_ts lies in the same or previous 1-hour
+    // bucket as a_ts (bucket width == interval width), so probing
+    // exactly those two buckets finds every qualifying pair, each
+    // exactly once (a b row's bucket matches one of the two exploded
+    // probe rows). Unmatched probes survive the left join on both
+    // exploded rows and count(b_ts) ignores their nulls, so the
+    // per-event counts are unchanged. Bucket ids use integral division
+    // of unix_micros — exact, and floor-equivalent for the post-epoch
+    // instants events carry.
+    val hourUs = 3600L * 1000000L
+    val a = Tables.spreadForCompute(Tables.events(spark, dir), col("event_id"))
+      .select(
+        col("event_id").as("a_event_id"), col("user_id").as("a_user_id"),
+        col("ts").as("a_ts"))
+      .withColumn("bk", explode(array(
+        expr(s"unix_micros(a_ts) div $hourUs") - 1,
+        expr(s"unix_micros(a_ts) div $hourUs"))))
     val b = Tables.events(spark, dir).select(
-      col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+      col("user_id").as("b_user_id"), col("ts").as("b_ts"),
+      expr(s"unix_micros(ts) div $hourUs").as("bk"))
     a.join(b,
         col("a_user_id") === col("b_user_id") &&
+          a("bk") === b("bk") &&
           col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
           col("b_ts") < col("a_ts"),
         "left_outer")

@@ -192,13 +192,24 @@ object TextQueries {
       .select(col("bucket").cast("int").as("bucket"),
         (u16Of(concat(lit("w|"), col("bucket").cast("string"))) - 32768)
           .cast("long").as("w"))
-    Tables.documents(spark, dir)
+    // r19: spread the unsplittable scan before the tokenize/explode
+    // work (identity at production layouts)
+    val occ = Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       // count distinct (doc, token) BEFORE hashing: one md5 per distinct
       // token per doc instead of per occurrence — Zipf makes this the
       // bulk of the hash work at corpus scale
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
+    // r19: the bucket is a function of the TOKEN alone, so hash the
+    // VOCABULARY (Heap's-law rows, ≪ distinct (doc, token) pairs) and
+    // equi-join it back instead of md5-ing every (doc, token) row —
+    // the occ exchange is shared by both branches (ReusedExchange), and
+    // the vocabulary side stays unhinted like the bm25 idf join: AQE
+    // broadcasts it while it is actually small and degrades to an
+    // equi-join when a 100 TB vocabulary outgrows a broadcast
+    val vocabBuckets = occ.select(col("t")).distinct()
       .withColumn("bucket", u16Of(concat(col("t"), lit("|qcls"))) % 256)
+    occ.join(vocabBuckets, Seq("t"))
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tokens"),

@@ -97,4 +97,27 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Spread an under-parallel scan across the executor before CPU-dense
+    * downstream work (r19 optimization round; guide §2.5's "one huge
+    * unsplittable file … repartition immediately after the read").
+    * Parquet can only split at row-group boundaries, and each testdata
+    * table is ONE row group — so a scan stage (and everything Catalyst
+    * fuses into it: tokenize/explode, Avro codec chains, decimal
+    * aggregation) runs as ONE task no matter how many threads the
+    * executor has. When the planned scan parallelism is already at or
+    * above the executor's (the many-row-group production layout), this
+    * is the identity — it can never add an exchange at estate scale.
+    * `keys` must be non-empty and deterministic (hash partitioning —
+    * a keyless round-robin would pay the sort-before-repartition tax
+    * and, under task retry, the SPARK-38388 hazard); pass a unique-ish
+    * key so the spread is even. Results are partitioning-invariant by
+    * the repo's standing receipts (every aggregate is exact-integer /
+    * decimal-routed; final orders are total). */
+  def spreadForCompute(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    require(keys.nonEmpty, "spreadForCompute needs deterministic spread keys")
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, keys: _*)
+  }
 }
