@@ -140,12 +140,18 @@ object DedupQueries {
   }
 
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+    // r19: spread the unsplittable scan — 16 md5 permutations per
+    // shingle fused into it single-task
+    Dedup.minhashNearDups(
+      Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id")),
+      "doc_id", "text",
       k = 3, numHashes = 16, bands = 4, threshold = 0.8, useMd5 = true)
       .orderBy(col("id_a"), col("id_b"))
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardFingerprintBlocked(Tables.documents(spark, dir),
+    // r19: spread — the shingle fingerprint pass is scan-fused
+    Dedup.ngramJaccardFingerprintBlocked(
+      Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id")),
       "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -162,12 +168,18 @@ object DedupQueries {
     * fused==HOF bit-equality, repartition determinism) instead of a
     * weaker rows-only gate entry. */
   def dedupSimhashMd5Pairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+    // r19: spread — per-token md5 bit votes are scan-fused
+    Dedup.simhashNearDups(
+      Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id")),
+      "doc_id", "text",
       maxHamming = 3, maxBucket = 1000000, useMd5 = true)
       .orderBy(col("id_a"), col("id_b"))
 
   def dedupWinnowing(spark: SparkSession, dir: String): DataFrame =
-    Dedup.winnowingCandidates(Tables.documents(spark, dir), "doc_id", "text",
+    // r19: spread — the rolling-hash fingerprint pass is scan-fused
+    Dedup.winnowingCandidates(
+      Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id")),
+      "doc_id", "text",
       k = 3, window = 4, minShared = 5, maxBucket = 100)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -200,7 +212,13 @@ object DedupQueries {
     // session to two live generations instead of leaking one
     // corpus-scale cache per invocation (the Dedup operators'
     // discipline, operators/LocalCheckpoints.scala)
-    val docs = Tables.documents(spark, dir)
+    // r19: spread the unsplittable scan BEFORE the interpreted
+    // quality/lang lambdas and the persist — the cached frame keeps the
+    // spread partitioning, so the three consumer branches (exact-dedup
+    // group-by, survivor join-back, minhash banding with its 16 md5
+    // permutations per shingle) all run executor-wide instead of
+    // inheriting the scan's single partition
+    val docs = Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id"))
       .withColumn("q", TextFunctions.qualityScore(col("text")))
       .filter(col("q") >= 0.5)
       .filter(TextFunctions.langId(col("text")) === "en")
@@ -451,8 +469,9 @@ object DedupQueries {
     * the cluster-signal-sized relation. */
   def decontamEvalOverlap(spark: SparkSession, dir: String): DataFrame = {
     val split = dedupLeakageSplit(spark, dir).select(col("doc_id"), col("split"))
-    Dedup.winnowingCandidates(Tables.documents(spark, dir), "doc_id", "text",
-        k = 3, window = 4, minShared = 2, maxBucket = 100)
+    Dedup.winnowingCandidates(
+        Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id")),
+        "doc_id", "text", k = 3, window = 4, minShared = 2, maxBucket = 100)
       .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
       .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
       .filter(col("split_a") =!= col("split_b"))
@@ -571,7 +590,10 @@ object DedupQueries {
     * at 8-token granularity; catches the boundary-straddling copies
     * `dedup_passages`' disjoint tiles miss). */
   def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
-    Dedup.substringSpans(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+    // r19: spread — the per-position k-gram md5 pass is scan-fused
+    Dedup.substringSpans(
+      Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id")),
+      "doc_id", "text", k = 8)
       .orderBy(col("doc_id"))
 
   /** Quality-aware survivor selection over the near-dup clusters — the

@@ -183,8 +183,11 @@ object SimilarityQueries {
   /** kNN self-join over md5-plane LSH buckets — oracle rebuilds the
     * 8×4-bit buckets, enumerates both pair orientations, reranks. */
   def simKnnJoin(spark: SparkSession, dir: String): DataFrame =
-    Similarity.knnJoinLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5,
-        md5Planes = true)
+    // r19: spread the unsplittable scan — the per-vector md5-plane
+    // hashing fused into it as one 1.3 s task (96% CPU)
+    Similarity.knnJoinLsh(
+        Tables.spreadForCompute(Tables.embeddings(spark, dir), col("vec_id")),
+        "vec_id", "embedding", k = 5, md5Planes = true)
       .orderBy(col("query_id"), col("rank"))
 
   /** THE named near-dup query — the LSH scale path, with a FULL DuckDB

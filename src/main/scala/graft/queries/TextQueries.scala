@@ -95,7 +95,8 @@ object TextQueries {
     * engines) + stem frequency: the vocabulary-normalization shape.
     * Not linguistic Porter stemming — a deterministic approximation. */
   def stemCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // r19: spread — the explode + per-token regex stem is scan-fused
+    Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 4)
       .select(regexp_replace(lower(col("tok")), "(ing|ed|es|s)$", "").as("stem"))
@@ -238,7 +239,7 @@ object TextQueries {
       i => (conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
         i.cast("string"), lit("|aug"))), 1, 4), 16, 10).cast("int") >= 6554).cast("int")))
       .otherwise(array().cast("array<int>"))
-    Tables.documents(spark, dir)
+    Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .withColumn("keep", keepMask)
       .select(col("doc_id"),
