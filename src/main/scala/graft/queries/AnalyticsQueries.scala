@@ -163,8 +163,13 @@ object AnalyticsQueries {
         // which profiled as ~40 µs/row; the narrowed casts hold the
         // same exact values (q ≤ 5-digit quantities, p ≤ 7-digit
         // prices, so q·p needs 13 digits at scale 5 and p² 15 at scale
-        // 4) and the sums widen to (28, s) buffers exactly as before —
-        // identical rationals, identical rounded doubles downstream.
+        // 4). The SUM buffers follow as (28, s) — NARROWER than the
+        // former (32-38, s) buffers, so the silent-null overflow
+        // headroom shrank: sum(p²) at (28, 4) caps near 1e24, i.e.
+        // ~1e14 rows at max price (sum(q·p) at (28, 5): ~1e12 rows),
+        // and with ANSI off an overflow is a silent NULL. Identical
+        // rationals and rounded doubles at any scale inside that
+        // margin; an estate-scale reader re-checks the row bound here.
         count(lit(1)).as("n"),
         sum(q.cast(DecimalType(18, 4))).as("sx"),
         sum(p.cast(DecimalType(18, 4))).as("sy"),

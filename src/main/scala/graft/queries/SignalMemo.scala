@@ -174,14 +174,6 @@ object SignalMemo {
       val won = memo.get(key)
       if (won != null) won
       else {
-        val mat = signalRoot(spark) match {
-          case Some(root) =>
-            // the written table IS the materialization — no checkpoint
-            sweepStaleSignals(spark, root, dir)
-            readOrBuild(spark,
-              s"$root/${slug(dir)}_${sourceFingerprint(dir)}/$name")(build)
-          case None => build.localCheckpoint()
-        }
         // Probe-side parallelism (r19 optimization round, guide §2.6):
         // a compact signal table materializes UNDER-partitioned — the
         // parquet read-back packs the written part files into
@@ -197,11 +189,51 @@ object SignalMemo {
         // scale; the one extra exchange is prep-side (signals build in
         // the bench's untimed warm region) and the consumers' probes
         // parallelize. The on-disk bytes are unchanged — only this
-        // session's pinned view is re-spread.
+        // session's pinned view is re-spread. The re-spread is KEYLESS
+        // round-robin deliberately: its input is either a committed
+        // parquet read-back or an already-checkpointed frame — both
+        // deterministic under task retry — and sortBeforeRepartition
+        // (default on) keeps the row-to-partition assignment stable, so
+        // the SPARK-38388 retry hazard Tables.spreadForCompute warns
+        // about does not apply; signals have no single natural key to
+        // hash on (some are doc-keyed, some bucket-keyed, some
+        // term-keyed), and round-robin spreads a compact table evenly
+        // regardless.
         val target = spark.sparkContext.defaultParallelism
-        val built =
-          if (mat.rdd.getNumPartitions >= target) mat
-          else mat.repartition(target).localCheckpoint()
+        // Spreading a TINY signal (a 4-row planner table) is the
+        // opposite trade: every consumer stage pays `target` near-empty
+        // tasks of scheduling (and `target` partial-aggregate rows
+        // through each downstream exchange — ShuffleBudgetSpec caught
+        // exactly that on dedup_snm_autowindow) for parallelism that
+        // carries no work. Gate the re-spread on a minimum row count —
+        // one cheap count job over an already-materialized frame, paid
+        // once per signal per session; real signals (posting/occ
+        // indexes, per-doc scores) clear it by orders of magnitude.
+        def spreadWorthwhile(mat: DataFrame): Boolean =
+          mat.rdd.getNumPartitions < target && mat.count() >= target * 8L
+        val built = signalRoot(spark) match {
+          case Some(root) =>
+            // the written table IS the materialization — no checkpoint;
+            // the re-spread view (when needed) is the only pinned copy
+            sweepStaleSignals(spark, root, dir)
+            val mat = readOrBuild(spark,
+              s"$root/${slug(dir)}_${sourceFingerprint(dir)}/$name")(build)
+            if (!spreadWorthwhile(mat)) mat
+            else mat.repartition(target).localCheckpoint()
+          case None =>
+            // one materialization when the built width already suffices;
+            // when a re-spread is needed, free the superseded
+            // intermediate's blocks as soon as the re-spread checkpoint
+            // (eager) has materialized — otherwise BOTH copies of every
+            // under-parallel signal stay pinned for the session lifetime
+            val (mat, handles) = graft.operators.LocalCheckpoints.tracked(build)
+            if (!spreadWorthwhile(mat)) mat
+            else {
+              val spread = mat.repartition(target).localCheckpoint()
+              graft.operators.LocalCheckpoints.free(handles)
+              spread
+            }
+        }
         memo.put(key, built)
         if (evictionRegistered.add(spark)) {
           spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

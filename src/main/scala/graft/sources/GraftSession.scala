@@ -23,30 +23,23 @@ object GraftSession {
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // Parallelism floors (r19 optimization round, guide §2/§6). Both
-      // of Spark's task-sizing decisions are BYTE-based, which
-      // under-provisions this engine's CPU-dense operators (md5
-      // shingling, Levenshtein DP, set-intersection verification):
-      // stage profiles showed 1-5 running tasks on a 32-thread
-      // executor because (a) a scan of a compact parquet table floors
-      // its split size at openCostInBytes = 4 MB — a 10 MB file is 3
-      // tasks, a 2 MB file is ONE — and (b) AQE's partition coalescing
-      // floors post-shuffle partitions at minPartitionSize = 1 MB, so
-      // a 5 MB shuffle of candidate pairs (each carrying minutes of
-      // per-row CPU at estate scale) collapses to 5 partitions. Both
-      // knobs only BIND when splits/partitions are small — at 100 TB
-      // every healthy scan split is maxPartitionBytes-sized and every
-      // shuffle partition is advisory-sized, so lowering the floors is
-      // a no-op there; what they buy is full-parallelism execution of
-      // the CPU-dense tail whose bytes are small relative to its
-      // compute. The values stay derived, not tuned: the scan floor
-      // targets one split per executor thread (the same cores-derived
-      // sizing shuffle.partitions uses), and the coalesce floor is
-      // dropped to 64 KB so parallelism-first coalescing (the default)
+      // Coalesce floor (r19 optimization round, guide §2/§6). AQE's
+      // partition coalescing is BYTE-based and floors post-shuffle
+      // partitions at minPartitionSize = 1 MB, which under-provisions
+      // this engine's CPU-dense operators (md5 shingling, Levenshtein
+      // DP, set-intersection verification): a 5 MB shuffle of candidate
+      // pairs — each row carrying minutes of per-row CPU at estate
+      // scale — collapses to 5 partitions on a 32-thread executor. The
+      // knob only BINDS when partitions are small — at 100 TB every
+      // shuffle partition is advisory-sized, so lowering the floor is a
+      // no-op there; what it buys is full-parallelism execution of the
+      // CPU-dense tail whose bytes are small relative to its compute.
+      // Dropped to 64 KB so parallelism-first coalescing (the default)
       // can actually reach the target parallelism on compact shuffles.
-      // Object-store deployments where a file open costs real latency
-      // should raise openCostInBytes back via --conf; nothing here
-      // reads an absolute core count.
+      // The SCAN-side analog (byte-based split packing of compact
+      // parquet tables) is handled by Tables.spreadForCompute at the
+      // specific CPU-dense call sites, not by a session-wide
+      // openCostInBytes change.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", (64 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
