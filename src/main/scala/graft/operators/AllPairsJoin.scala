@@ -53,6 +53,15 @@ object AllPairsJoin {
     // defensive distinct: |A∩B| + the sz-based union formula are only
     // correct over sets — a caller passing raw token lists would
     // silently inflate sizes otherwise
+    // r20 measured-and-rejected: persisting this frame (the
+    // substringSpans pin discipline) to share it across its three
+    // consumers REGRESSED the steady-state 3× at sf0.1 — an
+    // InMemoryRelation of array-of-string columns costs more to re-read
+    // (columnar batch decode + GC: ~5 s of GC per consumer stage in the
+    // profile) than the wordShingles kernel costs to recompute. The
+    // sets stay recomputed per consumer; callers parallelize the
+    // recomputation by spreading the input (Tables.spreadForCompute)
+    // BEFORE computing setCol.
     val base = sets
       .select(col(idCol).cast("long").as("id"),
         array_distinct(col(setCol)).as("s"))

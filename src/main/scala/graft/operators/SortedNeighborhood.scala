@@ -49,7 +49,22 @@ object SortedNeighborhood {
       explode(array(col("_sn_b"), col("_sn_b") + lit(1L))).as("_sn_bb"))
     val build = ranked.select(row.as("b"), col("_sn_rn").as("_sn_rn_b"),
       col("_sn_b").as("_sn_bb"))
-    probe.join(build, "_sn_bb")
+    // r20: the bucket equi-join's shuffle carries FEW bytes (ids + a
+    // name payload) but every joined row funds a CPU-dense comparator
+    // downstream (the Levenshtein DP fuses into this join stage), and
+    // AQE's byte-based coalescing — blind to per-row CPU — collapsed
+    // the stage to ~4 tasks on a 32-thread executor (64 KB floor over a
+    // ~0.3 MB exchange). Explicit REPARTITION_BY_NUM on both sides pins
+    // the width: AQE does not coalesce user-numbered repartitions, the
+    // join reuses the co-partitioning (no extra exchange — same
+    // exchange count as ENSURE_REQUIREMENTS inserted), and the pair
+    // set is unchanged. The count follows the session's shuffle sizing,
+    // so cluster deployments keep their own derivation.
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    probe.repartition(parts, col("_sn_bb"))
+      .join(build.repartition(parts, col("_sn_bb")), "_sn_bb")
       .filter((col("_sn_rn_b") - col("_sn_rn_a")).between(1, window))
       .select(col("a"), col("b"))
   }

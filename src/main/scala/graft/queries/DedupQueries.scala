@@ -632,8 +632,18 @@ object DedupQueries {
     * pair queries: the oracle computes the naive exact join, so a
     * hash match PROVES the prefix filter dropped no qualifying pair. */
   def dedupAllpairsJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.documents(spark, dir).select(col("doc_id"),
-      graft.functions.TextFunctions.shingles(col("text"), 3).as("s"))
+    // r20: spread BEFORE the shingling. The operator consumes its input
+    // three times (token stream, verify side A, verify side B); unspread
+    // those were three separate scan-fused single-task stages — the
+    // profile showed a ~1.4 s SERIAL chain of 1-task stages (scan +
+    // wordShingles kernel each time). With the spread exchange below
+    // them the three subtrees are plan-identical up to the exchange, so
+    // ReusedExchange materializes the scan ONCE and each shingling pass
+    // runs executor-wide. Identity at many-row-group production layouts
+    // (spreadForCompute contract).
+    val sets = Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("s"))
     AllPairsJoin.jaccardSelfJoin(sets, "doc_id", "s", tauNum = 7, tauDen = 10)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -59,8 +59,13 @@ object SimilarityQueries {
     * LSH path; `sim_neardup_lsh` is its static regression pin); this
     * cross join dies at 100× scale by design. */
   def simNearDup(spark: SparkSession, dir: String): DataFrame =
+    // r20: spread — the brute-force cross join ran as ONE task on the
+    // single-split embeddings scan (634 ms stream side + 456 ms
+    // broadcast build, both single-task in the profile); spreading the
+    // scan parallelizes the pairwise cosine work executor-wide.
+    // Identity at many-row-group production layouts.
     Similarity.nearDupPairs(
-      Tables.embeddings(spark, dir)
+      Tables.spreadForCompute(Tables.embeddings(spark, dir), col("vec_id"))
         .filter(substring(md5(col("vec_id").cast("string")), 1, 1) <= "7"),
       "vec_id", "embedding", threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
