@@ -495,12 +495,27 @@ object Dedup {
     * once. `maxBucket` guards degenerate buckets (skew at scale: a
     * boilerplate shingle set shared by millions of docs would otherwise
     * produce a quadratic bucket). */
+  /** r20 (the SortedNeighborhood.candidatePairs pattern, shared by the
+    * three bucket-collect call sites below): a bucket shuffle carries
+    * FEW bytes (ids + a band/fingerprint key) but the size²/2 pair
+    * explosion fuses into the stage above it, and AQE's byte-based
+    * coalescing — blind to per-row CPU — collapsed those stages to a
+    * handful of tasks on a 32-thread executor. An explicit
+    * REPARTITION_BY_NUM pins the width (AQE does not coalesce
+    * user-numbered repartitions); the groupBy reuses the partitioning,
+    * so exchange count and results are unchanged. The count follows the
+    * session's shuffle sizing — cluster deployments keep their own
+    * derivation. */
+  private def pinBucketWidth(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      keys: _*)
+
   def lshCandidates(
       withSig: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int, maxBucket: Int = 1000,
       useMd5: Boolean = true): DataFrame = {
     val banded = bandedRows(withSig, idCol, sigCol, bands, rowsPerBand, useMd5)
-    val buckets = banded
+    val buckets = pinBucketWidth(banded, col("band"), col("bh"))
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -628,7 +643,11 @@ object Dedup {
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("e"))
       .select(col("id"), col("sig"), col("e.band").as("band"), col("e.bh").as("bh"))
     // Bucket-collect + local pair explosion: signatures computed once,
-    // one shuffle, no self-join (same pattern as lshCandidates).
+    // one shuffle, no self-join (same pattern as lshCandidates — but
+    // WITHOUT the r20 pinned bucket width: measured 0.73 → 0.90 s at
+    // sf0.1, a regression — these banded rows carry the 8-byte sig
+    // payload and the hamming verify is cheap, so the explicit
+    // repartition costs more than the wider explosion stage saves).
     val buckets = banded
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
@@ -649,6 +668,11 @@ object Dedup {
   def winnowingCandidates(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, window: Int, minShared: Int, maxBucket: Int = 1000): DataFrame = {
+    // no pinned bucket width here (r20): measured FLAT at sf0.1 for
+    // dedup_winnowing_candidates and slightly negative for the decontam
+    // consumer — the fp stream is doc×fingerprints rows (much wider
+    // than the banded LSH stream), so the explicit repartition's cost
+    // cancels the wider explosion stage
     val fps = df.select(col(idCol).as("id"),
       explode(TextFunctions.winnowingFingerprints(col(textCol), k, window)).as("fp"))
     val buckets = fps.groupBy(col("fp"))

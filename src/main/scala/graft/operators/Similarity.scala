@@ -108,8 +108,18 @@ object Similarity {
     * [[nearDupPairsLsh]] (r15 review: two verbatim copies of the
     * explosion SQL had to be kept in sync by hand). size^2/2 transient
     * structs, unordered (a<b) pairs deduped before any vector moves. */
-  private def bucketsToUniquePairs(banded: DataFrame, maxBucket: Int): DataFrame =
-    banded.groupBy(col("band"), col("bits"))
+  private def bucketsToUniquePairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    // r20 (the SortedNeighborhood.candidatePairs pattern): the bucket
+    // shuffle carries bands × (id, bits) rows — FEW bytes — but the
+    // size²/2 pair explosion fuses into the stage above it, and AQE's
+    // byte-based coalescing (blind to per-row CPU) collapsed that stage
+    // to ~4 tasks on a 32-thread executor. An explicit
+    // REPARTITION_BY_NUM pins the width (AQE does not coalesce
+    // user-numbered repartitions); the groupBy reuses the partitioning,
+    // so the exchange count is unchanged and the pair set identical.
+    val parts = banded.sparkSession.sessionState.conf.numShufflePartitions
+    banded.repartition(parts, col("band"), col("bits"))
+      .groupBy(col("band"), col("bits"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
@@ -119,6 +129,7 @@ object Similarity {
           |                greatest(ids[i], ids[j]) AS id_b))))""".stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+  }
 
   /** kNN self-join: for EVERY vector, its k nearest neighbors among LSH
     * bucket collisions (approximate). Unlike `bruteForceTopK` (small
