@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput GC for the forked batch JVMs (r20, measured): this
+  // workload is allocation-heavy batch compute with no pause-time
+  // requirement, and ParallelGC ran the 8-query heavy bench subset ~7%
+  // faster than the JDK-17 G1 default in interleaved A/Bs (14.5/14.7 s
+  // vs 15.6/16.0 s; dedup_allpairs_jaccard 1.9 -> 1.5-1.6 s). Larger
+  // heaps were ALSO measured and lost (8g/12g/24g -> 19.7/23.1/26.3 s
+  // on the same subset) — keep the bounded heap + throughput collector.
+  // Override via SPARK_GRAFT_GC (e.g. "-XX:+UseG1GC" for latency-bound
+  // embedding).
+  sys.env.getOrElse("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
 )

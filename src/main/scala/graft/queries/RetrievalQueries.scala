@@ -117,6 +117,19 @@ object RetrievalQueries {
     queries.join(postings, Seq("t"))
       .withColumn("c_q", round(
         col("idf") * (col("tf") * 2.2 / (col("tf") + col("dnorm"))) * 1e6).cast("long"))
+      // r20: ONE explicit query-keyed exchange serves BOTH aggregates —
+      // HashPartitioning(query_id) satisfies the (query_id, doc_id)
+      // clustering the score agg needs AND the query_id clustering the
+      // top-k agg needs, so EnsureRequirements inserts no further
+      // exchange. The contribution stream's map-side partial aggregation
+      // was measured near-useless anyway (terms are bucket-spread, so a
+      // task rarely sees two contributions of one (q, doc) pair), and
+      // the former plan's second exchange (per-(q, doc) sums) disappears
+      // outright. Per-query candidate sets are ≪ a partition at any
+      // scale (the query set grows with the corpus, per-query work does
+      // not), so keying the one exchange by query skews nothing.
+      .repartition(queries.sparkSession.sessionState.conf.numShufflePartitions,
+        col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c_q")).as("score_q"))
       .groupBy(col("query_id"))
