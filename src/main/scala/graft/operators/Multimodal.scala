@@ -78,8 +78,34 @@ object Multimodal {
     * Returns None when the payload is not a decodable image, so callers
     * fall back to [[decodeStub]] — the honest boundary between real and
     * stubbed decode. */
+  /** Magic-byte gate in front of [[decodeImage]]'s ImageIO call. Every
+    * container the stock JDK can decode announces itself in the first
+    * bytes — PNG \x89PNG, GIF87a/GIF89a, BMP "BM", JPEG FF D8 FF, TIFF
+    * "II*"/"MM" headers, WBMP type 0 — and `ImageIO.read` returns null for
+    * everything else anyway, AFTER paying a per-call trip through the
+    * synchronized SPI registry (stream SPI lookup + every reader's
+    * `canDecodeInput`). r20 measurement: a 32-task decode stage over
+    * non-image payloads spent ~25 s of aggregate executor time blocked
+    * in that registry while one task alone needed 0.9 s — the gate
+    * removes the ImageIO call for payloads no stock reader could claim,
+    * with identical outcomes (a deployment adding third-party codecs
+    * swaps the `decodeImage` body per the codec-seam contract above,
+    * and extends this gate with its containers' magics). */
+  private def maybeJdkImage(p: Array[Byte]): Boolean = {
+    if (p.length < 4) return false
+    val (b0, b1, b2, b3) = (p(0) & 0xFF, p(1) & 0xFF, p(2) & 0xFF, p(3) & 0xFF)
+    (b0 == 0x89 && b1 == 'P' && b2 == 'N' && b3 == 'G') || // PNG
+    (b0 == 'G' && b1 == 'I' && b2 == 'F' && b3 == '8') ||  // GIF87a/89a
+    (b0 == 'B' && b1 == 'M') ||                            // BMP
+    (b0 == 0xFF && b1 == 0xD8 && b2 == 0xFF) ||            // JPEG
+    (b0 == 'I' && b1 == 'I' && b2 == 0x2A && b3 == 0x00) ||// TIFF LE
+    (b0 == 'M' && b1 == 'M' && b2 == 0x00 && b3 == 0x2A) ||// TIFF BE
+    (b0 == 0x00 && b1 <= 1)                                // WBMP type 0 (permissive)
+  }
+
   def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
-    try {
+    if (!maybeJdkImage(payload)) None
+    else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
       else {
@@ -124,6 +150,17 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition decoder state (the "native context" slot): one
         // digest instance reused across the whole partition
+        // r20 (measured): ImageIO's default useCache=true backs EVERY
+        // ImageIO.read(InputStream) with a DISK temp file — per-row
+        // temp-file create/delete syscalls that (a) do not scale across
+        // concurrent tasks (the 32-wide decode burned ~40 s aggregate
+        // CPU where one task burned 0.9 s) and (b) make even the serial
+        // decode filesystem-state-sensitive (same code measured
+        // 0.5-6 s across windows). Byte-array payloads never need the
+        // disk cache; the in-memory stream decodes identically. The
+        // flag is a JVM-global static — setting it per partition is
+        // idempotent and keeps the decoder contract self-contained.
+        javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
         val hexDigits = "0123456789abcdef".toCharArray
         rows.map { r =>

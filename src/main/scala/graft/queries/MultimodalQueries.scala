@@ -31,7 +31,19 @@ object MultimodalQueries {
     * the whole mapPartitions decode path — schema, batching, digest
     * reuse, and the fake codec's arithmetic. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Multimodal.extractFeatures(media(spark, dir)).toDF()
+    // r20 (guide §2.5 "repartition after unsplittable input"): the decode
+    // chain — mapPartitions feature extraction plus the HOF L2 projection —
+    // fuses onto the documents scan, and a one-row-group testdata file runs
+    // that whole chain as ONE task TWICE (the final orderBy's range-sampling
+    // pass re-executes the plan). Spread the scan BEFORE synthesizing the
+    // payload column so the exchange carries the narrow (doc_id, text) rows;
+    // at many-row-group production layouts spreadForCompute is the identity,
+    // so extractFeatures stays scan-side there (the operator's no-payload-
+    // shuffle contract). The other mm_* queries are declarative and cheap —
+    // measured fine unspread.
+    val spread = Multimodal.fromDocuments(
+      Tables.spreadForCompute(Tables.documents(spark, dir), col("doc_id")))
+    val feats = Multimodal.extractFeatures(spread).toDF()
     val components = (0 until 8).map(d =>
       element_at(col("embedding"), d + 1).cast("double").as(s"e$d"))
     feats.select(Seq(col("media_id"), col("kind"), col("n_bytes"),

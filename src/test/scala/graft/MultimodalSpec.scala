@@ -82,6 +82,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1).embedding.toSeq === Multimodal.decodeStub("just text".getBytes("UTF-8")).toSeq)
   }
 
+  test("magic-byte gate: every stock-JDK container still reaches ImageIO; junk never does") {
+    // r20 gate (decodeImage): non-image payloads must return None WITHOUT
+    // paying the per-call ImageIO SPI-registry trip, while every container
+    // the stock JDK decodes still gets through on its signature.
+    for (fmt <- Seq("png", "bmp", "gif", "jpg")) {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"JDK can write $fmt")
+      assert(Multimodal.decodeImage(baos.toByteArray).isDefined,
+        s"$fmt passes the gate and decodes")
+    }
+    // gate-rejected: plain text, empty, and sub-4-byte payloads
+    assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte](0x42, 0x4D)).isEmpty) // "BM" but < 4 bytes
+    // gate-passed but corrupt: ImageIO returns null -> None (old behavior kept)
+    val corruptPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4)
+    assert(Multimodal.decodeImage(corruptPng).isEmpty)
+  }
+
   test("sniffMeta reads real PNG IHDR dimensions (javax.imageio payload)") {
     val img = new java.awt.image.BufferedImage(37, 21,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
